@@ -1,0 +1,283 @@
+"""Content-addressing: deterministic row / table / cluster hashing.
+
+Re-implements the reference hashing recipe (semantics studied at
+/root/reference/src/matchbox/common/hash.py:83-254) Spark-first:
+
+- **Row hash (H1)**: per-type normalisation (binary→lowercase hex,
+  struct→JSON, list→","-join, else cast to string; null→"\\x00"), then for each
+  column concat ``{name}␟{value}␞`` and hash the UTF-8 bytes. The reference
+  default is xxh3_128 (not available JVM-side); we default to SHA-256, which
+  the reference also supports, and offer ``xxhash64`` as the fast
+  non-compatible path. All of this stays in whole-stage codegen — no UDFs.
+- **Table hash (H2)**: order/field-order-invariant — sort column names,
+  explode list columns, hash rows, sort the hashes bytewise, fold through one
+  SHA-256. The fold is streamed through the driver via ``toLocalIterator`` so
+  memory is O(1); the sort is distributed.
+- **Edge hash (H3)**: (left_id,right_id) replaced by a sorted list so (1,2)
+  ≡ (2,1).
+- **Cluster hash (H4)**: canonicalise a clustering (group children, sort,
+  ordinal relabel) so the hash is invariant to row order and parent
+  relabelling.
+- **Leaf-set hash (H5)**: SHA-256 of "|"-joined sorted member hashes.
+
+Hash *values* are bytes (BinaryType), never ints — uint64 ids in the reference
+become non-negative longs, hashes stay binary (SURVEY §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+UNIT_SEP = "␟"  # ␟ between column name and value
+RECORD_SEP = "␞"  # ␞ after each column's value
+NULL_SENTINEL = "\x00"
+EMPTY_TABLE_HASH = b"empty_table_hash"
+
+HASH_FUNC = hashlib.sha256
+
+
+# ---------------------------------------------------------------------------
+# driver-side helpers (small values: step fingerprints, ids)
+# ---------------------------------------------------------------------------
+
+
+def hash_to_base64(hash_: bytes) -> str:
+    """URL-safe base64 of a hash digest."""
+    return base64.urlsafe_b64encode(hash_).decode("utf-8")
+
+
+def base64_to_hash(value: str | bytes) -> bytes:
+    """Inverse of :func:`hash_to_base64`; passes bytes through."""
+    if isinstance(value, bytes):
+        return value
+    return base64.urlsafe_b64decode(value)
+
+
+def prep_for_hash(item: bytes | bool | str | int | float | bytearray) -> bytes:
+    """Encode a scalar to bytes for hashing (str→utf8, int→big-endian signed)."""
+    if isinstance(item, bytes | bytearray):
+        return bytes(item)
+    if isinstance(item, str):
+        return item.encode()
+    if isinstance(item, int):
+        signed = True
+        length = ((item + ((item * signed) < 0)).bit_length() + 7 + signed) // 8
+        return item.to_bytes(length, byteorder="big", signed=signed)
+    raise ValueError(f"Cannot hash value of type {type(item)}")
+
+
+def hash_data(data) -> bytes:
+    """SHA-256 digest of a single scalar."""
+    return HASH_FUNC(prep_for_hash(data)).digest()
+
+
+def hash_values(*values) -> bytes:
+    """Order-insensitive combined hash of several scalars."""
+    sorted_vals = sorted(values)
+    digests = [HASH_FUNC(prep_for_hash(v)) for v in sorted_vals]
+    acc = digests[0]
+    for d in digests[1:]:
+        acc.update(d.digest())
+    return acc.digest()
+
+
+def hash_cluster_leaves(leaves: Iterable[bytes]) -> bytes:
+    """H5 driver-side: SHA-256 of "|"-joined sorted leaf hashes."""
+    return HASH_FUNC(b"|".join(sorted(leaves))).digest()
+
+
+# ---------------------------------------------------------------------------
+# column expressions (distributed, codegen'd)
+# ---------------------------------------------------------------------------
+
+
+def normalize_for_hash(name: str, dtype: T.DataType) -> Column:
+    """Per-type normalisation of a column to a string for hashing.
+
+    binary→lowercase hex; struct→JSON; array→","-joined elements; everything
+    else CAST to string. Nulls become "\\x00".
+    """
+    col = F.col(name)
+    if isinstance(dtype, T.BinaryType):
+        out = F.lower(F.hex(col))
+    elif isinstance(dtype, T.StructType):
+        out = F.to_json(col)
+    elif isinstance(dtype, T.ArrayType):
+        out = F.array_join(col.cast(T.ArrayType(T.StringType())), ",")
+    else:
+        out = col.cast(T.StringType())
+    return F.coalesce(out, F.lit(NULL_SENTINEL))
+
+
+def row_hash_expr(
+    schema: T.StructType,
+    columns: list[str],
+    method: str = "sha256",
+) -> Column:
+    """H1: a Column computing the content hash of each row over ``columns``.
+
+    ``method='sha256'`` yields a 32-byte BinaryType column (reference-recipe
+    compatible); ``method='xxhash64'`` yields a LongType column (fast path for
+    internal grouping only — not content-addressing).
+    """
+    by_name = {f.name: f.dataType for f in schema.fields}
+    parts: list[Column] = []
+    for c in columns:
+        if c not in by_name:
+            raise ValueError(f"column {c!r} not in schema")
+        parts.extend(
+            [
+                F.lit(c),
+                F.lit(UNIT_SEP),
+                normalize_for_hash(c, by_name[c]),
+                F.lit(RECORD_SEP),
+            ]
+        )
+    concat = F.concat(*parts)
+    if method == "sha256":
+        return F.unhex(F.sha2(concat, 256))
+    if method == "xxhash64":
+        return F.xxhash64(concat)
+    raise ValueError(f"Unsupported hash method: {method}")
+
+
+def with_row_hash(
+    df: DataFrame, columns: list[str] | None = None, out: str = "hash"
+) -> DataFrame:
+    """Attach an H1 row-hash column over ``columns`` (default: all, sorted)."""
+    cols = sorted(df.columns) if columns is None else columns
+    return df.withColumn(out, row_hash_expr(df.schema, cols))
+
+
+def leaf_set_hash_expr(leaves_col: Column) -> Column:
+    """H5 as a Column: SHA-256 of "|"-joined sorted array<binary> member hashes.
+
+    Works entirely JVM-side: array_sort on binary is bytewise (matches Python
+    bytes ordering), the fold concatenates with a "|" separator, sha2 hashes
+    raw bytes.
+    """
+    sorted_leaves = F.array_sort(leaves_col)
+    joined = F.aggregate(
+        sorted_leaves,
+        F.lit(b""),
+        lambda acc, x: F.when(F.length(acc) == F.lit(0), x).otherwise(
+            F.concat(acc, F.lit(b"|"), x)
+        ),
+    )
+    return F.unhex(F.sha2(joined, 256))
+
+
+# ---------------------------------------------------------------------------
+# table-level content hashes (fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def hash_table(
+    df: DataFrame,
+    as_sorted_list: list[str] | None = None,
+    method: str = "sha256",
+) -> bytes:
+    """H2: content hash of a DataFrame, invariant to row and field order.
+
+    Pipeline: optional sorted-list normalisation → sort column names → explode
+    array columns (empty/null arrays yield a null row, like the reference's
+    ``empty_as_null=True``) → H1 row hash → distributed bytewise sort of the
+    hashes → streamed SHA-256 fold on the driver (O(1) driver memory via
+    ``toLocalIterator``; only the 32-byte digests cross the driver, never the
+    data).
+
+    At 100 TB this remains feasible because what flows to the driver is one
+    digest per row of the *fingerprinted* table (edges / assignments), and the
+    sort is a full Spark sort. For non-reference-compatible speed, callers can
+    use :func:`hash_table_unordered` which tree-aggregates.
+    """
+    if df.isEmpty():
+        return EMPTY_TABLE_HASH
+
+    if as_sorted_list:
+        if len(as_sorted_list) < 2:
+            raise ValueError(
+                "Lists passed to as_sorted_list must contain at least 2 column names"
+            )
+        missing = [c for c in as_sorted_list if c not in df.columns]
+        if missing:
+            raise ValueError(f"Columns not found in dataframe: {missing}")
+        df = df.withColumn(
+            "sorted_list", F.array_sort(F.array(*as_sorted_list))
+        ).drop(*as_sorted_list)
+
+    columns = sorted(df.columns)
+    df = df.select(*columns)
+
+    for c in columns:
+        if isinstance(df.schema[c].dataType, T.ArrayType):
+            df = df.withColumn(c, F.explode_outer(c))
+
+    hashed = df.select(row_hash_expr(df.schema, columns, method).alias("h"))
+    digest = HASH_FUNC()
+    for row in hashed.orderBy("h").toLocalIterator():
+        digest.update(row[0])
+    return digest.digest()
+
+
+def hash_table_unordered(df: DataFrame, columns: list[str] | None = None) -> bytes:
+    """Fast order-invariant fingerprint (NOT reference-compatible).
+
+    XORs 64-bit row hashes via a distributed aggregate — one number per
+    partition, no driver iteration. Use for cheap change-detection; use
+    :func:`hash_table` for reference-compatible content addresses.
+    """
+    cols = sorted(df.columns) if columns is None else columns
+    h = df.select(row_hash_expr(df.schema, cols, "xxhash64").alias("h"))
+    row = h.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+        F.bit_xor("h").alias("x"),
+    ).collect()[0]
+    if row["n"] == 0:
+        return EMPTY_TABLE_HASH
+    acc = HASH_FUNC()
+    for v in (row["n"], row["s"] or 0, row["x"] or 0):
+        acc.update(int(v).to_bytes(16, "big", signed=True))
+    return acc.digest()
+
+
+def hash_model_results(edges: DataFrame) -> bytes:
+    """H3: fingerprint model edges; (1,2) and (2,1) hash identically."""
+    return hash_table(edges, as_sorted_list=["left_id", "right_id"])
+
+
+def hash_clusters(assignments: DataFrame) -> bytes:
+    """H4: fingerprint cluster assignments by membership semantics.
+
+    Invariant to row ordering, parent_id relabelling, and child order within a
+    parent: group children per parent, sort each member list, order clusters
+    by member list, relabel with 1-based ordinals, explode, then H2.
+
+    The global ordinal window is single-partition, but it runs over one row
+    per *cluster* (already aggregated) — acceptable for fingerprinting; the
+    heavy lifting (groupBy) is distributed.
+    """
+    if assignments.isEmpty():
+        return EMPTY_TABLE_HASH
+
+    child_type = assignments.schema["child_id"].dataType
+    grouped = (
+        assignments.select("parent_id", "child_id")
+        .groupBy("parent_id")
+        .agg(F.sort_array(F.collect_set("child_id")).alias("child_ids"))
+        .select("child_ids")
+    )
+    w = Window.orderBy("child_ids")
+    canonical = (
+        grouped.withColumn("cluster_ordinal", F.row_number().over(w).cast("long"))
+        .withColumn("child_id", F.explode_outer("child_ids"))
+        .select(F.col("cluster_ordinal"), F.col("child_id").cast(child_type))
+    )
+    return hash_table(canonical)

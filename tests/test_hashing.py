@@ -1,0 +1,128 @@
+"""Hash determinism + reference-recipe compatibility tests (SURVEY §2.8).
+
+The pure-Python expected values below re-derive the reference recipe
+(/root/reference/src/matchbox/common/hash.py:83-217 semantics) independently:
+sha256 over "{col}␟{value}␞" concatenation, table hash = sha256 of bytewise
+sorted row digests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from matchbox_spark.functions import hashing as H
+
+
+def _py_row_hash(cols_vals: list[tuple[str, str]]) -> bytes:
+    s = "".join(f"{c}{H.UNIT_SEP}{v}{H.RECORD_SEP}" for c, v in cols_vals)
+    return hashlib.sha256(s.encode()).digest()
+
+
+def _py_table_hash(rows: list[bytes]) -> bytes:
+    return hashlib.sha256(b"".join(sorted(rows))).digest()
+
+
+def test_row_hash_matches_reference_recipe(spark):
+    df = spark.createDataFrame(
+        [("alice", 1, None), ("bob", 2, 3.5)], "name string, n int, x double"
+    )
+    out = {
+        r["name"]: r["h"]
+        for r in df.withColumn(
+            "h", H.row_hash_expr(df.schema, ["name", "n", "x"])
+        ).collect()
+    }
+    assert out["alice"] == _py_row_hash([("name", "alice"), ("n", "1"), ("x", "\x00")])
+    assert out["bob"] == _py_row_hash([("name", "bob"), ("n", "2"), ("x", "3.5")])
+
+
+def test_row_hash_binary_and_array_normalisation(spark):
+    df = spark.createDataFrame(
+        [(bytearray(b"\xde\xad"), ["b", "a"])], "b binary, arr array<string>"
+    )
+    got = df.select(H.row_hash_expr(df.schema, ["b", "arr"]).alias("h")).collect()[0][
+        "h"
+    ]
+    # binary → lowercase hex, list → ","-join
+    assert got == _py_row_hash([("b", "dead"), ("arr", "b,a")])
+
+
+def test_table_hash_row_and_column_order_invariant(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    b = spark.createDataFrame([(2, "y"), (1, "x")], "id long, v string").select(
+        "v", "id"
+    )
+    assert H.hash_table(a) == H.hash_table(b)
+    # and matches the pure-python recipe
+    rows = [
+        _py_row_hash([("id", "1"), ("v", "x")]),
+        _py_row_hash([("id", "2"), ("v", "y")]),
+    ]
+    assert H.hash_table(a) == _py_table_hash(rows)
+
+
+def test_table_hash_partitioning_invariant(spark):
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    assert H.hash_table(df.repartition(1)) == H.hash_table(df.repartition(13))
+
+
+def test_table_hash_empty(spark):
+    df = spark.createDataFrame([], "id long")
+    assert H.hash_table(df) == H.EMPTY_TABLE_HASH
+
+
+def test_model_results_hash_pair_order_invariant(spark):
+    e1 = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.8)], "left_id long, right_id long, score double"
+    )
+    e2 = spark.createDataFrame(
+        [(2, 1, 0.9), (4, 3, 0.8)], "left_id long, right_id long, score double"
+    )
+    assert H.hash_model_results(e1) == H.hash_model_results(e2)
+    e3 = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.7)], "left_id long, right_id long, score double"
+    )
+    assert H.hash_model_results(e1) != H.hash_model_results(e3)
+
+
+def test_cluster_hash_invariances(spark):
+    base = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "parent_id long, child_id long"
+    )
+    relabeled = spark.createDataFrame(
+        [(7, 20), (9, 11), (9, 10)], "parent_id long, child_id long"
+    )
+    different = spark.createDataFrame(
+        [(1, 10), (2, 11), (2, 20)], "parent_id long, child_id long"
+    )
+    assert H.hash_clusters(base) == H.hash_clusters(relabeled)
+    assert H.hash_clusters(base) != H.hash_clusters(different)
+
+
+def test_leaf_set_hash_expr_matches_python(spark):
+    h1, h2 = hashlib.sha256(b"a").digest(), hashlib.sha256(b"b").digest()
+    expected = H.hash_cluster_leaves([h1, h2])
+    df = spark.createDataFrame([([h2, h1],)], "leaves array<binary>")
+    got = df.select(H.leaf_set_hash_expr(F.col("leaves")).alias("h")).collect()[0]["h"]
+    assert got == expected
+
+
+def test_hash_values_order_insensitive():
+    assert H.hash_values("a", "b") == H.hash_values("b", "a")
+    with pytest.raises(TypeError):
+        H.hash_values("a", 1)
+
+
+def test_base64_roundtrip():
+    d = hashlib.sha256(b"x").digest()
+    assert H.base64_to_hash(H.hash_to_base64(d)) == d
+
+
+def test_unordered_fingerprint_invariant(spark):
+    df = spark.range(0, 500).withColumn("v", F.col("id") % 7)
+    assert H.hash_table_unordered(df.repartition(7)) == H.hash_table_unordered(
+        df.repartition(2)
+    )
