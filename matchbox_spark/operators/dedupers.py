@@ -1,0 +1,116 @@
+"""Dedupers: same-source pair generation (SURVEY §2.3 J2).
+
+Semantics match the reference NaiveDeduper (naive.py:29-76): an inner
+self-join on equality of every ``unique_field``, excluding row self-matches
+via a synthetic row index (true duplicate rows — identical data, distinct
+keys — must still pair), suppressing ``left_id = right_id``, and emitting
+each unordered pair once with score 1.0.
+
+Spark-first shape: instead of a literal self equi-join (which scans the input
+twice and shuffles both sides), we group by the unique fields once and
+generate each group's pairs from its collected id list — one shuffle, and the
+pair explosion happens after the aggregate, map-side. The two plans are
+set-equivalent; for cliques of size k both produce k·(k-1)/2 pairs. Groups are
+naturally skew-prone (a frequent value creates a huge clique) — quadratic
+blow-up is inherent to the semantics, so we cap nothing but keep the heavy
+work (combinations) inside a generated column, not a join.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from matchbox_spark.operators.registry import add_model_class
+from matchbox_spark.schemas import SCHEMA_MODEL_EDGES, conform
+
+
+@dataclass
+class DeduperSettings:
+    """Settings shared by dedupers: the id field naming the entity id column."""
+
+    id: str = "id"
+
+
+class Deduper(ABC):
+    """A model step over a single query: emits scored same-source pairs."""
+
+    def __init__(self, **settings):
+        self.settings = self.settings_class(**settings)
+
+    settings_class = DeduperSettings
+
+    def prepare(self, data: DataFrame) -> None:
+        """Hook for subclasses needing precomputation (e.g. model training)."""
+
+    @abstractmethod
+    def dedupe(self, data: DataFrame) -> DataFrame:
+        """Return edges ``(left_id, right_id, score)`` with left_id < right_id."""
+
+
+@dataclass
+class NaiveSettings(DeduperSettings):
+    unique_fields: list[str] = field(default_factory=list)
+
+
+@add_model_class
+class NaiveDeduper(Deduper):
+    """Pairs every two rows agreeing on all unique fields, score 1.0."""
+
+    settings_class = NaiveSettings
+
+    def dedupe(self, data: DataFrame) -> DataFrame:
+        s = self.settings
+        if not s.unique_fields:
+            raise ValueError("NaiveDeduper requires unique_fields")
+
+        # _rid distinguishes true-duplicate rows (identical data, distinct
+        # keys) from a row matching itself — reference's _unique_e4003b.
+        rows = data.select(
+            F.col(s.id).alias("_id"), *[F.col(f) for f in s.unique_fields]
+        ).withColumn("_rid", F.monotonically_increasing_id())
+
+        # One shuffle: group identical field tuples, collect member ids.
+        # SQL equality semantics: rows with a NULL in any unique field never
+        # match anything (join `=` is null-rejecting), so drop them up front.
+        grouped = (
+            rows.na.drop(subset=list(s.unique_fields))
+            .groupBy(*s.unique_fields)
+            .agg(F.collect_list(F.struct("_rid", "_id")).alias("members"))
+            .where(F.size("members") >= 2)
+        )
+
+        # Pairs within each group: all (i, j), i<j by _rid, then drop
+        # self-id pairs and canonicalise to (least, greatest).
+        pairs = (
+            grouped.select(
+                F.explode(
+                    F.filter(
+                        F.flatten(
+                            F.transform(
+                                "members",
+                                lambda a: F.transform(
+                                    F.col("members"),
+                                    lambda b: F.struct(
+                                        a["_id"].alias("lid"),
+                                        b["_id"].alias("rid"),
+                                        (a["_rid"] < b["_rid"]).alias("keep"),
+                                    ),
+                                ),
+                            )
+                        ),
+                        lambda p: p["keep"] & (p["lid"] != p["rid"]),
+                    )
+                ).alias("p")
+            )
+            .select(
+                F.least("p.lid", "p.rid").alias("left_id"),
+                F.greatest("p.lid", "p.rid").alias("right_id"),
+            )
+            .dropDuplicates(["left_id", "right_id"])
+            .withColumn("score", F.lit(1.0))
+        )
+        return conform(pairs, SCHEMA_MODEL_EDGES)

@@ -1,0 +1,221 @@
+"""Linkers: cross-source pair generation (SURVEY §2.3 J3-J6).
+
+Semantics match the reference linkers (deterministic.py:91-230,
+weighteddeterministic.py:85-145) re-expressed Spark-first:
+
+- OR-combined comparisons become a UNION ALL of single-condition joins plus a
+  DISTINCT — the reference does this rewrite too, because no optimizer splits
+  an OR theta-join into equi-joins (SURVEY §4). Each equality condition stays
+  an equi-join Catalyst can hash/sort-merge; non-equi conditions are logged.
+- Sequential rounds anti-join matched ids out of both pools before the next
+  round (J4) — a driver-side loop; each round's plan is optimised separately.
+- The weighted linker scores each comparison with its weight, sums per pair,
+  and keeps pairs with normalised score >= threshold (J5/A5).
+"""
+
+from __future__ import annotations
+
+import logging
+from abc import ABC, abstractmethod
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from matchbox_spark.operators.comparison import is_equi_condition, validate_comparison
+from matchbox_spark.operators.registry import add_model_class
+from matchbox_spark.schemas import SCHEMA_MODEL_EDGES, conform
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class LinkerSettings:
+    left_id: str = "id"
+    right_id: str = "id"
+
+
+class Linker(ABC):
+    """A model step over two queries: emits scored cross-source pairs."""
+
+    def __init__(self, **settings):
+        self.settings = self.settings_class(**settings)
+
+    settings_class = LinkerSettings
+
+    def prepare(self, left: DataFrame, right: DataFrame) -> None:
+        """Hook for subclasses needing precomputation (e.g. EM training)."""
+
+    @abstractmethod
+    def link(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        """Return edges ``(left_id, right_id, score)``."""
+
+
+def _join_one_condition(
+    left: DataFrame,
+    right: DataFrame,
+    condition: str,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """One inner join l×r on a single validated condition, projecting id pairs."""
+    if not is_equi_condition(condition):
+        logger.info(
+            "comparison %r is not a pure equi-join; Catalyst will use a "
+            "nested-loop strategy — consider rewriting as equalities",
+            condition,
+        )
+    l = left.alias("l")  # noqa: E741
+    r = right.alias("r")
+    return l.join(r, F.expr(condition), "inner").select(
+        F.col(f"l.{left_id}").alias("left_id"),
+        F.col(f"r.{right_id}").alias("right_id"),
+    )
+
+
+@dataclass
+class DeterministicSettings(LinkerSettings):
+    # flat list → single round, OR-combined; nested lists → sequential rounds
+    comparisons: list = field(default_factory=list)
+
+    def rounds(self) -> list[list[str]]:
+        if not self.comparisons:
+            raise ValueError("DeterministicLinker requires comparisons")
+        if isinstance(self.comparisons[0], (list, tuple)):
+            return [list(r) for r in self.comparisons]
+        return [list(self.comparisons)]
+
+
+@add_model_class
+class DeterministicLinker(Linker):
+    """Rule-based linking: union of per-condition joins, optional rounds."""
+
+    settings_class = DeterministicSettings
+
+    def link(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        s = self.settings
+        rounds = s.rounds()
+        for rnd in rounds:
+            for cond in rnd:
+                validate_comparison(cond)
+
+        all_matches: list[DataFrame] = []
+        remaining_left, remaining_right = left, right
+
+        for round_num, conditions in enumerate(rounds, start=1):
+            per_condition = [
+                _join_one_condition(
+                    remaining_left, remaining_right, c, s.left_id, s.right_id
+                )
+                for c in conditions
+            ]
+            matches = per_condition[0]
+            for other in per_condition[1:]:
+                matches = matches.union(other)
+            matches = matches.dropDuplicates(["left_id", "right_id"]).withColumn(
+                "score", F.lit(1.0)
+            )
+
+            if len(rounds) > 1:
+                # Materialise: the next round's anti-join depends on this one,
+                # and re-deriving it would re-run the joins.
+                matches = matches.localCheckpoint(eager=True)
+                logger.info("round %d: %d matches", round_num, matches.count())
+                matched_left = matches.select(
+                    F.col("left_id").alias(s.left_id)
+                ).distinct()
+                matched_right = matches.select(
+                    F.col("right_id").alias(s.right_id)
+                ).distinct()
+                remaining_left = remaining_left.join(
+                    matched_left, s.left_id, "left_anti"
+                )
+                remaining_right = remaining_right.join(
+                    matched_right, s.right_id, "left_anti"
+                )
+            all_matches.append(matches)
+
+        out = all_matches[0]
+        for m in all_matches[1:]:
+            out = out.union(m)
+        return conform(out, SCHEMA_MODEL_EDGES)
+
+
+@dataclass
+class WeightedComparison:
+    comparison: str
+    weight: float
+
+
+@dataclass
+class WeightedDeterministicSettings(LinkerSettings):
+    weighted_comparisons: list = field(default_factory=list)
+    threshold: float = 1.0
+
+    def __post_init__(self):
+        self.weighted_comparisons = [
+            wc
+            if isinstance(wc, WeightedComparison)
+            else WeightedComparison(**wc)
+            if isinstance(wc, dict)
+            else WeightedComparison(*wc)
+            for wc in self.weighted_comparisons
+        ]
+        if not 0 <= self.threshold <= 1:
+            raise ValueError("threshold must be in [0, 1]")
+
+
+@add_model_class
+class WeightedDeterministicLinker(Linker):
+    """Weighted rule agreement: sum(weight of matching rules)/total >= threshold."""
+
+    settings_class = WeightedDeterministicSettings
+
+    def link(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        s = self.settings
+        if not s.weighted_comparisons:
+            raise ValueError("WeightedDeterministicLinker requires weighted_comparisons")
+        total = sum(wc.weight for wc in s.weighted_comparisons)
+
+        scored: list[DataFrame] = []
+        for wc in s.weighted_comparisons:
+            validate_comparison(wc.comparison)
+            pairs = _join_one_condition(
+                left, right, wc.comparison, s.left_id, s.right_id
+            ).dropDuplicates(["left_id", "right_id"])
+            scored.append(pairs.withColumn("score", F.lit(float(wc.weight))))
+
+        unioned = scored[0]
+        for other in scored[1:]:
+            unioned = unioned.union(other)
+
+        out = (
+            unioned.groupBy("left_id", "right_id")
+            .agg((F.sum("score") / F.lit(float(total))).alias("score"))
+            .where(F.col("score") >= F.lit(float(s.threshold)))
+        )
+        return conform(out, SCHEMA_MODEL_EDGES)
+
+
+@add_model_class
+class SplinkLinker(Linker):
+    """Fellegi–Sunter probabilistic linking via Splink's native Spark backend.
+
+    Splink ships a SparkAPI backend that takes the same settings dictionary the
+    reference passes (splinklinker.py:177-257). The dependency is not available
+    in this environment; this class gates on import and documents the wiring.
+    """
+
+    def __init__(self, **settings):  # noqa: D107
+        try:
+            import splink  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "SplinkLinker requires the 'splink' package (Spark backend). "
+                "Install splink>=4 and use linker_settings={'link_type': "
+                "'link_only', ...} as in the reference."
+            ) from e
+        super().__init__(**settings)
+
+    def link(self, left: DataFrame, right: DataFrame) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError("splink not available in this environment")

@@ -1,0 +1,313 @@
+"""Catalog: content-addressed cluster hierarchy state.
+
+Replaces the reference's Postgres ORM + HTTP/S3 sync (orm.py, insert.py) with
+DataFrames managed by one module — the Spark-native "server". Tables:
+
+- ``clusters(cluster_id: long, cluster_hash: binary)`` — identity is the
+  content hash; ids are dense longs assigned at insert (orm.py:958-989).
+- ``cluster_keys(cluster_id, source, key)`` — source key map (orm.py:670-697).
+- ``contains(root, leaf)`` — hierarchy, no self-containment (orm.py:936-955).
+- ``model_edges(step, left_id, right_id, score)`` (orm.py:1209-1243).
+- ``resolver_clusters(step, cluster_id)`` (orm.py:1246-1262).
+- ``steps`` — driver-side metadata dict incl. fingerprints (H6 gate).
+
+Insert paths mirror insert.py:43-511 semantics set-based: insert-if-absent by
+hash is a ``left_anti`` join (U6); leaf expansion is an outer join + coalesce
+(G4); cluster identity for resolver parents is the H5 leaf-set hash.
+
+Scale notes: id assignment uses ``row_number`` over new hashes — a global
+window, but only over *newly inserted* hashes per step; at 100 TB swap for
+``zipWithIndex`` (noted inline). State tables persist as parquet partitioned
+by step where applicable; every mutation goes through ``_commit`` which
+localCheckpoints so downstream plans don't re-run the insert lineage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from matchbox_spark.functions.hashing import (
+    hash_table,
+    hash_to_base64,
+    leaf_set_hash_expr,
+)
+
+_CLUSTERS = "cluster_id long, cluster_hash binary"
+_KEYS = "cluster_id long, source string, key string"
+_CONTAINS = "root long, leaf long"
+_EDGES = "step string, left_id long, right_id long, score float"
+_RESOLVER = "step string, cluster_id long"
+
+
+class FingerprintMismatchError(RuntimeError):
+    """Raised when a step's data no longer matches its stored fingerprint."""
+
+
+class Catalog:
+    """In-session cluster store with optional parquet persistence."""
+
+    def __init__(self, spark: SparkSession, path: str | None = None):
+        self.spark = spark
+        self.path = path
+        self.clusters = spark.createDataFrame([], _CLUSTERS)
+        self.cluster_keys = spark.createDataFrame([], _KEYS)
+        self.contains = spark.createDataFrame([], _CONTAINS)
+        self.model_edges = spark.createDataFrame([], _EDGES)
+        self.resolver_clusters = spark.createDataFrame([], _RESOLVER)
+        self.steps: dict[str, dict] = {}
+        self._max_id = 0
+        if path and os.path.exists(os.path.join(path, "steps.json")):
+            self._load()
+
+    # -- persistence --------------------------------------------------------
+
+    def _table_names(self) -> list[str]:
+        return [
+            "clusters",
+            "cluster_keys",
+            "contains",
+            "model_edges",
+            "resolver_clusters",
+        ]
+
+    def save(self) -> None:
+        """S10: persist all state tables + step metadata under ``path``."""
+        if not self.path:
+            raise ValueError("catalog has no path")
+        os.makedirs(self.path, exist_ok=True)
+        for name in self._table_names():
+            getattr(self, name).write.mode("overwrite").parquet(
+                os.path.join(self.path, name)
+            )
+        with open(os.path.join(self.path, "steps.json"), "w") as f:
+            json.dump(self.steps, f, indent=2, sort_keys=True)
+
+    def _load(self) -> None:
+        schemas = {
+            "clusters": _CLUSTERS,
+            "cluster_keys": _KEYS,
+            "contains": _CONTAINS,
+            "model_edges": _EDGES,
+            "resolver_clusters": _RESOLVER,
+        }
+        for name in self._table_names():
+            p = os.path.join(self.path, name)
+            if os.path.exists(p):
+                setattr(self, name, self.spark.read.schema(schemas[name]).parquet(p))
+        with open(os.path.join(self.path, "steps.json")) as f:
+            self.steps = json.load(f)
+        row = self.clusters.agg(F.max("cluster_id").alias("m")).collect()[0]
+        self._max_id = int(row["m"] or 0)
+
+    # -- helpers -------------------------------------------------------------
+
+    def _commit(self, name: str, df: DataFrame) -> None:
+        setattr(self, name, df.localCheckpoint(eager=True))
+
+    def _assign_ids(self, new_hashes: DataFrame) -> DataFrame:
+        """Dense deterministic ids for new hashes (ordered by hash bytes).
+
+        Distributed: range-partition + sort by hash, then ``zipWithIndex`` —
+        a total order without a single-partition window, so id assignment
+        scales with the insert batch. Hashes are unique, so the order (and
+        therefore the ids) is deterministic.
+        """
+        base = self._max_id
+        ordered = new_hashes.select("cluster_hash").repartitionByRange(
+            "cluster_hash"
+        ).sortWithinPartitions("cluster_hash")
+        assigned = ordered.rdd.zipWithIndex().map(
+            lambda pair: (pair[1] + base + 1, pair[0]["cluster_hash"])
+        )
+        return self.spark.createDataFrame(assigned, _CLUSTERS)
+
+    def _fingerprint_gate(self, step: str, fingerprint: bytes) -> bool:
+        """H6: True → skip (identical data already inserted); False → proceed."""
+        meta = self.steps.get(step)
+        if meta is None:
+            return False
+        stored = meta.get("fingerprint")
+        if stored == hash_to_base64(fingerprint):
+            return True
+        raise FingerprintMismatchError(
+            f"step {step!r} already exists with a different fingerprint; "
+            "use a new step name or drop the step first"
+        )
+
+    def drop_step(self, step: str) -> None:
+        """Remove a step's metadata (data rows are retained; content-addressed)."""
+        self.steps.pop(step, None)
+        self._commit(
+            "model_edges", self.model_edges.where(F.col("step") != step)
+        )
+        self._commit(
+            "resolver_clusters", self.resolver_clusters.where(F.col("step") != step)
+        )
+
+    # -- inserts -------------------------------------------------------------
+
+    def insert_source_index(
+        self, step: str, index: DataFrame, fingerprint: bytes | None = None
+    ) -> None:
+        """Insert a source content index ``(hash, keys)``.
+
+        New hashes become new clusters; keys unnest into ``cluster_keys``
+        (insert.py:43-165 semantics: temp table → insert-if-absent → unnest).
+        """
+        if fingerprint is None:
+            fingerprint = hash_table(index)
+        if self._fingerprint_gate(step, fingerprint):
+            return
+        index = index.select(
+            F.col("hash").alias("cluster_hash"), F.col("keys")
+        ).localCheckpoint(eager=True)
+
+        new = (
+            index.select("cluster_hash")
+            .distinct()
+            .join(self.clusters, "cluster_hash", "left_anti")
+        )
+        assigned = self._assign_ids(new).select("cluster_id", "cluster_hash")
+        clusters = self.clusters.unionByName(assigned)
+        self._commit("clusters", clusters)
+        self._max_id = int(
+            self.clusters.agg(F.max("cluster_id")).collect()[0][0] or 0
+        )
+
+        keys = (
+            index.join(self.clusters, "cluster_hash")
+            .select(
+                "cluster_id",
+                F.lit(step).alias("source"),
+                F.explode("keys").alias("key"),
+            )
+            .dropDuplicates()
+        )
+        self._commit(
+            "cluster_keys",
+            self.cluster_keys.where(F.col("source") != step).unionByName(keys),
+        )
+        self.steps[step] = {
+            "type": "source",
+            "fingerprint": hash_to_base64(fingerprint),
+        }
+
+    def insert_model_edges(
+        self, step: str, edges: DataFrame, fingerprint: bytes | None = None
+    ) -> None:
+        """Insert scored pair edges for a model step (insert.py:168-250)."""
+        from matchbox_spark.functions.hashing import hash_model_results
+
+        if fingerprint is None:
+            fingerprint = hash_model_results(edges)
+        if self._fingerprint_gate(step, fingerprint):
+            return
+        tagged = edges.select(
+            F.lit(step).alias("step"), "left_id", "right_id", "score"
+        )
+        self._commit(
+            "model_edges",
+            self.model_edges.where(F.col("step") != step).unionByName(tagged),
+        )
+        self.steps[step] = {
+            "type": "model",
+            "fingerprint": hash_to_base64(fingerprint),
+        }
+
+    def insert_resolver_clusters(
+        self, step: str, assignments: DataFrame, fingerprint: bytes | None = None
+    ) -> None:
+        """Insert resolver output ``(parent_id, child_id)`` as hierarchy rows.
+
+        Children referencing existing roots expand to leaf level (G4);
+        parents are content-addressed by the H5 hash of their member-cluster
+        hashes; new clusters insert-if-absent; ``contains`` and
+        ``resolver_clusters`` rows land last (insert.py:333-511).
+        """
+        from matchbox_spark.functions.hashing import hash_clusters
+
+        if fingerprint is None:
+            fingerprint = hash_clusters(assignments)
+        if self._fingerprint_gate(step, fingerprint):
+            return
+
+        # G4: expand children that are themselves roots to their leaves
+        contains = self.contains
+        expanded = (
+            assignments.alias("a")
+            .join(contains.alias("c"), F.col("a.child_id") == F.col("c.root"), "left")
+            .select(
+                F.col("a.parent_id").alias("parent_id"),
+                F.coalesce(F.col("c.leaf"), F.col("a.child_id")).alias("leaf"),
+            )
+            .dropDuplicates()
+        )
+
+        # member-cluster hashes → H5 parent hash
+        member_hashes = (
+            expanded.join(
+                self.clusters.select(
+                    F.col("cluster_id").alias("leaf"),
+                    F.col("cluster_hash").alias("leaf_hash"),
+                ),
+                "leaf",
+            )
+            .groupBy("parent_id")
+            .agg(
+                F.collect_list("leaf_hash").alias("leaf_hashes"),
+            )
+            .select(
+                "parent_id",
+                leaf_set_hash_expr(F.col("leaf_hashes")).alias("cluster_hash"),
+            )
+        )
+
+        new = (
+            member_hashes.select("cluster_hash")
+            .distinct()
+            .join(self.clusters, "cluster_hash", "left_anti")
+        )
+        assigned = self._assign_ids(new).select("cluster_id", "cluster_hash")
+        self._commit("clusters", self.clusters.unionByName(assigned))
+        self._max_id = int(
+            self.clusters.agg(F.max("cluster_id")).collect()[0][0] or 0
+        )
+
+        roots = member_hashes.join(self.clusters, "cluster_hash").select(
+            "parent_id", F.col("cluster_id").alias("root_id")
+        )
+        new_contains = (
+            expanded.join(roots, "parent_id")
+            .select(F.col("root_id").alias("root"), F.col("leaf"))
+            .where(F.col("root") != F.col("leaf"))
+            .dropDuplicates()
+        )
+        self._commit(
+            "contains", self.contains.unionByName(new_contains).dropDuplicates()
+        )
+        rc = new_contains.select(
+            F.lit(step).alias("step"), F.col("root").alias("cluster_id")
+        ).dropDuplicates()
+        self._commit(
+            "resolver_clusters",
+            self.resolver_clusters.where(F.col("step") != step).unionByName(rc),
+        )
+        self.steps[step] = {
+            "type": "resolver",
+            "fingerprint": hash_to_base64(fingerprint),
+        }
+
+    # -- admin ---------------------------------------------------------------
+
+    def counts(self) -> dict[str, int]:
+        """A10: entity counts per table."""
+        return {name: getattr(self, name).count() for name in self._table_names()}
+
+    def source_steps(self) -> Iterable[str]:
+        return [s for s, m in self.steps.items() if m["type"] == "source"]

@@ -1,0 +1,254 @@
+"""DAG orchestration: source → model → resolver steps (SURVEY §3.1).
+
+A thin driver-side layer (like the reference's client/dags.py:138-219,606-680)
+over the catalog + operators: steps declare dependencies, Kahn's toposort with
+insertion-order tie-break sequences them (G6), lineage levels order resolver
+priority for queries (G7/G8). Compute is entirely DataFrame plans; "sync" is a
+fingerprint-gated catalog insert (H6) — no HTTP/S3/Celery.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import SparkSession
+
+from matchbox_spark.operators.dedupers import Deduper
+from matchbox_spark.operators.linkers import Linker
+from matchbox_spark.operators.results import normalise_scores
+from matchbox_spark.plans.catalog import Catalog
+from matchbox_spark.plans.query import QueryConfig, match_key, query_data
+from matchbox_spark.plans.resolvers import ResolverMethod
+from matchbox_spark.sources.source import SourceConfig
+
+logger = logging.getLogger(__name__)
+
+
+class CycleError(ValueError):
+    """Raised when the step graph contains a cycle."""
+
+
+def toposort(graph: dict[str, list[str]]) -> list[str]:
+    """G6: Kahn's algorithm, insertion-order tie-break, cycle detection.
+
+    ``graph`` maps node → list of dependencies (parents).
+    """
+    indeg = {n: 0 for n in graph}
+    children: dict[str, list[str]] = {n: [] for n in graph}
+    for node, deps in graph.items():
+        for d in deps:
+            if d not in graph:
+                raise ValueError(f"unknown dependency {d!r} of {node!r}")
+            indeg[node] += 1
+            children[d].append(node)
+    queue = [n for n in graph if indeg[n] == 0]
+    order: list[str] = []
+    while queue:
+        n = queue.pop(0)
+        order.append(n)
+        for c in children[n]:
+            indeg[c] -= 1
+            if indeg[c] == 0:
+                queue.append(c)
+    if len(order) != len(graph):
+        raise CycleError("cycle detected in step graph")
+    return order
+
+
+def transitive_closure(graph: dict[str, list[str]]) -> list[tuple[str, str, int]]:
+    """G7: (ancestor, node, level) rows; level = distance, self at level 0."""
+    rows: list[tuple[str, str, int]] = []
+    for node in graph:
+        seen: dict[str, int] = {node: 0}
+        frontier = [node]
+        level = 0
+        while frontier:
+            level += 1
+            nxt: list[str] = []
+            for f in frontier:
+                for p in graph.get(f, []):
+                    if p not in seen or seen[p] > level:
+                        seen[p] = level
+                        nxt.append(p)
+            frontier = nxt
+        rows.extend((anc, node, lvl) for anc, lvl in seen.items())
+    return rows
+
+
+@dataclass
+class _Step:
+    name: str
+    deps: list[str]
+
+
+@dataclass
+class SourceStep(_Step):
+    config: SourceConfig = None
+
+
+@dataclass
+class ModelStep(_Step):
+    model: object = None  # Deduper | Linker
+    left_query: QueryConfig = None
+    right_query: QueryConfig | None = None
+
+
+@dataclass
+class ResolverStep(_Step):
+    method: ResolverMethod = None
+    model_inputs: list[str] = dc_field(default_factory=list)
+    # resolver steps whose clusters this one builds upon (for lineage)
+    resolver_inputs: list[str] = dc_field(default_factory=list)
+
+
+class DAG:
+    """A named pipeline of steps over one catalog."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog | None = None):
+        self.spark = spark
+        self.catalog = catalog or Catalog(spark)
+        self.steps: dict[str, _Step] = {}
+
+    # -- declaration ---------------------------------------------------------
+
+    def _add(self, step: _Step) -> _Step:
+        if step.name in self.steps:
+            raise ValueError(f"duplicate step name {step.name!r}")
+        for d in step.deps:
+            if d not in self.steps:
+                raise ValueError(f"step {step.name!r} depends on unknown {d!r}")
+        self.steps[step.name] = step
+        return step
+
+    def source(self, config: SourceConfig) -> SourceStep:
+        return self._add(SourceStep(name=config.name, deps=[], config=config))
+
+    def model(
+        self,
+        name: str,
+        model: Deduper | Linker,
+        left_query: QueryConfig,
+        right_query: QueryConfig | None = None,
+    ) -> ModelStep:
+        deps = [s.name for s in left_query.sources] + list(left_query.resolvers)
+        if right_query is not None:
+            deps += [s.name for s in right_query.sources] + list(
+                right_query.resolvers
+            )
+        return self._add(
+            ModelStep(
+                name=name,
+                deps=sorted(set(deps), key=deps.index),
+                model=model,
+                left_query=left_query,
+                right_query=right_query,
+            )
+        )
+
+    def resolver(
+        self,
+        name: str,
+        method: ResolverMethod,
+        model_inputs: list[str],
+        resolver_inputs: list[str] | None = None,
+    ) -> ResolverStep:
+        deps = list(model_inputs) + list(resolver_inputs or [])
+        return self._add(
+            ResolverStep(
+                name=name,
+                deps=deps,
+                method=method,
+                model_inputs=list(model_inputs),
+                resolver_inputs=list(resolver_inputs or []),
+            )
+        )
+
+    # -- lineage (G8) ---------------------------------------------------------
+
+    def graph(self) -> dict[str, list[str]]:
+        return {name: list(step.deps) for name, step in self.steps.items()}
+
+    def sequence(self) -> list[str]:
+        return toposort(self.graph())
+
+    def resolver_lineage(self, resolver: str) -> list[str]:
+        """Resolvers at/below ``resolver`` ordered by closure level then name.
+
+        Self sits at level 0 → highest priority in the J7 coalesce.
+        """
+        if not isinstance(self.steps.get(resolver), ResolverStep):
+            raise ValueError(f"unknown resolver step {resolver!r}")
+        closure = transitive_closure(self.graph())
+        levels = {
+            anc: lvl
+            for anc, node, lvl in closure
+            if node == resolver and isinstance(self.steps.get(anc), ResolverStep)
+        }
+        return sorted(levels, key=lambda s: (levels[s], s))
+
+    # -- execution -------------------------------------------------------------
+
+    def _query_for_model(self, config: QueryConfig, id_field: str = "id"):
+        return query_data(self.spark, self.catalog, config)
+
+    def run(self) -> Catalog:
+        """§3.1: execute all steps in topological order, syncing each."""
+        for name in self.sequence():
+            step = self.steps[name]
+            if isinstance(step, SourceStep):
+                logger.info("source step %s", name)
+                index = step.config.index(self.spark)
+                self.catalog.insert_source_index(name, index)
+            elif isinstance(step, ModelStep):
+                logger.info("model step %s", name)
+                left = self._query_for_model(step.left_query)
+                if step.right_query is None:
+                    edges = step.model.dedupe(left)
+                else:
+                    right = self._query_for_model(step.right_query)
+                    edges = step.model.link(left, right)
+                self.catalog.insert_model_edges(name, normalise_scores(edges))
+            elif isinstance(step, ResolverStep):
+                logger.info("resolver step %s", name)
+                model_edges = {
+                    m: self.catalog.model_edges.where(f"step = '{m}'").select(
+                        "left_id", "right_id", "score"
+                    )
+                    for m in step.model_inputs
+                }
+                assignments = step.method.compute_clusters(model_edges)
+                self.catalog.insert_resolver_clusters(name, assignments)
+            else:  # pragma: no cover
+                raise TypeError(f"unknown step type {type(step)}")
+        return self.catalog
+
+    # -- retrieval --------------------------------------------------------------
+
+    def query(
+        self,
+        sources: list[SourceConfig],
+        resolver: str | None = None,
+        combine_type: str = "concat",
+        cleaning: dict[str, str] | None = None,
+        with_leaf_id: bool = False,
+    ):
+        resolvers = self.resolver_lineage(resolver) if resolver else []
+        config = QueryConfig(
+            sources=sources,
+            resolvers=resolvers,
+            combine_type=combine_type,
+            cleaning=cleaning,
+        )
+        return query_data(self.spark, self.catalog, config, with_leaf_id=with_leaf_id)
+
+    def lookup_key(
+        self,
+        key: str,
+        source: str,
+        targets: list[str],
+        resolver: str,
+    ):
+        return match_key(
+            self.catalog, key, source, targets, self.resolver_lineage(resolver)
+        )

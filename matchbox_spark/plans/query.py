@@ -1,0 +1,218 @@
+"""Unified hierarchy query, combine types, cleaning, and key lookup.
+
+The retrieval half of the engine (reference semantics:
+server/postgresql/utils/query.py:36-345, client/queries.py:135-320):
+
+- **J7 hierarchy projection**: ``cluster_keys`` is the base; for each
+  resolver in lineage (priority order) LEFT JOIN its leaf→root assignment
+  (``contains ⋈ resolver_clusters``), then COALESCE the root columns — first
+  non-null wins — falling back to the leaf cluster id. In Spark this is one
+  declarative plan: Catalyst prunes, pushes filters into the parquet scans,
+  and broadcasts the (small) per-resolver assignment sides.
+- **U1/A2/A3 combine**: diagonal concat of qualified sources
+  (``unionByName(allowMissingColumns=True)``), inner join to ids, then
+  ``concat`` (as-is) / ``set_agg`` (collect_set per column) / ``explode``
+  (collect then explode per column, empty-as-null, distinct).
+- **P2 cleaning**: dict alias → SQL expression applied via ``F.expr``;
+  ``id``/``leaf_id`` pass through, unlisted columns drop. Expressions are
+  Spark SQL; when sqlglot is installed, DuckDB-dialect expressions transpile
+  (the reference stores DuckDB SQL — same dialect-bridging move it makes).
+- **J11 match**: key → root (limit 1), then filter the full projection to
+  that root and group keys per source.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from matchbox_spark.plans.catalog import Catalog
+from matchbox_spark.sources.source import SourceConfig
+
+try:  # optional
+    import sqlglot
+
+    HAS_SQLGLOT = True
+except ImportError:  # pragma: no cover
+    HAS_SQLGLOT = False
+
+
+def _transpile(sql: str) -> str:
+    """DuckDB-dialect expression → Spark SQL when sqlglot is present."""
+    if HAS_SQLGLOT:
+        return sqlglot.transpile(sql, read="duckdb", write="spark")[0]
+    return sql
+
+
+def resolver_assignments(catalog: Catalog, resolver_step: str) -> DataFrame:
+    """leaf_id → root_id map claimed by one resolver (the J7 subquery)."""
+    rc = catalog.resolver_clusters.where(F.col("step") == resolver_step)
+    return (
+        catalog.contains.join(
+            rc, catalog.contains["root"] == rc["cluster_id"], "inner"
+        )
+        .select(F.col("leaf").alias("leaf_id"), F.col("root").alias("root_id"))
+        .dropDuplicates()
+    )
+
+
+def unified_query(
+    catalog: Catalog,
+    resolvers: list[str],
+    sources: list[str],
+    level: str = "key",
+) -> DataFrame:
+    """J7: project source keys to root ids through the hierarchy.
+
+    ``resolvers`` is the lineage in priority order (highest first); sources
+    are source step names. Returns ``(id, leaf_id[, key, source])``; at
+    ``leaf`` level rows deduplicate (multiple keys share a leaf).
+    """
+    keys = catalog.cluster_keys.where(F.col("source").isin(sources))
+
+    base = keys
+    root_cols: list[F.Column] = []
+    for i, step in enumerate(resolvers):
+        assign = resolver_assignments(catalog, step)
+        a = assign.select(
+            F.col("leaf_id").alias(f"_leaf_{i}"), F.col("root_id").alias(f"_root_{i}")
+        )
+        # assignment tables are small next to keys — broadcast them
+        base = base.join(
+            F.broadcast(a), base["cluster_id"] == a[f"_leaf_{i}"], "left"
+        )
+        root_cols.append(F.col(f"_root_{i}"))
+
+    root = (
+        F.coalesce(*root_cols, F.col("cluster_id")) if root_cols else F.col("cluster_id")
+    )
+    out = base.select(
+        root.alias("id"),
+        F.col("cluster_id").alias("leaf_id"),
+        F.col("key"),
+        F.col("source"),
+    )
+    if level == "leaf":
+        return out.select("id", "leaf_id").dropDuplicates()
+    if level == "key":
+        return out
+    raise ValueError(f"level must be 'leaf' or 'key', got {level!r}")
+
+
+@dataclass
+class QueryConfig:
+    """The "view" feeding a model or a user (reference dtos.py:408-452)."""
+
+    sources: list[SourceConfig]
+    resolvers: list[str] = field(default_factory=list)  # priority order
+    combine_type: str = "concat"  # concat | set_agg | explode
+    cleaning: dict[str, str] | None = None
+
+    def __post_init__(self):
+        if self.combine_type not in ("concat", "set_agg", "explode"):
+            raise ValueError(f"unknown combine_type {self.combine_type!r}")
+
+
+def query_data(
+    spark,
+    catalog: Catalog,
+    config: QueryConfig,
+    with_leaf_id: bool = False,
+) -> DataFrame:
+    """§3.2 full retrieval: hierarchy ids ⋈ qualified sources → combine → clean."""
+    source_names = [s.name for s in config.sources]
+    ids = unified_query(catalog, config.resolvers, source_names, level="key")
+    if not with_leaf_id:
+        ids = ids.drop("leaf_id")
+
+    qualified: DataFrame | None = None
+    for src in config.sources:
+        q = src.qualify(src.read(spark))
+        qualified = (
+            q
+            if qualified is None
+            else qualified.unionByName(q, allowMissingColumns=True)
+        )
+
+    raw = qualified.join(ids, ["source", "key"], "inner").drop("source", "key")
+
+    value_cols = [c for c in raw.columns if c not in ("id", "leaf_id")]
+    passthrough = [c for c in ("id", "leaf_id") if c in raw.columns]
+
+    if config.combine_type == "set_agg":
+        raw = raw.groupBy(*passthrough).agg(
+            *[F.collect_set(c).alias(c) for c in value_cols]
+        )
+    elif config.combine_type == "explode":
+        # group to lists then explode each value column — cross-product of
+        # requested values per entity, nulls survive (A3, empty_as_null)
+        raw = raw.groupBy(*passthrough).agg(
+            *[F.collect_list(c).alias(c) for c in value_cols]
+        )
+        for c in value_cols:
+            raw = raw.withColumn(c, F.explode_outer(c))
+        raw = raw.dropDuplicates()
+
+    if config.cleaning is not None:
+        exprs = [F.col(c) for c in passthrough] + [
+            F.expr(_transpile(sql)).alias(alias)
+            for alias, sql in config.cleaning.items()
+        ]
+        raw = raw.select(*exprs)
+    return raw
+
+
+@dataclass
+class Match:
+    """Result of a key lookup: the cluster and per-source key sets."""
+
+    cluster: int | None
+    source: str
+    source_keys: set[str]
+    target: str
+    target_keys: set[str]
+
+
+def match_key(
+    catalog: Catalog,
+    key: str,
+    source: str,
+    targets: list[str],
+    resolvers: list[str],
+) -> list[Match]:
+    """J11/§3.3: which keys in each target share the given key's entity?"""
+    projection = unified_query(
+        catalog, resolvers, [source] + list(targets), level="key"
+    )
+    target_cluster = (
+        projection.where((F.col("source") == source) & (F.col("key") == key))
+        .select("id")
+        .limit(1)
+        .collect()
+    )
+    if not target_cluster:
+        return [
+            Match(None, source, set(), t, set()) for t in targets
+        ]
+    root_id = target_cluster[0]["id"]
+    members = (
+        projection.where(F.col("id") == F.lit(root_id))
+        .select("source", "key")
+        .distinct()
+        .collect()
+    )
+    by_source: dict[str, set[str]] = {}
+    for r in members:
+        by_source.setdefault(r["source"], set()).add(r["key"])
+    return [
+        Match(
+            cluster=int(root_id),
+            source=source,
+            source_keys=by_source.get(source, set()),
+            target=t,
+            target_keys=by_source.get(t, set()),
+        )
+        for t in targets
+    ]

@@ -1,0 +1,269 @@
+"""Resolvers: connected-component clustering over thresholded model edges.
+
+Two interchangeable engines behind one ``ResolverMethod`` surface
+(reference semantics: resolvers/components.py:36-64, transform.py:12-64):
+
+- **Driver union-find** (G1): exact DisjointSet with path compression + union
+  by rank. Right answer for edge sets that fit on the driver (the reference's
+  only implementation).
+- **Distributed alternating-star CC**: the large-star/small-star DataFrame
+  algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  2014 — a public algorithm). O(log n) rounds, every round two shuffles,
+  lineage cut with ``localCheckpoint`` so plans don't grow. This is the
+  100 TB path; 'auto' switches on edge count.
+
+Both produce identical component *sets*; assignments label components with
+dense 1-based ordinals ordered by each component's minimum member id, which
+makes the output deterministic (the reference's enumeration order is dict
+order — set-equivalent).
+"""
+
+from __future__ import annotations
+
+import logging
+from abc import ABC, abstractmethod
+from collections import defaultdict
+from dataclasses import dataclass, field
+from typing import Hashable, Iterable, Mapping, TypeVar
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from matchbox_spark.schemas import SCHEMA_CLUSTERS, conform
+
+logger = logging.getLogger(__name__)
+
+T = TypeVar("T", bound=Hashable)
+
+
+class DisjointSet:
+    """Union-find with path compression and union by rank (G1)."""
+
+    def __init__(self) -> None:
+        self.parent: dict = {}
+        self.rank: dict = {}
+
+    def add(self, x) -> None:
+        if x not in self.parent:
+            self.parent[x] = x
+            self.rank[x] = 0
+
+    def find(self, x):
+        self.add(x)
+        root = x
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[x] != root:  # path compression (iterative)
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, x, y) -> None:
+        rx, ry = self.find(x), self.find(y)
+        if rx == ry:
+            return
+        if self.rank[rx] > self.rank[ry]:
+            self.parent[ry] = rx
+        else:
+            self.parent[rx] = ry
+            if self.rank[rx] == self.rank[ry]:
+                self.rank[ry] += 1
+
+    def components(self) -> list[set]:
+        comps = defaultdict(set)
+        for x in self.parent:
+            comps[self.find(x)].add(x)
+        return list(comps.values())
+
+
+# ---------------------------------------------------------------------------
+# distributed connected components (large-star / small-star)
+# ---------------------------------------------------------------------------
+
+
+def _edge_signature(edges: DataFrame) -> tuple[int, int]:
+    """(count, xor-hash) of an edge set — cheap convergence check."""
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("x"),
+    ).collect()[0]
+    return int(row["n"]), int(row["x"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    nbrs = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = nbrs.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        nbrs.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    relink = (
+        oriented.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    selfl = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        relink.union(selfl)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, checkpoint_every: int = 1
+) -> DataFrame:
+    """Distributed CC: returns ``(id, component)`` — component = min member id.
+
+    ``edges`` needs columns ``src``/``dst`` (long). Nodes appearing only as
+    isolated vertices must be unioned in by the caller (an edge list cannot
+    carry them).
+    """
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if e.isEmpty():
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "id long, component long")
+
+    sig = _edge_signature(e)
+    for it in range(max_iter):
+        e2 = _small_star(_large_star(e))
+        if checkpoint_every and it % checkpoint_every == 0:
+            e2 = e2.localCheckpoint(eager=True)
+        new_sig = _edge_signature(e2)
+        e = e2
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        logger.warning("connected_components hit max_iter=%d", max_iter)
+
+    # Converged star graph: every node points at its component minimum.
+    members = e.select(F.col("src").alias("id"), F.col("dst").alias("component"))
+    roots = e.select(F.col("dst").alias("id"), F.col("dst").alias("component")).distinct()
+    return members.union(roots).distinct()
+
+
+def connected_components_driver(edge_rows: Iterable[tuple[int, int]]) -> dict[int, int]:
+    """Exact driver-side CC: node → min member id of its component."""
+    djs = DisjointSet()
+    for a, b in edge_rows:
+        djs.union(a, b)
+    out: dict[int, int] = {}
+    for comp in djs.components():
+        m = min(comp)
+        for node in comp:
+            out[node] = m
+    return out
+
+
+# ---------------------------------------------------------------------------
+# resolver methodology surface
+# ---------------------------------------------------------------------------
+
+RESOLVER_METHODS: dict[str, type] = {}
+
+
+def add_resolver_method(cls: type) -> type:
+    """Registry for resolver methodologies (reference resolvers.py:35-46)."""
+    RESOLVER_METHODS[cls.__name__] = cls
+    return cls
+
+
+@dataclass
+class ComponentsSettings:
+    # per-model score thresholds; unset models default to 0.0
+    thresholds: dict[str, float] = field(default_factory=dict)
+    # 'auto' | 'driver' | 'distributed'
+    method: str = "auto"
+    # auto switches to distributed above this many edges
+    driver_edge_limit: int = 2_000_000
+
+    def validate_inputs(self, model_names: Iterable[str]) -> None:
+        invalid = set(self.thresholds) - set(model_names)
+        if invalid:
+            raise RuntimeError(f"Unknown models in thresholds: {invalid}")
+        for name, t in self.thresholds.items():
+            if not 0.0 <= t <= 1.0:
+                raise ValueError(f"threshold for {name} outside [0,1]: {t}")
+
+
+class ResolverMethod(ABC):
+    """Computes cluster assignments from one or more models' edge tables."""
+
+    def __init__(self, **settings):
+        self.settings = self.settings_class(**settings)
+
+    settings_class = ComponentsSettings
+
+    @abstractmethod
+    def compute_clusters(self, model_edges: Mapping[str, DataFrame]) -> DataFrame:
+        """Return assignments ``(parent_id, child_id)``."""
+
+
+@add_resolver_method
+class Components(ResolverMethod):
+    """G2: threshold each model's edges, union, connected components."""
+
+    settings_class = ComponentsSettings
+
+    def compute_clusters(self, model_edges: Mapping[str, DataFrame]) -> DataFrame:
+        s = self.settings
+        s.validate_inputs(model_edges.keys())
+
+        unioned: DataFrame | None = None
+        for name, edges in model_edges.items():
+            t = s.thresholds.get(name, 0.0)
+            e = edges.where(F.col("score") >= F.lit(float(t))).select(
+                F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+            )
+            unioned = e if unioned is None else unioned.union(e)
+        if unioned is None:
+            raise ValueError("no model edges given")
+
+        spark = unioned.sparkSession
+        method = s.method
+        if method == "auto":
+            n = unioned.count()
+            method = "driver" if n <= s.driver_edge_limit else "distributed"
+            logger.info("Components: %d edges → %s union-find", n, method)
+
+        if method == "driver":
+            mapping = connected_components_driver(
+                (r["src"], r["dst"]) for r in unioned.distinct().toLocalIterator()
+            )
+            if not mapping:
+                return spark.createDataFrame([], SCHEMA_CLUSTERS)
+            labels = spark.createDataFrame(
+                list(mapping.items()), "id long, component long"
+            )
+        else:
+            labels = connected_components(unioned)
+
+        # dense deterministic parent ids 1..k ordered by component minimum
+        comp_ids = (
+            labels.select("component")
+            .distinct()
+            .withColumn(
+                "parent_id",
+                F.row_number().over(Window.orderBy("component")).cast("long"),
+            )
+        )
+        assignments = labels.join(comp_ids, "component").select(
+            "parent_id", F.col("id").alias("child_id")
+        )
+        return conform(assignments, SCHEMA_CLUSTERS)

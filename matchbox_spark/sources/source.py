@@ -1,0 +1,221 @@
+"""Source configuration, readers, qualification, and content indexing.
+
+Capabilities re-expressed from the reference (semantics at
+/root/reference/src/matchbox/client/locations.py:223-393 and
+client/sources.py:284-343) on Spark primitives:
+
+- **S1 scan + ET**: a registered reader loads the location
+  (parquet/csv/json/jdbc/table); an optional ``extract_transform`` SQL runs
+  over it as a temp view — Catalyst fuses it with downstream plans, so
+  predicate pushdown and column pruning reach the file scan.
+- **S2 key-filter pushdown**: `.filter(col.isin(keys))` — Catalyst pushes the
+  IN-list into the parquet/JDBC scan.
+- **S3 ET validation**: single SELECT/CTE statement, no DDL/DML (sqlglot when
+  installed, conservative regex fallback otherwise).
+- **S4 type inference**: Spark infers schema on read; ``probe_schema`` reads a
+  ``limit(1)``.
+- **P1 field qualification**: every column prefixed ``{name}_``, key renamed
+  ``key``, constant ``source`` column appended.
+- **A1 content index**: H1 row hash over the index fields, rows with identical
+  content collapse to one cluster carrying all their keys (map-side partial
+  aggregation — one shuffle on the 32-byte hash).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from matchbox_spark.functions.hashing import row_hash_expr
+
+try:  # optional; not in the base environment
+    import sqlglot
+    from sqlglot import expressions as sge
+
+    HAS_SQLGLOT = True
+except ImportError:  # pragma: no cover
+    HAS_SQLGLOT = False
+
+
+class ExtractTransformError(ValueError):
+    """Raised when an extract_transform SQL statement is not allowed."""
+
+
+_FORBIDDEN_ET = re.compile(
+    r"(?is)\b(insert|update|delete|merge|drop|create|alter|truncate|grant|revoke|"
+    r"attach|copy|vacuum|call|set|pragma)\b"
+)
+
+
+def validate_extract_transform(sql: str) -> None:
+    """Require a single read-only SELECT (or CTE) statement.
+
+    Mirrors the reference's sqlglot-based gate (locations.py:223-294): single
+    statement, query-only, no DDL/DML. Falls back to a conservative regex scan
+    when sqlglot is unavailable.
+    """
+    stripped = sql.strip().rstrip(";")
+    if ";" in stripped:
+        raise ExtractTransformError("extract_transform must be a single statement")
+    if HAS_SQLGLOT:
+        try:
+            parsed = sqlglot.parse(stripped)
+        except Exception as e:  # noqa: BLE001
+            raise ExtractTransformError(f"could not parse SQL: {e}") from e
+        if len(parsed) != 1 or not isinstance(parsed[0], sge.Query):
+            raise ExtractTransformError(
+                "extract_transform must be a single SELECT/UNION statement"
+            )
+    else:
+        if not re.match(r"(?is)^\s*(select|with)\b", stripped):
+            raise ExtractTransformError("extract_transform must start with SELECT/WITH")
+        if _FORBIDDEN_ET.search(stripped):
+            raise ExtractTransformError("extract_transform contains forbidden keywords")
+
+
+LocationReader = Callable[[SparkSession, str, dict], DataFrame]
+
+LOCATION_READERS: dict[str, LocationReader] = {}
+
+
+def register_location_reader(fmt: str) -> Callable[[LocationReader], LocationReader]:
+    """Extension surface for custom locations (reference Location subclasses)."""
+
+    def deco(fn: LocationReader) -> LocationReader:
+        LOCATION_READERS[fmt] = fn
+        return fn
+
+    return deco
+
+
+@register_location_reader("parquet")
+def _read_parquet(spark: SparkSession, location: str, options: dict) -> DataFrame:
+    return spark.read.options(**options).parquet(location)
+
+
+@register_location_reader("csv")
+def _read_csv(spark: SparkSession, location: str, options: dict) -> DataFrame:
+    opts = {"header": "true", "inferSchema": "true", **options}
+    return spark.read.options(**opts).csv(location)
+
+
+@register_location_reader("json")
+def _read_json(spark: SparkSession, location: str, options: dict) -> DataFrame:
+    return spark.read.options(**options).json(location)
+
+
+@register_location_reader("jdbc")
+def _read_jdbc(spark: SparkSession, location: str, options: dict) -> DataFrame:
+    # location is the JDBC URL; options carries dbtable/query + credentials.
+    # fetchsize plays the role of the reference's 10k-row batching.
+    opts = {"url": location, "fetchsize": "10000", **options}
+    return spark.read.format("jdbc").options(**opts).load()
+
+
+@register_location_reader("table")
+def _read_table(spark: SparkSession, location: str, options: dict) -> DataFrame:
+    return spark.read.table(location)
+
+
+@dataclass
+class SourceConfig:
+    """A source step: location + optional ET SQL + key field + index fields.
+
+    The key field must be a string (reference dtos.py:315-324 invariant);
+    ``read`` casts it.
+    """
+
+    name: str
+    location: str
+    key_field: str
+    index_fields: list[str]
+    format: str = "parquet"
+    extract_transform: str | None = None
+    options: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", self.name):
+            raise ValueError(f"invalid source name: {self.name!r}")
+        if self.extract_transform is not None:
+            validate_extract_transform(self.extract_transform)
+
+    # -- reading ------------------------------------------------------------
+
+    def read(self, spark: SparkSession, keys: list[str] | None = None) -> DataFrame:
+        """S1/S2: load the location, apply ET SQL, optionally filter to keys."""
+        reader = LOCATION_READERS.get(self.format)
+        if reader is None:
+            raise ValueError(
+                f"unknown location format {self.format!r}; "
+                f"known: {sorted(LOCATION_READERS)}"
+            )
+        df = reader(spark, self.location, dict(self.options))
+        if self.extract_transform:
+            view = f"__src_{self.name}"
+            df.createOrReplaceTempView(view)
+            df = spark.sql(self.extract_transform.replace("$THIS", view))
+        df = df.withColumn(self.key_field, F.col(self.key_field).cast("string"))
+        if keys is not None:
+            # IN-list filter; Catalyst pushes this into the scan (S2)
+            df = df.filter(F.col(self.key_field).isin(keys))
+        return df
+
+    def probe_schema(self, spark: SparkSession):
+        """S4: dtype probe via a limit-1 read."""
+        return self.read(spark).limit(1).schema
+
+    def sample(self, spark: SparkSession, n: int = 10) -> DataFrame:
+        """O3: first n rows."""
+        return self.read(spark).limit(n)
+
+    # -- qualification ------------------------------------------------------
+
+    @property
+    def qualified_key(self) -> str:
+        return f"{self.name}_{self.key_field}"
+
+    def f(self, fields: str | list[str]) -> str | list[str]:
+        """Qualified name(s) for fields of this source (reference dtos.f)."""
+        if isinstance(fields, str):
+            return f"{self.name}_{fields}"
+        return [f"{self.name}_{x}" for x in fields]
+
+    def qualify(self, df: DataFrame) -> DataFrame:
+        """P1: prefix columns with ``{name}_``, rename key → ``key``, tag source."""
+        cols = [
+            F.col(c).alias("key" if c == self.key_field else f"{self.name}_{c}")
+            for c in df.columns
+        ]
+        return df.select(*cols).withColumn("source", F.lit(self.name))
+
+    # -- indexing ------------------------------------------------------------
+
+    def index(self, spark: SparkSession, df: DataFrame | None = None) -> DataFrame:
+        """A1/H1: content index ``(hash: binary, keys: array<string>)``.
+
+        Rows whose *sorted* index fields are byte-identical share a hash and
+        collapse to one cluster carrying every matching key. Single shuffle on
+        the hash; ``collect_list`` runs with map-side partial aggregation.
+        Keys are sorted for determinism.
+        """
+        if df is None:
+            df = self.read(spark)
+        fields = sorted(self.index_fields)
+        missing = [c for c in fields + [self.key_field] if c not in df.columns]
+        if missing:
+            raise ValueError(f"source {self.name}: missing columns {missing}")
+        hashed = df.select(
+            row_hash_expr(df.schema, fields).alias("hash"),
+            F.col(self.key_field).cast("string").alias("key"),
+        )
+        return hashed.groupBy("hash").agg(
+            F.sort_array(F.collect_list("key")).alias("keys")
+        )
+
+    def cache_to_parquet(self, spark: SparkSession, path: str) -> None:
+        """S5: materialise the source read as a snappy parquet cache."""
+        self.read(spark).write.mode("overwrite").parquet(path)

@@ -1,0 +1,161 @@
+"""End-to-end pipeline tests (reference test/e2e/test_e2e_dag.py strategy).
+
+Scenario mirrors FIXTURES.md §1: a source with suffix-varied company names
+sharing a stable crn; dedupe on crn clusters the variations; query returns
+resolved ids; lookup_key finds co-members.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from matchbox_spark.operators.dedupers import NaiveDeduper
+from matchbox_spark.plans.catalog import Catalog, FingerprintMismatchError
+from matchbox_spark.plans.dag import DAG, CycleError, toposort
+from matchbox_spark.plans.query import QueryConfig
+from matchbox_spark.plans.resolvers import Components
+from matchbox_spark.sources.source import SourceConfig
+
+
+@pytest.fixture()
+def crn_parquet(spark, tmp_path):
+    """10 true entities × (1 base + 3 suffix variations), crn stable per entity."""
+    rows = []
+    for e in range(10):
+        base = f"Company {e}"
+        crn = f"crn-{e:03d}"
+        for v, suffix in enumerate(["", " Limited", " UK", " Company"]):
+            rows.append((f"k{e}_{v}", base + suffix, crn))
+    df = spark.createDataFrame(rows, "key string, company_name string, crn string")
+    path = str(tmp_path / "crn.parquet")
+    df.write.parquet(path)
+    return path
+
+
+def _build_dag(spark, crn_parquet) -> DAG:
+    dag = DAG(spark)
+    src = SourceConfig(
+        name="crn",
+        location=crn_parquet,
+        key_field="key",
+        index_fields=["company_name", "crn"],
+    )
+    dag.source(src)
+    dag.model(
+        "dedupe_crn",
+        NaiveDeduper(id="id", unique_fields=["crn_crn"]),
+        QueryConfig(sources=[src]),
+    )
+    dag.resolver(
+        "resolve_crn", Components(method="driver"), model_inputs=["dedupe_crn"]
+    )
+    dag._src = src
+    return dag
+
+
+def test_end_to_end_dedupe_query_lookup(spark, crn_parquet):
+    dag = _build_dag(spark, crn_parquet)
+    dag.run()
+
+    # 40 keys → 40 leaf clusters (all rows distinct) → 10 resolved entities
+    assert dag.catalog.cluster_keys.count() == 40
+    resolved = dag.query([dag._src], resolver="resolve_crn")
+    assert resolved.select("id").distinct().count() == 10
+    # every key of one entity shares its id
+    ids = (
+        resolved.groupBy("crn_crn")
+        .agg(F.countDistinct("id").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in ids)
+
+    # without resolver: leaf-level ids → 40 distinct
+    unresolved = dag.query([dag._src])
+    assert unresolved.select("id").distinct().count() == 40
+
+    # lookup: any key of entity 3 finds all 4 sibling keys
+    matches = dag.lookup_key(
+        key="k3_0", source="crn", targets=["crn"], resolver="resolve_crn"
+    )
+    assert matches[0].cluster is not None
+    assert matches[0].target_keys == {"k3_0", "k3_1", "k3_2", "k3_3"}
+
+    # unknown key → empty match with None cluster
+    none_match = dag.lookup_key(
+        key="missing", source="crn", targets=["crn"], resolver="resolve_crn"
+    )
+    assert none_match[0].cluster is None and none_match[0].target_keys == set()
+
+
+def test_identical_rows_share_one_cluster(spark, tmp_path):
+    """FIXTURES §2: fully identical rows with distinct keys index as ONE
+    cluster carrying both keys."""
+    df = spark.createDataFrame(
+        [
+            ("c1", "Alice Johnson", "alice@x.com"),
+            ("c2", "Alice Johnson", "alice@x.com"),
+            ("c3", "Bob Smith", "bob@x.com"),
+        ],
+        "customer_id string, full_name string, email string",
+    )
+    path = str(tmp_path / "cust.parquet")
+    df.write.parquet(path)
+    src = SourceConfig(
+        name="cust",
+        location=path,
+        key_field="customer_id",
+        index_fields=["full_name", "email"],
+    )
+    dag = DAG(spark)
+    dag.source(src)
+    dag.run()
+    cat = dag.catalog
+    assert cat.clusters.count() == 2
+    two_keys = (
+        cat.cluster_keys.groupBy("cluster_id")
+        .agg(F.collect_set("key").alias("ks"))
+        .where(F.size("ks") == 2)
+        .collect()
+    )
+    assert len(two_keys) == 1 and set(two_keys[0]["ks"]) == {"c1", "c2"}
+
+
+def test_fingerprint_gate_idempotent_and_conflicting(spark, crn_parquet):
+    dag = _build_dag(spark, crn_parquet)
+    dag.run()
+    n_clusters = dag.catalog.clusters.count()
+
+    # re-running the same DAG is a no-op (H6 idempotent sync)
+    dag2 = _build_dag(spark, crn_parquet)
+    dag2.catalog = dag.catalog
+    dag2.run()
+    assert dag.catalog.clusters.count() == n_clusters
+
+    # same step name, different data → hard error
+    other = spark.createDataFrame([("x", b"\x01")], "key string, h binary")
+    with pytest.raises(FingerprintMismatchError):
+        dag.catalog.insert_source_index(
+            "crn",
+            spark.createDataFrame(
+                [(b"\x09", ["zz"])], "hash binary, keys array<string>"
+            ),
+        )
+
+
+def test_catalog_save_load_roundtrip(spark, crn_parquet, tmp_path):
+    dag = _build_dag(spark, crn_parquet)
+    dag.run()
+    path = str(tmp_path / "catalog")
+    dag.catalog.path = path
+    dag.catalog.save()
+
+    reloaded = Catalog(spark, path)
+    assert reloaded.counts() == dag.catalog.counts()
+    assert reloaded.steps.keys() == dag.catalog.steps.keys()
+
+
+def test_toposort_orders_and_detects_cycles():
+    assert toposort({"a": [], "b": ["a"], "c": ["a", "b"]}) == ["a", "b", "c"]
+    with pytest.raises(CycleError):
+        toposort({"a": ["b"], "b": ["a"]})

@@ -1,0 +1,164 @@
+"""Deduper / linker semantics tests (SURVEY §2.3, reference test strategy §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from matchbox_spark.operators import (
+    DeterministicLinker,
+    NaiveDeduper,
+    WeightedDeterministicLinker,
+)
+from matchbox_spark.operators.comparison import validate_comparison
+from matchbox_spark.operators.results import (
+    ScoreError,
+    best_pair_dedupe,
+    normalise_scores,
+    threshold_edges,
+)
+
+
+def _pairs(df):
+    return {(r["left_id"], r["right_id"]) for r in df.collect()}
+
+
+def test_naive_deduper_basic(spark):
+    data = spark.createDataFrame(
+        [
+            (1, "alice", "a@x.com"),
+            (2, "alice", "a@x.com"),
+            (3, "bob", "b@x.com"),
+            (4, "alice", "other@x.com"),
+        ],
+        "id long, name string, email string",
+    )
+    d = NaiveDeduper(id="id", unique_fields=["name", "email"])
+    out = d.dedupe(data)
+    assert _pairs(out) == {(1, 2)}
+    assert out.schema["score"].dataType.simpleString() == "float"
+
+
+def test_naive_deduper_true_duplicates_and_transitivity(spark):
+    # three identical rows → all 3 pairs; identical data with distinct ids pairs
+    data = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x")], "id long, v string"
+    )
+    out = NaiveDeduper(id="id", unique_fields=["v"]).dedupe(data)
+    assert _pairs(out) == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_naive_deduper_same_id_distinct_rows_suppressed(spark):
+    # unnested array of keys → same entity id appears twice; self-pairs dropped
+    data = spark.createDataFrame([(1, "x"), (1, "x")], "id long, v string")
+    out = NaiveDeduper(id="id", unique_fields=["v"]).dedupe(data)
+    assert _pairs(out) == set()
+
+
+def test_naive_deduper_nulls_never_match(spark):
+    data = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, v string"
+    )
+    out = NaiveDeduper(id="id", unique_fields=["v"]).dedupe(data)
+    assert _pairs(out) == set()
+
+
+def test_deterministic_linker_or_union(spark):
+    left = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p2")], "id long, name string, phone string"
+    )
+    right = spark.createDataFrame(
+        [(10, "a", "zz"), (20, "xx", "p2"), (30, "c", "p9")],
+        "id long, name string, phone string",
+    )
+    linker = DeterministicLinker(
+        left_id="id",
+        right_id="id",
+        comparisons=["l.name = r.name", "l.phone = r.phone"],
+    )
+    out = linker.link(left, right)
+    assert _pairs(out) == {(1, 10), (2, 20)}
+    assert set(out.columns) == {"left_id", "right_id", "score"}
+
+
+def test_deterministic_linker_sequential_rounds(spark):
+    # round 1 matches (1,10); round 2 would match 1 again on phone but 1 is
+    # out of the pool, so only (2,20) appears from round 2
+    left = spark.createDataFrame(
+        [(1, "a", "p2"), (2, "b", "p2")], "id long, name string, phone string"
+    )
+    right = spark.createDataFrame(
+        [(10, "a", "zz"), (20, "xx", "p2")], "id long, name string, phone string"
+    )
+    linker = DeterministicLinker(
+        left_id="id",
+        right_id="id",
+        comparisons=[["l.name = r.name"], ["l.phone = r.phone"]],
+    )
+    out = linker.link(left, right)
+    assert _pairs(out) == {(1, 10), (2, 20)}
+
+
+def test_weighted_linker_threshold(spark):
+    left = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p2")], "id long, name string, phone string"
+    )
+    right = spark.createDataFrame(
+        [(10, "a", "p1"), (20, "b", "zz")], "id long, name string, phone string"
+    )
+    linker = WeightedDeterministicLinker(
+        left_id="id",
+        right_id="id",
+        weighted_comparisons=[
+            {"comparison": "l.name = r.name", "weight": 1.0},
+            {"comparison": "l.phone = r.phone", "weight": 1.0},
+        ],
+        threshold=0.8,
+    )
+    out = linker.link(left, right)
+    assert _pairs(out) == {(1, 10)}  # (2,20) scores 0.5 < 0.8
+
+    linker_low = WeightedDeterministicLinker(
+        left_id="id",
+        right_id="id",
+        weighted_comparisons=[
+            {"comparison": "l.name = r.name", "weight": 1.0},
+            {"comparison": "l.phone = r.phone", "weight": 1.0},
+        ],
+        threshold=0.5,
+    )
+    assert _pairs(linker_low.link(left, right)) == {(1, 10), (2, 20)}
+
+
+def test_comparison_validation():
+    validate_comparison("l.name = r.name")
+    with pytest.raises(ValueError):
+        validate_comparison("name = name2")  # no l./r. refs
+    with pytest.raises(ValueError):
+        validate_comparison("l.a = r.a; drop table x")
+    with pytest.raises(ValueError):
+        validate_comparison("select 1")
+
+
+def test_normalise_scores_rejects_bad(spark):
+    ok = spark.createDataFrame(
+        [(1, 2, 0.5)], "left_id long, right_id long, score double"
+    )
+    normalise_scores(ok)
+    bad = spark.createDataFrame(
+        [(1, 2, 1.5)], "left_id long, right_id long, score double"
+    )
+    with pytest.raises(ScoreError):
+        normalise_scores(bad)
+
+
+def test_threshold_and_best_pair(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 1, 0.7), (3, 4, 0.2)],
+        "left_id long, right_id long, score float",
+    )
+    assert _pairs(threshold_edges(edges, 0.5)) == {(1, 2), (2, 1)}
+    best = best_pair_dedupe(edges)
+    rows = {(r["left_id"], r["right_id"]): r["score"] for r in best.collect()}
+    assert set(rows) == {(1, 2), (3, 4)}
+    assert abs(rows[(1, 2)] - 0.9) < 1e-6
