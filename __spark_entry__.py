@@ -1,38 +1,953 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship entity-resolution pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator from SURVEY.md §2
+(plus the training-data-pipeline extensions); ``oracle_sql()`` gives the
+equivalent DuckDB SQL. Column names/aliases match exactly between the two —
+the driver sorts columns by name and hashes values.
+
+Numeric discipline for cross-engine equality: doubles that get aggregated are
+first ``round(x, 6)`` then cast to DECIMAL(18,6) (exact sums), and final
+aggregates are cast back to double and rounded — identical bytes on both
+engines regardless of summation order.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from matchbox_spark.functions.hashing import row_hash_expr  # noqa: E402
+from matchbox_spark.functions import text as TX  # noqa: E402
+from matchbox_spark.operators import dedup as DD  # noqa: E402
+from matchbox_spark.operators.dedupers import NaiveDeduper  # noqa: E402
+from matchbox_spark.operators.linkers import (  # noqa: E402
+    DeterministicLinker,
+    WeightedDeterministicLinker,
+)
+from matchbox_spark.operators.similarity import cosine_topk  # noqa: E402
+from matchbox_spark.plans.resolvers import connected_components  # noqa: E402
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark 4 only reads as
+    long via the legacy flag; convert to microsecond timestamps (floor
+    division — matching DuckDB's ns→µs truncation)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001  # pragma: no cover
+        pass
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _dec6(col):
+    """round→decimal(18,6): exact cross-engine aggregation of doubles."""
+    return F.round(col, 6).cast("decimal(18,6)")
+
+
+# ===========================================================================
+# Scans / filters / projections (S2, P1, P2, P5)
+# ===========================================================================
+
+
+@_q(
+    "s2_key_filter_pushdown",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+       WHERE c_custkey IN (1, 7, 42, 77, 123, 500, 999, 1200)
+       ORDER BY c_custkey""",
+)
+def s2_key_filter(spark, sf):
+    keys = [1, 7, 42, 77, 123, 500, 999, 1200]
+    return (
+        _t(spark, sf, "customer")
+        .where(F.col("c_custkey").isin(keys))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "p1_field_qualification",
+    """SELECT CAST(c_custkey AS VARCHAR) AS key,
+              c_name AS cust_c_name,
+              c_mktsegment AS cust_c_mktsegment,
+              'cust' AS source
+       FROM customer""",
+)
+def p1_qualify(spark, sf):
+    df = _t(spark, sf, "customer")
+    return df.select(
+        F.col("c_custkey").cast("string").alias("key"),
+        F.col("c_name").alias("cust_c_name"),
+        F.col("c_mktsegment").alias("cust_c_mktsegment"),
+        F.lit("cust").alias("source"),
+    )
+
+
+@_q(
+    "p2_cleaning_exprs",
+    """SELECT p_partkey AS id,
+              lower(trim(p_name)) AS name_clean,
+              upper(p_brand) AS brand,
+              round(p_retailprice * 0.9, 2) AS discounted
+       FROM part""",
+)
+def p2_cleaning(spark, sf):
+    df = _t(spark, sf, "part").withColumnRenamed("p_partkey", "id")
+    cleaned = df.select(
+        F.col("id"),
+        F.expr("lower(trim(p_name))").alias("name_clean"),
+        F.expr("upper(p_brand)").alias("brand"),
+        F.expr("round(p_retailprice * 0.9, 2)").alias("discounted"),
+    )
+    return cleaned
+
+
+@_q(
+    "p5_threshold_filter",
+    """SELECT l_orderkey, l_linenumber, CAST(1.0 - l_discount AS DOUBLE) AS score
+       FROM lineitem WHERE 1.0 - l_discount >= 0.97""",
+)
+def p5_threshold(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .withColumn("score", (F.lit(1.0) - F.col("l_discount")).cast("double"))
+        .where(F.col("score") >= 0.97)
+        .select("l_orderkey", "l_linenumber", "score")
+    )
+
+
+# ===========================================================================
+# Aggregations (A-family) — TPC-H-style with exact decimal discipline
+# ===========================================================================
+
+
+@_q(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+              COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+)
+def q1_pricing(spark, sf):
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec6(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec6(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(
+                _dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "q3_top_revenue_orders",
+    """SELECT o_orderkey,
+              CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+              strftime(ANY_VALUE(o_orderdate), '%Y-%m-%d') AS orderdate
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE o_orderstatus = 'O'
+       GROUP BY o_orderkey
+       ORDER BY revenue DESC, o_orderkey
+       LIMIT 20""",
+)
+def q3_topk(spark, sf):
+    o = _t(spark, sf, "orders").where(F.col("o_orderstatus") == "O")
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(
+                _dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).cast("double").alias("revenue"),
+            F.date_format(F.any_value("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "a2_set_agg_combine",
+    """SELECT o_custkey AS id,
+              array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities,
+              COUNT(DISTINCT o_orderpriority) AS n_priorities
+       FROM orders GROUP BY o_custkey""",
+)
+def a2_set_agg(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("id"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
+
+
+@_q(
+    "a8_best_pair_dedupe",
+    """SELECT l_orderkey, l_partkey, best_price, n_lines FROM (
+         SELECT l_orderkey, l_partkey,
+                ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
+                                   ORDER BY l_extendedprice DESC, l_linenumber) AS rn,
+                l_extendedprice AS best_price,
+                COUNT(*) OVER (PARTITION BY l_orderkey, l_partkey) AS n_lines
+         FROM lineitem) WHERE rn = 1""",
+)
+def a8_best_pair(spark, sf):
+    from pyspark.sql import Window
+
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_linenumber")
+    )
+    wc = Window.partitionBy("l_orderkey", "l_partkey")
+    return (
+        l.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_lines", F.count("*").over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.col("l_extendedprice").alias("best_price"),
+            "n_lines",
+        )
+    )
+
+
+@_q(
+    "w1_first_order_per_customer",
+    """SELECT o_custkey, o_orderkey AS first_order,
+              strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS first_date
+       FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS rn
+             FROM orders) WHERE rn = 1""",
+)
+def w1_first_order(spark, sf):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_order"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("first_date"),
+        )
+    )
+
+
+# ===========================================================================
+# Joins & set ops (J1, U1, U4, U6, O1/O2, O5)
+# ===========================================================================
+
+
+@_q(
+    "j1_source_id_join",
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       WHERE o_totalprice > 300000""",
+)
+def j1_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"]).select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@_q(
+    "u1_union_by_name",
+    """SELECT c_name AS name, c_acctbal AS acctbal, c_nationkey AS nationkey,
+              'customer' AS side, c_mktsegment AS mktsegment
+       FROM customer
+       UNION ALL
+       SELECT s_name, s_acctbal, s_nationkey, 'supplier', NULL FROM supplier""",
+)
+def u1_union(spark, sf):
+    c = _t(spark, sf, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit("customer").alias("side"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.lit("supplier").alias("side"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@_q(
+    "u4_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def u4_anti(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+@_q(
+    "u6_insert_if_absent",
+    """SELECT p_partkey, p_name FROM part
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""",
+)
+def u6_absent(spark, sf):
+    p = _t(spark, sf, "part")
+    l = _t(spark, sf, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return p.join(l, "p_partkey", "left_anti").select("p_partkey", "p_name")
+
+
+@_q(
+    "o5_deterministic_sample",
+    """SELECT c_custkey, c_name FROM customer
+       ORDER BY sha256(CAST(c_custkey AS VARCHAR)), c_custkey LIMIT 100""",
+)
+def o5_sample(spark, sf):
+    """Seedless cross-engine 'random' sample: order by key hash (O5)."""
+    return (
+        _t(spark, sf, "customer")
+        .orderBy(F.sha2(F.col("c_custkey").cast("string"), 256), F.col("c_custkey"))
+        .limit(100)
+        .select("c_custkey", "c_name")
+    )
+
+
+# ===========================================================================
+# Hashing / content addressing (H1, H5, A1)
+# ===========================================================================
+
+_US, _RS = "␟", "␞"
+
+
+@_q(
+    "h1_row_hash",
+    f"""SELECT c_custkey,
+               sha256('c_name{_US}' || c_name || '{_RS}c_mktsegment{_US}' ||
+                      c_mktsegment || '{_RS}') AS row_hash
+        FROM customer""",
+)
+def h1_row_hash(spark, sf):
+    df = _t(spark, sf, "customer")
+    return df.select(
+        "c_custkey",
+        F.lower(F.hex(row_hash_expr(df.schema, ["c_name", "c_mktsegment"]))).alias(
+            "row_hash"
+        ),
+    )
+
+
+@_q(
+    "a1_hash_index",
+    """SELECT sha256('c_nationkey␟' || CAST(c_nationkey AS VARCHAR) ||
+                     '␞c_mktsegment␟' || c_mktsegment || '␞') AS hash,
+              COUNT(*) AS n_keys,
+              MIN(CAST(c_custkey AS VARCHAR)) AS first_key
+       FROM customer GROUP BY 1""",
+)
+def a1_hash_index(spark, sf):
+    df = _t(spark, sf, "customer")
+    return (
+        df.select(
+            F.lower(
+                F.hex(row_hash_expr(df.schema, ["c_nationkey", "c_mktsegment"]))
+            ).alias("hash"),
+            F.col("c_custkey").cast("string").alias("key"),
+        )
+        .groupBy("hash")
+        .agg(F.count("*").alias("n_keys"), F.min("key").alias("first_key"))
+    )
+
+
+@_q(
+    "h5_leaf_set_hash",
+    """SELECT c_nationkey,
+              sha256(array_to_string(list_sort(list(sha256(c_name))), '|')) AS set_hash
+       FROM customer GROUP BY c_nationkey""",
+)
+def h5_leafset(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.sha2(
+                F.array_join(F.array_sort(F.collect_list(F.sha2("c_name", 256))), "|"),
+                256,
+            ).alias("set_hash")
+        )
+    )
+
+
+# ===========================================================================
+# Entity resolution (J2-J5, G1, J7 flagship)
+# ===========================================================================
+
+
+@_q(
+    "j2_naive_dedupe",
+    """SELECT DISTINCT least(a.c_custkey, b.c_custkey) AS left_id,
+              greatest(a.c_custkey, b.c_custkey) AS right_id,
+              CAST(1.0 AS REAL) AS score
+       FROM customer a JOIN customer b
+         ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        AND a.c_custkey < b.c_custkey""",
+)
+def j2_naive(spark, sf):
+    df = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"), "c_nationkey", "c_mktsegment"
+    )
+    return NaiveDeduper(
+        id="id", unique_fields=["c_nationkey", "c_mktsegment"]
+    ).dedupe(df)
+
+
+@_q(
+    "j3_deterministic_link",
+    """SELECT DISTINCT c.c_custkey AS left_id, s.s_suppkey AS right_id,
+              CAST(1.0 AS REAL) AS score
+       FROM customer c JOIN supplier s
+         ON c.c_nationkey = s.s_nationkey OR round(c.c_acctbal) = round(s.s_acctbal)""",
+)
+def j3_link(spark, sf):
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    linker = DeterministicLinker(
+        left_id="c_custkey",
+        right_id="s_suppkey",
+        comparisons=[
+            "l.c_nationkey = r.s_nationkey",
+            "round(l.c_acctbal) = round(r.s_acctbal)",
+        ],
+    )
+    return linker.link(c, s)
+
+
+@_q(
+    "j4_sequential_rounds",
+    """WITH r1 AS (
+         SELECT DISTINCT c.c_custkey AS left_id, s.s_suppkey AS right_id
+         FROM customer c JOIN supplier s ON round(c.c_acctbal) = round(s.s_acctbal)
+       ),
+       r2 AS (
+         SELECT DISTINCT c.c_custkey AS left_id, s.s_suppkey AS right_id
+         FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+         WHERE c.c_custkey NOT IN (SELECT left_id FROM r1)
+           AND s.s_suppkey NOT IN (SELECT right_id FROM r1)
+       )
+       SELECT left_id, right_id, CAST(1.0 AS REAL) AS score FROM r1
+       UNION ALL
+       SELECT left_id, right_id, CAST(1.0 AS REAL) AS score FROM r2""",
+)
+def j4_rounds(spark, sf):
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    linker = DeterministicLinker(
+        left_id="c_custkey",
+        right_id="s_suppkey",
+        comparisons=[
+            ["round(l.c_acctbal) = round(r.s_acctbal)"],
+            ["l.c_nationkey = r.s_nationkey"],
+        ],
+    )
+    return linker.link(c, s)
+
+
+@_q(
+    "j5_weighted_link",
+    """SELECT left_id, right_id, CAST(SUM(w) / 3.0 AS REAL) AS score FROM (
+         SELECT DISTINCT c_custkey AS left_id, s_suppkey AS right_id, 2.0 AS w
+         FROM customer JOIN supplier ON c_nationkey = s_nationkey
+         UNION ALL
+         SELECT DISTINCT c_custkey, s_suppkey, 1.0
+         FROM customer JOIN supplier ON round(c_acctbal / 100) = round(s_acctbal / 100)
+       ) GROUP BY left_id, right_id
+       HAVING SUM(w) / 3.0 >= 0.66""",
+)
+def j5_weighted(spark, sf):
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    linker = WeightedDeterministicLinker(
+        left_id="c_custkey",
+        right_id="s_suppkey",
+        weighted_comparisons=[
+            {"comparison": "l.c_nationkey = r.s_nationkey", "weight": 2.0},
+            {
+                "comparison": "round(l.c_acctbal / 100) = round(r.s_acctbal / 100)",
+                "weight": 1.0,
+            },
+        ],
+        threshold=0.66,
+    )
+    return linker.link(c, s)
+
+
+@_q(
+    "g1_connected_components",
+    """WITH RECURSIVE
+       edges AS (
+         SELECT s_suppkey AS src,
+                LEAD(s_suppkey) OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS dst
+         FROM supplier QUALIFY dst IS NOT NULL
+       ),
+       undirected AS (
+         SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+       ),
+       reach(node, other) AS (
+         SELECT src, dst FROM undirected
+         UNION
+         SELECT r.node, u.dst FROM reach r JOIN undirected u ON r.other = u.src
+       )
+       SELECT node AS id, LEAST(MIN(other), node) AS component
+       FROM reach GROUP BY node""",
+)
+def g1_cc(spark, sf):
+    """Distributed CC over per-nation supplier chains (path graphs — the
+    adversarial case for star contraction); oracle is a recursive-CTE
+    transitive closure."""
+    from pyspark.sql import Window
+
+    s = _t(spark, sf, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    edges = (
+        s.withColumn("dst", F.lead("s_suppkey").over(w))
+        .where(F.col("dst").isNotNull())
+        .select(F.col("s_suppkey").alias("src"), "dst")
+    )
+    return connected_components(edges).orderBy("id")
+
+
+@_q(
+    "j7_resolved_entities",
+    """SELECT CAST(c_custkey AS VARCHAR) AS key,
+              MIN(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment) AS entity_rep
+       FROM customer""",
+)
+def j7_flagship(spark, sf):
+    """Flagship: full pipeline — index customer, naive-dedupe on
+    (nationkey, mktsegment), components resolver, unified hierarchy query —
+    reporting each key's entity as the minimum member custkey (which the
+    relational oracle can state independently, because equality-dedupe
+    components are exactly the groupwise-equal classes)."""
+    from matchbox_spark.plans.catalog import Catalog
+    from matchbox_spark.plans.dag import DAG
+    from matchbox_spark.plans.query import QueryConfig
+    from matchbox_spark.plans.resolvers import Components
+    from matchbox_spark.sources.source import SourceConfig
+
+    dag = DAG(spark, Catalog(spark))
+    src = SourceConfig(
+        name="cust",
+        location=f"{sf}/customer.parquet",
+        key_field="c_custkey",
+        index_fields=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    dag.source(src)
+    dag.model(
+        "dedupe",
+        NaiveDeduper(id="id", unique_fields=["cust_c_nationkey", "cust_c_mktsegment"]),
+        QueryConfig(sources=[src]),
+    )
+    dag.resolver("resolve", Components(method="auto"), model_inputs=["dedupe"])
+    dag.run()
+
+    from matchbox_spark.plans.query import unified_query
+
+    # map synthetic cluster ids to the minimum member custkey so the answer
+    # is content-defined (comparable to the oracle) rather than id-defined
+    ids = unified_query(
+        dag.catalog, dag.resolver_lineage("resolve"), ["cust"], level="key"
+    ).withColumn("custkey", F.col("key").cast("long"))
+    rep = ids.groupBy("id").agg(F.min("custkey").alias("entity_rep"))
+    return ids.join(rep, "id").select("key", "entity_rep")
+
+
+# ===========================================================================
+# Events: windowed aggregation + sessionisation
+# ===========================================================================
+
+
+@_q(
+    "ev1_hourly_window_agg",
+    """SELECT event_type,
+              strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2""",
+)
+def ev1_window(spark, sf):
+    return (
+        _events(spark, sf)
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec6(F.col("value"))).cast("double").alias("total_value"),
+        )
+    )
+
+
+@_q(
+    "ev2_sessionize",
+    """WITH g AS (
+         SELECT user_id, event_id, ts,
+                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE OR
+                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+       ),
+       s AS (
+         SELECT user_id, event_id,
+                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM g
+       )
+       SELECT user_id, session_id, COUNT(*) AS n_events
+       FROM s GROUP BY user_id, session_id""",
+)
+def ev2_sessionize(spark, sf):
+    from pyspark.sql import Window
+
+    e = _events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    g = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    )
+    s = g.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+
+
+# ===========================================================================
+# Text analysis / dedup / similarity (training-data pipeline extensions)
+# ===========================================================================
+
+
+@_q(
+    "t1_token_stats",
+    r"""SELECT doc_id,
+               len(toks) AS n_tokens,
+               ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                     / len(toks), 6) AS mean_token_len
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+              FROM documents)""",
+)
+def t1_token_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count_expr("text").alias("n_tokens"),
+        F.round(TX.mean_token_len_expr("text"), 6).alias("mean_token_len"),
+    )
+
+
+@_q(
+    "t3_doc_fingerprint",
+    r"""SELECT doc_id,
+               sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents""",
+)
+def t3_fingerprint(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", TX.fingerprint_expr("text").alias("fingerprint"))
+    )
+
+
+@_q(
+    "d1_exact_dup_groups",
+    r"""SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+               MIN(doc_id) AS representative, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1""",
+)
+def d1_exact_groups(spark, sf):
+    return DD.exact_duplicate_groups(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@_q(
+    "d2_ngram_jaccard",
+    r"""WITH sh AS (
+          SELECT DISTINCT doc_id AS doc, s.sh FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+            FROM documents
+          ), LATERAL (
+            SELECT CASE WHEN len(toks) >= 2 THEN
+                     [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+                   ELSE [] END AS shl
+          ) t, UNNEST(t.shl) AS s(sh)
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+        inter AS (
+          SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc = doc_a
+        JOIN sizes sb ON sb.doc = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""",
+)
+def d2_ngram_jaccard(spark, sf):
+    return DD.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text", n=2, threshold=0.5
+    )
+
+
+@_q(
+    "v1_cosine_topk",
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+       scored AS (
+         SELECT q.vec_id AS query, c.vec_id AS neighbor,
+                ROUND(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(c.embedding AS DOUBLE[])) /
+                      (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[]))) *
+                       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])))), 6)
+                AS cosine
+         FROM q CROSS JOIN embeddings c WHERE q.vec_id <> c.vec_id
+       )
+       SELECT query, neighbor, cosine, rank FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY query
+                                      ORDER BY cosine DESC, neighbor) AS rank
+         FROM scored)
+       WHERE rank <= 5""",
+)
+def v1_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return cosine_topk(emb, q, k=5)
+
+
+@_q(
+    "a3_explode_combine",
+    """SELECT DISTINCT a.o_custkey AS id, a.o_orderpriority AS priority,
+              b.o_orderstatus AS status
+       FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey""",
+)
+def a3_explode(spark, sf):
+    """A3: group values to lists per entity then explode each column —
+    cross-product of requested values per id (queries.py:202-206 semantics)."""
+    o = _t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("id"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    g = o.groupBy("id").agg(
+        F.collect_list("priority").alias("priority"),
+        F.collect_list("status").alias("status"),
+    )
+    return (
+        g.withColumn("priority", F.explode_outer("priority"))
+        .withColumn("status", F.explode_outer("status"))
+        .dropDuplicates()
+    )
+
+
+@_q(
+    "a6_root_leaves_agg",
+    """SELECT c_nationkey AS root,
+              array_to_string(list_sort(list(CAST(c_custkey AS VARCHAR))), ',') AS leaves,
+              COUNT(*) AS n_leaves
+       FROM customer GROUP BY c_nationkey""",
+)
+def a6_root_leaves(spark, sf):
+    return (
+        _t(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("root"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("c_custkey").cast("string"))), ","
+            ).alias("leaves"),
+            F.count("*").alias("n_leaves"),
+        )
+    )
+
+
+@_q(
+    "u5_set_intersection",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+)
+def u5_intersect(spark, sf):
+    o = _t(spark, sf, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    b = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return a.intersect(b)
+
+
+@_q(
+    "a11_net_pair_vote",
+    """SELECT l_orderkey, l_partkey, SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE -1 END) AS net
+       FROM lineitem GROUP BY l_orderkey, l_partkey
+       HAVING SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE -1 END) > 0""",
+)
+def a11_net_vote(spark, sf):
+    """A11: weighted ± accumulation of endorsed vs rejected pairs, relational
+    (the reference loops a Python dict — eval.py:214-281)."""
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    return (
+        l.groupBy("l_orderkey", "l_partkey")
+        .agg(
+            F.sum(
+                F.when(F.col("l_quantity") > 25, 1).otherwise(-1)
+            ).alias("net")
+        )
+        .where(F.col("net") > 0)
+    )
+
+
+@_q(
+    "d3_minhash_lsh",
+    r"""WITH toks AS (
+          SELECT doc_id AS doc,
+                 list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc, s.sh FROM toks, LATERAL (
+            SELECT CASE WHEN len(toks) >= 2 THEN
+                     [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+                   ELSE [] END AS shl
+          ) t, UNNEST(t.shl) AS s(sh)
+        ),
+        mh AS (
+          SELECT doc, p.perm,
+                 MIN(substr(sha256(CAST(p.perm AS VARCHAR) || '|' || sh), 1, 16)) AS mh
+          FROM sh, UNNEST(range(8)) AS p(perm)
+          GROUP BY doc, p.perm
+        ),
+        bands AS (
+          SELECT doc, perm // 2 AS band, string_agg(mh, '|' ORDER BY perm) AS band_key
+          FROM mh GROUP BY doc, perm // 2
+        )
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc""",
+)
+def d3_minhash(spark, sf):
+    return DD.minhash_lsh_candidates(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        num_perm=8, bands=4, shingle_n=2,
+    )
+
+
+@_q(
+    "d4_simhash",
+    r"""WITH tok AS (
+          SELECT doc_id AS doc, t.tok FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+            FROM documents
+          ), UNNEST(toks) AS t(tok)
+        ),
+        h AS (SELECT doc, ('0x' || substr(sha256(tok), 1, 4))::INT AS h FROM tok),
+        votes AS (
+          SELECT doc, b.bit,
+                 SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h, UNNEST(range(16)) AS b(bit) GROUP BY doc, b.bit
+        )
+        SELECT doc, SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+        FROM votes GROUP BY doc""",
+)
+def d4_simhash(spark, sf):
+    return DD.simhash_values(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@_q(
+    "m1_media_metadata",
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+              sha256(text) AS checksum
+       FROM documents""",
+)
+def m1_media_meta(spark, sf):
+    """Multimodal plumbing: text payloads re-encoded as binary, metadata
+    extracted through the Arrow-batched mapInPandas stage (the oracle states
+    the same facts relationally; docs are ASCII so sha256(text) ==
+    sha256(utf8 bytes))."""
+    from matchbox_spark.operators.multimodal import extract_media_metadata
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+    )
+    meta = extract_media_metadata(d)
+    return meta.select("doc_id", "n_bytes", "checksum")
+
+
+# ===========================================================================
+# driver contract
+# ===========================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full ER pipeline on sf0.001 — key → resolved entity."""
+    return j7_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}

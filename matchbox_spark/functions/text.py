@@ -1,0 +1,189 @@
+"""Text analysis for training-data pipelines — all built-in-function exprs.
+
+Everything here is pure ``pyspark.sql.functions`` composition (no UDFs): the
+expressions stay inside whole-stage codegen and scale linearly. Operators:
+
+- tokenisation / token counting (whitespace + BPE-ish regex variant)
+- word shingles and character n-grams
+- language id via stopword-hit ratios (n-gram heuristic)
+- quality scoring (length / punctuation / stopword / repetition features)
+- document fingerprinting (normalised-content SHA-256)
+- SimHash bit extraction helpers (used by operators.dedup)
+
+All deterministic, and expressible in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small per-language stopword lists — enough signal for a heuristic lang-id.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que", "por", "con"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "人"],
+}
+
+
+def tokens_expr(col: Column | str) -> Column:
+    """Whitespace tokens of lowercased text (empty strings filtered)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_tokens_expr(col: Column | str) -> Column:
+    """Regex token split: words, numbers, and single punctuation marks.
+
+    A BPE-style pre-tokeniser approximation: `\\p{L}+` runs, digit runs, and
+    individual non-space symbols each count as a token.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # insert boundaries around non-alphanumeric runs, then split on spaces
+    spaced = F.regexp_replace(c, r"([^\sA-Za-z0-9]|\d+)", r" $1 ")
+    return F.filter(F.split(spaced, r"\s+"), lambda t: t != "")
+
+
+def token_count_expr(col: Column | str) -> Column:
+    return F.size(tokens_expr(col))
+
+
+def word_shingles_expr(col: Column | str, n: int = 3) -> Column:
+    """All n-word shingles (space-joined) of the text; [] when too short."""
+    toks = tokens_expr(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams_expr(col: Column | str, n: int = 5) -> Column:
+    """All character n-grams of the lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    return F.when(
+        F.length(low) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(low) - (n - 1)),
+            lambda i: F.substring(low, i, n).cast("string"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _stopword_hits(toks: Column, words: list[str]) -> Column:
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit_arr, t)))
+
+
+def stopword_ratio_expr(col: Column | str, lang: str = "en") -> Column:
+    toks = tokens_expr(col)
+    return F.when(F.size(toks) > 0, _stopword_hits(toks, STOPWORDS[lang]) / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def lang_id_expr(col: Column | str) -> Column:
+    """Heuristic language id: argmax stopword-hit ratio across languages.
+
+    For zh (no spaces), hits count via substring containment of the
+    single-char function words instead of token equality. Ties break by
+    language code order for determinism.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens_expr(c)
+    n = F.size(toks)
+    scores = []
+    for lang, words in STOPWORDS.items():
+        if lang == "zh":
+            hits = F.aggregate(
+                F.array(*[F.lit(w) for w in words]),
+                F.lit(0),
+                lambda acc, w: acc
+                + F.when(F.instr(c, w) > 0, F.lit(1)).otherwise(F.lit(0)),
+            )
+            score = hits.cast("double") / F.lit(10.0)
+        else:
+            score = F.when(n > 0, _stopword_hits(toks, words).cast("double") / n).otherwise(
+                F.lit(0.0)
+            )
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(
+        F.transform(
+            F.array(*scores),
+            lambda s: F.struct(
+                s["score"].alias("score"),
+                # invert lang for max so ties pick the alphabetically first
+                F.lit(None).cast("string").alias("_pad"),
+                s["lang"].alias("lang"),
+            ),
+        )
+    )
+    return best["lang"]
+
+
+def punct_ratio_expr(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[^\w\s]", "")
+    return F.when(
+        F.length(c) > 0,
+        (F.length(c) - F.length(stripped)).cast("double") / F.length(c),
+    ).otherwise(F.lit(0.0))
+
+
+def mean_token_len_expr(col: Column | str) -> Column:
+    toks = tokens_expr(col)
+    return F.when(
+        F.size(toks) > 0,
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_ratio_expr(col: Column | str) -> Column:
+    """1 - distinct_tokens/tokens — high values flag boilerplate/spam."""
+    toks = tokens_expr(col)
+    return F.when(
+        F.size(toks) > 0,
+        1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score_expr(col: Column | str, lang: str = "en") -> Column:
+    """Composite [0,1] quality heuristic (Gopher/C4-style feature mix):
+
+    rewards stopword presence and 3-8 char mean token length; penalises
+    punctuation density and token repetition.
+    """
+    sw = stopword_ratio_expr(col, lang)
+    mt = mean_token_len_expr(col)
+    pr = punct_ratio_expr(col)
+    rep = repetition_ratio_expr(col)
+    len_ok = F.when((mt >= 3.0) & (mt <= 8.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    score = (
+        F.least(sw * 4.0, F.lit(1.0)) * 0.4
+        + len_ok * 0.3
+        + (1.0 - F.least(pr * 4.0, F.lit(1.0))) * 0.15
+        + (1.0 - rep) * 0.15
+    )
+    return F.round(score, 6)
+
+
+def normalize_text_expr(col: Column | str) -> Column:
+    """Lowercase, collapse whitespace, trim — canonical form for hashing."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint_expr(col: Column | str) -> Column:
+    """SHA-256 hex fingerprint of the normalised text."""
+    return F.sha2(normalize_text_expr(col), 256)
+
+
+def token_hash16_expr(tok: Column) -> Column:
+    """First 16 bits of sha256(token) as an int — SimHash feature hash."""
+    return F.conv(F.substring(F.sha2(tok, 256), 1, 4), 16, 10).cast("int")

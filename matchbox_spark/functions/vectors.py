@@ -1,0 +1,69 @@
+"""Vector (embedding) column functions — JVM-side, no UDFs.
+
+Dot products and cosine similarity over ``array<float>`` columns via
+``zip_with`` + ``aggregate`` in double precision; sign-bit bucketing for
+LSH-style blocking. For very wide vectors where expression trees get large,
+the documented alternative is an Arrow-batched Pandas UDF — at 64-dim these
+stay comfortably in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot_expr(a: Column | str, b: Column | str) -> Column:
+    """Σ aᵢ·bᵢ in double precision."""
+    pa = _c(a).cast("array<double>")
+    pb = _c(b).cast("array<double>")
+    return F.aggregate(
+        F.zip_with(pa, pb, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column | str) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm."""
+    num = dot_expr(a, b)
+    den = norm_expr(a) * norm_expr(b)
+    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+
+def l2_expr(a: Column | str, b: Column | str) -> Column:
+    pa = _c(a).cast("array<double>")
+    pb = _c(b).cast("array<double>")
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(pa, pb, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def sign_bucket_expr(vec: Column | str, dims: list[int]) -> Column:
+    """LSH bucket key: sign bits of the chosen dimensions packed into a long.
+
+    Deterministic axis-aligned hyperplanes — two near-identical vectors land
+    in the same bucket with high probability; used to block ANN candidate
+    generation so the exact cosine only runs within buckets.
+    """
+    v = _c(vec)
+    bit_terms = [
+        F.when(F.element_at(v, d + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i, d in enumerate(dims)
+    ]
+    out = F.lit(0)
+    for t in bit_terms:
+        out = out + t
+    return out.cast("long")

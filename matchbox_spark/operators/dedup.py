@@ -1,0 +1,387 @@
+"""Large-scale deduplication operators for training-data pipelines.
+
+These extend the engine beyond the reference's record-matching surface with
+the dedup family a 100 TB text/embedding corpus needs (BASELINE.json north
+star). Every operator is a relational composition — shuffles only on shingle
+/ band / bucket keys, no UDFs, no driver loops — so the same plan runs on
+1000 executors:
+
+- **exact**: hash-groupBy on normalised content (one shuffle on a 32-byte
+  hash).
+- **n-gram Jaccard**: inverted shingle index self-join → pair intersection
+  counts → |A∩B| / (|A|+|B|−|A∩B|).
+- **MinHash + LSH**: per-shingle seeded hashes → min per permutation →
+  banded signature keys → candidates share a band (sub-quadratic); optional
+  exact-Jaccard verification of candidates.
+- **SimHash**: per-token 16-bit feature hash → bitwise majority vote →
+  half-signature blocking → Hamming-distance filter.
+- **embedding cosine**: sign-bit LSH buckets (operators.similarity does
+  top-k search; here: near-dup pairs above a cosine threshold).
+
+MinHash permutation hashes are ``substr(sha256(seed || '|' || shingle), 16)``
+compared lexicographically — deterministic, cross-engine reproducible (the
+DuckDB oracle computes the identical signature), and uniform enough for LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from matchbox_spark.functions.text import (
+    fingerprint_expr,
+    normalize_text_expr,
+    token_hash16_expr,
+    tokens_expr,
+    word_shingles_expr,
+)
+from matchbox_spark.functions.vectors import cosine_expr, sign_bucket_expr
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Groups of byte-identical (normalised) documents.
+
+    Returns ``(fingerprint, representative, n_docs)`` — representative is the
+    minimum id. One shuffle on the fingerprint; map-side partial agg.
+    """
+    return (
+        df.select(
+            fingerprint_expr(text_col).alias("fingerprint"),
+            F.col(id_col).cast("long").alias("_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("_id").alias("representative"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def exact_dedupe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (minimum id) per normalised content."""
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).cast("long"))
+    return (
+        df.withColumn("_fp", fingerprint_expr(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, shingle) distinct — the inverted-index edge list."""
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.explode(word_shingles_expr(text_col, n)).alias("sh"),
+        )
+        .dropDuplicates()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Pairs with shingle-set Jaccard ≥ threshold.
+
+    Inverted-index self-join: pairs only form on shared shingles, so cost is
+    Σ freq(shingle)² — not |docs|². ``max_shingle_freq`` drops ubiquitous
+    shingles (stop-shingles) to bound the worst-case blow-up at corpus scale;
+    a dropped shingle can only lower recall for pairs already sharing many
+    other shingles.
+    """
+    sh = _doc_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        freq_ok = (
+            sh.groupBy("sh").count().where(F.col("count") <= max_shingle_freq)
+        ).select("sh")
+        sh = sh.join(freq_ok, "sh")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+
+    a = sh.select(F.col("doc").alias("doc_a"), "sh")
+    b = sh.select(F.col("doc").alias("doc_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnsRenamed({"doc": "doc_a", "sz": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "sz": "sz_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(doc, sig: array<string>) — per-permutation minima, order-stable.
+
+    Permutation i's hash of shingle s is the first 16 hex chars of
+    sha256(i || '|' || s); the min is lexicographic. Explodes
+    |shingles| × num_perm rows — a map-side explode feeding one groupBy.
+    """
+    sh = _doc_shingles(df, id_col, text_col, shingle_n)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
+    hashed = sh.select(
+        "doc",
+        perms,
+        F.col("sh"),
+    ).select(
+        "doc",
+        "perm",
+        F.substring(
+            F.sha2(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("sh")), 256),
+            1,
+            16,
+        ).alias("h"),
+    )
+    per_perm = hashed.groupBy("doc", "perm").agg(F.min("h").alias("mh"))
+    return (
+        per_perm.groupBy("doc")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("perm"), F.col("mh")))
+                ),
+                lambda s: s["mh"],
+            ).alias("sig")
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 LSH band (doc_a < doc_b).
+
+    Signature splits into ``bands`` bands of ``num_perm/bands`` rows; a band
+    key is the joined slice. Candidates form per band key — the classic
+    sub-quadratic LSH join; the shuffle key is (band, band_key).
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n)
+    banded = sigs.select(
+        "doc",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        "doc",
+        "band",
+        F.expr(
+            f"array_join(slice(sig, band * {rows_per_band} + 1, {rows_per_band}), '|')"
+        ).alias("band_key"),
+    )
+    a = banded.select(F.col("doc").alias("doc_a"), "band", "band_key")
+    b = banded.select(F.col("doc").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+
+def minhash_dedupe_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact shingle Jaccard ≥ threshold."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, shingle_n)
+    sh = _doc_shingles(df, id_col, text_col, shingle_n)
+    sets = sh.groupBy("doc").agg(F.collect_set("sh").alias("shset"))
+    out = (
+        cands.join(sets.withColumnsRenamed({"doc": "doc_a", "shset": "set_a"}), "doc_a")
+        .join(sets.withColumnsRenamed({"doc": "doc_b", "shset": "set_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("set_a", "set_b"))
+            / F.size(F.array_union("set_a", "set_b")).cast("double"),
+        )
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_values(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """(doc, simhash) — bitwise majority vote over 16-bit token hashes.
+
+    Fully relational: explode tokens → explode bit positions → signed votes →
+    groupBy doc. ``bits`` ≤ 16 (one sha256-derived feature hash per token).
+    """
+    toks = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.explode(tokens_expr(text_col)).alias("tok"),
+    )
+    votes = (
+        toks.withColumn("h", token_hash16_expr(F.col("tok")))
+        .select(
+            "doc",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+            "h",
+        )
+        .withColumn(
+            "vote",
+            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+        )
+    )
+    return (
+        votes.groupBy("doc", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("v") > 0, F.expr("shiftleft(1, bit)")).otherwise(0),
+        )
+        .groupBy("doc")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Blocking: two half-signatures — by pigeonhole, any pair within Hamming
+    distance ≤ bits/2 shares at least one identical half, so candidates form
+    on (half_index, half_value) keys instead of a cross join.
+    """
+    half = bits // 2
+    sims = simhash_values(df, id_col, text_col, bits)
+    mask = (1 << half) - 1
+    halves = sims.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("hi"),
+                    F.col("simhash").bitwiseAND(mask).alias("hv"),
+                ),
+                F.struct(
+                    F.lit(1).alias("hi"),
+                    F.shiftright("simhash", half).bitwiseAND(mask).alias("hv"),
+                ),
+            )
+        ).alias("hpart"),
+    ).select("doc", "simhash", F.col("hpart.hi").alias("hi"), F.col("hpart.hv").alias("hv"))
+    a = halves.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), "hi", "hv"
+    )
+    b = halves.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"), "hi", "hv"
+    )
+    return (
+        a.join(b, ["hi", "hv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-duplicates
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    bucket_dims: list[int] | None = None,
+) -> DataFrame:
+    """Pairs with cosine similarity ≥ threshold.
+
+    With ``bucket_dims`` the join blocks on sign-bit LSH buckets with one-bit
+    multi-probe (vectors near a hyperplane can flip a single sign, so side A
+    probes every one-bit neighbour of its home bucket) — the scale path.
+    Without it the join is the exact quadratic baseline (evaluation only).
+    """
+    base = df.select(F.col(id_col).cast("long").alias("doc"), F.col(vec_col).alias("v"))
+    if bucket_dims:
+        home = sign_bucket_expr("v", bucket_dims)
+        probes = F.array(
+            *([home] + [home.bitwiseXOR(F.lit(1 << i)) for i in range(len(bucket_dims))])
+        )
+        a = base.select("doc", "v", F.explode(probes).alias("bkt")).alias("a")
+        b = base.withColumn("bkt", home).alias("b")
+        joined = a.join(
+            b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.doc") < F.col("b.doc"))
+        )
+    else:
+        a = base.alias("a")
+        b = base.alias("b")
+        joined = a.join(b, F.col("a.doc") < F.col("b.doc"))
+    return (
+        joined.select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.round(cosine_expr(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+    )

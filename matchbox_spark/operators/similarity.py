@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns (BASELINE.json north star).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline. The
+  corpus side stays partitioned; the (small) query side broadcasts, so the
+  plan is an embarrassingly parallel map + per-query top-k (window over the
+  query key, which shuffles once on query id).
+- ``ann_topk``: LSH-bucketed approximate variant — sign-bit buckets with
+  multi-probe (flip one bit at a time), then exact cosine within buckets.
+  The scale path: shuffle keys are buckets, never the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from matchbox_spark.functions.vectors import cosine_expr, sign_bucket_expr
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k by cosine: (query, neighbor, cosine, rank), rank 1..k.
+
+    Ties break by neighbor id ascending so results are fully deterministic.
+    """
+    c = corpus.select(
+        F.col(corpus_id).cast("long").alias("neighbor"),
+        F.col(corpus_vec).alias("_cv"),
+    )
+    q = queries.select(
+        F.col(query_id).cast("long").alias("query"), F.col(query_vec).alias("_qv")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query",
+        "neighbor",
+        F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col("query") != F.col("neighbor"))
+    w = Window.partitionBy("query").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query", "neighbor", "cosine", "rank")
+    )
+
+
+def _multi_probe_buckets(vec_col: str, dims: list[int]):
+    """Bucket key array: the home bucket plus one-bit-flipped probes."""
+    home = sign_bucket_expr(vec_col, dims)
+    probes = [home] + [home.bitwiseXOR(F.lit(1 << i)) for i in range(len(dims))]
+    return F.array(*probes)
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bucket_dims: list[int] | None = None,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: sign-bit LSH buckets + one-bit multi-probe.
+
+    Corpus vectors land in their home bucket; each query probes its home
+    bucket and every one-bit neighbour, so a query inspects
+    (len(dims)+1)/2^len(dims) of the corpus in expectation. Recall rises
+    with fewer dims (bigger buckets) or more probes.
+    """
+    if bucket_dims is None:
+        bucket_dims = [0, 1, 2, 3, 4, 5]
+    c = corpus.select(
+        F.col(corpus_id).cast("long").alias("neighbor"),
+        F.col(corpus_vec).alias("_cv"),
+    ).withColumn("bkt", sign_bucket_expr("_cv", bucket_dims))
+    q = queries.select(
+        F.col(query_id).cast("long").alias("query"), F.col(query_vec).alias("_qv")
+    ).select(
+        "query",
+        "_qv",
+        F.explode(_multi_probe_buckets("_qv", bucket_dims)).alias("bkt"),
+    )
+    scored = (
+        q.join(c, "bkt")
+        .select(
+            "query",
+            "neighbor",
+            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        )
+        .dropDuplicates(["query", "neighbor"])
+    )
+    if exclude_self:
+        scored = scored.where(F.col("query") != F.col("neighbor"))
+    w = Window.partitionBy("query").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query", "neighbor", "cosine", "rank")
+    )

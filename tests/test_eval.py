@@ -1,0 +1,88 @@
+"""Eval tests pinning the reference's weighted-vote semantics
+(common/eval.py docstring example) and precision/recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from matchbox_spark.eval import (
+    cluster_pairs,
+    judgement_net_counts,
+    precision_recall,
+)
+
+
+def test_net_counts_docstring_example(spark):
+    """Shown (1,2,3,4); endorsed (1), (2,3), (4) → (2,3)=+1, others=-1."""
+    judgements = spark.createDataFrame(
+        [("u", 101, 100), ("u", 102, 100), ("u", 103, 100)],
+        "user_name string, endorsed long, shown long",
+    )
+    expansion = spark.createDataFrame(
+        [(100, [1, 2, 3, 4]), (101, [1]), (102, [2, 3]), (103, [4])],
+        "root long, leaves array<long>",
+    )
+    net = {
+        (r["a"], r["b"]): r["net"]
+        for r in judgement_net_counts(judgements, expansion).collect()
+    }
+    assert net[(2, 3)] == pytest.approx(1.0)
+    for p in [(1, 2), (1, 3), (1, 4), (2, 4), (3, 4)]:
+        assert net[p] == pytest.approx(-1.0), p
+
+
+def test_singleton_endorsed_without_expansion(spark):
+    judgements = spark.createDataFrame(
+        [("u", 7, 100)], "user_name string, endorsed long, shown long"
+    )
+    expansion = spark.createDataFrame(
+        [(100, [7, 8])], "root long, leaves array<long>"
+    )
+    net = {
+        (r["a"], r["b"]): r["net"]
+        for r in judgement_net_counts(judgements, expansion).collect()
+    }
+    # endorsing singleton 7 of shown (7,8) rejects pair (7,8) with weight 1/2
+    assert net[(7, 8)] == pytest.approx(-0.5)
+
+
+def test_cluster_pairs(spark):
+    rl = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20)], "root long, leaf long"
+    )
+    pairs = {(r["a"], r["b"]) for r in cluster_pairs(rl).collect()}
+    assert pairs == {(10, 11), (10, 12), (11, 12)}
+
+
+def test_precision_recall_perfect_and_partial(spark):
+    # ground truth from judgements: (1,2) good; (1,3),(2,3) bad
+    judgements = spark.createDataFrame(
+        [("u", 101, 100), ("u", 102, 100)],
+        "user_name string, endorsed long, shown long",
+    )
+    expansion = spark.createDataFrame(
+        [(100, [1, 2, 3]), (101, [1, 2]), (102, [3])],
+        "root long, leaves array<long>",
+    )
+    perfect = spark.createDataFrame(
+        [(50, 1), (50, 2), (51, 3)], "root long, leaf long"
+    )
+    overmerge = spark.createDataFrame(
+        [(60, 1), (60, 2), (60, 3)], "root long, leaf long"
+    )
+    (p1, r1), (p2, r2) = precision_recall(
+        [perfect, overmerge], judgements, expansion
+    )
+    assert (p1, r1) == (1.0, 1.0)
+    assert p2 == pytest.approx(1 / 3) and r2 == 1.0
+
+
+def test_empty_judgements_rejected(spark):
+    judgements = spark.createDataFrame(
+        [], "user_name string, endorsed long, shown long"
+    )
+    expansion = spark.createDataFrame([], "root long, leaves array<long>")
+    model = spark.createDataFrame([(1, 2)], "root long, leaf long")
+    with pytest.raises(ValueError):
+        precision_recall([model], judgements, expansion)

@@ -1,0 +1,178 @@
+"""Tests for text analysis + large-scale dedup operators on real documents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from matchbox_spark.functions import text as TX
+from matchbox_spark.functions.vectors import cosine_expr
+from matchbox_spark.operators import dedup as DD
+from matchbox_spark.operators.similarity import ann_topk, cosine_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Synthetic corpus with known near-duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "near the warm fire and the birds sing in the tall green trees"
+    )
+    variant = base.replace("lazy dog", "lazy hound")  # near-dup of 0
+    unrelated = (
+        "completely different content about spark dataframes shuffles and "
+        "partitions running on large clusters with many executors"
+    )
+    return spark.createDataFrame(
+        [(0, base), (1, base), (2, variant), (3, unrelated)],
+        "doc_id long, text string",
+    )
+
+
+def test_tokens_and_counts(spark):
+    df = spark.createDataFrame([("Hello  World foo",), ("",)], "t string")
+    out = df.select(
+        TX.token_count_expr("t").alias("n"),
+        TX.tokens_expr("t").alias("toks"),
+    ).collect()
+    assert out[0]["n"] == 3 and out[0]["toks"] == ["hello", "world", "foo"]
+    assert out[1]["n"] == 0
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], "t string")
+    out = df.select(TX.word_shingles_expr("t", 3).alias("s")).collect()
+    assert out[0]["s"] == ["a b c", "b c d"]
+    assert out[1]["s"] == []
+
+
+def test_lang_id_on_real_sentences(spark):
+    """Note: the testdata `lang` column is a random label over one shared
+    vocabulary (verified by inspection) — unrecoverable by any classifier —
+    so lang-id is asserted on genuine multilingual sentences instead."""
+    samples = [
+        ("en", "the cat sat on a mat and it is happy for now"),
+        ("de", "der hund ist nicht in das haus und die katze ist zu alt"),
+        ("fr", "le chat est dans la maison et les oiseaux sont pour un jour"),
+        ("es", "el perro es un animal y la casa es una de los grandes"),
+        ("zh", "这是一个很好的人我们都不知道他在哪里有的是时间"),
+    ]
+    df = spark.createDataFrame(samples, "lang string, text string")
+    out = df.select("lang", TX.lang_id_expr("text").alias("pred")).collect()
+    for r in out:
+        assert r["pred"] == r["lang"], f"{r['lang']} misidentified as {r['pred']}"
+
+
+def test_quality_and_fingerprint(docs):
+    out = docs.select(
+        TX.quality_score_expr("text").alias("q"),
+        TX.fingerprint_expr("text").alias("fp"),
+    )
+    row = out.agg(
+        F.min("q").alias("qmin"), F.max("q").alias("qmax"),
+        F.count(F.when(F.length("fp") == 64, 1)).alias("fps"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert 0.0 <= row["qmin"] <= row["qmax"] <= 1.0
+    assert row["fps"] == row["n"]
+
+
+def test_exact_dedupe(spark):
+    df = spark.createDataFrame(
+        [(1, "Same  text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    groups = DD.exact_duplicate_groups(df, "doc_id", "text")
+    reps = {
+        r["representative"]: r["n_docs"] for r in groups.collect()
+    }
+    assert reps == {1: 2, 3: 1}  # normalisation folds case/whitespace
+    kept = DD.exact_dedupe(df, "doc_id", "text")
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+
+
+def test_ngram_jaccard_pairs(near_dup_docs):
+    out = DD.ngram_jaccard_pairs(
+        near_dup_docs, "doc_id", "text", n=3, threshold=0.5
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(near_dup_docs):
+    cands = DD.minhash_lsh_candidates(
+        near_dup_docs, "doc_id", "text", num_perm=32, bands=8
+    )
+    cand_pairs = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    assert (0, 1) in cand_pairs and (0, 2) in cand_pairs
+
+    verified = DD.minhash_dedupe_pairs(
+        near_dup_docs, "doc_id", "text", num_perm=32, bands=8, threshold=0.5
+    )
+    vpairs = {(r["doc_a"], r["doc_b"]) for r in verified.collect()}
+    assert (0, 1) in vpairs and (0, 2) in vpairs
+    assert not any(3 in p for p in vpairs)
+
+
+def test_simhash_near_duplicates(near_dup_docs):
+    sims = DD.simhash_values(near_dup_docs, "doc_id", "text")
+    vals = {r["doc"]: r["simhash"] for r in sims.collect()}
+    assert vals[0] == vals[1]  # identical docs → identical simhash
+    assert 0 <= vals[0] < (1 << 16)
+
+    out = DD.simhash_near_duplicates(
+        near_dup_docs, "doc_id", "text", max_hamming=3
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_cosine_topk_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(3)
+    out = cosine_topk(emb, q, k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query"], []).append(r)
+    for qid, nbrs in by_q.items():
+        assert [r["rank"] for r in sorted(nbrs, key=lambda r: r["rank"])] == [
+            1, 2, 3, 4, 5,
+        ]
+        scores = [r["cosine"] for r in sorted(nbrs, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["neighbor"] != qid for r in nbrs)
+
+
+def test_ann_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(10)
+    exact = cosine_topk(emb, q, k=5)
+    approx = ann_topk(emb, q, k=5, bucket_dims=[0, 1, 2, 3])
+    e = {(r["query"], r["neighbor"]) for r in exact.collect()}
+    a = {(r["query"], r["neighbor"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"ANN recall collapsed: {recall}"
+
+
+def test_embedding_near_duplicates_bucketed_vs_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.5, 0.2]),
+        (1, [1.0, 0.01, 0.5, 0.2]),   # near-dup of 0
+        (2, [-1.0, 0.5, -0.5, 0.9]),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = DD.embedding_near_duplicates(df, "vec_id", "embedding", 0.99)
+    bucketed = DD.embedding_near_duplicates(
+        df, "vec_id", "embedding", 0.99, bucket_dims=[0, 1, 2, 3]
+    )
+    assert {(r["doc_a"], r["doc_b"]) for r in exact.collect()} == {(0, 1)}
+    assert {(r["doc_a"], r["doc_b"]) for r in bucketed.collect()} == {(0, 1)}
