@@ -23,7 +23,7 @@ HEADLINE = [
     "j7_resolved_entities",
     "ev2_sessionize",
     "t1_token_stats",
-    "d2_ngram_jaccard",
+    "d3_minhash_lsh",
     "v1_cosine_topk",
 ]
 

@@ -151,6 +151,32 @@ def precision_recall(
     return scores
 
 
+def latest_judgement_per_cluster(judgements_ts: DataFrame) -> DataFrame:
+    """A9: max judgement timestamp per shown cluster (adapter/eval.py:222-240)."""
+    return judgements_ts.groupBy(F.col("shown").alias("cluster_id")).agg(
+        F.max("ts").alias("latest_ts")
+    )
+
+
+def filter_recently_judged(
+    clusters: DataFrame,
+    judgements_ts: DataFrame,
+    cutoff_days: int = 365,
+    now: str | None = None,
+) -> DataFrame:
+    """P6: keep clusters never judged, or not judged in the last N days
+    (adapter/eval.py:249-253). ``clusters`` needs a ``cluster_id`` column;
+    ``judgements_ts`` needs ``shown``/``ts``."""
+    latest = latest_judgement_per_cluster(judgements_ts)
+    now_expr = F.lit(now).cast("timestamp") if now else F.current_timestamp()
+    cutoff = now_expr - F.expr(f"INTERVAL {int(cutoff_days)} DAYS")
+    return (
+        clusters.join(latest, "cluster_id", "left")
+        .where(F.col("latest_ts").isNull() | (F.col("latest_ts") < cutoff))
+        .drop("latest_ts")
+    )
+
+
 def eval_samples(
     catalog,
     resolver: str,

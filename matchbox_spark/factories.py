@@ -1,0 +1,221 @@
+"""Synthetic-entity factories with tracked ground truth (SURVEY §5).
+
+Re-creates the reference's test backbone (factories/sources.py:532-900,
+entities.py:49-365) without the Faker dependency: seeded ``random`` word
+generators produce "true entities"; per-source feature subsets, variation
+rules (suffix/prefix/replace), and repetition (exact duplicate rows under new
+keys) derive the observable rows. Every row carries its true-entity id
+internally so tests can assert produced clusters/edges against exact expected
+sets (the reference's ClusterEntity/SourceEntity tracking).
+
+Default linked scenario mirrors FIXTURES.md §1: three sources (crn, dh, cdms)
+over one company universe — crn has 3 suffix variations per entity, dh covers
+half the universe, cdms duplicates every row once.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from itertools import combinations
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_WORDS = (
+    "Acme Global Northern Southern United Allied Prime Apex Summit Crest "
+    "Harbor River Valley Stone Iron Copper Silver Gold Crystal Swift"
+).split()
+_KINDS = "Trading Holdings Logistics Industries Consulting Labs Systems Works".split()
+
+
+@dataclass(frozen=True)
+class SuffixRule:
+    suffix: str
+
+    def apply(self, value: str) -> str:
+        return value + self.suffix
+
+
+@dataclass(frozen=True)
+class PrefixRule:
+    prefix: str
+
+    def apply(self, value: str) -> str:
+        return self.prefix + value
+
+
+@dataclass(frozen=True)
+class ReplaceRule:
+    old: str
+    new: str
+
+    def apply(self, value: str) -> str:
+        return value.replace(self.old, self.new)
+
+
+VariationRule = SuffixRule | PrefixRule | ReplaceRule
+
+
+@dataclass
+class TrueEntity:
+    """One ground-truth entity with its full feature pool."""
+
+    entity_id: int
+    features: dict[str, str]
+
+
+@dataclass
+class SourceTestkit:
+    """A generated source plus its ground truth."""
+
+    name: str
+    data: DataFrame  # key + feature columns
+    key_to_entity: dict[str, int]
+    features: list[str]
+
+    def expected_entity_keys(self) -> dict[int, set[str]]:
+        out: dict[int, set[str]] = {}
+        for key, ent in self.key_to_entity.items():
+            out.setdefault(ent, set()).add(key)
+        return out
+
+    def expected_pairs(self, id_map: dict[str, int] | None = None) -> set[tuple]:
+        """All same-entity unordered pairs (by key, or by mapped id)."""
+        pairs: set[tuple] = set()
+        for keys in self.expected_entity_keys().values():
+            ids = sorted(id_map[k] for k in keys) if id_map else sorted(keys)
+            pairs.update(combinations(sorted(set(ids)), 2))
+        return pairs
+
+
+@dataclass
+class LinkedSourcesTestkit:
+    """Several sources over one entity universe."""
+
+    true_entities: list[TrueEntity]
+    sources: dict[str, SourceTestkit] = field(default_factory=dict)
+
+    def expected_cross_pairs(self, a: str, b: str) -> set[tuple[str, str]]:
+        """(key_a, key_b) pairs referring to the same entity."""
+        ents_a = self.sources[a].expected_entity_keys()
+        ents_b = self.sources[b].expected_entity_keys()
+        out: set[tuple[str, str]] = set()
+        for ent, keys_a in ents_a.items():
+            for ka in keys_a:
+                for kb in ents_b.get(ent, ()):  # noqa: B905
+                    out.add((ka, kb))
+        return out
+
+
+def make_true_entities(n: int, seed: int = 42) -> list[TrueEntity]:
+    rng = random.Random(seed)
+    entities = []
+    for i in range(n):
+        name = f"{rng.choice(_WORDS)} {rng.choice(_WORDS)} {rng.choice(_KINDS)} {i}"
+        entities.append(
+            TrueEntity(
+                entity_id=i,
+                features={
+                    "company_name": name,
+                    "crn": f"{rng.randrange(10**8):08d}-{i:04d}",
+                    "dh": f"{rng.randrange(10**8):08d}",
+                    "cdms": f"ORG-{rng.randrange(10**8):08d}",
+                    "address": f"{rng.randrange(1, 999)} {rng.choice(_WORDS)} Street",
+                },
+            )
+        )
+    return entities
+
+
+def source_factory(
+    spark: SparkSession,
+    name: str,
+    true_entities: list[TrueEntity],
+    features: list[str],
+    variations: dict[str, list[VariationRule]] | None = None,
+    repetition: int = 0,
+    seed: int = 42,
+) -> SourceTestkit:
+    """Generate one source: base row per entity + variation rows + repeats.
+
+    ``variations`` maps a feature to rules; each rule adds one extra row per
+    entity with that feature varied. ``repetition`` repeats every generated
+    row N extra times under fresh keys (exact duplicates, the reference's
+    ``repetition`` knob).
+    """
+    variations = variations or {}
+    rows: list[dict] = []
+    key_to_entity: dict[str, int] = {}
+    counter = 0
+
+    def emit(ent: TrueEntity, feat_values: dict[str, str]) -> None:
+        nonlocal counter
+        for _ in range(1 + repetition):
+            key = f"{name}-{counter}"
+            counter += 1
+            key_to_entity[key] = ent.entity_id
+            rows.append({"key": key, **feat_values})
+
+    for ent in true_entities:
+        base = {f: ent.features[f] for f in features}
+        emit(ent, base)
+        for feat, rules in variations.items():
+            for rule in rules:
+                varied = dict(base)
+                varied[feat] = rule.apply(base[feat])
+                emit(ent, varied)
+
+    schema = "key string, " + ", ".join(f"{f} string" for f in features)
+    data = spark.createDataFrame(
+        [(row["key"], *[row[f] for f in features]) for row in rows], schema
+    )
+    return SourceTestkit(
+        name=name, data=data, key_to_entity=key_to_entity, features=features
+    )
+
+
+def linked_sources_factory(
+    spark: SparkSession, n_true_entities: int = 10, seed: int = 42
+) -> LinkedSourcesTestkit:
+    """The canonical 3-source company scenario (FIXTURES.md §1)."""
+    entities = make_true_entities(n_true_entities, seed)
+    kit = LinkedSourcesTestkit(true_entities=entities)
+    kit.sources["crn"] = source_factory(
+        spark,
+        "crn",
+        entities,
+        ["company_name", "crn"],
+        variations={
+            "company_name": [
+                SuffixRule(" Limited"),
+                SuffixRule(" UK"),
+                SuffixRule(" Company"),
+            ]
+        },
+        seed=seed,
+    )
+    kit.sources["dh"] = source_factory(
+        spark,
+        "dh",
+        entities[: max(1, n_true_entities // 2)],
+        ["company_name", "dh"],
+        seed=seed,
+    )
+    kit.sources["cdms"] = source_factory(
+        spark, "cdms", entities, ["crn", "cdms"], repetition=1, seed=seed
+    )
+    return kit
+
+
+def diff_clusters(
+    produced: dict[int, set[str]], expected: dict[int, set[str]]
+) -> tuple[set[frozenset], set[frozenset]]:
+    """Symmetric difference of two clusterings as key-set families.
+
+    Returns (produced_only, expected_only); both empty ⇔ identical
+    clusterings (label-invariant), the reference's diff_clusters contract.
+    """
+    p = {frozenset(v) for v in produced.values()}
+    e = {frozenset(v) for v in expected.values()}
+    return p - e, e - p

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from matchbox_spark.functions.hashing import (
-    hash_table,
+    hash_table_unordered,
     hash_to_base64,
     leaf_set_hash_expr,
 )
@@ -161,7 +161,10 @@ class Catalog:
         (insert.py:43-165 semantics: temp table → insert-if-absent → unnest).
         """
         if fingerprint is None:
-            fingerprint = hash_table(index)
+            # fingerprints gate idempotency; they need stability, not the
+            # reference-compatible byte recipe — use the fast distributed
+            # fingerprint (hash_table stays available for content parity)
+            fingerprint = hash_table_unordered(index)
         if self._fingerprint_gate(step, fingerprint):
             return
         index = index.select(
@@ -202,10 +205,12 @@ class Catalog:
         self, step: str, edges: DataFrame, fingerprint: bytes | None = None
     ) -> None:
         """Insert scored pair edges for a model step (insert.py:168-250)."""
-        from matchbox_spark.functions.hashing import hash_model_results
-
         if fingerprint is None:
-            fingerprint = hash_model_results(edges)
+            fingerprint = hash_table_unordered(
+                edges.withColumn(
+                    "_pair", F.array_sort(F.array("left_id", "right_id"))
+                ).drop("left_id", "right_id")
+            )
         if self._fingerprint_gate(step, fingerprint):
             return
         tagged = edges.select(
@@ -230,10 +235,16 @@ class Catalog:
         hashes; new clusters insert-if-absent; ``contains`` and
         ``resolver_clusters`` rows land last (insert.py:333-511).
         """
-        from matchbox_spark.functions.hashing import hash_clusters
-
+        assignments = assignments.localCheckpoint(eager=True)
         if fingerprint is None:
-            fingerprint = hash_clusters(assignments)
+            # membership-hash canonicalisation (H4) without the global sort:
+            # per-parent sorted member list hashed, then order-invariant fold
+            canon = (
+                assignments.groupBy("parent_id")
+                .agg(F.sort_array(F.collect_set("child_id")).alias("m"))
+                .select(F.col("m").cast("array<string>").alias("members"))
+            )
+            fingerprint = hash_table_unordered(canon)
         if self._fingerprint_gate(step, fingerprint):
             return
 

@@ -208,6 +208,9 @@ class DAG:
                 else:
                     right = self._query_for_model(step.right_query)
                     edges = step.model.link(left, right)
+                # materialise once: validation, fingerprint, and insert all
+                # reuse the same result instead of re-running the model plan
+                edges = edges.localCheckpoint(eager=True)
                 self.catalog.insert_model_edges(name, normalise_scores(edges))
             elif isinstance(step, ResolverStep):
                 logger.info("resolver step %s", name)

@@ -234,6 +234,7 @@ class Components(ResolverMethod):
             unioned = e if unioned is None else unioned.union(e)
         if unioned is None:
             raise ValueError("no model edges given")
+        unioned = unioned.localCheckpoint(eager=True)
 
         spark = unioned.sparkSession
         method = s.method
@@ -243,8 +244,11 @@ class Components(ResolverMethod):
             logger.info("Components: %d edges → %s union-find", n, method)
 
         if method == "driver":
+            # Arrow-batched collect (one transfer) + tight loop over numpy
+            # columns — orders of magnitude faster than row iteration
+            pdf = unioned.distinct().toPandas()
             mapping = connected_components_driver(
-                (r["src"], r["dst"]) for r in unioned.distinct().toLocalIterator()
+                zip(pdf["src"].tolist(), pdf["dst"].tolist())
             )
             if not mapping:
                 return spark.createDataFrame([], SCHEMA_CLUSTERS)
