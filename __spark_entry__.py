@@ -778,6 +778,75 @@ def v1_topk(spark, sf):
 
 
 @_q(
+    "q5_region_revenue",
+    """SELECT n_name,
+              CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       FROM region
+       JOIN nation ON n_regionkey = r_regionkey
+       JOIN customer ON c_nationkey = n_nationkey
+       JOIN orders ON o_custkey = c_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+       WHERE r_name IN ('ASIA', 'EUROPE')
+       GROUP BY n_name ORDER BY revenue DESC, n_name""",
+)
+def q5_region(spark, sf):
+    """Multi-way star join: small dims (region/nation/supplier) broadcast,
+    the lineitem fact streams — the canonical 100 TB join shape."""
+    r = _t(spark, sf, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    s = _t(spark, sf, "supplier")
+    joined = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (l["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum(
+                _dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@_q(
+    "q18_large_orders",
+    """SELECT o_orderkey, o_custkey,
+              CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       GROUP BY o_orderkey, o_custkey
+       HAVING SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) > 150
+       ORDER BY total_qty DESC, o_orderkey LIMIT 50""",
+)
+def q18_large(spark, sf):
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(_dec6(F.col("l_quantity"))).alias("_tq"))
+        .where(F.col("_tq") > 150)
+        .select(
+            "o_orderkey", "o_custkey", F.col("_tq").cast("double").alias("total_qty")
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@_q(
     "a3_explode_combine",
     """SELECT DISTINCT a.o_custkey AS id, a.o_orderpriority AS priority,
               b.o_orderstatus AS status

@@ -95,14 +95,17 @@ def merge_clusterings(a: DataFrame, b: DataFrame) -> DataFrame:
     )
     cc = connected_components(edges)
     leaves = cc.where(F.col("id") >= 0)
-    w = Window.partitionBy()
-    # relabel components densely 1..k ordered by min member for determinism
-    comp_ids = (
+    # relabel components densely 1..k ordered by min member — via range
+    # sort + zipWithIndex, not a global window (scales with component count)
+    mins = (
         leaves.groupBy("component")
         .agg(F.min("id").alias("_min_leaf"))
-        .withColumn("parent_id", F.row_number().over(w.orderBy("_min_leaf")))
-        .select("component", "parent_id")
+        .repartitionByRange("_min_leaf")
+        .sortWithinPartitions("_min_leaf")
     )
+    comp_ids = mins.rdd.zipWithIndex().map(
+        lambda p: (p[0]["component"], p[1] + 1)
+    ).toDF(["component", "parent_id"])
     return (
         leaves.join(comp_ids, "component")
         .select("parent_id", F.col("id").alias("child_id"))

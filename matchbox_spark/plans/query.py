@@ -79,10 +79,11 @@ def unified_query(
         a = assign.select(
             F.col("leaf_id").alias(f"_leaf_{i}"), F.col("root_id").alias(f"_root_{i}")
         )
-        # assignment tables are small next to keys — broadcast them
-        base = base.join(
-            F.broadcast(a), base["cluster_id"] == a[f"_leaf_{i}"], "left"
-        )
+        # No forced broadcast: assignments are often small next to keys, but
+        # they grow with cluster count — let Catalyst/AQE pick broadcast vs
+        # sort-merge from actual sizes. At warehouse scale, bucket both
+        # cluster_keys and contains by leaf id to co-locate these joins.
+        base = base.join(a, base["cluster_id"] == a[f"_leaf_{i}"], "left")
         root_cols.append(F.col(f"_root_{i}"))
 
     root = (

@@ -162,3 +162,30 @@ def test_threshold_and_best_pair(spark):
     rows = {(r["left_id"], r["right_id"]): r["score"] for r in best.collect()}
     assert set(rows) == {(1, 2), (3, 4)}
     assert abs(rows[(1, 2)] - 0.9) < 1e-6
+
+
+def test_as_lookup_full_outer(spark):
+    from matchbox_spark.operators.results import as_lookup
+
+    a = spark.createDataFrame([(1, "a1"), (2, "a2")], "id long, key string")
+    b = spark.createDataFrame([(2, "b2"), (3, "b3")], "id long, key string")
+    out = as_lookup({"src_a": a, "src_b": b})
+    rows = {r["id"]: (r["src_a_key"], r["src_b_key"]) for r in out.collect()}
+    assert rows == {1: ("a1", None), 2: ("a2", "b2"), 3: (None, "b3")}
+
+
+def test_merge_clusterings(spark):
+    from matchbox_spark.operators.results import merge_clusterings
+
+    a = spark.createDataFrame([(1, 10), (1, 11), (2, 20)], "parent_id long, child_id long")
+    b = spark.createDataFrame([(9, 11), (9, 12)], "parent_id long, child_id long")
+    out = merge_clusterings(a, b)
+    comps = {}
+    for r in out.collect():
+        comps.setdefault(r["parent_id"], set()).add(r["child_id"])
+    assert {frozenset(v) for v in comps.values()} == {
+        frozenset({10, 11, 12}),
+        frozenset({20}),
+    }
+    # dense deterministic labels ordered by min member
+    assert sorted(comps) == [1, 2]
