@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from matchbox_spark.operators.registry import add_model_class
-from matchbox_spark.schemas import SCHEMA_MODEL_EDGES, conform
 
 
 @dataclass
@@ -113,4 +112,10 @@ class NaiveDeduper(Deduper):
             .dropDuplicates(["left_id", "right_id"])
             .withColumn("score", F.lit(1.0))
         )
-        return conform(pairs, SCHEMA_MODEL_EDGES)
+        # preserve the caller's id dtype (reference naive.py:66-75)
+        id_type = data.schema[s.id].dataType
+        return pairs.select(
+            F.col("left_id").cast(id_type).alias("left_id"),
+            F.col("right_id").cast(id_type).alias("right_id"),
+            F.col("score").cast("float").alias("score"),
+        )

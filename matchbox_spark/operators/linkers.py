@@ -24,9 +24,22 @@ from pyspark.sql import functions as F
 
 from matchbox_spark.operators.comparison import is_equi_condition, validate_comparison
 from matchbox_spark.operators.registry import add_model_class
-from matchbox_spark.schemas import SCHEMA_MODEL_EDGES, conform
 
 logger = logging.getLogger(__name__)
+
+
+def finalise_edges(out: DataFrame, left: DataFrame, right: DataFrame,
+                   left_id: str, right_id: str) -> DataFrame:
+    """Edge schema with ids cast back to the INPUT id dtypes (the reference
+    preserves the caller's dtype — naive.py:66-75; catalog sync separately
+    requires long cluster ids and conforms there)."""
+    lt = left.schema[left_id].dataType
+    rt = right.schema[right_id].dataType
+    return out.select(
+        F.col("left_id").cast(lt).alias("left_id"),
+        F.col("right_id").cast(rt).alias("right_id"),
+        F.col("score").cast("float").alias("score"),
+    )
 
 
 @dataclass
@@ -138,7 +151,7 @@ class DeterministicLinker(Linker):
         out = all_matches[0]
         for m in all_matches[1:]:
             out = out.union(m)
-        return conform(out, SCHEMA_MODEL_EDGES)
+        return finalise_edges(out, left, right, s.left_id, s.right_id)
 
 
 @dataclass
@@ -194,7 +207,7 @@ class WeightedDeterministicLinker(Linker):
             .agg((F.sum("score") / F.lit(float(total))).alias("score"))
             .where(F.col("score") >= F.lit(float(s.threshold)))
         )
-        return conform(out, SCHEMA_MODEL_EDGES)
+        return finalise_edges(out, left, right, s.left_id, s.right_id)
 
 
 @add_model_class

@@ -248,7 +248,9 @@ class Catalog:
         if self._fingerprint_gate(step, fingerprint):
             return
 
-        # G4: expand children that are themselves roots to their leaves
+        # G4: expand children that are themselves roots to their leaves.
+        # Materialised once — member hashing, contains rows, and the root
+        # join below all reuse it instead of re-running the expansion join.
         contains = self.contains
         expanded = (
             assignments.alias("a")
@@ -258,6 +260,7 @@ class Catalog:
                 F.coalesce(F.col("c.leaf"), F.col("a.child_id")).alias("leaf"),
             )
             .dropDuplicates()
+            .localCheckpoint(eager=True)
         )
 
         # member-cluster hashes → H5 parent hash
@@ -277,6 +280,7 @@ class Catalog:
                 "parent_id",
                 leaf_set_hash_expr(F.col("leaf_hashes")).alias("cluster_hash"),
             )
+            .localCheckpoint(eager=True)
         )
 
         new = (
