@@ -152,35 +152,30 @@ def minhash_signatures(
     """(doc, sig: array<string>) — per-permutation minima, order-stable.
 
     Permutation i's hash of shingle s is the first 16 hex chars of
-    sha256(i || '|' || s); the min is lexicographic. Explodes
-    |shingles| × num_perm rows — a map-side explode feeding one groupBy.
+    sha256(i || '|' || s); the min is lexicographic. All ``num_perm`` hashes
+    of a shingle compute as one array column, and the signature is
+    ``num_perm`` positional MIN aggregates in a single groupBy — no
+    row-multiplying explode, one shuffle on ``doc``.
     """
     sh = _doc_shingles(df, id_col, text_col, shingle_n)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
     hashed = sh.select(
         "doc",
-        perms,
-        F.col("sh"),
-    ).select(
-        "doc",
-        "perm",
-        F.substring(
-            F.sha2(F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("sh")), 256),
-            1,
-            16,
-        ).alias("h"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda p: F.substring(
+                F.sha2(F.concat(p.cast("string"), F.lit("|"), F.col("sh")), 256),
+                1,
+                16,
+            ),
+        ).alias("hs"),
     )
-    per_perm = hashed.groupBy("doc", "perm").agg(F.min("h").alias("mh"))
+    mins = [
+        F.min(F.element_at("hs", i + 1)).alias(f"m{i}") for i in range(num_perm)
+    ]
     return (
-        per_perm.groupBy("doc")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("perm"), F.col("mh")))
-                ),
-                lambda s: s["mh"],
-            ).alias("sig")
-        )
+        hashed.groupBy("doc")
+        .agg(*mins)
+        .select("doc", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"))
     )
 
 
