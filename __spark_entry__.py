@@ -1004,6 +1004,19 @@ def m1_media_meta(spark, sf):
     return meta.select("doc_id", "n_bytes", "checksum")
 
 
+@_q("m2_frame_sampling", None)  # mapInPandas plumbing — no SQL equivalent
+def m2_frames(spark, sf):
+    """Multimodal frame-sampling plumbing over stubbed media payloads
+    (rows-only check: deterministic synthetic frames, schema + batch shape
+    are the real contract)."""
+    from matchbox_spark.operators.multimodal import sample_frames
+
+    d = _t(spark, sf, "documents").limit(50).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return sample_frames(d, every_ms=500)
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

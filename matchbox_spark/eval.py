@@ -208,3 +208,33 @@ def eval_samples(
         )
         .dropDuplicates()
     )
+
+
+def enrich_samples(
+    samples: DataFrame, sources: dict[str, DataFrame], key_fields: dict[str, str]
+) -> DataFrame:
+    """J9: join eval samples back to their source rows for display.
+
+    ``sources`` maps source name → raw DataFrame; ``key_fields`` names each
+    source's key column. Output keeps (root, leaf, key, source) plus each
+    source's columns prefixed ``{source}_`` (nulls where the sample row came
+    from another source).
+    """
+    out: DataFrame | None = None
+    for name, df in sources.items():
+        key_col = key_fields[name]
+        prefixed = df.select(
+            F.col(key_col).cast("string").alias("key"),
+            *[
+                F.col(c).alias(f"{name}_{c}")
+                for c in df.columns
+                if c != key_col
+            ],
+        ).withColumn("source", F.lit(name))
+        part = samples.join(prefixed, ["source", "key"], "inner")
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
+    if out is None:
+        raise ValueError("no sources given")
+    return out

@@ -128,6 +128,11 @@ class DeterministicLinker(Linker):
             matches = matches.dropDuplicates(["left_id", "right_id"]).withColumn(
                 "score", F.lit(1.0)
             )
+            # reference-style blow-up guard: log optimizer size estimates
+            # before executing the round (plan analysis only, no job)
+            from matchbox_spark.functions.diagnostics import warn_on_blowup
+
+            warn_on_blowup(matches, f"DeterministicLinker round {round_num}")
 
             if len(rounds) > 1:
                 # Materialise: the next round's anti-join depends on this one,

@@ -94,3 +94,18 @@ def test_judged_recency_filter_on_catalog(built, spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = filter_recently_judged(clusters, judged, cutoff_days=365, now="2026-08-13 00:00:00")
     assert out.count() == n - 1
+
+
+def test_enrich_samples_joins_source_rows(built, spark):
+    from matchbox_spark.eval import enrich_samples
+
+    dag, kit = built
+    samples = eval_samples(dag.catalog, "resolve", ["resolve"], ["crn"], n=2)
+    enriched = enrich_samples(
+        samples,
+        {"crn": kit.sources["crn"].data},
+        {"crn": "key"},
+    )
+    assert enriched.count() == samples.count()
+    assert "crn_company_name" in enriched.columns
+    assert enriched.where(F.col("crn_company_name").isNull()).count() == 0
