@@ -562,18 +562,15 @@ def g1_cc(spark, sf):
     return connected_components(edges).orderBy("id")
 
 
-@_q(
-    "j7_resolved_entities",
-    """SELECT CAST(c_custkey AS VARCHAR) AS key,
-              MIN(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment) AS entity_rep
-       FROM customer""",
-)
-def j7_flagship(spark, sf):
-    """Flagship: full pipeline — index customer, naive-dedupe on
-    (nationkey, mktsegment), components resolver, unified hierarchy query —
-    reporting each key's entity as the minimum member custkey (which the
-    relational oracle can state independently, because equality-dedupe
-    components are exactly the groupwise-equal classes)."""
+_FLAGSHIP_CACHE: dict[str, object] = {}
+
+
+def _flagship_dag(spark, sf):
+    """Build (once per sf_dir) the flagship ER pipeline: index customer,
+    naive-dedupe on (nationkey, mktsegment), components resolver."""
+    key = (id(spark), sf)  # keyed per session: cached DFs die with the session
+    if key in _FLAGSHIP_CACHE:
+        return _FLAGSHIP_CACHE[key]
     from matchbox_spark.plans.catalog import Catalog
     from matchbox_spark.plans.dag import DAG
     from matchbox_spark.plans.query import QueryConfig
@@ -595,16 +592,66 @@ def j7_flagship(spark, sf):
     )
     dag.resolver("resolve", Components(method="auto"), model_inputs=["dedupe"])
     dag.run()
+    dag._flagship_src = src
+    _FLAGSHIP_CACHE[key] = dag
+    return dag
 
+
+@_q(
+    "j7_resolved_entities",
+    """SELECT CAST(c_custkey AS VARCHAR) AS key,
+              MIN(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment) AS entity_rep
+       FROM customer""",
+)
+def j7_flagship(spark, sf):
+    """Flagship: full pipeline + unified hierarchy query, reporting each
+    key's entity as the minimum member custkey (content-defined, so the
+    relational oracle can state it independently — equality-dedupe
+    components are exactly the groupwise-equal classes)."""
     from matchbox_spark.plans.query import unified_query
 
-    # map synthetic cluster ids to the minimum member custkey so the answer
-    # is content-defined (comparable to the oracle) rather than id-defined
+    dag = _flagship_dag(spark, sf)
     ids = unified_query(
         dag.catalog, dag.resolver_lineage("resolve"), ["cust"], level="key"
     ).withColumn("custkey", F.col("key").cast("long"))
     rep = ids.groupBy("id").agg(F.min("custkey").alias("entity_rep"))
     return ids.join(rep, "id").select("key", "entity_rep")
+
+
+@_q(
+    "j7_set_agg_query",
+    """SELECT MIN(c_custkey) AS entity_rep,
+              array_to_string(list_sort(list_distinct(list(c_name))), ',') AS names,
+              COUNT(*) AS n_keys
+       FROM customer GROUP BY c_nationkey, c_mktsegment""",
+)
+def j7_set_agg(spark, sf):
+    """A2 through the REAL retrieval path: query_data with
+    combine_type='set_agg' over the resolved hierarchy, one row per entity
+    with set-valued columns (stringified sorted for the oracle compare)."""
+    from matchbox_spark.plans.query import QueryConfig, query_data, unified_query
+
+    dag = _flagship_dag(spark, sf)
+    combined = query_data(
+        spark,
+        dag.catalog,
+        QueryConfig(
+            sources=[dag._flagship_src],
+            resolvers=dag.resolver_lineage("resolve"),
+            combine_type="set_agg",
+        ),
+    )
+    ids = unified_query(
+        dag.catalog, dag.resolver_lineage("resolve"), ["cust"], level="key"
+    ).withColumn("custkey", F.col("key").cast("long"))
+    rep = ids.groupBy("id").agg(
+        F.min("custkey").alias("entity_rep"), F.count("*").alias("n_keys")
+    )
+    return combined.join(rep, "id").select(
+        "entity_rep",
+        F.array_join(F.array_sort("cust_c_name"), ",").alias("names"),
+        "n_keys",
+    )
 
 
 # ===========================================================================

@@ -1,0 +1,114 @@
+"""Source-layer unit tests: ET validation, readers, pushdown, indexing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from matchbox_spark.sources.source import (
+    ExtractTransformError,
+    LOCATION_READERS,
+    SourceConfig,
+    register_location_reader,
+    validate_extract_transform,
+)
+
+
+@pytest.fixture()
+def customer_path(sf_dir):
+    return f"{sf_dir}/customer.parquet"
+
+
+def test_et_validation():
+    validate_extract_transform("SELECT * FROM t")
+    validate_extract_transform("with x as (select 1) select * from x")
+    for bad in [
+        "DROP TABLE t",
+        "SELECT 1; SELECT 2",
+        "INSERT INTO t VALUES (1)",
+        "UPDATE t SET a = 1",
+    ]:
+        with pytest.raises(ExtractTransformError):
+            validate_extract_transform(bad)
+
+
+def test_invalid_source_name():
+    with pytest.raises(ValueError):
+        SourceConfig(name="bad-name!", location="x", key_field="k", index_fields=["a"])
+
+
+def test_unknown_format(spark, customer_path):
+    src = SourceConfig(
+        name="s", location=customer_path, key_field="c_custkey",
+        index_fields=["c_name"], format="nope",
+    )
+    with pytest.raises(ValueError, match="unknown location format"):
+        src.read(spark)
+
+
+def test_extract_transform_applies(spark, customer_path):
+    src = SourceConfig(
+        name="s",
+        location=customer_path,
+        key_field="c_custkey",
+        index_fields=["c_name"],
+        extract_transform=(
+            "SELECT c_custkey, upper(c_name) AS c_name FROM $THIS WHERE c_nationkey < 5"
+        ),
+    )
+    df = src.read(spark)
+    assert df.columns == ["c_custkey", "c_name"]
+    assert df.schema["c_custkey"].dataType.simpleString() == "string"  # key cast
+    row = df.first()
+    assert row["c_name"] == row["c_name"].upper()
+
+
+def test_key_filter_and_sample(spark, customer_path):
+    src = SourceConfig(
+        name="s", location=customer_path, key_field="c_custkey",
+        index_fields=["c_name"],
+    )
+    out = src.read(spark, keys=["1", "2", "3"])
+    assert out.count() == 3
+    assert src.sample(spark, 5).count() == 5
+    assert "c_name" in [f.name for f in src.probe_schema(spark).fields]
+
+
+def test_custom_reader_registration(spark, tmp_path):
+    @register_location_reader("rangegen")
+    def _range_reader(spark_, location, options):
+        return spark_.range(int(location)).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+        )
+
+    try:
+        src = SourceConfig(
+            name="gen", location="9", key_field="k", index_fields=["v"],
+            format="rangegen",
+        )
+        idx = src.index(spark)
+        # 9 rows, v in {0,1,2} → 3 content clusters of 3 keys each
+        rows = idx.collect()
+        assert len(rows) == 3
+        assert all(len(r["keys"]) == 3 for r in rows)
+    finally:
+        LOCATION_READERS.pop("rangegen", None)
+
+
+def test_cache_to_parquet_roundtrip(spark, customer_path, tmp_path):
+    src = SourceConfig(
+        name="s", location=customer_path, key_field="c_custkey",
+        index_fields=["c_name"],
+    )
+    cache = str(tmp_path / "cache.parquet")
+    src.cache_to_parquet(spark, cache)
+    assert spark.read.parquet(cache).count() == src.read(spark).count()
+
+
+def test_index_missing_column(spark, customer_path):
+    src = SourceConfig(
+        name="s", location=customer_path, key_field="c_custkey",
+        index_fields=["not_there"],
+    )
+    with pytest.raises(ValueError, match="missing columns"):
+        src.index(spark)
