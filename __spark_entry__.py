@@ -1051,6 +1051,45 @@ def m1_media_meta(spark, sf):
     return meta.select("doc_id", "n_bytes", "checksum")
 
 
+@_q(
+    "ev3_session_window",
+    """WITH g AS (
+         SELECT user_id, ts,
+                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE OR
+                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+       ),
+       s AS (
+         SELECT user_id, ts,
+                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM g
+       )
+       SELECT user_id,
+              strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              COUNT(*) AS n_events
+       FROM s GROUP BY user_id, session_id""",
+)
+def ev3_session_window(spark, sf):
+    """Spark's native gap-based session_window aggregation (the Structured
+    Streaming sessionisation operator, usable in batch); oracle derives the
+    identical sessions via the lag/cumsum construction."""
+    e = _events(spark, sf)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
 @_q("m2_frame_sampling", None)  # mapInPandas plumbing — no SQL equivalent
 def m2_frames(spark, sf):
     """Multimodal frame-sampling plumbing over stubbed media payloads

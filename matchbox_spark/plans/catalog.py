@@ -76,15 +76,27 @@ class Catalog:
             "resolver_clusters",
         ]
 
+    # partition layout: queries filter cluster_keys by source and the step
+    # tables by step, so those become partition columns (partition pruning
+    # replaces full scans). On a warehouse deployment, additionally bucket
+    # cluster_keys and contains by leaf/cluster id to co-locate the J7 joins.
+    _PARTITIONING = {
+        "cluster_keys": ["source"],
+        "model_edges": ["step"],
+        "resolver_clusters": ["step"],
+    }
+
     def save(self) -> None:
         """S10: persist all state tables + step metadata under ``path``."""
         if not self.path:
             raise ValueError("catalog has no path")
         os.makedirs(self.path, exist_ok=True)
         for name in self._table_names():
-            getattr(self, name).write.mode("overwrite").parquet(
-                os.path.join(self.path, name)
-            )
+            writer = getattr(self, name).write.mode("overwrite")
+            parts = self._PARTITIONING.get(name)
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(os.path.join(self.path, name))
         with open(os.path.join(self.path, "steps.json"), "w") as f:
             json.dump(self.steps, f, indent=2, sort_keys=True)
 

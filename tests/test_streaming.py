@@ -62,3 +62,57 @@ def test_incremental_index_two_batches(spark, tmp_path):
     )
     assert len(alice_keys) == 1
     assert set(alice_keys[0]["ks"]) == {"k1", "k2", "k4"}
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """Watermarked tumbling-window count over a file stream (availableNow),
+    checked against the equivalent batch aggregation."""
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    rows = [
+        (1, "2026-01-01 00:05:00", "click"),
+        (2, "2026-01-01 00:07:00", "click"),
+        (3, "2026-01-01 00:15:00", "view"),
+        (4, "2026-01-01 01:02:00", "click"),
+        (5, "2026-01-01 00:06:30", "view"),  # late within watermark
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, event_type string")
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(str(src / "b1"))
+
+    schema = "event_id long, ts timestamp, event_type string"
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win"),
+            "event_type",
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["win"], r["event_type"]): r["n"]
+        for r in spark.sql("select * from win_agg").collect()
+    }
+    expected = {
+        ("2026-01-01 00:00:00", "click"): 2,
+        ("2026-01-01 00:00:00", "view"): 1,
+        ("2026-01-01 00:10:00", "view"): 1,
+        ("2026-01-01 01:00:00", "click"): 1,
+    }
+    assert got == expected
