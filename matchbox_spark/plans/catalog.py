@@ -15,10 +15,10 @@ Insert paths mirror insert.py:43-511 semantics set-based: insert-if-absent by
 hash is a ``left_anti`` join (U6); leaf expansion is an outer join + coalesce
 (G4); cluster identity for resolver parents is the H5 leaf-set hash.
 
-Scale notes: id assignment uses ``row_number`` over new hashes — a global
-window, but only over *newly inserted* hashes per step; at 100 TB swap for
-``zipWithIndex`` (noted inline). State tables persist as parquet partitioned
-by step where applicable; every mutation goes through ``_commit`` which
+Scale notes: id assignment range-sorts new hashes and ``zipWithIndex``-es
+them — a distributed total order, no global window. State tables persist as
+parquet partitioned by source/step (partition pruning serves the query
+layer's filters); every mutation goes through ``_commit`` which
 localCheckpoints so downstream plans don't re-run the insert lineage.
 """
 
@@ -28,9 +28,8 @@ import json
 import os
 from typing import Iterable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from matchbox_spark.functions.hashing import (
     hash_table_unordered,
@@ -139,6 +138,12 @@ class Catalog:
         )
         return self.spark.createDataFrame(assigned, _CLUSTERS)
 
+    def _bump_max_id(self, assigned: DataFrame) -> None:
+        """Advance the id watermark by the (small) new-assignment batch —
+        avoids re-aggregating the full clusters table per insert."""
+        n = assigned.count()
+        self._max_id += int(n)
+
     def _fingerprint_gate(self, step: str, fingerprint: bytes) -> bool:
         """H6: True → skip (identical data already inserted); False → proceed."""
         meta = self.steps.get(step)
@@ -183,17 +188,13 @@ class Catalog:
             F.col("hash").alias("cluster_hash"), F.col("keys")
         ).localCheckpoint(eager=True)
 
-        new = (
-            index.select("cluster_hash")
-            .distinct()
-            .join(self.clusters, "cluster_hash", "left_anti")
+        # index is groupBy-output (unique by hash) — no distinct needed
+        new = index.select("cluster_hash").join(
+            self.clusters, "cluster_hash", "left_anti"
         )
         assigned = self._assign_ids(new).select("cluster_id", "cluster_hash")
-        clusters = self.clusters.unionByName(assigned)
-        self._commit("clusters", clusters)
-        self._max_id = int(
-            self.clusters.agg(F.max("cluster_id")).collect()[0][0] or 0
-        )
+        self._commit("clusters", self.clusters.unionByName(assigned))
+        self._bump_max_id(assigned)
 
         keys = (
             index.join(self.clusters, "cluster_hash")
@@ -302,9 +303,7 @@ class Catalog:
         )
         assigned = self._assign_ids(new).select("cluster_id", "cluster_hash")
         self._commit("clusters", self.clusters.unionByName(assigned))
-        self._max_id = int(
-            self.clusters.agg(F.max("cluster_id")).collect()[0][0] or 0
-        )
+        self._bump_max_id(assigned)
 
         roots = member_hashes.join(self.clusters, "cluster_hash").select(
             "parent_id", F.col("cluster_id").alias("root_id")
