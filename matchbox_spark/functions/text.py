@@ -187,3 +187,29 @@ def fingerprint_expr(col: Column | str) -> Column:
 def token_hash16_expr(tok: Column) -> Column:
     """First 16 bits of sha256(token) as an int — SimHash feature hash."""
     return F.conv(F.substring(F.sha2(tok, 256), 1, 4), 16, 10).cast("int")
+
+
+def winnowing_fingerprints_expr(
+    col: Column | str, k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 — the
+    MOSS rolling-hash scheme): hash every character k-gram, slide a window of
+    ``window`` hashes, keep each window's minimum (rightmost on ties). The
+    selected set is position-robust: any shared substring of length
+    ≥ k + window − 1 guarantees a shared fingerprint.
+
+    Pure array expressions over the normalised text — no explode, no UDF;
+    returns array<string> of distinct selected hashes (16 hex chars each).
+    """
+    grams = char_ngrams_expr(normalize_text_expr(col), k)
+    hashes = F.transform(grams, lambda g: F.substring(F.sha2(g, 256), 1, 16))
+    n_windows = F.size(hashes) - (window - 1)
+    return F.when(
+        n_windows >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(hashes, i, window)),
+            )
+        ),
+    ).otherwise(F.array_distinct(hashes))

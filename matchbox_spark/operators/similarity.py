@@ -53,6 +53,76 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    exclude_self: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: KMeans-partitioned inverted file search.
+
+    Train ``n_lists`` centroids (MLlib KMeans, seeded), assign each corpus
+    vector to its nearest centroid (the inverted lists), then search each
+    query only in its ``n_probe`` nearest lists — the classic IVF-Flat
+    layout. Work scales as n_probe/n_lists of brute force; at warehouse scale
+    the corpus stays partitioned by list id so a probe touches only those
+    partitions. Centroids broadcast (n_lists × dim floats).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(
+        F.col(corpus_id).cast("long").alias("neighbor"),
+        F.col(corpus_vec).alias("_cv"),
+    ).withColumn("_feat", array_to_vector(F.col("_cv").cast("array<double>")))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_feat", predictionCol="list_id")
+    model = km.fit(c)
+    c_assigned = model.transform(c).select("neighbor", "_cv", "list_id")
+
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        "list_id int, centroid array<double>",
+    )
+
+    q = queries.select(
+        F.col(query_id).cast("long").alias("query"), F.col(query_vec).alias("_qv")
+    )
+    # rank centroids per query by cosine, keep n_probe
+    q_lists = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_csim", cosine_expr(F.col("_qv"), F.col("centroid")))
+        .withColumn(
+            "_crank",
+            F.row_number().over(
+                Window.partitionBy("query").orderBy(F.desc("_csim"), F.asc("list_id"))
+            ),
+        )
+        .where(F.col("_crank") <= n_probe)
+        .select("query", "_qv", "list_id")
+    )
+    scored = q_lists.join(c_assigned, "list_id").select(
+        "query",
+        "neighbor",
+        F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col("query") != F.col("neighbor"))
+    w = Window.partitionBy("query").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query", "neighbor", "cosine", "rank")
+    )
+
+
 def _multi_probe_buckets(vec_col: str, dims: list[int]):
     """Bucket key array: the home bucket plus one-bit-flipped probes."""
     home = sign_bucket_expr(vec_col, dims)

@@ -176,3 +176,52 @@ def test_embedding_near_duplicates_bucketed_vs_exact(spark):
     )
     assert {(r["doc_a"], r["doc_b"]) for r in exact.collect()} == {(0, 1)}
     assert {(r["doc_a"], r["doc_b"]) for r in bucketed.collect()} == {(0, 1)}
+
+
+def test_winnowing_fingerprints(spark):
+    from matchbox_spark.functions.text import winnowing_fingerprints_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "THE QUICK  brown fox jumps over the lazy dog"),  # normalises equal
+            (3, "a completely different sentence with other words"),
+            (4, "xy"),  # shorter than k
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: set(r["fp"])
+        for r in df.select(
+            "id", winnowing_fingerprints_expr("text", k=5, window=4).alias("fp")
+        ).collect()
+    }
+    assert out[1] == out[2]  # whitespace/case-insensitive identity
+    assert out[1] != out[3]
+    assert out[4] == set()  # too short for any k-gram
+    # guarantee: docs sharing a long substring share at least one fingerprint
+    df2 = spark.createDataFrame(
+        [(10, "prefix AAA the quick brown fox ZZZ"), (11, "other the quick brown fox tail")],
+        "id long, text string",
+    )
+    o2 = {
+        r["id"]: set(r["fp"])
+        for r in df2.select(
+            "id", winnowing_fingerprints_expr("text", k=5, window=4).alias("fp")
+        ).collect()
+    }
+    assert o2[10] & o2[11]
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from matchbox_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(10)
+    exact = {(r["query"], r["neighbor"]) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {
+        (r["query"], r["neighbor"])
+        for r in ivf_topk(emb, q, k=5, n_lists=8, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
