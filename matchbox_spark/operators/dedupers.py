@@ -53,6 +53,11 @@ class Deduper(ABC):
 @dataclass
 class NaiveSettings(DeduperSettings):
     unique_fields: list[str] = field(default_factory=list)
+    # Skew guard: a group of size g emits g·(g-1)/2 pairs inside one task —
+    # a single degenerate value (empty string, "UNKNOWN", …) can OOM an
+    # executor at corpus scale. Groups above the cap are dropped with a
+    # warning. None = faithful reference semantics (no cap).
+    max_group_size: int | None = None
 
 
 @add_model_class
@@ -81,6 +86,21 @@ class NaiveDeduper(Deduper):
             .agg(F.collect_list(F.struct("_rid", "_id")).alias("members"))
             .where(F.size("members") >= 2)
         )
+        if s.max_group_size is not None:
+            import logging
+
+            oversized = grouped.where(F.size("members") > s.max_group_size)
+            n_over = oversized.limit(1).count()
+            if n_over:
+                example = oversized.select(*s.unique_fields).first()
+                logging.getLogger(__name__).warning(
+                    "NaiveDeduper: dropping group(s) larger than "
+                    "max_group_size=%d (example values: %s) — a degenerate "
+                    "key would emit O(g²) pairs in one task",
+                    s.max_group_size,
+                    example,
+                )
+            grouped = grouped.where(F.size("members") <= s.max_group_size)
 
         # Pairs within each group: all (i, j), i<j by _rid, then drop
         # self-id pairs and canonicalise to (least, greatest).

@@ -189,3 +189,15 @@ def test_merge_clusterings(spark):
     }
     # dense deterministic labels ordered by min member
     assert sorted(comps) == [1, 2]
+
+
+def test_naive_deduper_skew_guard(spark):
+    rows = [(i, "degenerate") for i in range(50)] + [(100, "ok"), (101, "ok")]
+    data = spark.createDataFrame(rows, "id long, v string")
+    guarded = NaiveDeduper(id="id", unique_fields=["v"], max_group_size=10)
+    out = guarded.dedupe(data)
+    # the 50-member degenerate group is dropped; the small group survives
+    assert _pairs(out) == {(100, 101)}
+    # default (faithful) semantics keeps everything
+    full = NaiveDeduper(id="id", unique_fields=["v"]).dedupe(data)
+    assert full.count() == 50 * 49 // 2 + 1
