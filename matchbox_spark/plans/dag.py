@@ -255,3 +255,48 @@ class DAG:
         return match_key(
             self.catalog, key, source, targets, self.resolver_lineage(resolver)
         )
+
+    def materialize_lookup(
+        self, resolver: str, sources: list[str], path: str | None = None
+    ):
+        """§3.3 interactive path: persist the resolved id↔key projection so
+        lookups are filters on a materialised table, not recomputations.
+
+        Returns the projection DataFrame; when ``path`` is given it is also
+        written as parquet partitioned by source (with keys sorted within
+        files so key-range predicates prune row groups).
+        """
+        from matchbox_spark.plans.query import unified_query
+
+        proj = unified_query(
+            self.catalog, self.resolver_lineage(resolver), sources, level="key"
+        )
+        if path is not None:
+            (
+                proj.repartition("source")
+                .sortWithinPartitions("key")
+                .write.mode("overwrite")
+                .partitionBy("source")
+                .parquet(path)
+            )
+            return self.spark.read.parquet(path)
+        return proj
+
+    def describe(self) -> str:
+        """Readable text rendering of the step graph in execution order."""
+        kind = {
+            SourceStep: "source",
+            ModelStep: "model",
+            ResolverStep: "resolver",
+        }
+        lines = []
+        for name in self.sequence():
+            step = self.steps[name]
+            deps = f" <- {', '.join(step.deps)}" if step.deps else ""
+            extra = ""
+            if isinstance(step, ModelStep):
+                extra = f" [{type(step.model).__name__}]"
+            elif isinstance(step, ResolverStep):
+                extra = f" [{type(step.method).__name__}]"
+            lines.append(f"{kind[type(step)]:9s} {name}{extra}{deps}")
+        return "\n".join(lines)

@@ -159,3 +159,39 @@ def test_toposort_orders_and_detects_cycles():
     assert toposort({"a": [], "b": ["a"], "c": ["a", "b"]}) == ["a", "b", "c"]
     with pytest.raises(CycleError):
         toposort({"a": ["b"], "b": ["a"]})
+
+
+def test_describe_and_materialized_lookup(spark, crn_parquet, tmp_path):
+    dag = _build_dag(spark, crn_parquet)
+    dag.run()
+
+    desc = dag.describe()
+    assert "source    crn" in desc
+    assert "model     dedupe_crn [NaiveDeduper] <- crn" in desc
+    assert "resolver  resolve_crn [Components] <- dedupe_crn" in desc
+
+    path = str(tmp_path / "lookup")
+    lk = dag.materialize_lookup("resolve_crn", ["crn"], path)
+    assert lk.count() == 40
+    assert {r["id"] for r in lk.collect()} == {
+        r["id"] for r in dag.query([dag._src], resolver="resolve_crn").collect()
+    }
+    # materialised table answers a key lookup without recompute
+    row = lk.where(F.col("key") == "k3_1").first()
+    siblings = {r["key"] for r in lk.where(F.col("id") == row["id"]).collect()}
+    assert siblings == {"k3_0", "k3_1", "k3_2", "k3_3"}
+
+
+def test_drop_step_allows_reinsert(spark, crn_parquet):
+    dag = _build_dag(spark, crn_parquet)
+    dag.run()
+    cat = dag.catalog
+    assert cat.model_edges.where("step = 'dedupe_crn'").count() > 0
+    cat.drop_step("dedupe_crn")
+    assert cat.model_edges.where("step = 'dedupe_crn'").count() == 0
+    # re-inserting different data under the freed name now succeeds
+    edges = spark.createDataFrame(
+        [(1, 2, 0.5)], "left_id long, right_id long, score float"
+    )
+    cat.insert_model_edges("dedupe_crn", edges)
+    assert cat.model_edges.where("step = 'dedupe_crn'").count() == 1
