@@ -1,0 +1,86 @@
+"""Physical-plan shape regression tests.
+
+These pin the optimizer behaviours the engine depends on at 100 TB: filters
+reaching the parquet scan, column pruning, broadcast joins for small dims,
+and the dedupe operator's single-shuffle shape. If a refactor breaks one of
+these, correctness tests stay green but scale behaviour regresses — hence
+explicit plan assertions.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_quantity") > 40)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _formatted_plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)" in plan
+
+
+def test_column_pruning_in_source_index(spark, sf_dir):
+    from matchbox_spark.sources.source import SourceConfig
+
+    src = SourceConfig(
+        name="c",
+        location=f"{sf_dir}/customer.parquet",
+        key_field="c_custkey",
+        index_fields=["c_name", "c_mktsegment"],
+    )
+    plan = _formatted_plan(src.index(spark))
+    # scan must read only the hash fields + key, not the whole row
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "c_name" in read_schema and "c_mktsegment" in read_schema
+    assert "c_acctbal" not in read_schema and "c_nationkey" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    joined = orders.join(customer, orders["o_custkey"] == customer["c_custkey"]).join(
+        nation, customer["c_nationkey"] == nation["n_nationkey"]
+    )
+    plan = _formatted_plan(joined)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_naive_dedupe_is_single_shuffle(spark, sf_dir):
+    from matchbox_spark.operators.dedupers import NaiveDeduper
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"), "c_nationkey", "c_mktsegment"
+    )
+    edges = NaiveDeduper(id="id", unique_fields=["c_nationkey", "c_mktsegment"]).dedupe(df)
+    plan = _formatted_plan(edges)
+    # groupBy-based pair generation: no self-join in the plan at all
+    assert "Join" not in plan
+    # bounded shuffles: the grouping agg + pair dedupe (vs 2 scans + a
+    # shuffle join + dedupe for the naive self-join formulation)
+    assert plan.count("Exchange") <= 4
+
+
+def test_unified_query_no_forced_broadcast(spark, sf_dir):
+    """The hierarchy projection must leave join strategy to Catalyst/AQE
+    (assignments are unbounded at scale)."""
+    import inspect
+
+    from matchbox_spark.plans import query as q
+
+    src = inspect.getsource(q.unified_query)
+    assert "F.broadcast" not in src
