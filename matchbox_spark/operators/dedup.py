@@ -30,8 +30,6 @@ from pyspark.sql import functions as F
 
 from matchbox_spark.functions.text import (
     fingerprint_expr,
-    normalize_text_expr,
-    token_hash16_expr,
     tokens_expr,
     word_shingles_expr,
 )
@@ -253,17 +251,24 @@ def minhash_dedupe_pairs(
 def simhash_values(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:
-    """(doc, simhash) — bitwise majority vote over 16-bit token hashes.
+    """(doc, simhash) — bitwise majority vote over per-token feature hashes.
 
     Fully relational: explode tokens → explode bit positions → signed votes →
-    groupBy doc. ``bits`` ≤ 16 (one sha256-derived feature hash per token).
+    groupBy doc. ``bits`` ≤ 48 (the feature hash is the first bits/4 hex
+    chars of sha256(token), kept within a signed long).
     """
+    if not 1 <= bits <= 48:
+        raise ValueError("bits must be in [1, 48]")
+    hex_chars = (bits + 3) // 4
     toks = df.select(
         F.col(id_col).cast("long").alias("doc"),
         F.explode(tokens_expr(text_col)).alias("tok"),
     )
+    feature_hash = F.conv(
+        F.substring(F.sha2(F.col("tok"), 256), 1, hex_chars), 16, 10
+    ).cast("long")
     votes = (
-        toks.withColumn("h", token_hash16_expr(F.col("tok")))
+        toks.withColumn("h", feature_hash)
         .select(
             "doc",
             F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),

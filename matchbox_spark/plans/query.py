@@ -40,10 +40,16 @@ except ImportError:  # pragma: no cover
 
 
 def _transpile(sql: str) -> str:
-    """DuckDB-dialect expression → Spark SQL when sqlglot is present."""
+    """DuckDB-dialect expression → Spark SQL.
+
+    sqlglot when installed (full dialect coverage, what the reference uses);
+    otherwise the lite token-level rewriter for the common surface.
+    """
     if HAS_SQLGLOT:
         return sqlglot.transpile(sql, read="duckdb", write="spark")[0]
-    return sql
+    from matchbox_spark.functions.dialect import transpile_duckdb_lite
+
+    return transpile_duckdb_lite(sql)
 
 
 def resolver_assignments(catalog: Catalog, resolver_step: str) -> DataFrame:
@@ -109,6 +115,9 @@ class QueryConfig:
     sources: list[SourceConfig]
     resolvers: list[str] = field(default_factory=list)  # priority order
     combine_type: str = "concat"  # concat | set_agg | explode
+    # alias → SQL expression, DuckDB dialect (like the reference's cleaning
+    # dicts); transpiled via sqlglot or the lite rewriter. Plain Spark SQL
+    # without backslash literals also passes through unchanged.
     cleaning: dict[str, str] | None = None
 
     def __post_init__(self):
