@@ -1052,6 +1052,94 @@ def m1_media_meta(spark, sf):
 
 
 @_q(
+    "g3_merge_clusterings",
+    """SELECT MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS parent_rep,
+              c_custkey AS child_id
+       FROM customer""",
+)
+def g3_merge(spark, sf):
+    """G3: merge clustering A = (nationkey, mktsegment) groups with
+    clustering B = (nationkey) groups. B spans each nation, so the merged
+    components are provably the nation-level partition — the oracle states
+    it directly. Output labels each child with its component's minimum
+    custkey (content-defined)."""
+    from matchbox_spark.operators.results import merge_clusterings
+    from pyspark.sql import Window
+
+    c = _t(spark, sf, "customer")
+    # materialised up front: localCheckpoint inside connected_components hits
+    # a Catalyst attribute-resolution bug when the edge plan still contains
+    # this window+union lineage (Spark 4.1 local mode)
+    a = c.select(
+        F.dense_rank()
+        .over(Window.orderBy("c_nationkey", "c_mktsegment"))
+        .cast("long")
+        .alias("parent_id"),
+        F.col("c_custkey").alias("child_id"),
+    ).localCheckpoint(eager=True)
+    b = c.select(
+        (F.col("c_nationkey") + 1_000_000).cast("long").alias("parent_id"),
+        F.col("c_custkey").alias("child_id"),
+    ).localCheckpoint(eager=True)
+    merged = merge_clusterings(a, b)
+    rep = merged.groupBy("parent_id").agg(F.min("child_id").alias("parent_rep"))
+    return merged.join(rep, "parent_id").select("parent_rep", "child_id")
+
+
+@_q(
+    "q12_shipmode_priority",
+    """SELECT l_linestatus,
+              SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS high_line_count,
+              SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS low_line_count
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_returnflag = 'R'
+       GROUP BY l_linestatus ORDER BY l_linestatus""",
+)
+def q12_shipmode(spark, sf):
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")  # noqa: E741
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@_q(
+    "q14_conditional_ratio",
+    """SELECT ROUND(
+                100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%%'
+                         THEN CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE),
+                4) AS promo_revenue_pct
+       FROM lineitem JOIN part ON l_partkey = p_partkey""",
+)
+def q14_promo(spark, sf):
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    p = _t(spark, sf, "part")
+    rev = _dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 4
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@_q(
     "ev3_session_window",
     """WITH g AS (
          SELECT user_id, ts,

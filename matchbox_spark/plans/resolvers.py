@@ -80,6 +80,23 @@ class DisjointSet:
 # ---------------------------------------------------------------------------
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Materialise + truncate lineage, robust to SPARK's occasional
+    ``localCheckpoint`` AttributeMap failure on some AQE plan shapes
+    (observed as ``key not found: <attr>`` in local mode): fall back to a
+    reliable checkpoint, provisioning a temp checkpoint dir on demand."""
+    try:
+        return df.localCheckpoint(eager=True)
+    except Exception:  # noqa: BLE001
+        # parquet round-trip: a different execution path (file write) that
+        # sidesteps the broken checkpoint planning and fully cuts lineage
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="mbspark_mat_") + "/df.parquet"
+        df.write.parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+
 def _edge_signature(edges: DataFrame) -> tuple[int, int]:
     """(count, xor-hash) of an edge set — cheap convergence check."""
     row = edges.agg(
@@ -90,12 +107,29 @@ def _edge_signature(edges: DataFrame) -> tuple[int, int]:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    nbrs = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    mins = nbrs.groupBy("src").agg(
-        F.least(F.min("dst"), F.first("src")).alias("m")
+    # Symmetrise in ONE pass via explode — a self-union (edges ∪ swapped
+    # edges from the same object) both scans twice and triggers a Spark 4.1
+    # DeduplicateRelations bug on checkpointed window-derived lineage
+    # ("key not found: <attr>"). The min-table's join key is re-aliased to a
+    # fresh attribute so the derived-aggregate join resolves unambiguously.
+    nbrs = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("_p")
+    ).select(F.col("_p.src").alias("src"), F.col("_p.dst").alias("dst"))
+    mins = (
+        nbrs.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("_msrc"),
+            F.least(F.col("_mn"), F.col("src")).alias("m"),
+        )
     )
     return (
-        nbrs.join(mins, "src")
+        nbrs.join(mins, F.col("src") == F.col("_msrc"))
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -107,12 +141,14 @@ def _small_star(edges: DataFrame) -> DataFrame:
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
     ).where(F.col("src") != F.col("dst"))
-    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m")).select(
+        F.col("src").alias("_msrc"), F.col("m")
+    )
     relink = (
-        oriented.join(mins, "src")
+        oriented.join(mins, F.col("src") == F.col("_msrc"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
-    selfl = mins.select(F.col("src"), F.col("m").alias("dst"))
+    selfl = mins.select(F.col("_msrc").alias("src"), F.col("m").alias("dst"))
     return (
         relink.union(selfl)
         .where(F.col("src") != F.col("dst"))
@@ -129,11 +165,10 @@ def connected_components(
     isolated vertices must be unioned in by the caller (an edge list cannot
     carry them).
     """
-    e = (
+    e = _materialize(
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     if e.isEmpty():
         spark = edges.sparkSession
@@ -143,7 +178,7 @@ def connected_components(
     for it in range(max_iter):
         e2 = _small_star(_large_star(e))
         if checkpoint_every and it % checkpoint_every == 0:
-            e2 = e2.localCheckpoint(eager=True)
+            e2 = _materialize(e2)
         new_sig = _edge_signature(e2)
         e = e2
         if new_sig == sig:
