@@ -1178,6 +1178,32 @@ def ev3_session_window(spark, sf):
     )
 
 
+@_q(
+    "ev4_hopping_window",
+    """SELECT strftime(w.win, '%Y-%m-%d %H:%M:%S') AS win_start,
+              event_type, COUNT(*) AS n
+       FROM events, UNNEST([
+              to_timestamp(floor(epoch(ts) / 1800) * 1800),
+              to_timestamp(floor(epoch(ts) / 1800) * 1800) - INTERVAL 30 MINUTE
+            ]) AS w(win)
+       GROUP BY 1, 2""",
+)
+def ev4_hopping(spark, sf):
+    """Hopping (sliding) window aggregation: 60-minute windows every 30
+    minutes — each event lands in exactly two windows; the oracle derives
+    both window starts arithmetically."""
+    e = _events(spark, sf)
+    return (
+        e.groupBy(F.window("ts", "60 minutes", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 @_q("m2_frame_sampling", None)  # mapInPandas plumbing — no SQL equivalent
 def m2_frames(spark, sf):
     """Multimodal frame-sampling plumbing over stubbed media payloads

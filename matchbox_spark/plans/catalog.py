@@ -177,6 +177,12 @@ class Catalog:
         New hashes become new clusters; keys unnest into ``cluster_keys``
         (insert.py:43-165 semantics: temp table → insert-if-absent → unnest).
         """
+        # materialise once, then fingerprint the materialised frame — the
+        # index is a shuffle over the whole source; computing it twice
+        # (fingerprint + checkpoint) doubled the insert cost
+        index = index.select(
+            F.col("hash").alias("cluster_hash"), F.col("keys")
+        ).localCheckpoint(eager=True)
         if fingerprint is None:
             # fingerprints gate idempotency; they need stability, not the
             # reference-compatible byte recipe — use the fast distributed
@@ -184,9 +190,6 @@ class Catalog:
             fingerprint = hash_table_unordered(index)
         if self._fingerprint_gate(step, fingerprint):
             return
-        index = index.select(
-            F.col("hash").alias("cluster_hash"), F.col("keys")
-        ).localCheckpoint(eager=True)
 
         # index is groupBy-output (unique by hash) — no distinct needed
         new = index.select("cluster_hash").join(
