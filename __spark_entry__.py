@@ -1218,6 +1218,348 @@ def m2_frames(spark, sf):
 
 
 # ===========================================================================
+# Relational coverage extensions: TPC-H-shaped operator stress queries.
+# Each exercises a distinct plan shape (semi/anti joins, scalar subqueries,
+# disjunctive join decomposition, count-distinct, outer-join distributions)
+# that the entity-resolution operators rely on at scale.
+# ===========================================================================
+
+
+@_q(
+    "q4_order_priority",
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+)
+def q4_priority(spark, sf):
+    """EXISTS decorrelated to a LEFT SEMI join (U4's positive twin). The
+    semi join shuffles on orderkey only; no payload columns move."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    return (
+        o.join(
+            l,
+            (o["o_orderkey"] == l["l_orderkey"])
+            & (l["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "q6_forecast_revenue",
+    """SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 6)
+                            AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       FROM lineitem
+       WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+)
+def q6_forecast(spark, sf):
+    """Pure filter→aggregate: predicates and the 3-column projection both
+    reach the parquet scan (PushedFilters + pruned ReadSchema)."""
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    return (
+        l.where(F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24))
+        .agg(
+            F.sum(_dec6(F.col("l_extendedprice") * F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@_q(
+    "q7_nation_volume",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              year(l_shipdate) AS l_year,
+              CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
+                            AS DECIMAL(18,6))) AS DOUBLE) AS volume
+       FROM lineitem
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+         AND n2.n_name IN ('NATION_3', 'NATION_7')
+         AND n1.n_name <> n2.n_name
+       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+)
+def q7_volume(spark, sf):
+    """Bidirectional nation-pair volume: two broadcast dims aliased from the
+    same table, year-bucketed aggregation over the fact stream."""
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    nations = ("NATION_3", "NATION_7")
+    n1 = _t(spark, sf, "nation").where(F.col("n_name").isin(*nations))
+    n2 = _t(spark, sf, "nation").where(F.col("n_name").isin(*nations))
+    joined = (
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == n1["n_nationkey"])
+        .join(F.broadcast(n2), c["c_nationkey"] == n2["n_nationkey"])
+        .where(n1["n_name"] != n2["n_name"])
+    )
+    return (
+        joined.groupBy(
+            n1["n_name"].alias("supp_nation"),
+            n2["n_name"].alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(_dec6(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("volume")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_q(
+    "q11_brand_value_share",
+    """SELECT p_brand,
+              CAST(SUM(CAST(ROUND(p_retailprice, 6) AS DECIMAL(18,6)))
+                   AS DOUBLE) AS brand_value
+       FROM part
+       GROUP BY p_brand
+       HAVING CAST(SUM(CAST(ROUND(p_retailprice, 6) AS DECIMAL(18,6))) AS DOUBLE)
+              > (SELECT CAST(SUM(CAST(ROUND(p_retailprice, 6) AS DECIMAL(18,6)))
+                             AS DOUBLE) * 0.04 FROM part)
+       ORDER BY brand_value DESC, p_brand""",
+)
+def q11_brand_share(spark, sf):
+    """HAVING against a global scalar subquery: the one-row aggregate is
+    broadcast (literal-free cross join), never shuffled."""
+    p = _t(spark, sf, "part")
+    per_brand = p.groupBy("p_brand").agg(
+        F.sum(_dec6(F.col("p_retailprice"))).cast("double").alias("brand_value")
+    )
+    total = p.agg(
+        (F.sum(_dec6(F.col("p_retailprice"))).cast("double") * F.lit(0.04)).alias(
+            "_cut"
+        )
+    )
+    return (
+        per_brand.join(F.broadcast(total))
+        .where(F.col("brand_value") > F.col("_cut"))
+        .select("p_brand", "brand_value")
+        .orderBy(F.desc("brand_value"), F.asc("p_brand"))
+    )
+
+
+@_q(
+    "q13_customer_distribution",
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+         SELECT c_custkey, COUNT(o_orderkey) AS c_count
+         FROM customer LEFT JOIN orders
+           ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+         GROUP BY c_custkey) t
+       GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+)
+def q13_custdist(spark, sf):
+    """Outer join with a join-side predicate, then a two-level aggregation
+    (count per key → distribution of counts)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@_q(
+    "q16_supplier_count",
+    """SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       FROM part JOIN lineitem ON p_partkey = l_partkey
+       WHERE p_brand <> 'Brand#3'
+         AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_type
+       ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 25""",
+)
+def q16_suppcnt(spark, sf):
+    """NOT IN over a non-null key → broadcast anti join, then COUNT(DISTINCT)
+    (two-phase distinct aggregation)."""
+    p = _t(spark, sf, "part").where(F.col("p_brand") != "Brand#3")
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    bad = _t(spark, sf, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(F.broadcast(bad), l["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(p, F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"))
+        .limit(25)
+    )
+
+
+@_q(
+    "q17_small_quantity",
+    """SELECT CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))) / 7.0
+                   AS DOUBLE) AS avg_yearly
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE p_brand = 'Brand#5'
+         AND l_quantity < (
+           SELECT 0.2 * (CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6)))
+                              AS DOUBLE) / COUNT(*))
+           FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+)
+def q17_smallqty(spark, sf):
+    """Correlated scalar subquery decorrelated to a per-key aggregate join:
+    avg quantity per part computed once, joined back, filter, then a global
+    sum. The per-part aggregate reuses the join shuffle partitioning."""
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    p = _t(spark, sf, "part").where(F.col("p_brand") == "Brand#5").select("p_partkey")
+    thresholds = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(_dec6(F.col("l_quantity"))).cast("double")
+                / F.count("*")
+            )
+        ).alias("_thr")
+    )
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(thresholds, l["l_partkey"] == thresholds["t_partkey"])
+        .where(F.col("l_quantity") < F.col("_thr"))
+        .agg(
+            (F.sum(_dec6(F.col("l_extendedprice"))) / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@_q(
+    "q19_disjunctive_join",
+    """SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
+                            AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+              AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+              AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 20 AND 30)""",
+)
+def q19_disjunctive(spark, sf):
+    """The reference's OR→UNION decomposition (deterministic.py:154-170)
+    applied to a disjunctive join: three brand-disjoint equi-joins, each with
+    its own pushed filters, unioned — no nested-loop OR join. Branches are
+    disjoint on p_brand so UNION ALL is exact."""
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    p = _t(spark, sf, "part")
+    branches = [
+        ("Brand#12", (1, 5), (1, 11)),
+        ("Brand#23", (1, 10), (10, 20)),
+        ("Brand#34", (1, 15), (20, 30)),
+    ]
+    parts = None
+    for brand, (szlo, szhi), (qlo, qhi) in branches:
+        pb = p.where(
+            (F.col("p_brand") == brand) & F.col("p_size").between(szlo, szhi)
+        ).select("p_partkey")
+        lb = l.where(F.col("l_quantity").between(qlo, qhi))
+        branch = lb.join(F.broadcast(pb), lb["l_partkey"] == pb["p_partkey"]).select(
+            "l_extendedprice", "l_discount"
+        )
+        parts = branch if parts is None else parts.union(branch)
+    return parts.agg(
+        F.sum(_dec6(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    """WITH rev AS (
+         SELECT l_suppkey,
+                SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
+                         AS DECIMAL(18,6))) AS total_rev
+         FROM lineitem GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+       FROM supplier JOIN rev ON s_suppkey = l_suppkey
+       WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+       ORDER BY s_suppkey""",
+)
+def q15_topsupp(spark, sf):
+    """Scalar MAX over a derived view, equality-joined back (decimal sums →
+    exact equality is safe cross-engine)."""
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    rev = l.groupBy("l_suppkey").agg(
+        F.sum(_dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    s = _t(spark, sf, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("_mx"))
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+        .orderBy("s_suppkey")
+    )
+
+
+@_q(
+    "q22_idle_customers",
+    """SELECT CAST(c_nationkey % 10 AS VARCHAR) AS cntry,
+              COUNT(*) AS numcust,
+              CAST(SUM(CAST(ROUND(c_acctbal, 6) AS DECIMAL(18,6)))
+                   AS DOUBLE) AS totacctbal
+       FROM customer
+       WHERE c_acctbal > (
+               SELECT CAST(SUM(CAST(ROUND(c_acctbal, 6) AS DECIMAL(18,6)))
+                           AS DOUBLE) / COUNT(*)
+               FROM customer WHERE c_acctbal > 0.0)
+         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                         AND o_orderpriority = '1-URGENT')
+       GROUP BY 1 ORDER BY 1""",
+)
+def q22_idle(spark, sf):
+    """Anti join (NOT EXISTS) + global scalar threshold: customers above the
+    positive-balance mean with no urgent orders, bucketed. The scalar is one
+    exact decimal sum / count, broadcast to the filter."""
+    c = _t(spark, sf, "customer")
+    thr = c.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec6(F.col("c_acctbal"))).cast("double") / F.count("*")).alias("_thr")
+    )
+    o = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("_thr"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(
+            (F.col("c_nationkey") % 10).cast("string").alias("cntry")
+        )
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec6(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 
