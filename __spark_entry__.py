@@ -1560,6 +1560,137 @@ def q22_idle(spark, sf):
 
 
 # ===========================================================================
+# Reference-parity oracles: J8 / A9 / P6 / G4 / J11 operators driven through
+# the real package functions over testdata-shaped inputs.
+# ===========================================================================
+
+
+@_q(
+    "j8_lookup_full_outer",
+    """SELECT COALESCE(a.id, b.id) AS id, a.cust_key, b.supp_key
+       FROM (SELECT c_custkey AS id,
+                    'C' || CAST(c_custkey AS VARCHAR) AS cust_key
+             FROM customer WHERE c_custkey <= 800) a
+       FULL JOIN (SELECT s_suppkey AS id,
+                         'S' || CAST(s_suppkey AS VARCHAR) AS supp_key
+                  FROM supplier) b
+         ON a.id = b.id""",
+)
+def j8_lookup(spark, sf):
+    """J8: ResolverMatches.as_lookup — full-outer join per-source id→key maps
+    with id coalescing (results.py:99-121)."""
+    from matchbox_spark.operators.results import as_lookup
+
+    cust = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_custkey") <= 800)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("key"),
+        )
+    )
+    supp = _t(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("key"),
+    )
+    return as_lookup({"cust": cust, "supp": supp})
+
+
+@_q(
+    "a9_latest_judgement",
+    """SELECT user_id AS cluster_id,
+              strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts
+       FROM events GROUP BY user_id""",
+)
+def a9_latest(spark, sf):
+    """A9: max judgement timestamp per shown cluster
+    (adapter/eval.py:222-240) — events stand in as the judgement stream."""
+    from matchbox_spark.eval import latest_judgement_per_cluster
+
+    j = _events(spark, sf).select(F.col("user_id").alias("shown"), "ts")
+    return latest_judgement_per_cluster(j).select(
+        "cluster_id",
+        F.date_format("latest_ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+    )
+
+
+@_q(
+    "p6_recency_filter",
+    """SELECT c_custkey AS cluster_id FROM customer
+       LEFT JOIN (SELECT user_id, MAX(ts) AS mt FROM events GROUP BY user_id) j
+         ON c_custkey = j.user_id
+       WHERE c_custkey < 300
+         AND (mt IS NULL OR mt < TIMESTAMP '2024-02-01' - INTERVAL 14 DAY)""",
+)
+def p6_recency(spark, sf):
+    """P6: keep clusters never judged or not judged within the window
+    (adapter/eval.py:249-253), with a pinned 'now' for determinism."""
+    from matchbox_spark.eval import filter_recently_judged
+
+    clusters = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_custkey") < 300)
+        .select(F.col("c_custkey").alias("cluster_id"))
+    )
+    j = _events(spark, sf).select(F.col("user_id").alias("shown"), "ts")
+    return filter_recently_judged(clusters, j, cutoff_days=14, now="2024-02-01")
+
+
+@_q(
+    "g4_leaf_expansion",
+    """SELECT n_regionkey + 1000 AS parent_id,
+              COALESCE(c_custkey, n_nationkey) AS leaf_id
+       FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey""",
+)
+def g4_expansion(spark, sf):
+    """G4: parent→child assignments expanded to leaf level — outer join the
+    Contains relation on child, coalesce missing leaves to the child itself
+    (insert.py:253-274). Nations are children, customers their leaves."""
+    assignments = _t(spark, sf, "nation").select(
+        (F.col("n_regionkey") + 1000).alias("parent_id"),
+        F.col("n_nationkey").alias("child_id"),
+    )
+    contains = _t(spark, sf, "customer").select(
+        F.col("c_nationkey").alias("root"), F.col("c_custkey").alias("leaf")
+    )
+    return assignments.join(
+        contains, assignments["child_id"] == contains["root"], "left"
+    ).select(
+        "parent_id", F.coalesce("leaf", "child_id").alias("leaf_id")
+    )
+
+
+@_q(
+    "j11_match_lookup",
+    """WITH target AS (SELECT c_nationkey AS root FROM customer
+                       WHERE c_custkey = 42)
+       SELECT 'cust' AS source, CAST(c_custkey AS VARCHAR) AS key, root
+       FROM customer JOIN target ON c_nationkey = root
+       ORDER BY key""",
+)
+def j11_match(spark, sf):
+    """J11/§3.3 match shape: resolve one key to its root (limit-1 point
+    lookup), then filter the projection to that root's full membership —
+    the root is a one-row broadcast, not a recomputation
+    (query.py:120-177,281-345)."""
+    c = _t(spark, sf, "customer")
+    target = (
+        c.where(F.col("c_custkey") == 42)
+        .select(F.col("c_nationkey").alias("root"))
+        .limit(1)
+    )
+    return (
+        c.join(F.broadcast(target), c["c_nationkey"] == F.col("root"))
+        .select(
+            F.lit("cust").alias("source"),
+            F.col("c_custkey").cast("string").alias("key"),
+            "root",
+        )
+        .orderBy("key")
+    )
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 
