@@ -1691,6 +1691,90 @@ def j11_match(spark, sf):
 
 
 # ===========================================================================
+# Training-data pipeline extension oracles: quality scoring, exact embedding
+# near-dup baseline, IVF approximate search.
+# ===========================================================================
+
+
+@_q(
+    "t2_quality_score",
+    r"""WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks,
+                 regexp_replace(text, '[^\w\s]', '', 'g') AS stripped
+          FROM documents
+        ), f AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) > 0 THEN
+              CAST(len(list_filter(toks, x -> list_contains(
+                ['the','a','of','and','to','in','is','that','it','for'], x)))
+                AS DOUBLE) / len(toks) ELSE 0.0 END AS sw,
+            CASE WHEN len(toks) > 0 THEN
+              CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                / len(toks) ELSE 0.0 END AS mt,
+            CASE WHEN length(text) > 0 THEN
+              CAST(length(text) - length(stripped) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS pr,
+            CASE WHEN len(toks) > 0 THEN
+              1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS rep
+          FROM t)
+        SELECT doc_id,
+               round(least(sw * 4.0, 1.0) * 0.4
+                     + (CASE WHEN mt >= 3.0 AND mt <= 8.0
+                             THEN 1.0 ELSE 0.5 END) * 0.3
+                     + (1.0 - least(pr * 4.0, 1.0)) * 0.15
+                     + (1.0 - rep) * 0.15, 6) AS quality
+        FROM f""",
+)
+def t2_quality(spark, sf):
+    """Composite document quality score (Gopher/C4-style feature mix) — the
+    oracle mirrors every ratio and the weighted sum term-for-term so the
+    doubles match bit-exactly."""
+    return _t(spark, sf, "documents").select(
+        "doc_id", TX.quality_score_expr("text").alias("quality")
+    )
+
+
+@_q(
+    "d5_embedding_pairs",
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              round(list_aggregate(list_transform(
+                      list_zip(a.embedding, b.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum'),
+                    6) AS cos_sim
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_aggregate(list_transform(
+               list_zip(a.embedding, b.embedding),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum') >= 0.35""",
+)
+def d5_embedding_pairs(spark, sf):
+    """Embedding near-duplicate mining, exact baseline: all pairs above a
+    cosine threshold (unit-norm vectors → dot product). Both engines fold the
+    dot product sequentially in double precision, so the filter boundary and
+    the rounded output are bit-identical. The LSH-blocked scale path is
+    ``embedding_near_duplicates`` (recall-tested in pytest)."""
+    from matchbox_spark.operators.similarity import exact_cosine_pairs
+
+    return exact_cosine_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.35, assume_normalized=True
+    )
+
+
+@_q("v2_ivf_topk", None)  # KMeans-trained IVF — approximate, no SQL oracle
+def v2_ivf(spark, sf):
+    """IVF-Flat approximate top-k (KMeans inverted lists, n_probe search).
+    Rows-only check here; recall vs the exact baseline is pinned in
+    tests/test_text_dedup.py::test_ivf_topk_recall."""
+    from matchbox_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") % 20 == 0)
+    return ivf_topk(emb, q, k=5, n_lists=8, n_probe=4)
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 

@@ -53,6 +53,44 @@ def cosine_topk(
     )
 
 
+def exact_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assume_normalized: bool = False,
+) -> DataFrame:
+    """All vector pairs (id_a < id_b) with similarity ≥ threshold — exact.
+
+    The O(n²) brute-force baseline that anchors the approximate paths
+    (``embedding_near_duplicates`` LSH blocking, ``ann_topk``/``ivf_topk``):
+    run it on a sample to calibrate thresholds and measure recall, run the
+    blocked variants on the full corpus. With ``assume_normalized`` the dot
+    product alone is the cosine (skips two norms per pair).
+
+    Scale note: one side broadcasts when small; for two large sides this is
+    a cross join and the LSH/IVF operators are the right tool.
+    """
+    from matchbox_spark.functions.vectors import dot_expr
+
+    a = df.select(
+        F.col(id_col).cast("long").alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    b = df.select(
+        F.col(id_col).cast("long").alias("id_b"), F.col(vec_col).alias("_vb")
+    )
+    sim = (
+        dot_expr("_va", "_vb")
+        if assume_normalized
+        else cosine_expr(F.col("_va"), F.col("_vb"))
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(sim >= F.lit(threshold))
+        .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

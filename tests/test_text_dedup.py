@@ -225,3 +225,30 @@ def test_ivf_topk_recall(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+
+
+def test_exact_cosine_pairs(spark):
+    from matchbox_spark.operators.similarity import exact_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),
+            (3, [0.0, 1.0]),
+            (4, [0.8, 0.6]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in exact_cosine_pairs(df, threshold=0.7).collect()
+    }
+    # (1,2) identical; (1,4)/(2,4) cos=0.8; (3,4) cos=0.6 < threshold; no self
+    assert set(got) == {(1, 2), (1, 4), (2, 4)}
+    assert got[(1, 2)] == 1.0 and abs(got[(1, 4)] - 0.8) < 1e-9
+    # dot-only path agrees on unit vectors
+    dot = {
+        (r["id_a"], r["id_b"])
+        for r in exact_cosine_pairs(df, 0.7, assume_normalized=True).collect()
+    }
+    assert dot == set(got)
