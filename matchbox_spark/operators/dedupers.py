@@ -2,9 +2,10 @@
 
 Semantics match the reference NaiveDeduper (naive.py:29-76): an inner
 self-join on equality of every ``unique_field``, excluding row self-matches
-via a synthetic row index (true duplicate rows — identical data, distinct
-keys — must still pair), suppressing ``left_id = right_id``, and emitting
-each unordered pair once with score 1.0.
+while keeping true-duplicate rows paired (the reference uses a synthetic
+``_unique_e4003b`` row index; positional combinations give the same strict
+row order), suppressing ``left_id = right_id``, and emitting each unordered
+pair once with score 1.0.
 
 Spark-first shape: instead of a literal self equi-join (which scans the input
 twice and shuffles both sides), we group by the unique fields once and
@@ -71,11 +72,9 @@ class NaiveDeduper(Deduper):
         if not s.unique_fields:
             raise ValueError("NaiveDeduper requires unique_fields")
 
-        # _rid distinguishes true-duplicate rows (identical data, distinct
-        # keys) from a row matching itself — reference's _unique_e4003b.
         rows = data.select(
             F.col(s.id).alias("_id"), *[F.col(f) for f in s.unique_fields]
-        ).withColumn("_rid", F.monotonically_increasing_id())
+        )
 
         # One shuffle: group identical field tuples, collect member ids.
         # SQL equality semantics: rows with a NULL in any unique field never
@@ -83,7 +82,7 @@ class NaiveDeduper(Deduper):
         grouped = (
             rows.na.drop(subset=list(s.unique_fields))
             .groupBy(*s.unique_fields)
-            .agg(F.collect_list(F.struct("_rid", "_id")).alias("members"))
+            .agg(F.collect_list(F.col("_id")).alias("members"))
             .where(F.size("members") >= 2)
         )
         if s.max_group_size is not None:
@@ -102,29 +101,31 @@ class NaiveDeduper(Deduper):
                 )
             grouped = grouped.where(F.size("members") <= s.max_group_size)
 
-        # Pairs within each group: all (i, j), i<j by _rid, then drop
-        # self-id pairs and canonicalise to (least, greatest).
+        # Pairs within each group: positional combinations — member i pairs
+        # with the tail slice after it, emitting exactly g·(g-1)/2 structs
+        # (no g² intermediate, no synthetic row index: positional (i, j),
+        # i<j, is the strict row order the reference's _unique_e4003b row
+        # index provides). Row pairs sharing an id (true duplicates of the
+        # same entity) are self-matches at id level — filtered below.
+        m = F.col("members")
         pairs = (
             grouped.select(
                 F.explode(
-                    F.filter(
-                        F.flatten(
-                            F.transform(
-                                "members",
-                                lambda a: F.transform(
-                                    F.col("members"),
-                                    lambda b: F.struct(
-                                        a["_id"].alias("lid"),
-                                        b["_id"].alias("rid"),
-                                        (a["_rid"] < b["_rid"]).alias("keep"),
-                                    ),
+                    F.flatten(
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(m) - 2),
+                            lambda i: F.transform(
+                                F.slice(m, i + 2, F.size(m) - i - 1),
+                                lambda b: F.struct(
+                                    F.element_at(m, i + 1).alias("lid"),
+                                    b.alias("rid"),
                                 ),
-                            )
-                        ),
-                        lambda p: p["keep"] & (p["lid"] != p["rid"]),
+                            ),
+                        )
                     )
                 ).alias("p")
             )
+            .where(F.col("p.lid") != F.col("p.rid"))
             .select(
                 F.least("p.lid", "p.rid").alias("left_id"),
                 F.greatest("p.lid", "p.rid").alias("right_id"),

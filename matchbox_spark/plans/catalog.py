@@ -15,8 +15,9 @@ Insert paths mirror insert.py:43-511 semantics set-based: insert-if-absent by
 hash is a ``left_anti`` join (U6); leaf expansion is an outer join + coalesce
 (G4); cluster identity for resolver parents is the H5 leaf-set hash.
 
-Scale notes: id assignment range-sorts new hashes and ``zipWithIndex``-es
-them — a distributed total order, no global window. State tables persist as
+Scale notes: id assignment range-sorts new hashes and zips dense indices
+JVM-side (per-partition row numbers + driver offsets) — a distributed total
+order, no global window, no Python round-trip. State tables persist as
 parquet partitioned by source/step (partition pruning serves the query
 layer's filters); every mutation goes through ``_commit`` which
 localCheckpoints so downstream plans don't re-run the insert lineage.
@@ -124,19 +125,42 @@ class Catalog:
     def _assign_ids(self, new_hashes: DataFrame) -> DataFrame:
         """Dense deterministic ids for new hashes (ordered by hash bytes).
 
-        Distributed: range-partition + sort by hash, then ``zipWithIndex`` —
-        a total order without a single-partition window, so id assignment
-        scales with the insert batch. Hashes are unique, so the order (and
-        therefore the ids) is deterministic.
+        Distributed zip-with-index that stays JVM-side (no Python RDD
+        round-trip): range-partition + sort by hash gives a total order;
+        per-partition row numbers plus driver-computed partition offsets
+        (one tiny count-per-partition job) turn it into dense global ids —
+        no single-partition global window, so assignment scales with the
+        insert batch. Hashes are unique, so ids are deterministic.
         """
+        from pyspark.sql import Window
+
         base = self._max_id
-        ordered = new_hashes.select("cluster_hash").repartitionByRange(
-            "cluster_hash"
-        ).sortWithinPartitions("cluster_hash")
-        assigned = ordered.rdd.zipWithIndex().map(
-            lambda pair: (pair[1] + base + 1, pair[0]["cluster_hash"])
+        ordered = (
+            new_hashes.select("cluster_hash")
+            .repartitionByRange("cluster_hash")
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
         )
-        return self.spark.createDataFrame(assigned, _CLUSTERS)
+        counts = {
+            r["_pid"]: r["n"]
+            for r in ordered.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_df = self.spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+            "_pid int, _off long",
+        )
+        w = Window.partitionBy("_pid").orderBy("cluster_hash")
+        return (
+            ordered.join(F.broadcast(off_df), "_pid")
+            .select(
+                (F.row_number().over(w) + F.col("_off") + base).alias("cluster_id"),
+                "cluster_hash",
+            )
+        )
 
     def _bump_max_id(self, assigned: DataFrame) -> None:
         """Advance the id watermark by the (small) new-assignment batch —
