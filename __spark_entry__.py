@@ -972,6 +972,9 @@ def a11_net_vote(spark, sf):
     )
 
 
+_MA, _MB = DD.minhash_params(8)
+
+
 @_q(
     "d3_minhash_lsh",
     r"""WITH toks AS (
@@ -988,17 +991,24 @@ def a11_net_vote(spark, sf):
         ),
         mh AS (
           SELECT doc, p.perm,
-                 MIN(substr(sha256(CAST(p.perm AS VARCHAR) || '|' || sh), 1, 16)) AS mh
+                 MIN((((__MINHASH_A__)[p.perm + 1]
+                       * (CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT)
+                          % 1000000007)
+                       + (__MINHASH_B__)[p.perm + 1]))
+                     % 1000000007) AS mh
           FROM sh, UNNEST(range(8)) AS p(perm)
           GROUP BY doc, p.perm
         ),
         bands AS (
-          SELECT doc, perm // 2 AS band, string_agg(mh, '|' ORDER BY perm) AS band_key
+          SELECT doc, perm // 2 AS band,
+                 string_agg(CAST(mh AS VARCHAR), '|' ORDER BY perm) AS band_key
           FROM mh GROUP BY doc, perm // 2
         )
         SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
         FROM bands a JOIN bands b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc""",
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc"""
+    .replace("__MINHASH_A__", "[" + ", ".join(map(str, _MA)) + "]")
+    .replace("__MINHASH_B__", "[" + ", ".join(map(str, _MB)) + "]"),
 )
 def d3_minhash(spark, sf):
     return DD.minhash_lsh_candidates(

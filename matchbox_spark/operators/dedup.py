@@ -18,9 +18,9 @@ star). Every operator is a relational composition — shuffles only on shingle
 - **embedding cosine**: sign-bit LSH buckets (operators.similarity does
   top-k search; here: near-dup pairs above a cosine threshold).
 
-MinHash permutation hashes are ``substr(sha256(seed || '|' || shingle), 16)``
-compared lexicographically — deterministic, cross-engine reproducible (the
-DuckDB oracle computes the identical signature), and uniform enough for LSH.
+MinHash permutes a single 60-bit md5-derived shingle hash through affine
+maps mod 1e9+7 — deterministic, cross-engine reproducible (the DuckDB oracle
+computes the identical signature), and uniform enough for LSH.
 """
 
 from __future__ import annotations
@@ -34,6 +34,25 @@ from matchbox_spark.functions.text import (
     word_shingles_expr,
 )
 from matchbox_spark.functions.vectors import cosine_expr, sign_bucket_expr
+
+# Universal-hash MinHash: 30-bit prime modulus keeps every product within
+# int64 under ANSI overflow checks; per-permutation affine constants derive
+# from md5 seeds so the permutations are mutually independent (a shared
+# multiplier family correlates the per-permutation minima and collapses LSH
+# recall).
+MINHASH_P = 1_000_000_007
+
+
+def minhash_params(num_perm: int) -> tuple[list[int], list[int]]:
+    """Deterministic affine constants (A_p non-zero, B_p) for each perm."""
+    import hashlib
+
+    def _h(seed: str) -> int:
+        return int(hashlib.md5(seed.encode()).hexdigest()[:15], 16)
+
+    a = [_h(f"mhA|{p}") % (MINHASH_P - 1) + 1 for p in range(num_perm)]
+    b = [_h(f"mhB|{p}") % MINHASH_P for p in range(num_perm)]
+    return a, b
 
 
 # ---------------------------------------------------------------------------
@@ -147,24 +166,31 @@ def minhash_signatures(
     num_perm: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(doc, sig: array<string>) — per-permutation minima, order-stable.
+    """(doc, sig: array<long>) — per-permutation minima, order-stable.
 
-    Permutation i's hash of shingle s is the first 16 hex chars of
-    sha256(i || '|' || s); the min is lexicographic. All ``num_perm`` hashes
-    of a shingle compute as one array column, and the signature is
-    ``num_perm`` positional MIN aggregates in a single groupBy — no
-    row-multiplying explode, one shuffle on ``doc``.
+    Classic universal-hash MinHash: each shingle hashes ONCE (md5 → 60-bit
+    int), then permutation p applies an affine map
+    ``(A_p·base + B_p) mod P`` (P = 1e9+7; A_p, B_p derived from p) — one
+    cryptographic hash plus ``num_perm`` integer ops per shingle instead of
+    ``num_perm`` hashes. All permuted values compute as one array column and
+    the signature is ``num_perm`` positional MIN aggregates in a single
+    groupBy — no row-multiplying explode, one shuffle on ``doc``. The md5 +
+    modular arithmetic recipe is ANSI-SQL portable, so the DuckDB oracle
+    states the identical permutation.
     """
     sh = _doc_shingles(df, id_col, text_col, shingle_n)
+    a, b = minhash_params(num_perm)
+    base = (
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
     hashed = sh.select(
         "doc",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(num_perm - 1)),
-            lambda p: F.substring(
-                F.sha2(F.concat(p.cast("string"), F.lit("|"), F.col("sh")), 256),
-                1,
-                16,
-            ),
+        F.array(
+            *[
+                ((F.lit(a[p]) * base + F.lit(b[p])) % MINHASH_P)
+                for p in range(num_perm)
+            ]
         ).alias("hs"),
     )
     mins = [
@@ -203,7 +229,8 @@ def minhash_lsh_candidates(
         "doc",
         "band",
         F.expr(
-            f"array_join(slice(sig, band * {rows_per_band} + 1, {rows_per_band}), '|')"
+            f"array_join(transform(slice(sig, band * {rows_per_band} + 1, "
+            f"{rows_per_band}), x -> cast(x as string)), '|')"
         ).alias("band_key"),
     )
     a = banded.select(F.col("doc").alias("doc_a"), "band", "band_key")
