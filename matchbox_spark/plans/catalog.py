@@ -62,6 +62,7 @@ class Catalog:
         self.resolver_clusters = spark.createDataFrame([], _RESOLVER)
         self.steps: dict[str, dict] = {}
         self._max_id = 0
+        self._last_assigned_n = 0
         if path and os.path.exists(os.path.join(path, "steps.json")):
             self._load()
 
@@ -149,6 +150,7 @@ class Catalog:
         for pid in sorted(counts):
             offsets[pid] = acc
             acc += counts[pid]
+        self._last_assigned_n = acc
         off_df = self.spark.createDataFrame(
             [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
             "_pid int, _off long",
@@ -163,10 +165,10 @@ class Catalog:
         )
 
     def _bump_max_id(self, assigned: DataFrame) -> None:
-        """Advance the id watermark by the (small) new-assignment batch —
-        avoids re-aggregating the full clusters table per insert."""
-        n = assigned.count()
-        self._max_id += int(n)
+        """Advance the id watermark by the new-assignment batch size, which
+        ``_assign_ids`` already counted driver-side — no extra job, and no
+        re-execution of the (unmaterialised) assignment plan."""
+        self._max_id += int(self._last_assigned_n)
 
     def _fingerprint_gate(self, step: str, fingerprint: bytes) -> bool:
         """H6: True → skip (identical data already inserted); False → proceed."""
