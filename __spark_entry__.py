@@ -1784,6 +1784,48 @@ def v2_ivf(spark, sf):
     return ivf_topk(emb, q, k=5, n_lists=8, n_probe=4)
 
 
+@_q(
+    "st1_incremental_index",
+    """SELECT CAST(doc_id AS VARCHAR) AS key,
+              MIN(doc_id) OVER (PARTITION BY text, lang) AS rep
+       FROM documents""",
+)
+def st1_stream(spark, sf):
+    """Structured Streaming incremental indexing (foreachBatch → catalog
+    merge, availableNow trigger): stream the documents table through the
+    content-indexing pipeline, then report each key's entity representative.
+    The terminal state is batch-equivalent, so the oracle states it
+    relationally — a full hash-match on a streaming operator."""
+    import tempfile
+
+    from matchbox_spark.plans.catalog import Catalog
+    from matchbox_spark.streaming import incremental_index_stream
+
+    cat = Catalog(spark)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        # file-stream sources take a directory; glob down to the one table
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    q = incremental_index_stream(
+        stream,
+        cat,
+        "docs",
+        key_field="doc_id",
+        index_fields=["text", "lang"],
+        checkpoint_dir=tempfile.mkdtemp(prefix="mbspark_st1_"),
+    )
+    q.awaitTermination(600)
+    keys = cat.cluster_keys.where(F.col("source") == "docs")
+    rep = keys.groupBy("cluster_id").agg(
+        F.min(F.col("key").cast("long")).alias("rep")
+    )
+    return keys.join(rep, "cluster_id").select("key", "rep")
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

@@ -217,10 +217,11 @@ class Catalog:
         if self._fingerprint_gate(step, fingerprint):
             return
 
-        # index is groupBy-output (unique by hash) — no distinct needed
-        new = index.select("cluster_hash").join(
-            self.clusters, "cluster_hash", "left_anti"
-        )
+        # index is groupBy-output (unique by hash) — no distinct needed;
+        # first insert into an empty catalog skips the anti-join entirely
+        new = index.select("cluster_hash")
+        if self._max_id > 0:
+            new = new.join(self.clusters, "cluster_hash", "left_anti")
         assigned = self._assign_ids(new).select("cluster_id", "cluster_hash")
         self._commit("clusters", self.clusters.unionByName(assigned))
         self._bump_max_id(assigned)
@@ -328,8 +329,9 @@ class Catalog:
         new = (
             member_hashes.select("cluster_hash")
             .distinct()
-            .join(self.clusters, "cluster_hash", "left_anti")
         )
+        if self._max_id > 0:
+            new = new.join(self.clusters, "cluster_hash", "left_anti")
         assigned = self._assign_ids(new).select("cluster_id", "cluster_hash")
         self._commit("clusters", self.clusters.unionByName(assigned))
         self._bump_max_id(assigned)
