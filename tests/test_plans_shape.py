@@ -84,3 +84,39 @@ def test_unified_query_no_forced_broadcast(spark, sf_dir):
 
     src = inspect.getsource(q.unified_query)
     assert "F.broadcast" not in src
+
+
+def test_q6_scan_projects_three_columns(spark, sf_dir):
+    import __spark_entry__ as e
+
+    df = e.queries()["q6_forecast_revenue"](spark, sf_dir)
+    plan = _formatted_plan(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_discount" in read_schema and "l_quantity" in read_schema
+    assert "l_orderkey" not in read_schema and "l_shipdate" not in read_schema
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_q4_semi_join_shape(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = _formatted_plan(e.queries()["q4_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q19_is_union_of_broadcast_joins(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = _formatted_plan(e.queries()["q19_disjunctive_join"](spark, sf_dir))
+    # the OR→UNION rewrite: three broadcast equi-joins, no cross/NL join
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q16_anti_join_broadcasts(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = _formatted_plan(e.queries()["q16_supplier_count"](spark, sf_dir))
+    assert "LeftAnti, BuildRight" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    )
