@@ -120,6 +120,10 @@ def _large_star(edges: DataFrame) -> DataFrame:
             )
         ).alias("_p")
     ).select(F.col("_p.src").alias("src"), F.col("_p.dst").alias("dst"))
+    # per-node min via groupBy + join rather than a partition-only window:
+    # star contraction GUARANTEES giant hubs, and a window over the hub's key
+    # is one unsplittable task, while the groupBy gets map-side partial
+    # aggregation and AQE can split the skewed join partition.
     mins = (
         nbrs.groupBy("src")
         .agg(F.min("dst").alias("_mn"))
