@@ -63,6 +63,7 @@ class Catalog:
         self.steps: dict[str, dict] = {}
         self._max_id = 0
         self._last_assigned_n = 0
+        self._contains_empty = True
         if path and os.path.exists(os.path.join(path, "steps.json")):
             self._load()
 
@@ -117,6 +118,7 @@ class Catalog:
             self.steps = json.load(f)
         row = self.clusters.agg(F.max("cluster_id").alias("m")).collect()[0]
         self._max_id = int(row["m"] or 0)
+        self._contains_empty = self.contains.limit(1).isEmpty()
 
     # -- helpers -------------------------------------------------------------
 
@@ -345,9 +347,13 @@ class Catalog:
             .where(F.col("root") != F.col("leaf"))
             .dropDuplicates()
         )
-        self._commit(
-            "contains", self.contains.unionByName(new_contains).dropDuplicates()
-        )
+        # new_contains is already deduplicated; re-deduplicating the WHOLE
+        # table is only needed when prior hierarchy rows could collide
+        merged = self.contains.unionByName(new_contains)
+        if not self._contains_empty:
+            merged = merged.dropDuplicates()
+        self._commit("contains", merged)
+        self._contains_empty = False
         rc = new_contains.select(
             F.lit(step).alias("step"), F.col("root").alias("cluster_id")
         ).dropDuplicates()

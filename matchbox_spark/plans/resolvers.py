@@ -297,13 +297,39 @@ class Components(ResolverMethod):
         else:
             labels = connected_components(unioned)
 
-        # dense deterministic parent ids 1..k ordered by component minimum
-        comp_ids = (
+        # dense deterministic parent ids 1..k ordered by component minimum —
+        # distributed zip-with-index (range partition + per-partition row
+        # numbers + driver offsets), NOT a global single-partition window:
+        # component count scales with the data
+        distinct_comps = (
             labels.select("component")
             .distinct()
-            .withColumn(
-                "parent_id",
-                F.row_number().over(Window.orderBy("component")).cast("long"),
+            .repartitionByRange("component")
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
+        )
+        counts = {
+            r["_pid"]: r["n"]
+            for r in distinct_comps.groupBy("_pid")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_df = spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+            "_pid int, _off long",
+        )
+        wp = Window.partitionBy("_pid").orderBy("component")
+        comp_ids = (
+            distinct_comps.join(F.broadcast(off_df), "_pid")
+            .select(
+                "component",
+                (F.row_number().over(wp) + F.col("_off")).cast("long").alias(
+                    "parent_id"
+                ),
             )
         )
         assignments = labels.join(comp_ids, "component").select(
