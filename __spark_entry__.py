@@ -1826,6 +1826,47 @@ def st1_stream(spark, sf):
     return keys.join(rep, "cluster_id").select("key", "rep")
 
 
+@_q(
+    "ev5_asof_join",
+    """SELECT c.event_id, round(p.value, 6) AS r_value
+       FROM (SELECT * FROM events WHERE event_type = 'click') c
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id AND c.ts >= p.ts""",
+)
+def ev5_asof(spark, sf):
+    """As-of join (operators.temporal): each click gets the latest prior
+    purchase's value per user — tagged-merge single-shuffle construction;
+    the oracle is DuckDB's native ASOF JOIN."""
+    from matchbox_spark.operators.temporal import asof_join
+
+    e = _events(spark, sf)
+    clicks = e.where(F.col("event_type") == "click")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", value_cols=["value"]
+    ).select("event_id", F.round("r_value", 6).alias("r_value"))
+
+
+@_q(
+    "d6_exact_dedupe",
+    r"""SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY sha256(trim(regexp_replace(lower(text),
+                                                           '\s+', ' ', 'g')))
+                   ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1""",
+)
+def d6_exact_dedupe(spark, sf):
+    """Exact dedup keep-one (min id per normalised content) through the real
+    ``exact_dedupe`` operator."""
+    return DD.exact_dedupe(_t(spark, sf, "documents"), "doc_id", "text").select(
+        "doc_id", "lang"
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

@@ -1,0 +1,97 @@
+"""Temporal joins over event streams — as-of join as a composition of
+built-in operators.
+
+Spark has no native AS OF join (Delta/other engines bolt it on); the
+classic scalable construction is the tagged merge: union both sides with a
+side tag, sort within each join-key partition by (ts, tag), and carry the
+most recent right-side payload forward with ``last(ignorenulls=True)`` over
+an unbounded-preceding window. One shuffle on the join key; no range
+explosion, no per-row subqueries — the same plan shape DuckDB/kdb use for
+their native ASOF operators, expressed relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    strict: bool = False,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` (or ``<`` when ``strict``) per ``on`` key.
+
+    Args:
+        left/right: event frames; ``on`` is the equality key column name.
+        left_ts/right_ts: timestamp column names.
+        value_cols: right-side payload columns to carry (default: all except
+            the key and timestamp).
+        strict: require strictly-earlier right rows.
+        tolerance: optional max lookback (SQL interval string, e.g.
+            ``'15 minutes'``): matches older than it are nulled out.
+
+    Scale shape: both sides shuffle ONCE on the key; the window is
+    partitioned by key (no global ordering). Ties on equal timestamps order
+    right rows before left rows, so an equal-ts right row is visible to the
+    left row unless ``strict``.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_ts)]
+
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
+          for c in value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            l_tag.schema["_lrow"].dataType
+        ).alias("_lrow"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+        F.col(right_ts).alias("_rts"),
+    )
+    # strict: right rows at an equal timestamp sort AFTER left rows and are
+    # therefore not yet visible; non-strict: right rows sort first.
+    order_side = F.col("_side") if not strict else -F.col("_side")
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), order_side)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "_k",
+        "_ts",
+        "_side",
+        "_lrow",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in value_cols
+        ],
+        F.last("_rts", ignorenulls=True).over(w).alias("_c_ts"),
+    )
+    out = carried.where(F.col("_side") == 1)
+    keep = F.lit(True)
+    if tolerance is not None:
+        keep = F.col("_c_ts") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+    return out.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[
+            F.when(keep, F.col(f"_c_{c}")).otherwise(F.lit(None)).alias(f"r_{c}")
+            for c in value_cols
+        ],
+    )

@@ -1,0 +1,68 @@
+"""As-of join semantics (operators.temporal)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from matchbox_spark.operators.temporal import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0), "l1"),
+            (1, datetime(2024, 1, 1, 12, 0), "l2"),
+            (2, datetime(2024, 1, 1, 9, 0), "l3"),
+        ],
+        "k long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 9, 30), 10.0),
+            (1, datetime(2024, 1, 1, 10, 0), 20.0),
+            (1, datetime(2024, 1, 1, 11, 0), 30.0),
+            (2, datetime(2024, 1, 1, 9, 30), 99.0),
+        ],
+        "k long, ts timestamp, value double",
+    )
+    return left, right
+
+
+def test_asof_basic(spark):
+    left, right = _frames(spark)
+    got = {
+        r["name"]: r["r_value"]
+        for r in asof_join(left, right, on="k").collect()
+    }
+    # l1 at 10:00 sees the equal-ts right row (20); l2 sees 11:00 (30);
+    # l3 predates every right row → null
+    assert got == {"l1": 20.0, "l2": 30.0, "l3": None}
+
+
+def test_asof_strict(spark):
+    left, right = _frames(spark)
+    got = {
+        r["name"]: r["r_value"]
+        for r in asof_join(left, right, on="k", strict=True).collect()
+    }
+    # strict: l1 at 10:00 must NOT see the 10:00 row → falls back to 9:30
+    assert got == {"l1": 10.0, "l2": 30.0, "l3": None}
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    got = {
+        r["name"]: r["r_value"]
+        for r in asof_join(
+            left, right, on="k", tolerance="30 minutes"
+        ).collect()
+    }
+    # l2 at 12:00: latest right is 11:00 — outside the 30 min window → null
+    assert got == {"l1": 20.0, "l2": None, "l3": None}
+
+
+def test_asof_left_columns_preserved(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k")
+    assert out.columns == ["k", "ts", "name", "r_value"]
+    assert out.count() == left.count()
