@@ -1040,6 +1040,45 @@ def d4_simhash(spark, sf):
 
 
 @_q(
+    "d4b_simhash_neardups",
+    r"""WITH tok AS (
+          SELECT doc_id AS doc, t.tok FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+            FROM documents
+          ), UNNEST(toks) AS t(tok)
+        ),
+        h AS (SELECT doc, ('0x' || substr(sha256(tok), 1, 4))::INT AS h FROM tok),
+        votes AS (
+          SELECT doc, b.bit,
+                 SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h, UNNEST(range(16)) AS b(bit) GROUP BY doc, b.bit
+        ),
+        sims AS (
+          SELECT doc, SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+          FROM votes GROUP BY doc
+        ),
+        halves AS (
+          SELECT doc, simhash, hp.hi,
+                 CASE WHEN hp.hi = 0 THEN simhash & 255
+                      ELSE (simhash >> 8) & 255 END AS hv
+          FROM sims, UNNEST(range(2)) AS hp(hi)
+        )
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM halves a JOIN halves b ON a.hi = b.hi AND a.hv = b.hv
+          AND a.doc < b.doc
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+def d4b_simhash_nd(spark, sf):
+    """SimHash near-dup pairs: pigeonhole half-signature blocking + Hamming
+    filter — the oracle mirrors signature, blocking, and distance."""
+    return DD.simhash_near_duplicates(
+        _t(spark, sf, "documents"), "doc_id", "text", bits=16, max_hamming=3
+    )
+
+
+@_q(
     "m1_media_metadata",
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
               sha256(text) AS checksum
