@@ -1906,6 +1906,31 @@ def d6_exact_dedupe(spark, sf):
     )
 
 
+@_q(
+    "ev6_range_join",
+    """SELECT c.event_id AS l_id, p.event_id AS r_id
+       FROM (SELECT * FROM events WHERE event_type = 'click') c
+       JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id
+        AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 600000000""",
+)
+def ev6_range(spark, sf):
+    """Banded interval join (operators.temporal.range_join): clicks paired
+    with same-user purchases within ±10 minutes. The band buckets turn
+    DuckDB's theta join into a linear (bucket, key) equi-join."""
+    from matchbox_spark.operators.temporal import range_join
+
+    e = _events(spark, sf)
+    clicks = e.where(F.col("event_type") == "click")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    return range_join(
+        clicks, purchases, tolerance_s=600, on="user_id",
+        value_cols=["event_id"],
+    ).select(F.col("event_id").alias("l_id"), F.col("r_event_id").alias("r_id"))
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

@@ -66,3 +66,44 @@ def test_asof_left_columns_preserved(spark):
     out = asof_join(left, right, on="k")
     assert out.columns == ["k", "ts", "name", "r_value"]
     assert out.count() == left.count()
+
+
+def test_range_join_banded(spark):
+    from matchbox_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0), "l1"),
+            (2, datetime(2024, 1, 1, 10, 0), "l2"),
+        ],
+        "k long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 9, 55), "in-before"),
+            (1, datetime(2024, 1, 1, 10, 5), "in-after"),
+            (1, datetime(2024, 1, 1, 10, 11), "out"),
+            (2, datetime(2024, 1, 1, 10, 0), "exact"),
+        ],
+        "k long, ts timestamp, tag string",
+    )
+    got = {
+        (r["name"], r["r_tag"])
+        for r in range_join(
+            left, right, tolerance_s=600, on="k", value_cols=["tag"]
+        ).collect()
+    }
+    assert got == {("l1", "in-before"), ("l1", "in-after"), ("l2", "exact")}
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    from matchbox_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), "l")], "k long, ts timestamp, n string"
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), "r")], "k long, ts timestamp, tag string"
+    )
+    out = range_join(left, right, tolerance_s=60, on="k", value_cols=["tag"])
+    assert out.count() == 1
