@@ -1931,6 +1931,54 @@ def ev6_range(spark, sf):
     ).select(F.col("event_id").alias("l_id"), F.col("r_event_id").alias("r_id"))
 
 
+@_q(
+    "q21_waiting_supplier",
+    """SELECT s_name, COUNT(*) AS numwait
+       FROM supplier
+       JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+       JOIN orders ON o_orderkey = l1.l_orderkey
+       WHERE o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_shipdate > o_orderdate)
+       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+)
+def q21_waiting(spark, sf):
+    """Correlated EXISTS + NOT-EXISTS pair decorrelated into one per-order
+    aggregate: 'another supplier exists' ⟺ distinct-supplier count ≥ 2;
+    'no other supplier late' ⟺ distinct-late-supplier count == 1 (the outer
+    row is itself late). One extra shuffle replaces two correlated
+    subqueries."""
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    o = _t(spark, sf, "orders").where(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf, "supplier")
+    lo = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate")).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    cand = (
+        lo.where(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        cand.join(F.broadcast(s), cand["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================

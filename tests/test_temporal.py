@@ -107,3 +107,50 @@ def test_range_join_no_duplicate_pairs(spark):
     )
     out = range_join(left, right, tolerance_s=60, on="k", value_cols=["tag"])
     assert out.count() == 1
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Randomized cross-check against pandas' reference merge_asof."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n_l, n_r = 400, 300
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, n_l),
+            "ts": pd.to_datetime(
+                rng.integers(1_700_000_000, 1_700_100_000, n_l), unit="s"
+            ),
+            "lid": np.arange(n_l),
+        }
+    ).sort_values("ts", ignore_index=True)
+    rpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, n_r),
+            "ts": pd.to_datetime(
+                rng.integers(1_700_000_000, 1_700_100_000, n_r), unit="s"
+            ),
+            "val": rng.random(n_r).round(6),
+        }
+    ).sort_values("ts", ignore_index=True)
+    # merge_asof is ambiguous on duplicate (k, ts) right rows; drop them
+    rpd = rpd.drop_duplicates(subset=["k", "ts"], keep="last")
+
+    expected = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward")
+    exp = {
+        int(r.lid): (None if pd.isna(r.val) else round(float(r.val), 6))
+        for r in expected.itertuples()
+    }
+
+    got_df = asof_join(
+        spark.createDataFrame(lpd),
+        spark.createDataFrame(rpd),
+        on="k",
+        value_cols=["val"],
+    )
+    got = {
+        int(r["lid"]): (None if r["r_val"] is None else round(r["r_val"], 6))
+        for r in got_df.collect()
+    }
+    assert got == exp
