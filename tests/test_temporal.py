@@ -154,3 +154,56 @@ def test_asof_matches_pandas_merge_asof(spark):
         for r in got_df.collect()
     }
     assert got == exp
+
+
+def test_range_join_matches_theta_join(spark):
+    """Randomized cross-check: banded plan ≡ brute-force theta join."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "ts": pd.to_datetime(
+                rng.integers(1_700_000_000, 1_700_010_000, 200), unit="s"
+            ),
+            "lid": np.arange(200),
+        }
+    )
+    rpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "ts": pd.to_datetime(
+                rng.integers(1_700_000_000, 1_700_010_000, 200), unit="s"
+            ),
+            "rid": np.arange(200),
+        }
+    )
+    tol = 137.0
+    left, right = spark.createDataFrame(lpd), spark.createDataFrame(rpd)
+    from matchbox_spark.operators.temporal import range_join
+    from pyspark.sql import functions as F
+
+    banded = {
+        (r["lid"], r["r_rid"])
+        for r in range_join(
+            left, right, tolerance_s=tol, on="k", value_cols=["rid"]
+        ).collect()
+    }
+    theta = {
+        (r["lid"], r["rid"])
+        for r in left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & (
+                F.abs(
+                    F.unix_micros(F.col("l.ts")) - F.unix_micros(F.col("r.ts"))
+                )
+                <= int(tol * 1_000_000)
+            ),
+        )
+        .collect()
+    }
+    assert banded == theta and len(banded) > 50
