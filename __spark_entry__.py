@@ -1979,6 +1979,17 @@ def q21_waiting(spark, sf):
     )
 
 
+@_q("t4_lang_id", None)  # heuristic classifier — no exact SQL oracle
+def t4_lang_id(spark, sf):
+    """Language identification (stopword-hit argmax across en/de/fr/es/zh);
+    accuracy against the labelled ``lang`` column is pinned in
+    tests/test_text_dedup.py — here the rows-only entry records the operator
+    in the driver contract."""
+    return _t(spark, sf, "documents").select(
+        "doc_id", TX.lang_id_expr("text").alias("lang_pred")
+    )
+
+
 # ===========================================================================
 # driver contract
 # ===========================================================================
