@@ -695,8 +695,9 @@ def ev1_window(spark, sf):
        ),
        s AS (
          SELECT user_id, event_id,
-                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_id
+                CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS session_id
          FROM g
        )
        SELECT user_id, session_id, COUNT(*) AS n_events
@@ -707,10 +708,10 @@ def ev2_sessionize(spark, sf):
 
     e = _events(spark, sf)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     g = e.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
     )
     s = g.withColumn(
         "session_id",
@@ -953,7 +954,8 @@ def u5_intersect(spark, sf):
 
 @_q(
     "a11_net_pair_vote",
-    """SELECT l_orderkey, l_partkey, SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE -1 END) AS net
+    """SELECT l_orderkey, l_partkey,
+              CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE -1 END) AS BIGINT) AS net
        FROM lineitem GROUP BY l_orderkey, l_partkey
        HAVING SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE -1 END) > 0""",
 )
@@ -1138,10 +1140,10 @@ def g3_merge(spark, sf):
 @_q(
     "q12_shipmode_priority",
     """SELECT l_linestatus,
-              SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS high_line_count,
-              SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                       THEN 1 ELSE 0 END) AS low_line_count
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        WHERE l_returnflag = 'R'
        GROUP BY l_linestatus ORDER BY l_linestatus""",
@@ -1253,14 +1255,28 @@ def ev4_hopping(spark, sf):
     )
 
 
-@_q("m2_frame_sampling", None)  # mapInPandas plumbing — no SQL equivalent
+@_q(
+    "m2_frame_sampling",
+    """WITH h AS (
+         SELECT doc_id, text,
+                1000 + CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) * 37
+                    AS duration
+         FROM documents WHERE doc_id < 50
+       )
+       SELECT doc_id, f.ts AS frame_ts_ms,
+              sha256(text || CAST(f.ts AS VARCHAR)) AS frame_checksum
+       FROM h, UNNEST(range(0, CAST(duration AS BIGINT), 500)) AS f(ts)""",
+)
 def m2_frames(spark, sf):
-    """Multimodal frame-sampling plumbing over stubbed media payloads
-    (rows-only check: deterministic synthetic frames, schema + batch shape
-    are the real contract)."""
+    """Multimodal frame-sampling plumbing over stubbed media payloads.
+
+    The synthetic frame schedule is deterministic from the payload checksum
+    (duration = 1000 + digest[2]*37 ms; checksum over payload + ascii(ts)),
+    so the mapInPandas expansion is pinned against a DuckDB generate-series
+    oracle — the Arrow batch shape AND the values are checked."""
     from matchbox_spark.operators.multimodal import sample_frames
 
-    d = _t(spark, sf, "documents").limit(50).select(
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 50).select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return sample_frames(d, every_ms=500)

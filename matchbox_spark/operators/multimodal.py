@@ -77,30 +77,41 @@ def extract_media_metadata(
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = row[pay_c]
-                payload = bytes(payload) if payload is not None else b""
-                media_type = row[typ_c]
-                meta = {
-                    "doc_id": int(row[id_c]),
-                    "media_type": media_type,
-                    "n_bytes": len(payload),
-                    "checksum": hashlib.sha256(payload).hexdigest(),
-                    "width": None,
-                    "height": None,
-                    "duration_ms": None,
-                }
-                decoder = DECODERS.get(media_type)
-                if decoder is not None:
-                    try:
-                        meta.update(decoder(payload))
-                    except NotImplementedError:
-                        pass
-                out.append(meta)
-            yield pd.DataFrame(
-                out, columns=[f.name for f in MEDIA_META_SCHEMA.fields]
+            # Generic fields vectorised over the whole Arrow batch; only the
+            # codec dispatch (inherently a per-payload library call) loops.
+            payloads = pdf[pay_c].map(
+                lambda p: bytes(p) if p is not None else b""
             )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_c].astype("int64").to_numpy(),
+                    "media_type": pdf[typ_c].to_numpy(),
+                    "n_bytes": payloads.map(len).astype("int64").to_numpy(),
+                    "checksum": payloads.map(
+                        lambda p: hashlib.sha256(p).hexdigest()
+                    ).to_numpy(),
+                }
+            )
+            n = len(pdf)
+            width = [None] * n
+            height = [None] * n
+            duration = [None] * n
+            types = pdf[typ_c].tolist()
+            for i, (media_type, payload) in enumerate(zip(types, payloads)):
+                decoder = DECODERS.get(media_type)
+                if decoder is None:
+                    continue
+                try:
+                    meta = decoder(payload)
+                except NotImplementedError:
+                    continue
+                width[i] = meta.get("width")
+                height[i] = meta.get("height")
+                duration[i] = meta.get("duration_ms")
+            out["width"] = pd.array(width, dtype="Int32")
+            out["height"] = pd.array(height, dtype="Int32")
+            out["duration_ms"] = pd.array(duration, dtype="Int64")
+            yield out[[f.name for f in MEDIA_META_SCHEMA.fields]]
 
     cols = df.select(id_c, pay_c, typ_c)
     return cols.mapInPandas(_extract, MEDIA_META_SCHEMA)
@@ -115,9 +126,12 @@ def sample_frames(
     """Frame-sampling plumbing: one output row per sampled frame timestamp.
 
     The decode step is a stub (no codecs in-container): frames are synthesised
-    deterministically from the payload checksum; production swaps the inner
-    function for a real demuxer while keeping schema and batch shape.
+    deterministically from the payload checksum (duration from digest byte 2,
+    per-frame checksum over ``payload + ascii(ts)``); production swaps the
+    inner function for a real demuxer while keeping schema and batch shape.
     """
+    import numpy as np
+
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -128,20 +142,30 @@ def sample_frames(
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col]) if row[payload_col] is not None else b""
-                h = hashlib.sha256(payload).digest()
-                duration = 1000 + h[2] * 37
-                for ts in range(0, duration, every_ms):
-                    fh = hashlib.sha256(payload + ts.to_bytes(8, "big")).hexdigest()
-                    rows.append(
-                        {
-                            "doc_id": int(row[id_col]),
-                            "frame_ts_ms": ts,
-                            "frame_checksum": fh,
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            payloads = pdf[payload_col].map(
+                lambda p: bytes(p) if p is not None else b""
+            )
+            durations = payloads.map(
+                lambda p: 1000 + hashlib.sha256(p).digest()[2] * 37
+            ).to_numpy()
+            n_frames = -(-durations // every_ms)  # ceil-div per doc
+            doc_ids = np.repeat(
+                pdf[id_col].astype("int64").to_numpy(), n_frames
+            )
+            frame_ts = np.concatenate(
+                [np.arange(0, d, every_ms, dtype="int64") for d in durations]
+            ) if len(durations) else np.array([], dtype="int64")
+            rep_payloads = np.repeat(payloads.to_numpy(), n_frames)
+            checksums = [
+                hashlib.sha256(p + str(int(ts)).encode("ascii")).hexdigest()
+                for p, ts in zip(rep_payloads, frame_ts)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_ts_ms": frame_ts,
+                    "frame_checksum": checksums,
+                }
+            )
 
     return df.select(id_col, payload_col).mapInPandas(_sample, schema)

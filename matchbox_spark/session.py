@@ -29,6 +29,17 @@ def get_spark(
             local core count (AQE coalesces down as needed).
         extra_conf: extra Spark conf entries applied last.
     """
+    # Python workers resolve imports from PYTHONPATH, not the driver's
+    # sys.path — make sure the package root reaches them even when the driver
+    # script runs from another directory. (On a real cluster the package ships
+    # via --py-files / a wheel; this covers local + spark-submit-less runs.)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"

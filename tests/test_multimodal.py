@@ -1,0 +1,92 @@
+"""Multimodal plumbing tests: Arrow batch shape + deterministic stub recipe.
+
+Pins the byte-level contract of the stubbed decoders so the m2 oracle
+(`__spark_entry__.py`) and the Python implementation can never drift apart:
+duration = 1000 + sha256(payload)[2] * 37 ms, frame checksum =
+sha256(payload + ascii(ts)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from matchbox_spark.operators.multimodal import (
+    extract_media_metadata,
+    sample_frames,
+)
+
+
+def _payload_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+
+
+def test_extract_media_metadata_vectorised_fields(spark):
+    rows = [
+        (1, b"hello world", "image/stub"),
+        (2, b"audio bytes here", "audio/stub"),
+        (3, b"", "video/unknown"),
+        (4, None, "image/stub"),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in extract_media_metadata(_payload_df(spark, rows)).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    # Generic fields: exact bytes.
+    assert out[1]["n_bytes"] == 11
+    assert out[1]["checksum"] == hashlib.sha256(b"hello world").hexdigest()
+    h1 = hashlib.sha256(b"hello world").digest()
+    assert out[1]["width"] == 16 + h1[0] % 64
+    assert out[1]["height"] == 16 + h1[1] % 64
+    assert out[1]["duration_ms"] is None
+    # Audio decoder fills duration, not dimensions.
+    h2 = hashlib.sha256(b"audio bytes here").digest()
+    assert out[2]["duration_ms"] == 1000 + h2[2] * 37
+    assert out[2]["width"] is None
+    # Unknown media type: generic fields still populated, decoder fields null.
+    assert out[3]["n_bytes"] == 0
+    assert out[3]["width"] is None
+    # Null payload treated as empty bytes, never an error.
+    assert out[4]["checksum"] == hashlib.sha256(b"").hexdigest()
+
+
+def test_sample_frames_deterministic_schedule(spark):
+    payload = b"some video payload"
+    df = spark.createDataFrame([(7, payload)], "doc_id long, payload binary")
+    frames = sorted(
+        (r["frame_ts_ms"], r["frame_checksum"])
+        for r in sample_frames(df, every_ms=500).collect()
+    )
+    duration = 1000 + hashlib.sha256(payload).digest()[2] * 37
+    expected_ts = list(range(0, duration, 500))
+    assert [ts for ts, _ in frames] == expected_ts
+    for ts, ck in frames:
+        assert ck == hashlib.sha256(
+            payload + str(ts).encode("ascii")
+        ).hexdigest()
+
+
+def test_sample_frames_empty_batch_schema(spark):
+    df = spark.createDataFrame([], "doc_id long, payload binary")
+    out = sample_frames(df, every_ms=1000)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id",
+        "frame_ts_ms",
+        "frame_checksum",
+    ]
+    assert out.count() == 0
+
+
+def test_extract_media_metadata_column_pruning(spark):
+    """The mapInPandas input projects only (id, payload, type) — extra
+    columns must not reach the Python worker."""
+    df = _payload_df(spark, [(1, b"x", "image/stub")]).withColumn(
+        "extra", F.lit("wide-column-not-needed")
+    )
+    out = extract_media_metadata(df)
+    assert "extra" not in out.columns
+    assert out.count() == 1
