@@ -1755,6 +1755,56 @@ def j11_match(spark, sf):
     )
 
 
+@_q(
+    "j9_enrich_samples",
+    """WITH rep AS (
+         SELECT c_custkey, c_name, c_acctbal,
+                MIN(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                    AS entity_rep
+         FROM customer
+       )
+       SELECT entity_rep, CAST(c_custkey AS VARCHAR) AS key,
+              c_name AS cust_c_name, c_acctbal AS cust_c_acctbal
+       FROM rep WHERE entity_rep % 20 = 0""",
+)
+def j9_enrich(spark, sf):
+    """J9: eval-samples enrich join through the REAL pipeline — resolved
+    sample rows join back to their source rows for display (reference
+    server/postgresql/adapter/eval.py:288-308). The sample filter is
+    content-defined (entity representative ≡ 0 mod 20) so the oracle can
+    state it without knowing internal cluster ids."""
+    from matchbox_spark.eval import enrich_samples
+    from matchbox_spark.plans.query import unified_query
+
+    dag = _flagship_dag(spark, sf)
+    proj = unified_query(
+        dag.catalog, dag.resolver_lineage("resolve"), ["cust"], level="key"
+    )
+    rep = proj.withColumn("custkey", F.col("key").cast("long")).groupBy(
+        "id"
+    ).agg(F.min("custkey").alias("entity_rep"))
+    samples = (
+        proj.join(rep, "id")
+        .where(F.col("entity_rep") % 20 == 0)
+        .select(
+            F.col("id").alias("root"),
+            F.col("leaf_id").alias("leaf"),
+            "key",
+            "source",
+            "entity_rep",
+        )
+    )
+    customer = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    enriched = enrich_samples(
+        samples, {"cust": customer}, {"cust": "c_custkey"}
+    )
+    return enriched.select(
+        "entity_rep", "key", "cust_c_name", "cust_c_acctbal"
+    )
+
+
 # ===========================================================================
 # Training-data pipeline extension oracles: quality scoring, exact embedding
 # near-dup baseline, IVF approximate search.
@@ -1997,10 +2047,14 @@ def q21_waiting(spark, sf):
 
 @_q("t4_lang_id", None)  # heuristic classifier — no exact SQL oracle
 def t4_lang_id(spark, sf):
-    """Language identification (stopword-hit argmax across en/de/fr/es/zh);
-    accuracy against the labelled ``lang`` column is pinned in
-    tests/test_text_dedup.py — here the rows-only entry records the operator
-    in the driver contract."""
+    """Language identification heuristic: Unicode-script detection for 9
+    non-Latin scripts (decisive), function-word + marker-character argmax
+    for 7 Latin languages. Accuracy ≥0.9 is pinned on the 15-language
+    fixture in tests/test_text_dedup.py (the testdata ``lang`` column is a
+    random label — unlearnable by construction). Disclosed as a heuristic:
+    production-quality lang-id should swap a trained model in behind a
+    pandas UDF. Rows-only entry records the operator in the driver
+    contract."""
     return _t(spark, sf, "documents").select(
         "doc_id", TX.lang_id_expr("text").alias("lang_pred")
     )

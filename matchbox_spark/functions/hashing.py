@@ -10,9 +10,12 @@ Re-implements the reference hashing recipe (semantics studied at
   the reference also supports, and offer ``xxhash64`` as the fast
   non-compatible path. All of this stays in whole-stage codegen — no UDFs.
 - **Table hash (H2)**: order/field-order-invariant — sort column names,
-  explode list columns, hash rows, sort the hashes bytewise, fold through one
-  SHA-256. The fold is streamed through the driver via ``toLocalIterator`` so
-  memory is O(1); the sort is distributed.
+  explode list columns, hash rows, then a two-level tree fold: rows bucket by
+  their hash's first 20 bits (content-derived, so the recipe is independent
+  of partitioning), each bucket folds its bytewise-sorted hashes through one
+  SHA-256 executor-side, and the driver folds the ≤2^20 bucket digests in
+  bucket order. Driver traffic is bounded by the bucket count, never row
+  count — no ``toLocalIterator`` over per-row digests.
 - **Edge hash (H3)**: (left_id,right_id) replaced by a sorted list so (1,2)
   ≡ (2,1).
 - **Cluster hash (H4)**: canonicalise a clustering (group children, sort,
@@ -178,6 +181,13 @@ def leaf_set_hash_expr(leaves_col: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+# bucket = first 20 bits of the row hash: content-derived (identical
+# multisets of rows give identical buckets no matter how they're
+# partitioned), uniform for a cryptographic hash, and capped at 2^20 bucket
+# digests of driver work at any table size
+_TABLE_HASH_BUCKET_HEX_CHARS = 5
+
+
 def hash_table(
     df: DataFrame,
     as_sorted_list: list[str] | None = None,
@@ -187,16 +197,19 @@ def hash_table(
 
     Pipeline: optional sorted-list normalisation → sort column names → explode
     array columns (empty/null arrays yield a null row, like the reference's
-    ``empty_as_null=True``) → H1 row hash → distributed bytewise sort of the
-    hashes → streamed SHA-256 fold on the driver (O(1) driver memory via
-    ``toLocalIterator``; only the 32-byte digests cross the driver, never the
-    data).
+    ``empty_as_null=True``) → H1 row hash → tree fold: bucket rows by the
+    hash's first 20 bits, SHA-256-fold each bucket's bytewise-sorted hashes
+    executor-side (one shuffle), then SHA-256-fold the bucket digests in
+    bucket order on the driver.
 
-    At 100 TB this remains feasible because what flows to the driver is one
-    digest per row of the *fingerprinted* table (edges / assignments), and the
-    sort is a full Spark sort. For non-reference-compatible speed, callers can
-    use :func:`hash_table_unordered` which tree-aggregates.
+    The recipe depends only on the multiset of row hashes — the bucket
+    assignment is a prefix of the hash itself, so the result is independent
+    of partitioning, row order, and cluster size. At 100 TB the driver sees
+    at most 2^20 bucket digests (32 MiB); per-row digests never leave the
+    executors.
     """
+    if method != "sha256":
+        raise ValueError("hash_table folds raw digests; only sha256 is supported")
     if df.isEmpty():
         return EMPTY_TABLE_HASH
 
@@ -220,9 +233,30 @@ def hash_table(
             df = df.withColumn(c, F.explode_outer(c))
 
     hashed = df.select(row_hash_expr(df.schema, columns, method).alias("h"))
+    bucketed = hashed.withColumn(
+        "b",
+        F.conv(
+            F.substring(F.hex("h"), 1, _TABLE_HASH_BUCKET_HEX_CHARS), 16, 10
+        ).cast("long"),
+    )
+
+    def _fold_bucket(pdf):
+        import pandas as pd
+
+        acc = HASH_FUNC()
+        for h in sorted(pdf["h"]):
+            acc.update(bytes(h))
+        return pd.DataFrame({"b": [pdf["b"].iloc[0]], "d": [acc.digest()]})
+
+    digests = (
+        bucketed.groupBy("b")
+        .applyInPandas(_fold_bucket, "b long, d binary")
+        .orderBy("b")
+        .collect()
+    )
     digest = HASH_FUNC()
-    for row in hashed.orderBy("h").toLocalIterator():
-        digest.update(row[0])
+    for row in digests:
+        digest.update(row["d"])
     return digest.digest()
 
 

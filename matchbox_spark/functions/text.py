@@ -18,13 +18,89 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Small per-language stopword lists — enough signal for a heuristic lang-id.
+# Small per-language stopword lists used by quality scoring (the t2 oracle
+# pins the 10-word en list — do not grow these; lang-id has its own profiles).
 STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
     "fr": ["le", "la", "les", "et", "est", "un", "une", "que", "pour", "dans"],
     "es": ["el", "la", "los", "y", "es", "un", "una", "que", "por", "con"],
     "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "人"],
+}
+
+# ---------------------------------------------------------------------------
+# language identification profiles
+# ---------------------------------------------------------------------------
+
+# Non-Latin scripts identify their language near-decisively: if ≥15% of the
+# non-space characters fall in a script's Unicode block, that language wins.
+# Kana is checked before Han because Japanese text mixes both.
+_SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("ja", "[぀-ヿ]"),
+    ("zh", "[一-鿿]"),
+    ("ko", "[가-힯]"),
+    ("ru", "[Ѐ-ӿ]"),
+    ("ar", "[؀-ۿ]"),
+    ("he", "[֐-׿]"),
+    ("el", "[Ͱ-Ͽ]"),
+    ("hi", "[ऀ-ॿ]"),
+    ("th", "[฀-๿]"),
+]
+
+# Latin-script languages: (function words, distinctive-character regex).
+# Function-word hit ratio carries most of the signal; the marker characters
+# break the near-tie pairs (pt↔es via ã/õ vs ñ, de via ß/umlauts).
+LANG_PROFILES: dict[str, tuple[list[str], str | None]] = {
+    "en": (
+        ["the", "a", "an", "of", "and", "to", "in", "is", "that", "it",
+         "for", "on", "with", "as", "was", "are", "this", "at", "be", "by",
+         "have", "not", "from", "or", "but", "what", "all", "were", "when",
+         "there", "which", "their", "has", "they", "you", "his", "her"],
+        None,
+    ),
+    "de": (
+        ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu",
+         "mit", "auf", "für", "den", "dem", "des", "im", "sich", "sie",
+         "er", "es", "von", "als", "auch", "an", "werden", "aus", "bei",
+         "nach", "wie", "über", "nur", "noch", "wird", "sind", "einen"],
+        "[ßäöü]",
+    ),
+    "fr": (
+        ["le", "la", "les", "et", "est", "un", "une", "que", "pour",
+         "dans", "du", "des", "il", "elle", "en", "au", "aux", "ce",
+         "cette", "qui", "ne", "pas", "sur", "se", "plus", "par", "avec",
+         "son", "sont", "mais", "nous", "vous", "être", "ont", "je"],
+        "[êâîôûœè]",
+    ),
+    "es": (
+        ["el", "la", "los", "las", "y", "es", "un", "una", "que", "por",
+         "con", "del", "en", "se", "no", "su", "para", "como", "más",
+         "pero", "sus", "le", "ya", "este", "porque", "esta", "entre",
+         "cuando", "muy", "sin", "sobre", "también", "hay", "donde"],
+        "[ñ¿¡]",
+    ),
+    "pt": (
+        ["o", "a", "os", "as", "e", "é", "um", "uma", "que", "não", "do",
+         "da", "dos", "das", "em", "no", "na", "nos", "nas", "por",
+         "para", "com", "se", "mais", "como", "mas", "foi", "ao", "ele",
+         "tem", "à", "seu", "sua", "ou", "ser", "quando", "muito", "há",
+         "já", "está", "também", "pelo", "pela", "isso", "ela"],
+        "[ãõ]",
+    ),
+    "it": (
+        ["il", "lo", "la", "i", "gli", "le", "e", "è", "un", "una",
+         "che", "di", "del", "della", "in", "per", "con", "su", "non",
+         "si", "sono", "da", "al", "alla", "come", "anche", "più", "ma",
+         "se", "questo", "questa", "tra", "nel", "ha", "degli"],
+        "[ìò]",
+    ),
+    "nl": (
+        ["de", "het", "een", "en", "is", "niet", "van", "in", "op", "te",
+         "dat", "die", "voor", "met", "zijn", "aan", "er", "maar", "om",
+         "ook", "als", "dan", "bij", "naar", "uit", "door", "over", "ze",
+         "wordt", "heeft", "worden", "deze", "wat", "nog"],
+        None,
+    ),
 }
 
 
@@ -87,43 +163,57 @@ def stopword_ratio_expr(col: Column | str, lang: str = "en") -> Column:
     )
 
 
-def lang_id_expr(col: Column | str) -> Column:
-    """Heuristic language id: argmax stopword-hit ratio across languages.
+def lang_id_expr(col: Column | str, min_script_frac: float = 0.15) -> Column:
+    """Heuristic language id — a DISCLOSED heuristic, not a trained model.
 
-    For zh (no spaces), hits count via substring containment of the
-    single-char function words instead of token equality. Ties break by
-    language code order for determinism.
+    Two stages, both pure built-in expressions (whole-stage codegen, no UDF):
+
+    1. **Script detection**: if ≥ ``min_script_frac`` of the non-space
+       characters fall in a non-Latin Unicode block, that block's language
+       wins outright (kana→ja before Han→zh, Hangul→ko, Cyrillic→ru,
+       Arabic→ar, Hebrew→he, Greek→el, Devanagari→hi, Thai→th). For these
+       scripts the block IS the discriminator — this part is reliable.
+    2. **Latin-script scoring**: argmax over ``LANG_PROFILES`` of
+       function-word hit ratio + a weighted distinctive-character bonus
+       (ã/õ→pt, ñ→es, ß/umlauts→de, …). Accuracy is pinned ≥0.9 on the
+       multilingual fixture in ``tests/test_text_dedup.py``; expect it to
+       degrade on short strings, names, and out-of-profile languages —
+       swap in a trained classifier behind a pandas UDF for production
+       lang-id at quality.
+
+    Returns "und" (undetermined) when nothing scores above zero. Ties break
+    to the alphabetically-last language code (struct-max semantics),
+    deterministically.
     """
     c = F.col(col) if isinstance(col, str) else col
     toks = tokens_expr(c)
     n = F.size(toks)
+    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+
     scores = []
-    for lang, words in STOPWORDS.items():
-        if lang == "zh":
-            hits = F.aggregate(
-                F.array(*[F.lit(w) for w in words]),
-                F.lit(0),
-                lambda acc, w: acc
-                + F.when(F.instr(c, w) > 0, F.lit(1)).otherwise(F.lit(0)),
-            )
-            score = hits.cast("double") / F.lit(10.0)
-        else:
-            score = F.when(n > 0, _stopword_hits(toks, words).cast("double") / n).otherwise(
-                F.lit(0.0)
-            )
-        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
-    best = F.array_max(
-        F.transform(
-            F.array(*scores),
-            lambda s: F.struct(
-                s["score"].alias("score"),
-                # invert lang for max so ties pick the alphabetically first
-                F.lit(None).cast("string").alias("_pad"),
-                s["lang"].alias("lang"),
-            ),
-        )
-    )
-    return best["lang"]
+    for lang, (words, marker) in LANG_PROFILES.items():
+        sw = F.when(
+            n > 0, _stopword_hits(toks, words).cast("double") / n
+        ).otherwise(F.lit(0.0))
+        if marker:
+            bonus = F.when(
+                nonspace > 0,
+                F.regexp_count(F.lower(c), F.lit(marker)).cast("double")
+                / nonspace
+                * 3.0,
+            ).otherwise(F.lit(0.0))
+            sw = sw + bonus
+        scores.append(F.struct(sw.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    latin = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    out = latin
+    for lang, rng in reversed(_SCRIPT_RANGES):
+        frac = F.regexp_count(c, F.lit(rng)).cast("double") / nonspace
+        out = F.when(
+            (nonspace > 0) & (frac >= F.lit(min_script_frac)), F.lit(lang)
+        ).otherwise(out)
+    return out
 
 
 def punct_ratio_expr(col: Column | str) -> Column:

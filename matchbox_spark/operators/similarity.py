@@ -73,12 +73,11 @@ def exact_cosine_pairs(
     """
     from matchbox_spark.functions.vectors import dot_expr
 
-    a = df.select(
-        F.col(id_col).cast("long").alias("id_a"), F.col(vec_col).alias("_va")
-    )
-    b = df.select(
-        F.col(id_col).cast("long").alias("id_b"), F.col(vec_col).alias("_vb")
-    )
+    # ids compare as-is — `<` totally orders strings and numbers alike, so
+    # UUID-style ids work; a numeric cast would null them out and silently
+    # drop every pair
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     sim = (
         dot_expr("_va", "_vb")
         if assume_normalized

@@ -4,10 +4,12 @@ built-in operators.
 Spark has no native AS OF join (Delta/other engines bolt it on); the
 classic scalable construction is the tagged merge: union both sides with a
 side tag, sort within each join-key partition by (ts, tag), and carry the
-most recent right-side payload forward with ``last(ignorenulls=True)`` over
-an unbounded-preceding window. One shuffle on the join key; no range
-explosion, no per-row subqueries — the same plan shape DuckDB/kdb use for
-their native ASOF operators, expressed relationally.
+most recent right-side ROW forward as one struct with
+``last(ignorenulls=True)`` over an unbounded-preceding window — the struct
+is null only for left-tagged rows, so a matched right row carries
+atomically even when its payload columns contain nulls (DuckDB/kdb ASOF
+semantics: the matched row's null IS the answer). One shuffle on the join
+key; no range explosion, no per-row subqueries.
 """
 
 from __future__ import annotations
@@ -43,27 +45,35 @@ def asof_join(
     right rows before left rows, so an equal-ts right row is visible to the
     left row unless ``strict``.
     """
+    from pyspark.sql import types as T
+
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, right_ts)]
 
+    # the carried unit is ONE struct of (right ts, payload...): null only for
+    # left-tagged rows, so last(ignorenulls) skips left rows but carries a
+    # matched right row whole — its payload nulls stay the matched values,
+    # and the tolerance gate reads the ts of the very row the values came from
+    rrow_type = T.StructType(
+        [T.StructField("_rts", right.schema[right_ts].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l_tag = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}")
-          for c in value_cols],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("_rts"),
+        F.lit(None).cast(rrow_type).alias("_rrow"),
     )
     r_tag = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(
-            l_tag.schema["_lrow"].dataType
-        ).alias("_lrow"),
-        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
-        F.col(right_ts).alias("_rts"),
+        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
+        F.struct(
+            F.col(right_ts).alias("_rts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("_rrow"),
     )
     # strict: right rows at an equal timestamp sort AFTER left rows and are
     # therefore not yet visible; non-strict: right rows sort first.
@@ -74,24 +84,21 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tag.unionByName(r_tag).select(
-        "_k",
-        "_ts",
         "_side",
+        "_ts",
         "_lrow",
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in value_cols
-        ],
-        F.last("_rts", ignorenulls=True).over(w).alias("_c_ts"),
+        F.last("_rrow", ignorenulls=True).over(w).alias("_c"),
     )
     out = carried.where(F.col("_side") == 1)
-    keep = F.lit(True)
+    keep = F.col("_c").isNotNull()
     if tolerance is not None:
-        keep = F.col("_c_ts") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        keep = keep & (
+            F.col("_c._rts") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        )
     return out.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
         *[
-            F.when(keep, F.col(f"_c_{c}")).otherwise(F.lit(None)).alias(f"r_{c}")
+            F.when(keep, F.col(f"_c.{c}")).otherwise(F.lit(None)).alias(f"r_{c}")
             for c in value_cols
         ],
     )
@@ -121,6 +128,10 @@ def range_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c != right_ts and c != on]
     tol_us = int(tolerance_s * 1_000_000)
+    if tol_us <= 0:
+        raise ValueError(
+            f"tolerance_s must be at least 1 microsecond, got {tolerance_s!r}"
+        )
     lb = left.withColumn(
         "_bkt", F.floor(F.unix_micros(F.col(left_ts)) / tol_us).cast("long")
     )

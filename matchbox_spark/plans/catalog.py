@@ -17,10 +17,16 @@ hash is a ``left_anti`` join (U6); leaf expansion is an outer join + coalesce
 
 Scale notes: id assignment range-sorts new hashes and zips dense indices
 JVM-side (per-partition row numbers + driver offsets) — a distributed total
-order, no global window, no Python round-trip. State tables persist as
-parquet partitioned by source/step (partition pruning serves the query
-layer's filters); every mutation goes through ``_commit`` which
-localCheckpoints so downstream plans don't re-run the insert lineage.
+order, no global window, no Python round-trip. State tables are
+**append-oriented**: each table is a union of immutable delta frames, each
+delta materialised once at O(delta) cost (never an O(total-state) rewrite
+per mutation — the write-ahead-log shape that survives 100 TB of state).
+Deltas compact into one checkpoint past a width threshold so plan width
+stays bounded; rewrite paths (drop/replace a step) are the rare exception
+and pay one lazy full-table filter. Temporary caches used inside an insert
+are explicitly unpersisted once the delta is materialised. State persists
+as parquet partitioned by source/step (partition pruning serves the query
+layer's filters).
 """
 
 from __future__ import annotations
@@ -49,23 +55,74 @@ class FingerprintMismatchError(RuntimeError):
     """Raised when a step's data no longer matches its stored fingerprint."""
 
 
+_SCHEMAS = {
+    "clusters": _CLUSTERS,
+    "cluster_keys": _KEYS,
+    "contains": _CONTAINS,
+    "model_edges": _EDGES,
+    "resolver_clusters": _RESOLVER,
+}
+
+# Past this many outstanding deltas a table compacts into one checkpoint —
+# bounds union width (planning cost) without rewriting state per mutation.
+_COMPACT_WIDTH = 12
+
+
 class Catalog:
     """In-session cluster store with optional parquet persistence."""
 
     def __init__(self, spark: SparkSession, path: str | None = None):
         self.spark = spark
         self.path = path
-        self.clusters = spark.createDataFrame([], _CLUSTERS)
-        self.cluster_keys = spark.createDataFrame([], _KEYS)
-        self.contains = spark.createDataFrame([], _CONTAINS)
-        self.model_edges = spark.createDataFrame([], _EDGES)
-        self.resolver_clusters = spark.createDataFrame([], _RESOLVER)
+        # each table = union of delta frames (append-oriented state)
+        self._parts: dict[str, list[DataFrame]] = {n: [] for n in _SCHEMAS}
         self.steps: dict[str, dict] = {}
         self._max_id = 0
         self._last_assigned_n = 0
         self._contains_empty = True
+        self._clusters_empty = True
+        # step values known to have rows, per step-keyed table — lets inserts
+        # take the pure-append path instead of a filter-rewrite. A catalog
+        # loaded from disk can't know, so it pessimistically rewrites.
+        self._step_rows: dict[str, set] = {
+            "cluster_keys": set(),
+            "model_edges": set(),
+            "resolver_clusters": set(),
+        }
+        self._loaded_from_disk = False
         if path and os.path.exists(os.path.join(path, "steps.json")):
             self._load()
+
+    # -- table views ---------------------------------------------------------
+
+    def _table(self, name: str) -> DataFrame:
+        parts = self._parts[name]
+        if not parts:
+            return self.spark.createDataFrame([], _SCHEMAS[name])
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    @property
+    def clusters(self) -> DataFrame:
+        return self._table("clusters")
+
+    @property
+    def cluster_keys(self) -> DataFrame:
+        return self._table("cluster_keys")
+
+    @property
+    def contains(self) -> DataFrame:
+        return self._table("contains")
+
+    @property
+    def model_edges(self) -> DataFrame:
+        return self._table("model_edges")
+
+    @property
+    def resolver_clusters(self) -> DataFrame:
+        return self._table("resolver_clusters")
 
     # -- persistence --------------------------------------------------------
 
@@ -103,27 +160,59 @@ class Catalog:
             json.dump(self.steps, f, indent=2, sort_keys=True)
 
     def _load(self) -> None:
-        schemas = {
-            "clusters": _CLUSTERS,
-            "cluster_keys": _KEYS,
-            "contains": _CONTAINS,
-            "model_edges": _EDGES,
-            "resolver_clusters": _RESOLVER,
-        }
         for name in self._table_names():
             p = os.path.join(self.path, name)
             if os.path.exists(p):
-                setattr(self, name, self.spark.read.schema(schemas[name]).parquet(p))
+                self._parts[name] = [
+                    self.spark.read.schema(_SCHEMAS[name]).parquet(p)
+                ]
         with open(os.path.join(self.path, "steps.json")) as f:
             self.steps = json.load(f)
-        row = self.clusters.agg(F.max("cluster_id").alias("m")).collect()[0]
+        row = self.clusters.agg(
+            F.max("cluster_id").alias("m"), F.count("*").alias("n")
+        ).collect()[0]
         self._max_id = int(row["m"] or 0)
+        self._clusters_empty = int(row["n"]) == 0
         self._contains_empty = self.contains.limit(1).isEmpty()
+        self._loaded_from_disk = True
 
     # -- helpers -------------------------------------------------------------
 
+    def _ckpt(self, df: DataFrame, eager: bool) -> DataFrame:
+        try:
+            return df.localCheckpoint(eager=eager)
+        except Exception:  # noqa: BLE001 — rare AQE checkpoint-planning bug
+            return df
+
+    def _append(self, name: str, delta: DataFrame, materialised: bool = False) -> None:
+        """Append one immutable delta; O(delta), never O(total state).
+
+        ``materialised=True`` marks a delta the caller already checkpointed;
+        otherwise it is lazily checkpointed — the truncation folds into the
+        first downstream action instead of forcing a serial job per mutation.
+        """
+        if not materialised:
+            delta = self._ckpt(delta, eager=False)
+        self._parts[name].append(delta)
+        if len(self._parts[name]) > _COMPACT_WIDTH:
+            self._parts[name] = [self._ckpt(self._table(name), eager=False)]
+
     def _commit(self, name: str, df: DataFrame) -> None:
-        setattr(self, name, df.localCheckpoint(eager=True))
+        """Rewrite path: replace a table wholesale (drop/replace a step).
+
+        Lazy checkpoint — the O(total) cost lands on the next action, once.
+        Append paths should use ``_append``; this exists for the rare
+        filter-out-a-step mutations and external callers (streaming merge).
+        """
+        self._parts[name] = [self._ckpt(df, eager=False)]
+
+    def _step_has_rows(self, table: str, col: str, step: str) -> bool:
+        """Whether ``table`` may already hold rows for ``step`` (decides
+        append vs filter-rewrite). Disk-loaded state answers True — the row
+        inventory isn't tracked across sessions, so rewriting is the safe
+        default there."""
+        del col
+        return self._loaded_from_disk or step in self._step_rows[table]
 
     def _assign_ids(self, new_hashes: DataFrame) -> DataFrame:
         """Dense deterministic ids for new hashes (ordered by hash bytes).
@@ -138,12 +227,16 @@ class Catalog:
         from pyspark.sql import Window
 
         base = self._max_id
+        # cached, not checkpointed: the counts collect below materialises it,
+        # and the caller unpersists it as soon as the assigned delta is
+        # checkpointed (bounded executor storage — no leaked blocks)
         ordered = (
             new_hashes.select("cluster_hash")
             .repartitionByRange("cluster_hash")
             .withColumn("_pid", F.spark_partition_id())
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        self._assign_temp = ordered
         counts = {
             r["_pid"]: r["n"]
             for r in ordered.groupBy("_pid").agg(F.count("*").alias("n")).collect()
@@ -194,6 +287,8 @@ class Catalog:
         self._commit(
             "resolver_clusters", self.resolver_clusters.where(F.col("step") != step)
         )
+        self._step_rows["model_edges"].discard(step)
+        self._step_rows["resolver_clusters"].discard(step)
 
     # -- inserts -------------------------------------------------------------
 
@@ -222,10 +317,15 @@ class Catalog:
         # index is groupBy-output (unique by hash) — no distinct needed;
         # first insert into an empty catalog skips the anti-join entirely
         new = index.select("cluster_hash")
-        if self._max_id > 0:
+        if not self._clusters_empty:
             new = new.join(self.clusters, "cluster_hash", "left_anti")
-        assigned = self._assign_ids(new).select("cluster_id", "cluster_hash")
-        self._commit("clusters", self.clusters.unionByName(assigned))
+        assigned = self._ckpt(
+            self._assign_ids(new).select("cluster_id", "cluster_hash"),
+            eager=True,  # O(delta); lets the assignment temp free immediately
+        )
+        self._assign_temp.unpersist()
+        self._append("clusters", assigned, materialised=True)
+        self._clusters_empty = False
         self._bump_max_id(assigned)
 
         keys = (
@@ -237,10 +337,16 @@ class Catalog:
             )
             .dropDuplicates()
         )
-        self._commit(
-            "cluster_keys",
-            self.cluster_keys.where(F.col("source") != step).unionByName(keys),
-        )
+        if self._step_has_rows("cluster_keys", "source", step):
+            # rare rewrite path: the step already holds rows (re-sync after
+            # drop_step) — filter them out once, lazily
+            self._commit(
+                "cluster_keys",
+                self.cluster_keys.where(F.col("source") != step).unionByName(keys),
+            )
+        else:
+            self._append("cluster_keys", keys)
+        self._step_rows["cluster_keys"].add(step)
         self.steps[step] = {
             "type": "source",
             "fingerprint": hash_to_base64(fingerprint),
@@ -261,10 +367,14 @@ class Catalog:
         tagged = edges.select(
             F.lit(step).alias("step"), "left_id", "right_id", "score"
         )
-        self._commit(
-            "model_edges",
-            self.model_edges.where(F.col("step") != step).unionByName(tagged),
-        )
+        if self._step_has_rows("model_edges", "step", step):
+            self._commit(
+                "model_edges",
+                self.model_edges.where(F.col("step") != step).unionByName(tagged),
+            )
+        else:
+            self._append("model_edges", tagged)
+        self._step_rows["model_edges"].add(step)
         self.steps[step] = {
             "type": "model",
             "fingerprint": hash_to_base64(fingerprint),
@@ -280,7 +390,9 @@ class Catalog:
         hashes; new clusters insert-if-absent; ``contains`` and
         ``resolver_clusters`` rows land last (insert.py:333-511).
         """
-        assignments = assignments.localCheckpoint(eager=True)
+        # caches (not checkpoints): reused by several derivations below, then
+        # explicitly unpersisted once the deltas are materialised
+        assignments = assignments.persist()
         if fingerprint is None:
             # membership-hash canonicalisation (H4) without the global sort:
             # per-parent sorted member list hashed, then order-invariant fold
@@ -291,11 +403,11 @@ class Catalog:
             )
             fingerprint = hash_table_unordered(canon)
         if self._fingerprint_gate(step, fingerprint):
+            assignments.unpersist()
             return
 
         # G4: expand children that are themselves roots to their leaves.
-        # Materialised once — member hashing, contains rows, and the root
-        # join below all reuse it instead of re-running the expansion join.
+        # Cached once — member hashing and the contains rows both reuse it.
         contains = self.contains
         expanded = (
             assignments.alias("a")
@@ -305,7 +417,7 @@ class Catalog:
                 F.coalesce(F.col("c.leaf"), F.col("a.child_id")).alias("leaf"),
             )
             .dropDuplicates()
-            .localCheckpoint(eager=True)
+            .persist()
         )
 
         # member-cluster hashes → H5 parent hash
@@ -325,42 +437,65 @@ class Catalog:
                 "parent_id",
                 leaf_set_hash_expr(F.col("leaf_hashes")).alias("cluster_hash"),
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
 
         new = (
             member_hashes.select("cluster_hash")
             .distinct()
         )
-        if self._max_id > 0:
+        first_hierarchy_insert = self._contains_empty
+        if not self._clusters_empty:
             new = new.join(self.clusters, "cluster_hash", "left_anti")
-        assigned = self._assign_ids(new).select("cluster_id", "cluster_hash")
-        self._commit("clusters", self.clusters.unionByName(assigned))
+        assigned = self._ckpt(
+            self._assign_ids(new).select("cluster_id", "cluster_hash"),
+            eager=True,
+        )
+        self._assign_temp.unpersist()
+        self._append("clusters", assigned, materialised=True)
+        self._clusters_empty = False
         self._bump_max_id(assigned)
 
         roots = member_hashes.join(self.clusters, "cluster_hash").select(
             "parent_id", F.col("cluster_id").alias("root_id")
         )
-        new_contains = (
+        # all hierarchy rows of this batch — the ONE materialisation of the
+        # insert (O(batch)); contains/resolver deltas project off it
+        batch_contains = self._ckpt(
             expanded.join(roots, "parent_id")
             .select(F.col("root_id").alias("root"), F.col("leaf"))
             .where(F.col("root") != F.col("leaf"))
-            .dropDuplicates()
+            .dropDuplicates(),
+            eager=True,
         )
-        # new_contains is already deduplicated; re-deduplicating the WHOLE
-        # table is only needed when prior hierarchy rows could collide
-        merged = self.contains.unionByName(new_contains)
-        if not self._contains_empty:
-            merged = merged.dropDuplicates()
-        self._commit("contains", merged)
+        assignments.unpersist()
+        expanded.unpersist()
+        member_hashes.unpersist()
+
+        # Append-only contains: rows whose root pre-existed are guaranteed
+        # already present and identical — cluster ids are content-addressed
+        # (same root hash ⇒ same H5 leaf-hash set ⇒ same leaf rows) — so only
+        # newly-assigned roots contribute; no O(total) table re-dedup.
+        new_contains = batch_contains
+        if not first_hierarchy_insert:
+            new_contains = batch_contains.join(
+                assigned.select(F.col("cluster_id").alias("root")),
+                "root",
+                "left_semi",
+            )
+        self._append("contains", new_contains)
         self._contains_empty = False
-        rc = new_contains.select(
+        rc = batch_contains.select(
             F.lit(step).alias("step"), F.col("root").alias("cluster_id")
         ).dropDuplicates()
-        self._commit(
-            "resolver_clusters",
-            self.resolver_clusters.where(F.col("step") != step).unionByName(rc),
-        )
+        if self._step_has_rows("resolver_clusters", "step", step):
+            self._commit(
+                "resolver_clusters",
+                self.resolver_clusters.where(F.col("step") != step).unionByName(rc),
+            )
+        else:
+            self._append("resolver_clusters", rc)
+        self._step_rows["resolver_clusters"].add(step)
         self.steps[step] = {
             "type": "resolver",
             "fingerprint": hash_to_base64(fingerprint),

@@ -192,6 +192,30 @@ class DAG:
     def _query_for_model(self, config: QueryConfig, id_field: str = "id"):
         return query_data(self.spark, self.catalog, config)
 
+    def _derived_fingerprint(self, name: str, config_repr: str) -> bytes:
+        """H6 fingerprint from upstream fingerprints + step config — zero
+        data passes.
+
+        Sound because steps are deterministic functions of their inputs:
+        identical upstream content (the deps' fingerprints, themselves rooted
+        in content-hashed sources) + identical config ⇒ identical output.
+        Source steps still content-hash their index; a custom
+        nondeterministic step can call the catalog insert with
+        ``fingerprint=None`` to fall back to output-content hashing.
+        """
+        import hashlib
+        import json
+
+        dep_fps = {
+            d: self.catalog.steps.get(d, {}).get("fingerprint")
+            for d in self.steps[name].deps
+        }
+        payload = json.dumps(
+            {"step": name, "config": config_repr, "deps": dep_fps},
+            sort_keys=True,
+        )
+        return hashlib.sha256(payload.encode("utf-8")).digest()
+
     def run(self) -> Catalog:
         """§3.1: execute all steps in topological order, syncing each."""
         for name in self.sequence():
@@ -202,18 +226,37 @@ class DAG:
                 self.catalog.insert_source_index(name, index)
             elif isinstance(step, ModelStep):
                 logger.info("model step %s", name)
+                fp = self._derived_fingerprint(
+                    name,
+                    f"{type(step.model).__name__}:{step.model.settings!r}"
+                    f"|L:{step.left_query!r}|R:{step.right_query!r}",
+                )
+                if self.catalog.steps.get(name, {}).get("fingerprint") is not None:
+                    # gate BEFORE building the model plan: a previously synced
+                    # identical step costs nothing (raises on config drift)
+                    if self.catalog._fingerprint_gate(name, fp):
+                        continue
                 left = self._query_for_model(step.left_query)
                 if step.right_query is None:
                     edges = step.model.dedupe(left)
                 else:
                     right = self._query_for_model(step.right_query)
                     edges = step.model.link(left, right)
-                # materialise once: validation, fingerprint, and insert all
-                # reuse the same result instead of re-running the model plan
+                # materialise once: validation and insert reuse the same
+                # result instead of re-running the model plan
                 edges = edges.localCheckpoint(eager=True)
-                self.catalog.insert_model_edges(name, normalise_scores(edges))
+                self.catalog.insert_model_edges(
+                    name, normalise_scores(edges), fingerprint=fp
+                )
             elif isinstance(step, ResolverStep):
                 logger.info("resolver step %s", name)
+                fp = self._derived_fingerprint(
+                    name,
+                    f"{type(step.method).__name__}:{step.method.settings!r}",
+                )
+                if self.catalog.steps.get(name, {}).get("fingerprint") is not None:
+                    if self.catalog._fingerprint_gate(name, fp):
+                        continue
                 model_edges = {
                     m: self.catalog.model_edges.where(f"step = '{m}'").select(
                         "left_id", "right_id", "score"
@@ -221,7 +264,9 @@ class DAG:
                     for m in step.model_inputs
                 }
                 assignments = step.method.compute_clusters(model_edges)
-                self.catalog.insert_resolver_clusters(name, assignments)
+                self.catalog.insert_resolver_clusters(
+                    name, assignments, fingerprint=fp
+                )
             else:  # pragma: no cover
                 raise TypeError(f"unknown step type {type(step)}")
         return self.catalog
@@ -255,6 +300,14 @@ class DAG:
         return match_key(
             self.catalog, key, source, targets, self.resolver_lineage(resolver)
         )
+
+    def matcher(self, resolver: str, sources: list[str]) -> "Matcher":
+        """§3.3 interactive serving: materialise the resolved projection ONCE;
+        every subsequent lookup is two filters on cached state — latency is
+        independent of pipeline size and cannot re-trigger inserts/CC."""
+        proj = self.materialize_lookup(resolver, sources).persist()
+        proj.count()  # force materialisation now, not on first lookup
+        return Matcher(proj)
 
     def materialize_lookup(
         self, resolver: str, sources: list[str], path: str | None = None
@@ -300,3 +353,19 @@ class DAG:
                 extra = f" [{type(step.method).__name__}]"
             lines.append(f"{kind[type(step)]:9s} {name}{extra}{deps}")
         return "\n".join(lines)
+
+
+class Matcher:
+    """Point-lookup server over a materialised id↔key projection."""
+
+    def __init__(self, projection):
+        self.projection = projection
+
+    def lookup(self, key: str, source: str, targets: list[str]):
+        # catalog=None: lookups provably cannot rebuild pipeline state
+        return match_key(
+            None, key, source, targets, [], projection=self.projection
+        )
+
+    def close(self) -> None:
+        self.projection.unpersist()

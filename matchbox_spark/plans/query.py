@@ -186,16 +186,26 @@ class Match:
 
 
 def match_key(
-    catalog: Catalog,
+    catalog: Catalog | None,
     key: str,
     source: str,
     targets: list[str],
     resolvers: list[str],
+    projection: DataFrame | None = None,
 ) -> list[Match]:
-    """J11/§3.3: which keys in each target share the given key's entity?"""
-    projection = unified_query(
-        catalog, resolvers, [source] + list(targets), level="key"
-    )
+    """J11/§3.3: which keys in each target share the given key's entity?
+
+    Pass ``projection`` (a materialised ``unified_query`` result — see
+    ``DAG.matcher`` / ``DAG.materialize_lookup``) to serve the lookup as two
+    filters on precomputed state; ``catalog`` may then be None, which is the
+    proof that no pipeline recompute can be triggered. Without it the
+    projection plan is built from the catalog per call (fine for one-off
+    lookups; wrong shape for interactive serving).
+    """
+    if projection is None:
+        projection = unified_query(
+            catalog, resolvers, [source] + list(targets), level="key"
+        )
     target_cluster = (
         projection.where((F.col("source") == source) & (F.col("key") == key))
         .select("id")

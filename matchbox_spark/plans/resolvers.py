@@ -273,7 +273,9 @@ class Components(ResolverMethod):
             unioned = e if unioned is None else unioned.union(e)
         if unioned is None:
             raise ValueError("no model edges given")
-        unioned = unioned.localCheckpoint(eager=True)
+        # cache, don't checkpoint: the count below materialises it in the
+        # same pass (an eager checkpoint would cost one extra full job)
+        unioned = unioned.persist()
 
         spark = unioned.sparkSession
         method = s.method
@@ -284,29 +286,48 @@ class Components(ResolverMethod):
 
         if method == "driver":
             # Arrow-batched collect (one transfer) + tight loop over numpy
-            # columns — orders of magnitude faster than row iteration
-            pdf = unioned.distinct().toPandas()
+            # columns — orders of magnitude faster than row iteration. No
+            # pre-distinct: union-find absorbs duplicate edges for free,
+            # and skipping it saves a full shuffle.
+            pdf = unioned.toPandas()
+            unioned.unpersist()
             mapping = connected_components_driver(
                 zip(pdf["src"].tolist(), pdf["dst"].tolist())
             )
             if not mapping:
                 return spark.createDataFrame([], SCHEMA_CLUSTERS)
-            labels = spark.createDataFrame(
-                list(mapping.items()), "id long, component long"
+            # the data is driver-resident by definition of this path — the
+            # dense parent-id ranking happens here too (sorted components →
+            # 1..k), one Arrow upload of the final assignments, zero
+            # shuffles/windows on the cluster
+            import pandas as pd
+
+            lab = pd.DataFrame(
+                mapping.items(), columns=["child_id", "component"]
             )
-        else:
-            labels = connected_components(unioned)
+            rank = {
+                c: i + 1 for i, c in enumerate(sorted(lab["component"].unique()))
+            }
+            lab["parent_id"] = lab["component"].map(rank)
+            assignments = spark.createDataFrame(
+                lab[["parent_id", "child_id"]].astype("int64")
+            )
+            return conform(assignments, SCHEMA_CLUSTERS)
+
+        labels = connected_components(unioned)
 
         # dense deterministic parent ids 1..k ordered by component minimum —
         # distributed zip-with-index (range partition + per-partition row
         # numbers + driver offsets), NOT a global single-partition window:
         # component count scales with the data
+        # cached, materialised by the counts collect below; tiny (one row per
+        # component) so it stays cached until GC reclaims it
         distinct_comps = (
             labels.select("component")
             .distinct()
             .repartitionByRange("component")
             .withColumn("_pid", F.spark_partition_id())
-            .localCheckpoint(eager=True)
+            .persist()
         )
         counts = {
             r["_pid"]: r["n"]

@@ -121,6 +121,53 @@ def _read_table(spark: SparkSession, location: str, options: dict) -> DataFrame:
     return spark.read.table(location)
 
 
+def _infer_scalar_type(value):
+    """Type of a probed non-null value (S4): Python natives map directly;
+    strings are parsed as int → float → bool → ISO timestamp/date, falling
+    back to string — the same ladder a schema-less CSV cell goes through."""
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    if isinstance(value, bool):
+        return T.BooleanType()
+    if isinstance(value, int):
+        return T.LongType()
+    if isinstance(value, float):
+        return T.DoubleType()
+    if isinstance(value, (bytes, bytearray)):
+        return T.BinaryType()
+    if isinstance(value, _dt.datetime):
+        return T.TimestampType()
+    if isinstance(value, _dt.date):
+        return T.DateType()
+    if isinstance(value, str):
+        s = value.strip()
+        try:
+            int(s)
+            return T.LongType()
+        except ValueError:
+            pass
+        try:
+            float(s)
+            return T.DoubleType()
+        except ValueError:
+            pass
+        if s.lower() in ("true", "false"):
+            return T.BooleanType()
+        for fmt, t in (
+            ("%Y-%m-%dT%H:%M:%S", T.TimestampType()),
+            ("%Y-%m-%d %H:%M:%S", T.TimestampType()),
+            ("%Y-%m-%d", T.DateType()),
+        ):
+            try:
+                _dt.datetime.strptime(s[:19], fmt)
+                return t
+            except ValueError:
+                continue
+    return T.StringType()
+
+
 @dataclass
 class SourceConfig:
     """A source step: location + optional ET SQL + key field + index fields.
@@ -164,9 +211,38 @@ class SourceConfig:
             df = df.filter(F.col(self.key_field).isin(keys))
         return df
 
-    def probe_schema(self, spark: SparkSession):
-        """S4: dtype probe via a limit-1 read."""
-        return self.read(spark).limit(1).schema
+    def probe_schema(self, spark: SparkSession, deep: bool = False):
+        """S4: dtype probe (reference locations.py:296-320 semantics).
+
+        Typed formats carry their schema — returned as-is. With ``deep=True``
+        each untyped column (NullType, or StringType on inference-less
+        formats) is probed with its own ``WHERE col IS NOT NULL LIMIT 1``
+        scan — the reference's per-column probe — so a null-leading column
+        still gets the type of its first real value instead of null/string.
+        Each probe is a pushed-down scan that stops at the first qualifying
+        row; only untyped columns pay it.
+        """
+        from pyspark.sql import types as T
+
+        df = self.read(spark)
+        if not deep:
+            return df.schema
+        fields = []
+        for f0 in df.schema.fields:
+            dtype = f0.dataType
+            if isinstance(dtype, (T.NullType, T.StringType)):
+                row = (
+                    df.where(F.col(f0.name).isNotNull())
+                    .select(f0.name)
+                    .limit(1)
+                    .collect()
+                )
+                if row and row[0][0] is not None:
+                    dtype = _infer_scalar_type(row[0][0])
+            if isinstance(dtype, T.NullType):
+                dtype = T.StringType()  # all-null column: degrade to string
+            fields.append(T.StructField(f0.name, dtype, True))
+        return T.StructType(fields)
 
     def sample(self, spark: SparkSession, n: int = 10) -> DataFrame:
         """O3: first n rows."""

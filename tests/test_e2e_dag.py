@@ -195,3 +195,26 @@ def test_drop_step_allows_reinsert(spark, crn_parquet):
     )
     cat.insert_model_edges("dedupe_crn", edges)
     assert cat.model_edges.where("step = 'dedupe_crn'").count() == 1
+
+def test_matcher_serves_lookups_without_catalog(spark, crn_parquet):
+    """§3.3 interactive path: the Matcher materialises the projection once;
+    lookups run with catalog=None — structurally incapable of re-triggering
+    pipeline recompute — and agree with the per-call path."""
+    dag = _build_dag(spark, crn_parquet)
+    dag.run()
+
+    m = dag.matcher("resolve_crn", ["crn"])
+    try:
+        got = m.lookup("k3_0", "crn", ["crn"])
+        assert got[0].target_keys == {"k3_0", "k3_1", "k3_2", "k3_3"}
+        # agrees with the catalog-backed path
+        ref = dag.lookup_key(
+            key="k3_0", source="crn", targets=["crn"], resolver="resolve_crn"
+        )
+        assert got[0].cluster == ref[0].cluster
+        assert got[0].target_keys == ref[0].target_keys
+        # missing key behaves identically
+        miss = m.lookup("nope", "crn", ["crn"])
+        assert miss[0].cluster is None and miss[0].target_keys == set()
+    finally:
+        m.close()

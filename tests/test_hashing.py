@@ -1,9 +1,10 @@
 """Hash determinism + reference-recipe compatibility tests (SURVEY §2.8).
 
-The pure-Python expected values below re-derive the reference recipe
-(/root/reference/src/matchbox/common/hash.py:83-217 semantics) independently:
-sha256 over "{col}␟{value}␞" concatenation, table hash = sha256 of bytewise
-sorted row digests.
+The pure-Python expected values below re-derive the recipe independently
+(row recipe follows /root/reference/src/matchbox/common/hash.py:83-217
+semantics): sha256 over "{col}␟{value}␞" concatenation; table hash = tree
+fold — rows bucket by the first 20 bits of their digest, each bucket folds
+its sorted digests through sha256, buckets fold in order.
 """
 
 from __future__ import annotations
@@ -22,7 +23,13 @@ def _py_row_hash(cols_vals: list[tuple[str, str]]) -> bytes:
 
 
 def _py_table_hash(rows: list[bytes]) -> bytes:
-    return hashlib.sha256(b"".join(sorted(rows))).digest()
+    buckets: dict[int, list[bytes]] = {}
+    for h in rows:
+        buckets.setdefault(int(h.hex()[:5], 16), []).append(h)
+    acc = hashlib.sha256()
+    for b in sorted(buckets):
+        acc.update(hashlib.sha256(b"".join(sorted(buckets[b]))).digest())
+    return acc.digest()
 
 
 def test_row_hash_matches_reference_recipe(spark):
@@ -126,3 +133,22 @@ def test_unordered_fingerprint_invariant(spark):
     assert H.hash_table_unordered(df.repartition(7)) == H.hash_table_unordered(
         df.repartition(2)
     )
+
+def test_table_hash_tree_fold_matches_python_many_buckets(spark):
+    """1000 rows land in ~1000 distinct 20-bit buckets — pins the executor
+    tree fold (bucket → sorted sha256 fold → ordered driver fold) against
+    the pure-Python re-derivation at multi-bucket scale."""
+    df = spark.range(0, 1000).withColumn(
+        "v", F.concat(F.lit("row-"), F.col("id"))
+    )
+    rows = [
+        _py_row_hash([("id", str(i)), ("v", f"row-{i}")]) for i in range(1000)
+    ]
+    assert H.hash_table(df.repartition(13)) == _py_table_hash(rows)
+
+
+def test_table_hash_rejects_non_sha256():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sha256"):
+        H.hash_table(None, method="xxhash64")

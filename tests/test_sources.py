@@ -112,3 +112,29 @@ def test_index_missing_column(spark, customer_path):
     )
     with pytest.raises(ValueError, match="missing columns"):
         src.index(spark)
+
+
+def test_probe_schema_deep_null_leading_csv(spark, tmp_path):
+    """S4: a CSV column whose first rows are null still gets its real type —
+    the per-column non-null probe (reference locations.py:296-320), not a
+    first-row limit(1) guess."""
+    from pyspark.sql import types as T
+
+    p = str(tmp_path / "probe.csv")
+    with open(p, "w") as f:
+        # amount: null-leading; flag: null-leading boolean; note: all-null
+        f.write("k,amount,flag,note\n")
+        f.write("a,,,\n")
+        f.write("b,,,\n")
+        f.write("c,12.5,true,\n")
+    src = SourceConfig(
+        name="probe", location=p, key_field="k", index_fields=["amount"],
+        format="csv", options={"inferSchema": "false"},
+    )
+    schema = {f.name: f.dataType for f in src.probe_schema(spark, deep=True)}
+    assert schema["amount"] == T.DoubleType()
+    assert schema["flag"] == T.BooleanType()
+    assert schema["note"] == T.StringType()  # all-null degrades to string
+    # shallow probe keeps the reader's schema untouched
+    shallow = {f.name: f.dataType for f in src.probe_schema(spark)}
+    assert shallow["amount"] == T.StringType()

@@ -207,3 +207,56 @@ def test_range_join_matches_theta_join(spark):
         .collect()
     }
     assert banded == theta and len(banded) > 50
+
+def test_asof_matched_row_null_payload_carries_atomically(spark):
+    """DuckDB/kdb ASOF semantics: the matched (latest) right row's NULL is
+    the answer — an older non-null value must NOT leak forward, and multiple
+    value columns must all come from the same matched row."""
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 12, 0), "l1")], "k long, ts timestamp, name string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 10, 0), 10.0, "old"),
+            (1, dt(2024, 1, 1, 11, 0), None, "new"),
+        ],
+        "k long, ts timestamp, value double, tag string",
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row["r_value"] is None  # matched row's null, not 10.0
+    assert row["r_tag"] == "new"  # both columns from the SAME matched row
+
+
+def test_asof_tolerance_uses_matched_row_ts(spark):
+    """The tolerance gate compares against the ts of the row the values came
+    from — with null payloads in range, values and gate stay consistent."""
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 12, 0), "l1")], "k long, ts timestamp, name string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 10, 0), 77.0),  # outside 30 min
+            (1, dt(2024, 1, 1, 11, 45), None),  # matched, inside window
+        ],
+        "k long, ts timestamp, value double",
+    )
+    row = asof_join(left, right, on="k", tolerance="30 minutes").collect()[0]
+    # matched row (11:45) is within tolerance; its value is null — NOT 77.0,
+    # and NOT nulled-out-because-10:00-is-old either
+    assert row["r_value"] is None
+
+
+def test_range_join_rejects_zero_tolerance(spark):
+    import pytest as _pytest
+
+    from matchbox_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame([], "ts timestamp, k long")
+    with _pytest.raises(ValueError, match="tolerance_s"):
+        range_join(left, left, tolerance_s=0.0)
+    with _pytest.raises(ValueError, match="tolerance_s"):
+        range_join(left, left, tolerance_s=1e-9)
