@@ -1755,6 +1755,69 @@ def j11_match(spark, sf):
     )
 
 
+_COLLECTION_CACHE: dict[tuple, object] = {}
+
+
+def _collection_fixture(spark, sf):
+    """Collection with two runs of the customer pipeline: run 1 (fine-grained
+    dedupe) published as default, run 2 (coarser dedupe — would give
+    different entities) left mutable. Cached per session+sf."""
+    key = (id(spark), sf)
+    if key in _COLLECTION_CACHE:
+        return _COLLECTION_CACHE[key]
+    from matchbox_spark.operators.dedupers import NaiveDeduper as ND
+    from matchbox_spark.plans.collections import CollectionStore
+    from matchbox_spark.plans.dag import DAG
+    from matchbox_spark.plans.query import QueryConfig
+    from matchbox_spark.plans.resolvers import Components
+    from matchbox_spark.sources.source import SourceConfig
+
+    def build(run, fields):
+        src = SourceConfig(
+            name="cust",
+            location=f"{sf}/customer.parquet",
+            key_field="c_custkey",
+            index_fields=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        )
+        dag = DAG(spark, run.catalog)
+        dag.source(src)
+        dag.model(
+            "dedupe", ND(id="id", unique_fields=fields), QueryConfig(sources=[src])
+        )
+        dag.resolver("resolve", Components(method="auto"), model_inputs=["dedupe"])
+        dag.run()
+
+    store = CollectionStore(spark)
+    coll = store.create_collection("companies")
+    r1 = coll.create_run()
+    build(r1, ["cust_c_nationkey", "cust_c_mktsegment"])
+    coll.publish_run(r1.run_id)
+    r2 = coll.create_run()
+    build(r2, ["cust_c_mktsegment"])  # coarser: different entity map
+    _COLLECTION_CACHE[key] = coll
+    return coll
+
+
+@_q(
+    "r1_default_run_query",
+    """SELECT CAST(c_custkey AS VARCHAR) AS key,
+              MIN(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment) AS entity_rep
+       FROM customer""",
+)
+def r1_default_run(spark, sf):
+    """Collections/Runs: a query with NO run id resolves through the
+    collection's default (published) run — run 1 here. Run 2 holds a coarser
+    clustering whose entity map differs, so if default resolution picked the
+    wrong run the value hash would catch it (reference collection→run→step
+    model, dtos.py:620-655)."""
+    coll = _collection_fixture(spark, sf)
+    ids = coll.query(["resolve"], ["cust"]).withColumn(
+        "custkey", F.col("key").cast("long")
+    )
+    rep = ids.groupBy("id").agg(F.min("custkey").alias("entity_rep"))
+    return ids.join(rep, "id").select("key", "entity_rep")
+
+
 @_q(
     "j9_enrich_samples",
     """WITH rep AS (

@@ -248,6 +248,45 @@ class SourceConfig:
         """O3: first n rows."""
         return self.read(spark).limit(n)
 
+    # -- serialisation -------------------------------------------------------
+
+    def field_types(self, spark: SparkSession, deep: bool = False) -> dict[str, str]:
+        """Index-field types in the reference's DataTypes wire format
+        (common/datatypes.py): column → "Int64" / '{"type": "List", ...}'.
+        What a stored source config records so a later session can validate
+        the warehouse hasn't drifted."""
+        from matchbox_spark.functions.datatypes import DataTypes
+
+        schema = self.probe_schema(spark, deep=deep)
+        by_name = {f.name: f.dataType for f in schema.fields}
+        return {
+            c: DataTypes.from_spark(by_name[c]).value
+            for c in self.index_fields
+            if c in by_name
+        }
+
+    def to_dict(self, spark: SparkSession | None = None) -> dict:
+        """JSON-safe config dict; includes typed index fields when a session
+        is given to probe them."""
+        out = {
+            "name": self.name,
+            "location": self.location,
+            "key_field": self.key_field,
+            "index_fields": list(self.index_fields),
+            "format": self.format,
+            "extract_transform": self.extract_transform,
+            "options": dict(self.options),
+        }
+        if spark is not None:
+            out["field_types"] = self.field_types(spark)
+        return out
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "SourceConfig":
+        data = dict(data)
+        data.pop("field_types", None)  # informative, not constructive
+        return cls(**data)
+
     # -- qualification ------------------------------------------------------
 
     @property

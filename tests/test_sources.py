@@ -138,3 +138,16 @@ def test_probe_schema_deep_null_leading_csv(spark, tmp_path):
     # shallow probe keeps the reader's schema untouched
     shallow = {f.name: f.dataType for f in src.probe_schema(spark)}
     assert shallow["amount"] == T.StringType()
+
+
+def test_source_config_dict_roundtrip_with_field_types(spark, customer_path):
+    src = SourceConfig(
+        name="cust", location=customer_path, key_field="c_custkey",
+        index_fields=["c_name", "c_acctbal"],
+    )
+    d = src.to_dict(spark)
+    # typed index fields ride in the reference's DataTypes wire format
+    assert d["field_types"]["c_name"] == "String"
+    assert d["field_types"]["c_acctbal"] in ("Float64", "Decimal")
+    back = SourceConfig.from_dict(d)
+    assert back == src
