@@ -1755,6 +1755,65 @@ def j11_match(spark, sf):
     )
 
 
+@_q("j6_splink_compat", None)  # EM-trained scores — iterative, no SQL oracle
+def j6_splink_compat(spark, sf):
+    """J6: probabilistic linking through the reference's Splink settings-dict
+    surface (splinklinker.py:56-175) — blocking rules + comparison LEVELS
+    (null/exact/fuzzy/ELSE), categorical Fellegi–Sunter EM natively on
+    pattern counts. Deterministic given the data, so the rows-only check is
+    stable; level semantics are pinned in tests/test_probabilistic.py."""
+    from matchbox_spark.operators.probabilistic import SplinkCompatLinker
+
+    base = _t(spark, sf, "customer").where(F.col("c_nationkey") < 3).select(
+        F.col("c_custkey").alias("uid"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    # right side: same entities re-keyed, a quarter of the names perturbed by
+    # one trailing character — a deterministic fuzzy-match population
+    right = base.select(
+        (F.col("uid") + 1_000_000).alias("uid"),
+        F.when(
+            F.col("uid") % 4 == 0,
+            F.concat(F.substring("name", 1, 100), F.lit("Z")),
+        ).otherwise(F.col("name")).alias("name"),
+        "nk",
+        "seg",
+        "bal",
+    )
+    linker = SplinkCompatLinker(
+        left_id="uid",
+        right_id="uid",
+        linker_settings={
+            "link_type": "link_only",
+            "blocking_rules_to_generate_predictions": ['l."nk" = r."nk"'],
+            "comparisons": [
+                {
+                    "output_column_name": "name",
+                    "comparison_levels": [
+                        {"sql_condition": 'l."name" = r."name"'},
+                        {
+                            "sql_condition": 'levenshtein(l."name", r."name") <= 2'
+                        },
+                        {"sql_condition": "ELSE"},
+                    ],
+                },
+                {
+                    "output_column_name": "bal",
+                    "comparison_levels": [
+                        {"sql_condition": 'abs(l."bal" - r."bal") < 0.001'},
+                        {"sql_condition": "ELSE"},
+                    ],
+                },
+            ],
+        },
+        threshold=0.8,
+    )
+    return linker.link(base, right).orderBy("left_id", "right_id")
+
+
 _COLLECTION_CACHE: dict[tuple, object] = {}
 
 

@@ -175,3 +175,322 @@ class FellegiSunterLinker(Linker):
             }
             for c, mi, ui in zip(self.settings.comparisons, self.m_, self.u_)
         ]
+
+
+# ---------------------------------------------------------------------------
+# Splink settings-dict compatibility surface
+# ---------------------------------------------------------------------------
+
+# DuckDB/Splink function names with a direct Spark equivalent. Conditions
+# using anything else raise up front with a clear message instead of failing
+# deep inside Catalyst.
+_SPLINK_FUNC_MAP = {
+    "levenshtein": "levenshtein",
+    "lower": "lower",
+    "upper": "upper",
+    "trim": "trim",
+    "substr": "substr",
+    "substring": "substring",
+    "length": "length",
+    "abs": "abs",
+    "coalesce": "coalesce",
+    "concat": "concat",
+    "soundex": "soundex",
+    "left": "left",
+    "right": "right",
+}
+_UNSUPPORTED_FUNCS = (
+    "jaro_winkler_similarity",
+    "jaro_similarity",
+    "jaccard",
+    "damerau_levenshtein",
+    "array_intersect",
+)
+
+
+def splink_sql_to_spark(sql: str) -> str:
+    """Transpile a Splink/DuckDB condition to Spark SQL.
+
+    Handles the l./r. alias style with double-quoted identifiers
+    (``l."company_name" = r."company_name"``) and validates function names
+    against the supported subset.
+    """
+    import re as _re
+
+    for fn in _UNSUPPORTED_FUNCS:
+        if _re.search(rf"\b{fn}\s*\(", sql, _re.IGNORECASE):
+            raise ValueError(
+                f"Splink condition uses {fn}(), which has no Spark builtin "
+                "equivalent here; rewrite the level with levenshtein/soundex "
+                "or precompute the similarity as a column"
+            )
+    # l."col" / r."col" → l.`col` (Spark identifier quoting)
+    out = _re.sub(r'([lr])\."([^"]+)"', r"\1.`\2`", sql)
+    # bare double-quoted identifiers
+    out = _re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"', r"`\1`", out)
+    return out
+
+
+def _parse_splink_comparisons(linker_settings: dict):
+    """Extract ordered (name, [level sql...], null_mask) per comparison.
+
+    Levels keep Splink's order — first matching level wins, top down; an
+    ``ELSE`` level always matches; ``is_null_level`` levels carry no
+    evidence (excluded from EM, weight 1 in scoring).
+    """
+    parsed = []
+    for comp in linker_settings.get("comparisons", []):
+        name = comp.get("output_column_name") or comp.get(
+            "comparison_description", f"cmp{len(parsed)}"
+        )
+        levels, null_mask = [], []
+        for lvl in comp["comparison_levels"]:
+            cond = lvl["sql_condition"].strip()
+            levels.append(
+                "true" if cond.upper() == "ELSE" else splink_sql_to_spark(cond)
+            )
+            null_mask.append(bool(lvl.get("is_null_level", False)))
+        if not levels:
+            raise ValueError(f"comparison {name!r} has no levels")
+        parsed.append((name, levels, null_mask))
+    return parsed
+
+
+def _em_levels(counts, n_levels: list[int], s, null_masks=None):
+    """Categorical EM over level-pattern counts.
+
+    ``counts``: [(gamma tuple, n)] where gamma[i] ∈ {0..n_levels[i]-1} or -1
+    for a null level (no evidence: the factor is skipped in both classes).
+    Returns (λ, m, u) with m[i][l]/u[i][l] per comparison level.
+    """
+    k = len(n_levels)
+    lam = s.init_lambda
+    # init: in Splink level order the FIRST non-null level is the strongest
+    # agreement and the last is ELSE — matches concentrate early (geometric
+    # decay for m), non-matches late (reversed for u). Null levels are
+    # excluded from gamma, their entries just keep distributions valid.
+    if null_masks is None:
+        null_masks = [[False] * n for n in n_levels]
+
+    def _dist(n, mask, decay, reverse):
+        ranks = [i for i in range(n) if not mask[i]]
+        raw = {
+            lvl: decay ** (len(ranks) - 1 - r if reverse else r)
+            for r, lvl in enumerate(ranks)
+        }
+        z = sum(raw.values()) or 1.0
+        return [raw.get(lvl, 1e-6) / z for lvl in range(n)]
+
+    # asymmetric decays keep every intermediate level discriminative at init
+    # (equal decays would give m == u at the midpoint — no EM gradient)
+    m = [_dist(n, mask, 0.3, False) for n, mask in zip(n_levels, null_masks)]
+    u = [_dist(n, mask, 0.15, True) for n, mask in zip(n_levels, null_masks)]
+    total = sum(c for _, c in counts)
+    for it in range(s.max_iter):
+        post = []
+        for gamma, c in counts:
+            pm, pu = lam, 1 - lam
+            for i in range(k):
+                if gamma[i] < 0:
+                    continue
+                pm *= m[i][gamma[i]]
+                pu *= u[i][gamma[i]]
+            post.append(pm / (pm + pu) if (pm + pu) > 0 else 0.0)
+        sum_w = sum(w * c for w, (_, c) in zip(post, counts))
+        sum_nw = total - sum_w
+        new_lam = sum_w / total if total else 0.0
+        new_m, new_u = [], []
+        for i in range(k):
+            mi, ui = [], []
+            # normalise over NON-null observations only
+            denom_m = sum(
+                w * c for w, (g, c) in zip(post, counts) if g[i] >= 0
+            )
+            denom_u = sum(
+                (1 - w) * c for w, (g, c) in zip(post, counts) if g[i] >= 0
+            )
+            for lvl in range(n_levels[i]):
+                num_m = sum(
+                    w * c for w, (g, c) in zip(post, counts) if g[i] == lvl
+                )
+                num_u = sum(
+                    (1 - w) * c for w, (g, c) in zip(post, counts) if g[i] == lvl
+                )
+                mi.append(
+                    min(max(num_m / denom_m if denom_m else 0.5, 1e-6), 1 - 1e-6)
+                )
+                ui.append(
+                    min(max(num_u / denom_u if denom_u else 0.5, 1e-6), 1 - 1e-6)
+                )
+            new_m.append(mi)
+            new_u.append(ui)
+        delta = abs(new_lam - lam) + sum(
+            abs(a - b)
+            for i in range(k)
+            for a, b in zip(new_m[i] + new_u[i], m[i] + u[i])
+        )
+        lam, m, u = new_lam, new_m, new_u
+        if delta < s.tol:
+            logger.info("level-EM converged after %d iterations", it + 1)
+            break
+    return lam, m, u
+
+
+@dataclass
+class SplinkCompatSettings(LinkerSettings):
+    """The reference's SplinkSettings surface (splinklinker.py:56-175):
+    a Splink settings dict + training-function list + threshold."""
+
+    linker_settings: dict = field(default_factory=dict)
+    linker_training_functions: list = field(default_factory=list)
+    threshold: float = 0.5
+    max_iter: int = 60
+    tol: float = 1e-6
+    init_lambda: float = 0.1
+    init_m: float = 0.9
+    init_u: float = 0.1
+
+
+@add_model_class
+class SplinkCompatLinker(Linker):
+    """Accepts a migrating user's Splink settings dict, runs natively.
+
+    The surface matches the reference's SplinkLinker contract: ``link_type``
+    must be ``"link_only"``; ``blocking_rules_to_generate_predictions``
+    drive candidate generation; each comparison's ``comparison_levels``
+    (first-match-wins, ``ELSE`` fallback, ``is_null_level`` = no evidence)
+    become a categorical agreement variable; EM estimates per-level m/u —
+    the same Fellegi–Sunter model Splink trains. ``linker_training_functions``
+    are accepted for config compatibility (training here is always the
+    native pattern-count EM — deterministic-rule recall estimation is
+    logged and ignored). Conditions transpile from the DuckDB dialect;
+    unsupported similarity functions raise up front with guidance.
+    """
+
+    settings_class = SplinkCompatSettings
+
+    lambda_: float | None = None
+    m_: list | None = None
+    u_: list | None = None
+
+    def __init__(self, **settings):  # noqa: D107
+        super().__init__(**settings)
+        ls = self.settings.linker_settings
+        if not ls:
+            raise ValueError("SplinkCompatLinker requires linker_settings")
+        if ls.get("link_type") != "link_only":
+            raise ValueError('link_type must be set to "link_only"')
+        if self.settings.left_id != self.settings.right_id:
+            raise ValueError(
+                "left_id and right_id must match in a Splink linker"
+            )
+        self._blocking = [
+            splink_sql_to_spark(r if isinstance(r, str) else " AND ".join(
+                f"l.`{c}` = r.`{c}`" for c in r
+            ))
+            for r in ls.get("blocking_rules_to_generate_predictions", [])
+        ]
+        if not self._blocking:
+            raise ValueError(
+                "blocking_rules_to_generate_predictions must not be empty"
+            )
+        self._comparisons = _parse_splink_comparisons(ls)
+        if not self._comparisons:
+            raise ValueError("comparisons must not be empty")
+        for fn in self.settings.linker_training_functions:
+            logger.info(
+                "accepted Splink training function %r (native EM supersedes)",
+                fn.get("function") if isinstance(fn, dict) else fn,
+            )
+
+    def _gamma_col(self, levels, null_mask, idx):
+        # build CASE level0 → (−1 if null else 0), level1 → 1 ... first wins
+        out = None
+        for lvl, (cond, is_null) in enumerate(zip(levels, null_mask)):
+            val = F.lit(-1 if is_null else lvl)
+            out = (
+                F.when(F.expr(cond), val)
+                if out is None
+                else out.when(F.expr(cond), val)
+            )
+        return out.otherwise(F.lit(-1)).alias(f"g{idx}")
+
+    def link(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        s = self.settings
+        k = len(self._comparisons)
+        n_levels = [len(levels) for _, levels, _ in self._comparisons]
+
+        l = left.alias("l")  # noqa: E741
+        r = right.alias("r")
+        gamma_cols = [
+            self._gamma_col(levels, null_mask, i)
+            for i, (_, levels, null_mask) in enumerate(self._comparisons)
+        ]
+        per_rule = [
+            l.join(r, F.expr(rule), "inner").select(
+                F.col(f"l.{s.left_id}").alias("left_id"),
+                F.col(f"r.{s.right_id}").alias("right_id"),
+                *gamma_cols,
+            )
+            for rule in self._blocking
+        ]
+        cands = per_rule[0]
+        for other in per_rule[1:]:
+            cands = cands.union(other)
+        cands = cands.dropDuplicates(["left_id", "right_id"]).localCheckpoint(
+            eager=True
+        )
+
+        gcols = [f"g{i}" for i in range(k)]
+        counts = [
+            (tuple(int(row[g]) for g in gcols), int(row["n"]))
+            for row in cands.groupBy(*gcols).agg(F.count("*").alias("n")).collect()
+        ]
+        lam, m, u = _em_levels(
+            counts,
+            n_levels,
+            s,
+            null_masks=[mask for _, _, mask in self._comparisons],
+        )
+        self.lambda_, self.m_, self.u_ = lam, m, u
+
+        spark = cands.sparkSession
+        rows = []
+        for gamma, _ in counts:
+            pm, pu = lam, 1 - lam
+            for i in range(k):
+                if gamma[i] < 0:
+                    continue
+                pm *= m[i][gamma[i]]
+                pu *= u[i][gamma[i]]
+            rows.append((*gamma, float(pm / (pm + pu)) if pm + pu else 0.0))
+        score_df = spark.createDataFrame(
+            rows, ", ".join(f"{g} int" for g in gcols) + ", score double"
+        )
+        thr = s.threshold if s.threshold is not None else 0.0
+        scored = cands.join(F.broadcast(score_df), gcols).where(
+            F.col("score") >= F.lit(float(thr))
+        )
+        return finalise_edges(
+            scored.select("left_id", "right_id", "score"),
+            left, right, s.left_id, s.right_id,
+        )
+
+    def match_weights(self) -> list[dict]:
+        """Per-comparison-level log2 match weights (Splink diagnostics)."""
+        if self.m_ is None:
+            raise RuntimeError("fit the linker first (call link)")
+        out = []
+        for (name, levels, _), mi, ui in zip(self._comparisons, self.m_, self.u_):
+            for lvl, (cond, mv, uv) in enumerate(zip(levels, mi, ui)):
+                out.append(
+                    {
+                        "comparison": name,
+                        "level": lvl,
+                        "sql_condition": cond,
+                        "m": mv,
+                        "u": uv,
+                        "match_weight": math.log2(mv / uv) if uv > 0 else float("inf"),
+                    }
+                )
+        return out

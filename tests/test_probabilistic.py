@@ -119,3 +119,140 @@ def test_embedding_linker(spark):
     ).link(left, right)
     got = {(r["left_id"], r["right_id"]) for r in edges.collect()}
     assert got == {(1, 10)}
+
+
+# ---------------------------------------------------------------------------
+# Splink settings-dict compatibility
+# ---------------------------------------------------------------------------
+
+
+def _splink_settings():
+    """The shape splink's SettingsCreator.create_settings_dict() emits —
+    what a migrating user's stored config looks like."""
+    return {
+        "link_type": "link_only",
+        "blocking_rules_to_generate_predictions": [
+            'l."postcode" = r."postcode"',
+        ],
+        "comparisons": [
+            {
+                "output_column_name": "company_name",
+                "comparison_levels": [
+                    {
+                        "sql_condition": 'l."company_name" IS NULL OR r."company_name" IS NULL',
+                        "is_null_level": True,
+                    },
+                    {"sql_condition": 'l."company_name" = r."company_name"'},
+                    {
+                        "sql_condition": 'levenshtein(l."company_name", r."company_name") <= 2'
+                    },
+                    {"sql_condition": "ELSE"},
+                ],
+            },
+            {
+                "output_column_name": "city",
+                "comparison_levels": [
+                    {
+                        "sql_condition": 'l."city" IS NULL OR r."city" IS NULL',
+                        "is_null_level": True,
+                    },
+                    {"sql_condition": 'l."city" = r."city"'},
+                    {"sql_condition": "ELSE"},
+                ],
+            },
+        ],
+    }
+
+
+def _company_frames(spark):
+    """12 entities in 3 postcode blocks: 6 exact name matches, 4 one-edit
+    typos, a null name, and an unrelated name — enough mass per comparison
+    level for EM to separate the mixture."""
+    names = [
+        "Acme Ltd", "Bravo Inc", "Cobra Plc", "Delta LLP", "Echo GmbH",
+        "Foxtrot SA", "Golf BV", "Hotel AG", "India Co", "Juliet KK",
+    ]
+    left_rows, right_rows = [], []
+    for i, name in enumerate(names):
+        block = f"B{i % 3}"
+        city = f"City{i}"  # true pairs agree on city; others differ
+        left_rows.append((i, name, block, city))
+        if i < 6:
+            right_rows.append((100 + i, name, block, city))  # exact name
+        else:
+            right_rows.append((100 + i, name + "x", block, city))  # typo
+    left_rows.append((20, None, "B0", "City0"))  # null name level
+    right_rows.append((120, "Zzz Totally Other", "B1", "Nowhere"))  # ELSE
+    left = spark.createDataFrame(
+        left_rows, "uid long, company_name string, postcode string, city string"
+    )
+    right = spark.createDataFrame(
+        right_rows, "uid long, company_name string, postcode string, city string"
+    )
+    return left, right
+
+
+def test_splink_compat_linker_accepts_reference_surface(spark):
+    from matchbox_spark.operators.probabilistic import SplinkCompatLinker
+
+    linker = SplinkCompatLinker(
+        left_id="uid",
+        right_id="uid",
+        linker_settings=_splink_settings(),
+        linker_training_functions=[
+            {
+                "function": "estimate_u_using_random_sampling",
+                "arguments": {"max_pairs": 1e6},
+            }
+        ],
+        threshold=0.5,
+    )
+    left, right = _company_frames(spark)
+    edges = {
+        (r["left_id"], r["right_id"]): r["score"]
+        for r in linker.link(left, right).collect()
+    }
+    # every exact pair and every typo pair survives the threshold
+    for i in range(6):
+        assert (i, 100 + i) in edges, f"exact pair {i} missing"
+    for i in range(6, 10):
+        assert (i, 100 + i) in edges, f"typo pair {i} missing"
+    # ELSE-level pairs do not
+    assert not any(r == 120 for (_, r) in edges)
+    # exact level scores at least as high as the levenshtein level
+    assert edges[(0, 100)] >= edges[(6, 106)]
+    # diagnostics expose per-level m/u like splink's match weights chart
+    w = linker.match_weights()
+    assert {x["comparison"] for x in w} == {"company_name", "city"}
+    assert len(w) == 7  # one row per level (4 + 3)
+
+
+def test_splink_compat_block_on_lists_and_validation(spark):
+    from matchbox_spark.operators.probabilistic import SplinkCompatLinker
+
+    # block_on("postcode") serialises to a column list — accepted too
+    s = _splink_settings()
+    s["blocking_rules_to_generate_predictions"] = [["postcode"]]
+    linker = SplinkCompatLinker(
+        left_id="uid", right_id="uid", linker_settings=s, threshold=0.5
+    )
+    left, right = _company_frames(spark)
+    assert linker.link(left, right).count() >= 3
+
+    with pytest.raises(ValueError, match="link_only"):
+        SplinkCompatLinker(
+            left_id="uid", right_id="uid",
+            linker_settings={**_splink_settings(), "link_type": "dedupe_only"},
+        )
+    with pytest.raises(ValueError, match="must match"):
+        SplinkCompatLinker(
+            left_id="a", right_id="b", linker_settings=_splink_settings()
+        )
+    bad = _splink_settings()
+    bad["comparisons"][0]["comparison_levels"][2]["sql_condition"] = (
+        'jaro_winkler_similarity(l."company_name", r."company_name") > 0.9'
+    )
+    with pytest.raises(ValueError, match="jaro_winkler"):
+        SplinkCompatLinker(
+            left_id="uid", right_id="uid", linker_settings=bad
+        )
