@@ -1624,6 +1624,220 @@ def q22_idle(spark, sf):
     )
 
 
+@_q(
+    "q2_min_cost_supplier",
+    """SELECT s_name, n_name, CAST(ROUND(s_acctbal, 6) AS DOUBLE) AS s_acctbal
+       FROM supplier
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE s_acctbal = (
+               SELECT MIN(s2.s_acctbal)
+               FROM supplier s2 JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+               WHERE n2.n_regionkey = nation.n_regionkey)
+       ORDER BY s_name""",
+)
+def q2_min_cost(spark, sf):
+    """TPC-H q2 shape: correlated scalar subquery (per-region minimum)
+    decorrelated to a grouped MIN + broadcast join back — the textbook
+    decorrelation Catalyst applies; no per-row subquery execution."""
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    sn = s.join(n, s["s_nationkey"] == n["n_nationkey"])
+    mins = sn.groupBy("n_regionkey").agg(F.min("s_acctbal").alias("_min_bal"))
+    return (
+        sn.join(F.broadcast(mins), "n_regionkey")
+        .where(F.col("s_acctbal") == F.col("_min_bal"))
+        .select(
+            "s_name", "n_name",
+            F.round(F.col("s_acctbal"), 6).cast("double").alias("s_acctbal"),
+        )
+        .orderBy("s_name")
+    )
+
+
+@_q(
+    "q8_market_share",
+    """WITH rev AS (
+         SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS o_year,
+                CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
+                     AS DECIMAL(18,6)) AS volume,
+                sn.n_name AS supp_nation
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN region ON cn.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE r_name = 'ASIA'
+       )
+       SELECT o_year,
+              ROUND(CAST(SUM(CASE WHEN supp_nation = 'CHINA' THEN volume
+                                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                    / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+       FROM rev GROUP BY o_year ORDER BY o_year""",
+)
+def q8_market_share(spark, sf):
+    """TPC-H q8 shape: 7-table join tree, then a conditional-share
+    aggregation by order year. The small dims (region, nation ×2) broadcast;
+    the fact joins shuffle once on their keys."""
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    cn = n.alias("cn")
+    sn = n.alias("sn")
+    rev = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(
+            F.broadcast(r),
+            (F.col("cn.n_regionkey") == r["r_regionkey"])
+            & (r["r_name"] == "ASIA"),
+        )
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _dec6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            F.col("sn.n_name").alias("supp_nation"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        rev.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "CHINA", F.col("volume"))
+                    .otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@_q(
+    "q9_product_profit",
+    """SELECT n_name AS nation,
+              CAST(strftime(o_orderdate, '%Y') AS INT) AS o_year,
+              CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                  - l_quantity * p_retailprice * 0.1, 6)
+                            AS DECIMAL(18,6))) AS DOUBLE) AS profit
+       FROM lineitem
+       JOIN part ON l_partkey = p_partkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN orders ON l_orderkey = o_orderkey
+       WHERE p_name LIKE '%red%'
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+)
+def q9_profit(spark, sf):
+    """TPC-H q9 shape: LIKE-filtered part dim joined into the fact, profit
+    expression aggregated by supplier nation × order year (supply cost
+    proxied by retail price — no partsupp table in this dataset). The part
+    filter prunes before the join; nation broadcasts."""
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    p = _t(spark, sf, "part").where(F.col("p_name").like("%red%"))
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    o = _t(spark, sf, "orders")
+    profit = _dec6(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("l_quantity") * F.col("p_retailprice") * 0.1
+    )
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@_q(
+    "q10_returned_items",
+    """SELECT c_custkey, c_name, n_name,
+              CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
+                            AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def q10_returned(spark, sf):
+    """TPC-H q10 shape: returned-line revenue per customer, top 20 — the
+    selective fact filter reaches the scan, the per-customer agg shuffles
+    once, and the global top-N is a TakeOrdered, not a full sort."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")  # noqa: E741
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, o["o_orderkey"] == l["l_orderkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                _dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@_q(
+    "q20_part_promotion",
+    """SELECT s_name, n_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       WHERE s_suppkey IN (
+               SELECT l_suppkey FROM lineitem
+               JOIN part ON l_partkey = p_partkey
+               WHERE p_name LIKE 'blue%'
+               GROUP BY l_suppkey
+               HAVING SUM(l_quantity) > 300)
+       ORDER BY s_name""",
+)
+def q20_promotion(spark, sf):
+    """TPC-H q20 shape: nested IN-subquery chain — name-filtered parts join
+    the fact, a per-supplier HAVING threshold produces the key set, which
+    semi-joins suppliers. Only supplier keys shuffle out of the subquery."""
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    p = _t(spark, sf, "part").where(F.col("p_name").like("blue%"))
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    heavy = (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(heavy, s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
 # ===========================================================================
 # Reference-parity oracles: J8 / A9 / P6 / G4 / J11 operators driven through
 # the real package functions over testdata-shaped inputs.
