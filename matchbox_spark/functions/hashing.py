@@ -260,6 +260,34 @@ def hash_table(
     return digest.digest()
 
 
+def unordered_stats_aggs() -> list[Column]:
+    """The three aggregates of the unordered fingerprint over a row-hash
+    column ``_h`` — count, wide sum, bit-xor. All three are associative, so
+    grouped (per-bucket) results fold into the identical global fingerprint
+    via :func:`fold_unordered_stats`."""
+    return [
+        F.count("*").alias("n"),
+        F.sum(F.col("_h").cast("decimal(38,0)")).alias("s"),
+        F.bit_xor("_h").alias("x"),
+    ]
+
+
+def fold_unordered_stats(rows) -> bytes:
+    """Fold (n, s, x) stat rows — grouped or global — into the unordered
+    fingerprint bytes. Byte-identical to :func:`hash_table_unordered`."""
+    n = s = x = 0
+    for row in rows:
+        n += int(row["n"])
+        s += int(row["s"] or 0)
+        x ^= int(row["x"] or 0)
+    if n == 0:
+        return EMPTY_TABLE_HASH
+    acc = HASH_FUNC()
+    for v in (n, s, x):
+        acc.update(int(v).to_bytes(16, "big", signed=True))
+    return acc.digest()
+
+
 def hash_table_unordered(df: DataFrame, columns: list[str] | None = None) -> bytes:
     """Fast order-invariant fingerprint (NOT reference-compatible).
 
@@ -268,18 +296,8 @@ def hash_table_unordered(df: DataFrame, columns: list[str] | None = None) -> byt
     :func:`hash_table` for reference-compatible content addresses.
     """
     cols = sorted(df.columns) if columns is None else columns
-    h = df.select(row_hash_expr(df.schema, cols, "xxhash64").alias("h"))
-    row = h.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
-        F.bit_xor("h").alias("x"),
-    ).collect()[0]
-    if row["n"] == 0:
-        return EMPTY_TABLE_HASH
-    acc = HASH_FUNC()
-    for v in (row["n"], row["s"] or 0, row["x"] or 0):
-        acc.update(int(v).to_bytes(16, "big", signed=True))
-    return acc.digest()
+    h = df.select(row_hash_expr(df.schema, cols, "xxhash64").alias("_h"))
+    return fold_unordered_stats(h.agg(*unordered_stats_aggs()).collect())
 
 
 def hash_model_results(edges: DataFrame) -> bytes:

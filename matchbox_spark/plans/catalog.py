@@ -35,13 +35,16 @@ import json
 import os
 from typing import Iterable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from matchbox_spark.functions.hashing import (
+    fold_unordered_stats,
     hash_table_unordered,
     hash_to_base64,
     leaf_set_hash_expr,
+    row_hash_expr,
+    unordered_stats_aggs,
 )
 
 _CLUSTERS = "cluster_id long, cluster_hash binary"
@@ -79,6 +82,7 @@ class Catalog:
         self.steps: dict[str, dict] = {}
         self._max_id = 0
         self._last_assigned_n = 0
+        self._assign_temp: DataFrame | None = None
         self._contains_empty = True
         self._clusters_empty = True
         # step values known to have rows, per step-keyed table — lets inserts
@@ -214,48 +218,67 @@ class Catalog:
         del col
         return self._loaded_from_disk or step in self._step_rows[table]
 
-    def _assign_ids(self, new_hashes: DataFrame) -> DataFrame:
+    # Digest-prefix bucket: the first two bytes of a hash digest are uniform,
+    # so fixed-width buckets on them give balanced ORDERED ranges with zero
+    # sampling (range partitioning would pay a sampling pass per insert).
+    # 65536 buckets keeps the per-bucket sort group at total/65536 rows and
+    # the driver-side count map at ≤65536 entries.
+    @staticmethod
+    def _bucket_expr(col: str = "cluster_hash") -> Column:
+        return F.conv(F.hex(F.substring(F.col(col), 1, 2)), 16, 10).cast("int")
+
+    def _release_assign_temp(self) -> None:
+        if self._assign_temp is not None:
+            self._assign_temp.unpersist()
+            self._assign_temp = None
+
+    def _assign_ids(
+        self, new_hashes: DataFrame, counts: dict[int, int] | None = None
+    ) -> DataFrame:
         """Dense deterministic ids for new hashes (ordered by hash bytes).
 
         Distributed zip-with-index that stays JVM-side (no Python RDD
-        round-trip): range-partition + sort by hash gives a total order;
-        per-partition row numbers plus driver-computed partition offsets
-        (one tiny count-per-partition job) turn it into dense global ids —
-        no single-partition global window, so assignment scales with the
-        insert batch. Hashes are unique, so ids are deterministic.
+        round-trip): digest-prefix buckets give a sampling-free total order;
+        per-bucket row numbers plus driver-computed bucket offsets (one tiny
+        count job, or ``counts`` reused from a caller's aggregation pass)
+        turn it into dense global ids — no single-partition global window,
+        so assignment scales with the insert batch. Hashes are unique, so
+        ids are deterministic. Extra columns on ``new_hashes`` ride along.
         """
         from pyspark.sql import Window
 
         base = self._max_id
-        # cached, not checkpointed: the counts collect below materialises it,
-        # and the caller unpersists it as soon as the assigned delta is
-        # checkpointed (bounded executor storage — no leaked blocks)
-        ordered = (
-            new_hashes.select("cluster_hash")
-            .repartitionByRange("cluster_hash")
-            .withColumn("_pid", F.spark_partition_id())
-            .persist()
-        )
-        self._assign_temp = ordered
-        counts = {
-            r["_pid"]: r["n"]
-            for r in ordered.groupBy("_pid").agg(F.count("*").alias("n")).collect()
-        }
+        bucketed = new_hashes.withColumn("_bkt", self._bucket_expr())
+        self._assign_temp = None
+        if counts is None:
+            # cached, not checkpointed: the counts collect materialises it,
+            # and the caller unpersists it as soon as the assigned delta is
+            # checkpointed (bounded executor storage — no leaked blocks)
+            bucketed = bucketed.persist()
+            self._assign_temp = bucketed
+            counts = {
+                r["_bkt"]: r["n"]
+                for r in bucketed.groupBy("_bkt")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
         offsets, acc = {}, 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
+        for bkt in sorted(counts):
+            offsets[bkt] = acc
+            acc += counts[bkt]
         self._last_assigned_n = acc
         off_df = self.spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
-            "_pid int, _off long",
+            [(bkt, off) for bkt, off in offsets.items()] or [(0, 0)],
+            "_bkt int, _off long",
         )
-        w = Window.partitionBy("_pid").orderBy("cluster_hash")
+        w = Window.partitionBy("_bkt").orderBy("cluster_hash")
+        payload = [c for c in new_hashes.columns if c != "cluster_hash"]
         return (
-            ordered.join(F.broadcast(off_df), "_pid")
+            bucketed.join(F.broadcast(off_df), "_bkt")
             .select(
                 (F.row_number().over(w) + F.col("_off") + base).alias("cluster_id"),
                 "cluster_hash",
+                *payload,
             )
         )
 
@@ -300,43 +323,81 @@ class Catalog:
         New hashes become new clusters; keys unnest into ``cluster_keys``
         (insert.py:43-165 semantics: temp table → insert-if-absent → unnest).
         """
-        # materialise once, then fingerprint the materialised frame — the
-        # index is a shuffle over the whole source; computing it twice
-        # (fingerprint + checkpoint) doubled the insert cost
+        # ONE aggregation pass computes the fingerprint AND the per-bucket
+        # counts the id assignment needs (both are associative folds of the
+        # same scan), materialising the cached index as a side effect — the
+        # old shape paid four serial passes here (checkpoint, fingerprint,
+        # range sampling, counts)
         index = index.select(
             F.col("hash").alias("cluster_hash"), F.col("keys")
-        ).localCheckpoint(eager=True)
+        ).persist()
+        stats = (
+            index.select(
+                row_hash_expr(index.schema, ["cluster_hash", "keys"], "xxhash64")
+                .alias("_h"),
+                self._bucket_expr().alias("_bkt"),
+            )
+            .groupBy("_bkt")
+            .agg(*unordered_stats_aggs())
+            .collect()
+        )
         if fingerprint is None:
             # fingerprints gate idempotency; they need stability, not the
             # reference-compatible byte recipe — use the fast distributed
             # fingerprint (hash_table stays available for content parity)
-            fingerprint = hash_table_unordered(index)
+            fingerprint = fold_unordered_stats(stats)
         if self._fingerprint_gate(step, fingerprint):
+            index.unpersist()
             return
 
-        # index is groupBy-output (unique by hash) — no distinct needed;
-        # first insert into an empty catalog skips the anti-join entirely
-        new = index.select("cluster_hash")
-        if not self._clusters_empty:
-            new = new.join(self.clusters, "cluster_hash", "left_anti")
-        assigned = self._ckpt(
-            self._assign_ids(new).select("cluster_id", "cluster_hash"),
-            eager=True,  # O(delta); lets the assignment temp free immediately
-        )
-        self._assign_temp.unpersist()
-        self._append("clusters", assigned, materialised=True)
-        self._clusters_empty = False
-        self._bump_max_id(assigned)
-
-        keys = (
-            index.join(self.clusters, "cluster_hash")
-            .select(
+        # index is groupBy-output (unique by hash) — no distinct needed
+        if self._clusters_empty:
+            # first insert into an empty catalog: every hash is new, so the
+            # assignment shuffle carries the keys along and both deltas are
+            # projections of ONE checkpointed frame — no anti-join, no
+            # hash→id re-join, and bucket counts reuse the stats pass above
+            counts = {r["_bkt"]: r["n"] for r in stats}
+            assigned = self._ckpt(
+                self._assign_ids(index, counts=counts), eager=True
+            )
+            index.unpersist()
+            self._append(
+                "clusters",
+                assigned.select("cluster_id", "cluster_hash"),
+                materialised=True,
+            )
+            keys = assigned.select(
                 "cluster_id",
                 F.lit(step).alias("source"),
                 F.explode("keys").alias("key"),
+            ).dropDuplicates()
+            keys_materialised = False  # shallow plan over the checkpoint;
+            # _append's lazy checkpoint makes the dedup run once, not per read
+        else:
+            new = index.select("cluster_hash").join(
+                self.clusters, "cluster_hash", "left_anti"
             )
-            .dropDuplicates()
-        )
+            assigned = self._ckpt(
+                self._assign_ids(new).select("cluster_id", "cluster_hash"),
+                eager=True,  # O(delta); lets the assignment temp free now
+            )
+            self._release_assign_temp()
+            self._append("clusters", assigned, materialised=True)
+            keys = self._ckpt(
+                index.join(self.clusters, "cluster_hash")
+                .select(
+                    "cluster_id",
+                    F.lit(step).alias("source"),
+                    F.explode("keys").alias("key"),
+                )
+                .dropDuplicates(),
+                eager=True,  # materialise before the cached index is freed
+            )
+            index.unpersist()
+            keys_materialised = True
+        self._clusters_empty = False
+        self._bump_max_id(assigned)
+
         if self._step_has_rows("cluster_keys", "source", step):
             # rare rewrite path: the step already holds rows (re-sync after
             # drop_step) — filter them out once, lazily
@@ -345,7 +406,7 @@ class Catalog:
                 self.cluster_keys.where(F.col("source") != step).unionByName(keys),
             )
         else:
-            self._append("cluster_keys", keys)
+            self._append("cluster_keys", keys, materialised=keys_materialised)
         self._step_rows["cluster_keys"].add(step)
         self.steps[step] = {
             "type": "source",
@@ -408,17 +469,32 @@ class Catalog:
 
         # G4: expand children that are themselves roots to their leaves.
         # Cached once — member hashing and the contains rows both reuse it.
-        contains = self.contains
-        expanded = (
-            assignments.alias("a")
-            .join(contains.alias("c"), F.col("a.child_id") == F.col("c.root"), "left")
-            .select(
-                F.col("a.parent_id").alias("parent_id"),
-                F.coalesce(F.col("c.leaf"), F.col("a.child_id")).alias("leaf"),
+        # First hierarchy insert: contains is empty, every child is already a
+        # leaf — skip the expansion join outright.
+        if self._contains_empty:
+            expanded = (
+                assignments.select(
+                    "parent_id", F.col("child_id").alias("leaf")
+                )
+                .dropDuplicates()
+                .persist()
             )
-            .dropDuplicates()
-            .persist()
-        )
+        else:
+            contains = self.contains
+            expanded = (
+                assignments.alias("a")
+                .join(
+                    contains.alias("c"),
+                    F.col("a.child_id") == F.col("c.root"),
+                    "left",
+                )
+                .select(
+                    F.col("a.parent_id").alias("parent_id"),
+                    F.coalesce(F.col("c.leaf"), F.col("a.child_id")).alias("leaf"),
+                )
+                .dropDuplicates()
+                .persist()
+            )
 
         # member-cluster hashes → H5 parent hash
         member_hashes = (
@@ -451,7 +527,7 @@ class Catalog:
             self._assign_ids(new).select("cluster_id", "cluster_hash"),
             eager=True,
         )
-        self._assign_temp.unpersist()
+        self._release_assign_temp()
         self._append("clusters", assigned, materialised=True)
         self._clusters_empty = False
         self._bump_max_id(assigned)

@@ -279,17 +279,25 @@ class Components(ResolverMethod):
 
         spark = unioned.sparkSession
         method = s.method
+        pdf = None
         if method == "auto":
-            n = unioned.count()
-            method = "driver" if n <= s.driver_edge_limit else "distributed"
-            logger.info("Components: %d edges → %s union-find", n, method)
+            # single-job probe: pull at most limit+1 edges — fits → that IS
+            # the driver collect (no separate count pass); overflows → go
+            # distributed (the count job told us nothing we'd reuse anyway)
+            probe = unioned.limit(s.driver_edge_limit + 1).toPandas()
+            if len(probe) <= s.driver_edge_limit:
+                method, pdf = "driver", probe
+            else:
+                method = "distributed"
+            logger.info("Components: auto → %s union-find", method)
 
         if method == "driver":
             # Arrow-batched collect (one transfer) + tight loop over numpy
             # columns — orders of magnitude faster than row iteration. No
             # pre-distinct: union-find absorbs duplicate edges for free,
             # and skipping it saves a full shuffle.
-            pdf = unioned.toPandas()
+            if pdf is None:
+                pdf = unioned.toPandas()
             unioned.unpersist()
             mapping = connected_components_driver(
                 zip(pdf["src"].tolist(), pdf["dst"].tolist())
