@@ -106,6 +106,25 @@ def _edge_signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["x"])
 
 
+def _materialize_with_signature(edges: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    """Materialise an edge set AND collect its (count, xor) signature in the
+    SAME job via the Observation API — the convergence check rides the
+    checkpoint's execution instead of costing a second full pass. One driver
+    round-trip per CC round instead of two; at 100 TB each saved pass is a
+    full scan of the live edge set."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = edges.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("x"),
+    )
+    out = _materialize(observed)
+    m = obs.get  # blocks until the eager checkpoint's job finishes
+    return out, (int(m["n"]), int(m["x"]))
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     # Symmetrise in ONE pass via explode — a self-union (edges ∪ swapped
     # edges from the same object) both scans twice and triggers a Spark 4.1
@@ -132,12 +151,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
             F.least(F.col("_mn"), F.col("src")).alias("m"),
         )
     )
+    # No distinct here: the published algorithm emits a multiset between the
+    # two star steps, small-star's terminal distinct bounds per-round state,
+    # and duplicate (dst, m) multiplicity is bounded by node degree — one
+    # fewer shuffle per round beats deduping early.
     return (
         nbrs.join(mins, F.col("src") == F.col("_msrc"))
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -169,21 +191,21 @@ def connected_components(
     isolated vertices must be unioned in by the caller (an edge list cannot
     carry them).
     """
-    e = _materialize(
+    e, sig = _materialize_with_signature(
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    if e.isEmpty():
+    if sig[0] == 0:
         spark = edges.sparkSession
         return spark.createDataFrame([], "id long, component long")
 
-    sig = _edge_signature(e)
     for it in range(max_iter):
         e2 = _small_star(_large_star(e))
         if checkpoint_every and it % checkpoint_every == 0:
-            e2 = _materialize(e2)
-        new_sig = _edge_signature(e2)
+            e2, new_sig = _materialize_with_signature(e2)
+        else:
+            new_sig = _edge_signature(e2)
         e = e2
         if new_sig == sig:
             break
