@@ -252,10 +252,71 @@ def minhash_dedupe_pairs(
     shingle_n: int = 3,
     threshold: float = 0.7,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified with exact shingle Jaccard ≥ threshold."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands, shingle_n)
+    """MinHash-LSH candidates verified with exact shingle Jaccard ≥ threshold.
+
+    ONE pass over the shingle explosion: the signature minima AND the exact
+    shingle set come out of a single groupBy on ``doc`` (vs the naive shape —
+    one scan+shuffle for signatures, a second for verification sets). The
+    per-doc compact table (sig + set) is persisted: it is the compressed
+    representation every later stage (banding, both sides of the
+    verification join) reads, so at corpus scale the raw text is scanned
+    exactly once.
+    """
+    if num_perm % bands != 0:
+        raise ValueError("num_perm must be divisible by bands")
+    rows_per_band = num_perm // bands
     sh = _doc_shingles(df, id_col, text_col, shingle_n)
-    sets = sh.groupBy("doc").agg(F.collect_set("sh").alias("shset"))
+    a_p, b_p = minhash_params(num_perm)
+    base = (
+        F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
+    hashed = sh.select(
+        "doc",
+        "sh",
+        F.array(
+            *[
+                ((F.lit(a_p[p]) * base + F.lit(b_p[p])) % MINHASH_P)
+                for p in range(num_perm)
+            ]
+        ).alias("hs"),
+    )
+    mins = [
+        F.min(F.element_at("hs", i + 1)).alias(f"m{i}") for i in range(num_perm)
+    ]
+    per_doc = (
+        hashed.groupBy("doc")
+        .agg(*mins, F.collect_set("sh").alias("shset"))
+        .select(
+            "doc",
+            F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"),
+            "shset",
+        )
+        .persist()
+    )
+    banded = per_doc.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc",
+        "band",
+        F.expr(
+            f"array_join(transform(slice(sig, band * {rows_per_band} + 1, "
+            f"{rows_per_band}), x -> cast(x as string)), '|')"
+        ).alias("band_key"),
+    )
+    cands = (
+        banded.select(F.col("doc").alias("doc_a"), "band", "band_key")
+        .join(
+            banded.select(F.col("doc").alias("doc_b"), "band", "band_key"),
+            ["band", "band_key"],
+        )
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    sets = per_doc.select("doc", "shset")
     out = (
         cands.join(sets.withColumnsRenamed({"doc": "doc_a", "shset": "set_a"}), "doc_a")
         .join(sets.withColumnsRenamed({"doc": "doc_b", "shset": "set_b"}), "doc_b")
