@@ -53,6 +53,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE coalesce BELOW the cluster's default parallelism: small
+        # shuffles collapse to the advisory partition size (64 MB) instead of
+        # scheduling core-count near-empty tasks per stage. Large shuffles
+        # still split at the advisory size, so scale behaviour is unchanged —
+        # this only removes per-task overhead on small exchange stages.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -120,3 +120,22 @@ def test_q16_anti_join_broadcasts(spark, sf_dir):
     assert "LeftAnti, BuildRight" in plan or (
         "LeftAnti" in plan and "BroadcastHashJoin" in plan
     )
+
+
+def test_minhash_dedupe_scans_text_once(spark, sf_dir):
+    # the fused shape: signature minima + verification shingle sets come out
+    # of ONE groupBy over one shingle explosion — the documents scan must
+    # appear exactly once in the physical plan (the persisted per-doc compact
+    # table feeds banding and both sides of the verification join)
+    from matchbox_spark.operators.dedup import minhash_dedupe_pairs
+
+    import re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = minhash_dedupe_pairs(docs, "doc_id", "text", num_perm=8, bands=4)
+    plan = _formatted_plan(df)
+    # every InMemoryTableScan re-renders the cached relation's inner plan, so
+    # count DISTINCT scan node ids, not textual occurrences
+    scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", plan))
+    assert len(scan_ids) <= 1, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
