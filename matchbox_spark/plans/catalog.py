@@ -523,11 +523,14 @@ class Catalog:
         first_hierarchy_insert = self._contains_empty
         if not self._clusters_empty:
             new = new.join(self.clusters, "cluster_hash", "left_anti")
+        # LAZY checkpoint: the batch_contains materialisation below reads
+        # clusters (incl. this delta), so the assignment executes inside that
+        # job — one fewer serial pass; the assignment temp stays persisted
+        # until then
         assigned = self._ckpt(
             self._assign_ids(new).select("cluster_id", "cluster_hash"),
-            eager=True,
+            eager=False,
         )
-        self._release_assign_temp()
         self._append("clusters", assigned, materialised=True)
         self._clusters_empty = False
         self._bump_max_id(assigned)
@@ -544,6 +547,7 @@ class Catalog:
             .dropDuplicates(),
             eager=True,
         )
+        self._release_assign_temp()
         assignments.unpersist()
         expanded.unpersist()
         member_hashes.unpersist()
