@@ -2268,6 +2268,83 @@ def st1_stream(spark, sf):
 
 
 @_q(
+    "st2_streaming_sessions",
+    """WITH g AS (
+         SELECT user_id, ts,
+                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE OR
+                          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+       ),
+       s AS (
+         SELECT user_id, ts,
+                SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM g
+       )
+       SELECT user_id,
+              strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              COUNT(*) AS n_events
+       FROM s GROUP BY user_id, session_id""",
+)
+def st2_streaming_sessions(spark, sf):
+    """Structured-Streaming session_window aggregation (streaming/windows):
+    the events table streams through readStream → per-user 30-minute-gap
+    sessions; availableNow drains it and the terminal complete-mode state is
+    batch-equivalent, so the lag/cumsum oracle pins a streaming operator
+    exactly."""
+    from matchbox_spark.streaming.windows import (
+        drain_to_memory,
+        streaming_session_stats,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    sessions = streaming_session_stats(stream, gap="30 minutes")
+    return drain_to_memory(sessions, spark, output_mode="complete")
+
+
+@_q(
+    "st3_streaming_dedupe",
+    """SELECT DISTINCT user_id, event_type FROM events""",
+)
+def st3_streaming_dedupe(spark, sf):
+    """Watermark-bounded streaming DISTINCT (dropDuplicatesWithinWatermark):
+    state holds one row per (user, event_type) inside the 7-day horizon —
+    bounded-state dedupe, the streaming analogue of D1. Projected to the
+    dedupe key after suppression so the terminal output is deterministic and
+    the batch DISTINCT oracle matches exactly."""
+    from matchbox_spark.streaming.windows import (
+        drain_to_memory,
+        streaming_distinct,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = streaming_distinct(
+        stream, ["user_id", "event_type"], ts_col="ts", watermark="7 days"
+    ).select("user_id", "event_type")
+    return drain_to_memory(deduped, spark, output_mode="append")
+
+
+@_q(
     "ev5_asof_join",
     """SELECT c.event_id, round(p.value, 6) AS r_value
        FROM (SELECT * FROM events WHERE event_type = 'click') c

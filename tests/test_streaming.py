@@ -116,3 +116,76 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
         ("2026-01-01 01:00:00", "click"): 1,
     }
     assert got == expected
+
+
+def test_streaming_session_stats_matches_batch(spark, tmp_path):
+    from matchbox_spark.streaming.windows import (
+        drain_to_memory,
+        streaming_session_stats,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),  # same session (gap 10m < 30m)
+        (1, "2024-01-01 11:30:00"),  # new session
+        (2, "2024-01-01 09:00:00"),
+        (2, "2024-01-01 09:45:00"),  # new session (45m > 30m)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    src = tmp_path / "events"
+    df.write.parquet(str(src))
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(str(src))
+    out = drain_to_memory(
+        streaming_session_stats(stream, gap="30 minutes"),
+        spark,
+        output_mode="complete",
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in out.collect()
+    }
+    assert got == {
+        (1, "2024-01-01 10:00:00"): 2,
+        (1, "2024-01-01 11:30:00"): 1,
+        (2, "2024-01-01 09:00:00"): 1,
+        (2, "2024-01-01 09:45:00"): 1,
+    }
+    # batch equivalence: identical expression over spark.read
+    batch = streaming_session_stats(spark.read.parquet(str(src)), gap="30 minutes")
+    assert {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()
+    } == got
+
+
+def test_streaming_distinct_within_watermark(spark, tmp_path):
+    from matchbox_spark.streaming.windows import drain_to_memory, streaming_distinct
+
+    rows = [
+        (1, "a", "2024-01-01 10:00:00"),
+        (1, "a", "2024-01-01 10:05:00"),  # dup within horizon -> dropped
+        (1, "b", "2024-01-01 10:00:00"),
+        (2, "a", "2024-01-01 10:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    src = tmp_path / "ev2"
+    df.write.parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp"
+    ).parquet(str(src))
+    out = drain_to_memory(
+        streaming_distinct(stream, ["user_id", "event_type"], watermark="1 hour")
+        .select("user_id", "event_type"),
+        spark,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert sorted((r["user_id"], r["event_type"]) for r in out.collect()) == [
+        (1, "a"),
+        (1, "b"),
+        (2, "a"),
+    ]
