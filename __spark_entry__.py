@@ -2345,6 +2345,34 @@ def st3_streaming_dedupe(spark, sf):
 
 
 @_q(
+    "st4_stateful_stats",
+    """SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value,
+              MIN(event_id) AS min_event
+       FROM events GROUP BY user_id""",
+)
+def st4_stateful_stats(spark, sf):
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    explicit state rows updated Arrow-batch-at-a-time. Metrics are
+    order-independent selections, so the bounded drain's terminal state is
+    exactly the batch GROUP BY — a full hash-match on user-owned streaming
+    state."""
+    from matchbox_spark.streaming.stateful import stateful_user_stats
+    from matchbox_spark.streaming.windows import drain_to_memory
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    out = stateful_user_stats(stream)
+    return drain_to_memory(out, spark, output_mode="append")
+
+
+@_q(
     "ev5_asof_join",
     """SELECT c.event_id, round(p.value, 6) AS r_value
        FROM (SELECT * FROM events WHERE event_type = 'click') c

@@ -189,3 +189,44 @@ def test_streaming_distinct_within_watermark(spark, tmp_path):
         (1, "b"),
         (2, "a"),
     ]
+
+
+def test_stateful_stats_accumulates_across_batches(spark, tmp_path):
+    from matchbox_spark.streaming.stateful import stateful_user_stats
+    from matchbox_spark.streaming.windows import drain_to_memory
+
+    src = tmp_path / "ev3"
+    src.mkdir()
+    spark.createDataFrame(
+        [(10, 1, 5.0), (11, 1, 9.0), (12, 2, 3.0)],
+        "event_id long, user_id long, value double",
+    ).write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(13, 1, 7.0), (14, 3, 1.0)],
+        "event_id long, user_id long, value double",
+    ).write.parquet(str(src / "b2"))
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = drain_to_memory(
+        stateful_user_stats(stream),
+        spark,
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+    )
+    # append mode emits a cumulative row per (key, batch); the terminal
+    # emission per key (max n_events) must equal the global aggregate
+    rows = out.collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    got = {
+        u: (r["n_events"], r["max_value"], r["min_event"])
+        for u, r in final.items()
+    }
+    assert got == {1: (3, 9.0, 10), 2: (1, 3.0, 12), 3: (1, 1.0, 14)}
