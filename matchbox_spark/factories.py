@@ -219,3 +219,70 @@ def diff_clusters(
     p = {frozenset(v) for v in produced.values()}
     e = {frozenset(v) for v in expected.values()}
     return p - e, e - p
+
+
+# ---------------------------------------------------------------------------
+# probability-edge generation with graph invariants (SURVEY §5.2;
+# reference factories/models.py:209-439)
+# ---------------------------------------------------------------------------
+
+
+def calculate_min_max_edges(n_nodes: int, n_components: int) -> tuple[int, int]:
+    """Theoretical edge-count bounds for ``n_nodes`` split as evenly as
+    possible into ``n_components`` connected components: min = spanning
+    forest (n - k), max = sum of complete graphs over the component sizes."""
+    if not 0 < n_components <= n_nodes:
+        raise ValueError(
+            f"need 0 < n_components <= n_nodes, got {n_components}/{n_nodes}"
+        )
+    base, rem = divmod(n_nodes, n_components)
+    sizes = [base + (1 if i < rem else 0) for i in range(n_components)]
+    min_edges = n_nodes - n_components
+    max_edges = sum(s * (s - 1) // 2 for s in sizes)
+    return min_edges, max_edges
+
+
+def generate_component_edges(
+    spark: SparkSession,
+    n_nodes: int,
+    n_components: int,
+    n_edges: int | None = None,
+    score_range: tuple[float, float] = (0.6, 1.0),
+    seed: int = 42,
+) -> tuple[DataFrame, dict[int, int]]:
+    """Seeded scored edges forming EXACTLY ``n_components`` components.
+
+    Nodes 1..n assign round-robin to components; each component gets a
+    spanning chain (the minimum), then random in-component extras top the
+    count up to ``n_edges`` (validated against ``calculate_min_max_edges``
+    bounds — the reference's invariant check). Returns (edges DF with
+    ``left_id/right_id/score``, node → expected-component-min ground truth),
+    so tests can assert any resolver threshold below ``score_range[0]``
+    recovers the exact clustering.
+    """
+    mn, mx = calculate_min_max_edges(n_nodes, n_components)
+    if n_edges is None:
+        n_edges = mn
+    if not mn <= n_edges <= mx:
+        raise ValueError(f"n_edges must be within [{mn}, {mx}], got {n_edges}")
+    rng = random.Random(seed)
+    groups = [list(range(c, n_nodes, n_components)) for c in range(n_components)]
+    edges: set[tuple[int, int]] = set()
+    for g in groups:
+        for a, b in zip(g, g[1:]):
+            edges.add((a, b))
+    attempts = 0
+    while len(edges) < n_edges and attempts < 100 * n_edges:
+        attempts += 1
+        g = rng.choice(groups)
+        if len(g) < 2:
+            continue
+        a, b = rng.sample(g, 2)
+        edges.add((min(a, b), max(a, b)))
+    rows = [
+        (a + 1, b + 1, round(rng.uniform(*score_range), 6))
+        for a, b in sorted(edges)
+    ]
+    truth = {node + 1: min(g) + 1 for g in groups for node in g}
+    df = spark.createDataFrame(rows, "left_id long, right_id long, score double")
+    return df, truth

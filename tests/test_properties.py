@@ -96,3 +96,45 @@ def test_judgement_votes_net_plus_minus_one(spark, partition):
         for b in leaves[i + 1 :]:
             expected = 1.0 if leaf_group[a] == leaf_group[b] else -1.0
             assert abs(net[(a, b)] - expected) < 1e-6, (a, b, net[(a, b)])
+
+
+@given(
+    n_nodes=st.integers(min_value=2, max_value=40),
+    comp_frac=st.floats(min_value=0.05, max_value=1.0),
+    extra_frac=st.floats(min_value=0.0, max_value=1.0),
+    seed=st.integers(min_value=0, max_value=999),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_component_edge_generator_invariants(spark, n_nodes, comp_frac, extra_frac, seed):
+    from matchbox_spark.factories import (
+        calculate_min_max_edges,
+        generate_component_edges,
+    )
+    from matchbox_spark.plans.resolvers import Components
+
+    n_components = max(1, int(n_nodes * comp_frac))
+    mn, mx = calculate_min_max_edges(n_nodes, n_components)
+    n_edges = mn + int((mx - mn) * extra_frac)
+    edges, truth = generate_component_edges(
+        spark, n_nodes, n_components, n_edges, seed=seed
+    )
+    assert mn <= edges.count() <= mx
+    # any threshold below the score floor recovers EXACTLY the planted
+    # clustering (the reference's component-count invariant)
+    assignments = Components(method="driver", thresholds={"m": 0.5}).compute_clusters(
+        {"m": edges}
+    )
+    got = {}
+    for r in assignments.collect():
+        got.setdefault(r["parent_id"], set()).add(r["child_id"])
+    planted = {}
+    for node, comp in truth.items():
+        planted.setdefault(comp, set()).add(node)
+    # resolver only sees nodes with edges; singleton components (size 1)
+    # never emit an edge, so compare over multi-node components
+    expected = {frozenset(v) for v in planted.values() if len(v) > 1}
+    assert {frozenset(v) for v in got.values()} == expected
