@@ -97,6 +97,11 @@ def _read_parquet(spark: SparkSession, location: str, options: dict) -> DataFram
     return spark.read.options(**options).parquet(location)
 
 
+@register_location_reader("orc")
+def _read_orc(spark: SparkSession, location: str, options: dict) -> DataFrame:
+    return spark.read.options(**options).orc(location)
+
+
 @register_location_reader("csv")
 def _read_csv(spark: SparkSession, location: str, options: dict) -> DataFrame:
     opts = {"header": "true", "inferSchema": "true", **options}

@@ -151,3 +151,15 @@ def test_source_config_dict_roundtrip_with_field_types(spark, customer_path):
     assert d["field_types"]["c_acctbal"] in ("Float64", "Decimal")
     back = SourceConfig.from_dict(d)
     assert back == src
+
+
+def test_orc_source_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "cust_orc")
+    spark.createDataFrame(
+        [("k1", "alice", 10), ("k2", "bob", 20)], "key string, name string, v long"
+    ).write.orc(p)
+    src = SourceConfig(
+        name="o", location=p, key_field="key", index_fields=["name"], format="orc"
+    )
+    assert src.read(spark).count() == 2
+    assert src.index(spark).count() == 2
