@@ -163,6 +163,65 @@ class Catalog:
         with open(os.path.join(self.path, "steps.json"), "w") as f:
             json.dump(self.steps, f, indent=2, sort_keys=True)
 
+    # join-key bucketing for warehouse persistence: the hierarchy joins
+    # (resolver_clusters → contains → cluster_keys/clusters) all key on
+    # cluster ids, so bucketing every table by its id column lets a reader
+    # plan those joins shuffle-free (co-located sort-merge over buckets)
+    _BUCKETING = {
+        "clusters": "cluster_id",
+        "cluster_keys": "cluster_id",
+        "contains": "leaf",
+        "resolver_clusters": "cluster_id",
+    }
+
+    def save_as_tables(
+        self, database: str, n_buckets: int = 64, location: str | None = None
+    ) -> None:
+        """Warehouse-grade persistence: write state as BUCKETED catalog
+        tables (``database.table``), bucketed + sorted by each table's join
+        key. At 100 TB this is the difference between every hierarchy query
+        shuffling the full membership tables and reading co-located buckets.
+        Step metadata lands in ``database.steps_meta``."""
+        loc = f" LOCATION '{location}'" if location else ""
+        self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
+        for name in self._table_names():
+            writer = (
+                getattr(self, name)
+                .write.mode("overwrite")
+                .format("parquet")
+            )
+            bucket_col = self._BUCKETING.get(name)
+            if bucket_col:
+                writer = writer.bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+            writer.saveAsTable(f"{database}.{name}")
+        meta = [(s, json.dumps(m, sort_keys=True)) for s, m in self.steps.items()]
+        self.spark.createDataFrame(
+            meta or [("", "")], "step string, meta string"
+        ).where(F.col("step") != "").write.mode("overwrite").saveAsTable(
+            f"{database}.steps_meta"
+        )
+
+    @classmethod
+    def load_tables(cls, spark: SparkSession, database: str) -> "Catalog":
+        """Open a catalog persisted by ``save_as_tables``; reads are lazy
+        ``spark.table`` references, so joins against the bucketed tables
+        plan shuffle-free on the bucket keys."""
+        cat = cls(spark)
+        for name in cat._table_names():
+            cat._parts[name] = [spark.table(f"{database}.{name}")]
+        cat.steps = {
+            r["step"]: json.loads(r["meta"])
+            for r in spark.table(f"{database}.steps_meta").collect()
+        }
+        row = cat.clusters.agg(
+            F.max("cluster_id").alias("m"), F.count("*").alias("n")
+        ).collect()[0]
+        cat._max_id = int(row["m"] or 0)
+        cat._clusters_empty = int(row["n"]) == 0
+        cat._contains_empty = cat.contains.limit(1).isEmpty()
+        cat._loaded_from_disk = True
+        return cat
+
     def _load(self) -> None:
         for name in self._table_names():
             p = os.path.join(self.path, name)

@@ -218,3 +218,44 @@ def test_matcher_serves_lookups_without_catalog(spark, crn_parquet):
         assert miss[0].cluster is None and miss[0].target_keys == set()
     finally:
         m.close()
+
+
+def test_bucketed_catalog_join_is_shuffle_free(spark, crn_parquet, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    dag = _build_dag(spark, crn_parquet)
+    dag.run()
+    db = "mbspark_test_bucketed"
+    dag.catalog.save_as_tables(db, n_buckets=4, location=str(tmp_path / "wh"))
+    try:
+        cat2 = Catalog.load_tables(spark, db)
+        assert cat2.steps.keys() == dag.catalog.steps.keys()
+        # contains ⋈ cluster_keys on the bucketed id keys: with broadcast off,
+        # a co-located sort-merge join must plan with NO shuffle exchange
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = cat2.contains.join(
+                cat2.cluster_keys,
+                cat2.contains["leaf"] == cat2.cluster_keys["cluster_id"],
+            )
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "Exchange hashpartitioning" not in plan, plan
+            # row parity with the in-session state
+            assert joined.count() == dag.catalog.contains.join(
+                dag.catalog.cluster_keys,
+                dag.catalog.contains["leaf"] == dag.catalog.cluster_keys["cluster_id"],
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        for t in [
+            "clusters", "cluster_keys", "contains", "model_edges",
+            "resolver_clusters", "steps_meta",
+        ]:
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")
