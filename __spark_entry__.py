@@ -758,6 +758,48 @@ def t3_fingerprint(spark, sf):
 
 
 @_q(
+    "t5_repetition_stats",
+    r"""WITH toks AS (
+          SELECT doc_id AS doc,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        bi AS (
+          SELECT doc, s.g FROM toks, LATERAL (
+            SELECT CASE WHEN len(t) >= 2 THEN
+                     [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]
+                   ELSE [] END AS gl
+          ) l, UNNEST(l.gl) AS s(g)
+        ),
+        tri AS (
+          SELECT doc, s.g FROM toks, LATERAL (
+            SELECT CASE WHEN len(t) >= 3 THEN
+                     [array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]
+                   ELSE [] END AS gl
+          ) l, UNNEST(l.gl) AS s(g)
+        ),
+        bic AS (SELECT doc, g, COUNT(*) AS c FROM bi GROUP BY doc, g),
+        tric AS (SELECT doc, g, COUNT(*) AS c FROM tri GROUP BY doc, g),
+        bs AS (SELECT doc, MAX(c) / SUM(c) AS top_frac FROM bic GROUP BY doc),
+        ts AS (SELECT doc, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) / SUM(c)
+                          AS dup_frac
+               FROM tric GROUP BY doc)
+        SELECT d.doc_id AS doc,
+               COALESCE(round(bs.top_frac, 6), 0.0) AS top_bigram_frac,
+               COALESCE(round(ts.dup_frac, 6), 0.0) AS dup_trigram_frac
+        FROM documents d
+        LEFT JOIN bs ON d.doc_id = bs.doc
+        LEFT JOIN ts ON ts.doc = d.doc_id""",
+)
+def t5_repetition(spark, sf):
+    """Gopher repetition signals (functions.text.repetition_stats): top-
+    bigram coverage + duplicate-trigram occurrence fraction per document —
+    the boilerplate/spam filter signals for training-data curation."""
+    return TX.repetition_stats(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+@_q(
     "d1_exact_dup_groups",
     r"""SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
                MIN(doc_id) AS representative, COUNT(*) AS n_docs

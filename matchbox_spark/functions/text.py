@@ -303,3 +303,60 @@ def winnowing_fingerprints_expr(
             )
         ),
     ).otherwise(F.array_distinct(hashes))
+
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1):
+    ``top_bigram_frac`` — fraction of bigram occurrences taken by the single
+    most frequent bigram — and ``dup_trigram_frac`` — fraction of trigram
+    occurrences belonging to trigrams that appear more than once. High
+    values flag boilerplate/spam for training-data filtering.
+
+    Relational shape: one explode of both n-gram streams (tagged by n), one
+    (doc, n, gram) count, one per-doc fold — two shuffles total, no UDF, so
+    the corpus scan stays linear and the shuffle key (doc, n, gram) is fine-
+    grained enough to avoid hot partitions at corpus scale.
+    """
+    tagged = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(2).alias("n"), word_shingles_expr(text_col, 2).alias("gs")
+                ),
+                F.struct(
+                    F.lit(3).alias("n"), word_shingles_expr(text_col, 3).alias("gs")
+                ),
+            )
+        ).alias("x"),
+    )
+    grams = tagged.select(
+        "doc", F.col("x.n").alias("n"), F.explode("x.gs").alias("g")
+    )
+    counts = grams.groupBy("doc", "n", "g").agg(F.count("*").alias("c"))
+    per = counts.groupBy("doc", "n").agg(
+        (F.max("c") / F.sum("c")).alias("top_frac"),
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c")
+        ).alias("dup_frac"),
+    )
+    stats = per.groupBy("doc").agg(
+        F.round(
+            F.max(F.when(F.col("n") == 2, F.col("top_frac"))), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.max(F.when(F.col("n") == 3, F.col("dup_frac"))), 6
+        ).alias("dup_trigram_frac"),
+    )
+    # docs too short for any bigram still get a row (0.0 — nothing repeats)
+    return (
+        df.select(F.col(id_col).cast("long").alias("doc"))
+        .distinct()
+        .join(stats, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        )
+    )

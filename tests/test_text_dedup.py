@@ -322,3 +322,22 @@ def test_exact_cosine_pairs_string_ids(spark):
         for r in exact_cosine_pairs(df, threshold=0.9).collect()
     }
     assert pairs == {("a-uuid", "b-uuid")}
+
+
+def test_repetition_stats_handcrafted(spark):
+    from matchbox_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # bigrams: ab×3, ba×2 → top 3/5; trigrams all dup
+            (2, "x y z w"),       # no repeats: top 1/3, dup 0
+            (3, "solo"),          # too short: 0/0 → 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert got[1]["top_bigram_frac"] == 0.6
+    assert got[1]["dup_trigram_frac"] == 1.0
+    assert round(got[2]["top_bigram_frac"], 6) == round(1 / 3, 6)
+    assert got[2]["dup_trigram_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 0.0 and got[3]["dup_trigram_frac"] == 0.0
