@@ -800,6 +800,86 @@ def t5_repetition(spark, sf):
 
 
 @_q(
+    "c1_curation_pipeline",
+    r"""WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks,
+                 regexp_replace(text, '[^\w\s]', '', 'g') AS stripped
+          FROM documents
+        ), f AS (
+          SELECT doc_id, text, toks,
+            CASE WHEN len(toks) > 0 THEN
+              CAST(len(list_filter(toks, x -> list_contains(
+                ['the','a','of','and','to','in','is','that','it','for'], x)))
+                AS DOUBLE) / len(toks) ELSE 0.0 END AS sw,
+            CASE WHEN len(toks) > 0 THEN
+              CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                / len(toks) ELSE 0.0 END AS mt,
+            CASE WHEN length(text) > 0 THEN
+              CAST(length(text) - length(stripped) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS pr,
+            CASE WHEN len(toks) > 0 THEN
+              1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS rep
+          FROM t),
+        scored AS (
+          SELECT doc_id, text, toks,
+                 round(least(sw * 4.0, 1.0) * 0.4
+                       + (CASE WHEN mt >= 3.0 AND mt <= 8.0
+                               THEN 1.0 ELSE 0.5 END) * 0.3
+                       + (1.0 - least(pr * 4.0, 1.0)) * 0.15
+                       + (1.0 - rep) * 0.15, 6) AS quality
+          FROM f),
+        passing AS (SELECT * FROM scored WHERE quality >= 0.6),
+        kept AS (
+          SELECT MIN(doc_id) AS doc_id FROM passing
+          GROUP BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        ),
+        kd AS (SELECT p.doc_id, p.toks, p.quality FROM passing p
+               JOIN kept k ON p.doc_id = k.doc_id),
+        sh AS (
+          SELECT DISTINCT doc_id AS doc, s.sh FROM kd, LATERAL (
+            SELECT CASE WHEN len(toks) >= 2 THEN
+                     [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+                   ELSE [] END AS shl
+          ) t, UNNEST(t.shl) AS s(sh)
+        ),
+        sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+        removed AS (
+          SELECT DISTINCT b.doc AS doc_id
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+          GROUP BY a.doc, b.doc
+          HAVING CAST(COUNT(*) AS DOUBLE) /
+                 ((SELECT sz FROM sizes WHERE doc = a.doc)
+                  + (SELECT sz FROM sizes WHERE doc = b.doc) - COUNT(*)) >= 0.5
+        )
+        SELECT kd.doc_id, kd.quality FROM kd
+        WHERE kd.doc_id NOT IN (SELECT doc_id FROM removed)""",
+)
+def c1_curation(spark, sf):
+    """Composed training-data curation pipeline: quality gate (t2 score ≥
+    0.6) → exact dedupe keeping the minimum doc per content fingerprint →
+    near-duplicate removal (2-gram Jaccard ≥ 0.5, drop the higher id of
+    each pair). One declarative plan — Catalyst pipelines all three stages;
+    the oracle restates every stage relationally."""
+    from matchbox_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        "text",
+        TX.quality_score_expr("text").alias("quality"),
+        TX.fingerprint_expr("text").alias("fp"),
+    )
+    passing = docs.where(F.col("quality") >= 0.6)
+    kept_ids = passing.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kd = passing.join(kept_ids.select("doc_id"), "doc_id").persist()
+    pairs = ngram_jaccard_pairs(kd, "doc_id", "text", n=2, threshold=0.5)
+    removed = pairs.select(F.col("doc_b").alias("doc_id")).dropDuplicates()
+    return kd.join(removed, "doc_id", "left_anti").select("doc_id", "quality")
+
+
+@_q(
     "d1_exact_dup_groups",
     r"""SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
                MIN(doc_id) AS representative, COUNT(*) AS n_docs
