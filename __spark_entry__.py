@@ -2467,6 +2467,54 @@ def st3_streaming_dedupe(spark, sf):
 
 
 @_q(
+    "st5_stream_stream_join",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+       FROM events c JOIN events p
+         ON c.event_type = 'click' AND p.event_type = 'purchase'
+        AND c.user_id = p.user_id
+        AND p.ts >= c.ts - INTERVAL 1 HOUR AND p.ts <= c.ts""",
+)
+def st5_stream_stream(spark, sf):
+    """Stream-stream interval join (streaming/windows): clicks pair with the
+    same user's purchases in the preceding hour; watermarks + the event-time
+    range bound both state stores. Bounded drain ⇒ the terminal output is
+    the batch theta join, which the oracle states directly."""
+    from matchbox_spark.streaming.windows import (
+        drain_to_memory,
+        stream_stream_interval_join,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def _estream():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    clicks = (
+        _estream()
+        .where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        _estream()
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+    )
+    joined = stream_stream_interval_join(
+        clicks, purchases, on="user_id", left_ts="c_ts", right_ts="p_ts",
+        lookback="1 hour", watermark="2 hours",
+    ).select("click_id", "purchase_id")
+    return drain_to_memory(joined, spark, output_mode="append")
+
+
+@_q(
     "st4_stateful_stats",
     """SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value,
               MIN(event_id) AS min_event

@@ -25,3 +25,38 @@ paths.
 """
 
 __version__ = "0.1.0"
+
+# Top-level API (mirrors the reference's `matchbox.DAG` ergonomics): the
+# classes a pipeline author touches, importable from the package root.
+from matchbox_spark.operators.dedupers import NaiveDeduper  # noqa: E402
+from matchbox_spark.operators.linkers import (  # noqa: E402
+    DeterministicLinker,
+    WeightedDeterministicLinker,
+)
+from matchbox_spark.operators.probabilistic import FellegiSunterLinker  # noqa: E402
+from matchbox_spark.plans.catalog import Catalog  # noqa: E402
+from matchbox_spark.plans.collections import Collection, CollectionStore, Run  # noqa: E402
+from matchbox_spark.plans.dag import DAG  # noqa: E402
+from matchbox_spark.plans.query import QueryConfig, match_key, query_data  # noqa: E402
+from matchbox_spark.plans.resolvers import Components  # noqa: E402
+from matchbox_spark.session import get_spark  # noqa: E402
+from matchbox_spark.sources.source import SourceConfig  # noqa: E402
+
+__all__ = [
+    "Catalog",
+    "Collection",
+    "CollectionStore",
+    "Components",
+    "DAG",
+    "DeterministicLinker",
+    "FellegiSunterLinker",
+    "NaiveDeduper",
+    "QueryConfig",
+    "Run",
+    "SourceConfig",
+    "WeightedDeterministicLinker",
+    "get_spark",
+    "match_key",
+    "query_data",
+    "__version__",
+]

@@ -90,3 +90,31 @@ def drain_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each left row pairs with the right rows
+    sharing ``on`` whose ``right_ts`` falls within ``[left_ts - lookback,
+    left_ts]``. Both sides carry watermarks and the join has an explicit
+    event-time range, so Spark bounds both state stores (right rows age out
+    once the left watermark passes ``right_ts + lookback``) — the shape that
+    keeps state finite on unbounded streams. ``left_ts``/``right_ts`` must
+    be distinct column names (rename before calling)."""
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lookback}"))
+        & (rw[right_ts] <= lw[left_ts])
+    )
+    return lw.join(rw, cond, "inner").drop(rw[on])

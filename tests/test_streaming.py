@@ -230,3 +230,37 @@ def test_stateful_stats_accumulates_across_batches(spark, tmp_path):
         for u, r in final.items()
     }
     assert got == {1: (3, 9.0, 10), 2: (1, 3.0, 12), 3: (1, 1.0, 14)}
+
+
+def test_stream_stream_interval_join_bounds(spark, tmp_path):
+    from matchbox_spark.streaming.windows import (
+        drain_to_memory,
+        stream_stream_interval_join,
+    )
+
+    lrows = [(1, 7, "2024-01-01 10:00:00")]
+    rrows = [
+        (100, 7, "2024-01-01 09:30:00"),  # inside [09:00, 10:00]
+        (101, 7, "2024-01-01 08:30:00"),  # too old
+        (102, 7, "2024-01-01 10:30:00"),  # after the click
+        (103, 8, "2024-01-01 09:30:00"),  # other user
+    ]
+    ld = spark.createDataFrame(lrows, "click_id long, user_id long, c_ts string").withColumn(
+        "c_ts", F.to_timestamp("c_ts")
+    )
+    rd = spark.createDataFrame(
+        rrows, "purchase_id long, user_id long, p_ts string"
+    ).withColumn("p_ts", F.to_timestamp("p_ts"))
+    lp, rp = tmp_path / "l", tmp_path / "r"
+    ld.write.parquet(str(lp)); rd.write.parquet(str(rp))
+
+    ls = spark.readStream.schema("click_id long, user_id long, c_ts timestamp").parquet(str(lp))
+    rs = spark.readStream.schema("purchase_id long, user_id long, p_ts timestamp").parquet(str(rp))
+    out = drain_to_memory(
+        stream_stream_interval_join(
+            ls, rs, on="user_id", left_ts="c_ts", right_ts="p_ts", lookback="1 hour"
+        ).select("click_id", "purchase_id"),
+        spark,
+        checkpoint_dir=str(tmp_path / "ckpt5"),
+    )
+    assert [(r["click_id"], r["purchase_id"]) for r in out.collect()] == [(1, 100)]
