@@ -27,18 +27,25 @@ def asof_join(
     value_cols: list[str] | None = None,
     strict: bool = False,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    ``right.ts <= left.ts`` (or ``<`` when ``strict``) per ``on`` key.
+    ``right.ts <= left.ts`` (``direction='backward'``, default; ``<`` when
+    ``strict``) — or, with ``direction='forward'``, the earliest right row
+    with ``right.ts >= left.ts`` — per ``on`` key.
 
     Args:
         left/right: event frames; ``on`` is the equality key column name.
         left_ts/right_ts: timestamp column names.
         value_cols: right-side payload columns to carry (default: all except
             the key and timestamp).
-        strict: require strictly-earlier right rows.
-        tolerance: optional max lookback (SQL interval string, e.g.
-            ``'15 minutes'``): matches older than it are nulled out.
+        strict: require strictly-earlier (backward) / strictly-later
+            (forward) right rows.
+        tolerance: optional max lookback/lookahead (SQL interval string,
+            e.g. ``'15 minutes'``): matches beyond it are nulled out.
+        direction: ``'backward'`` or ``'forward'`` (pandas merge_asof
+            semantics). Forward is the backward scan on a reversed time
+            axis — same single-shuffle plan.
 
     Scale shape: both sides shuffle ONCE on the key; the window is
     partitioned by key (no global ordering). Ties on equal timestamps order
@@ -75,12 +82,17 @@ def asof_join(
             *[F.col(c) for c in value_cols],
         ).alias("_rrow"),
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward': {direction!r}")
     # strict: right rows at an equal timestamp sort AFTER left rows and are
     # therefore not yet visible; non-strict: right rows sort first.
     order_side = F.col("_side") if not strict else -F.col("_side")
+    ts_order = (
+        F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    )
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts"), order_side)
+        .orderBy(ts_order, order_side)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tag.unionByName(r_tag).select(
@@ -92,9 +104,14 @@ def asof_join(
     out = carried.where(F.col("_side") == 1)
     keep = F.col("_c").isNotNull()
     if tolerance is not None:
-        keep = keep & (
-            F.col("_c._rts") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
-        )
+        if direction == "backward":
+            keep = keep & (
+                F.col("_c._rts") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+            )
+        else:
+            keep = keep & (
+                F.col("_c._rts") <= F.col("_ts") + F.expr(f"INTERVAL {tolerance}")
+            )
     return out.select(
         *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
         *[

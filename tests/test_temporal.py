@@ -260,3 +260,65 @@ def test_range_join_rejects_zero_tolerance(spark):
         range_join(left, left, tolerance_s=0.0)
     with _pytest.raises(ValueError, match="tolerance_s"):
         range_join(left, left, tolerance_s=1e-9)
+
+
+def test_asof_forward_matches_pandas_merge_asof(spark):
+    """Randomized cross-check of direction='forward' against pandas."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 300
+    lpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, n_l),
+            "ts": pd.to_datetime(
+                rng.integers(1_700_000_000, 1_700_100_000, n_l), unit="s"
+            ),
+            "lid": np.arange(n_l),
+        }
+    ).sort_values("ts", ignore_index=True)
+    rpd = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, n_r),
+            "ts": pd.to_datetime(
+                rng.integers(1_700_000_000, 1_700_100_000, n_r), unit="s"
+            ),
+            "val": rng.random(n_r).round(6),
+        }
+    ).sort_values("ts", ignore_index=True)
+    rpd = rpd.drop_duplicates(subset=["k", "ts"], keep="last")
+
+    expected = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="forward")
+    exp = {
+        int(r.lid): (None if pd.isna(r.val) else round(float(r.val), 6))
+        for r in expected.itertuples()
+    }
+    got_df = asof_join(
+        spark.createDataFrame(lpd),
+        spark.createDataFrame(rpd),
+        on="k",
+        value_cols=["val"],
+        direction="forward",
+    )
+    got = {
+        int(r["lid"]): (None if r["r_val"] is None else round(r["r_val"], 6))
+        for r in got_df.collect()
+    }
+    assert got == exp
+
+
+def test_asof_forward_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:20:00", 5.0)], "k long, ts string, val double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    near = asof_join(left, right, on="k", value_cols=["val"],
+                     direction="forward", tolerance="30 minutes").collect()
+    far = asof_join(left, right, on="k", value_cols=["val"],
+                    direction="forward", tolerance="10 minutes").collect()
+    assert near[0]["r_val"] == 5.0 and far[0]["r_val"] is None
