@@ -49,18 +49,51 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _resolve_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalise an event-time column to TIMESTAMP whatever physical type the
+    parquet stores in this environment: TIMESTAMP(NANOS) read as bigint under
+    the legacy flag (ns → µs floor division, matching DuckDB's truncation),
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) read as TIMESTAMP_NTZ (cast under
+    the UTC session tz — caller sets it), or already TIMESTAMP (no-op). Every
+    downstream op (unix_micros, session_window, date_format, watermarks) then
+    sees one type."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark 4 only reads as
-    long via the legacy flag; convert to microsecond timestamps (floor
-    division — matching DuckDB's ns→µs truncation)."""
+    """Read events.parquet with ``ts`` normalised to TIMESTAMP under a UTC
+    session tz (so NTZ wall times and DuckDB's naive timestamps agree
+    byte-for-byte in formatted output)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:  # noqa: BLE001  # pragma: no cover
         pass
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _resolve_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with the schema inferred from a batch
+    read of the same file — never a hardcoded schema, so a physical-type
+    change in the testdata (nanos-as-long vs µs NTZ) can't silently corrupt
+    timestamps — then ``ts`` normalised exactly like the batch path."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001  # pragma: no cover
+        pass
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _resolve_ts(stream)
 
 
 def _dec6(col):
@@ -2421,16 +2454,7 @@ def st2_streaming_sessions(spark, sf):
         streaming_session_stats,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf)
     sessions = streaming_session_stats(stream, gap="30 minutes")
     return drain_to_memory(sessions, spark, output_mode="complete")
 
@@ -2450,16 +2474,7 @@ def st3_streaming_dedupe(spark, sf):
         streaming_distinct,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf)
     deduped = streaming_distinct(
         stream, ["user_id", "event_type"], ts_col="ts", watermark="7 days"
     ).select("user_id", "event_type")
@@ -2484,18 +2499,8 @@ def st5_stream_stream(spark, sf):
         stream_stream_interval_join,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def _estream():
-        return (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, event_type string, "
-                "value double, props string"
-            )
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return _events_stream(spark, sf)
 
     clicks = (
         _estream()
@@ -2529,15 +2534,7 @@ def st4_stateful_stats(spark, sf):
     from matchbox_spark.streaming.stateful import stateful_user_stats
     from matchbox_spark.streaming.windows import drain_to_memory
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf)
-    )
+    stream = _events_stream(spark, sf)
     out = stateful_user_stats(stream)
     return drain_to_memory(out, spark, output_mode="append")
 

@@ -121,6 +121,16 @@ def asof_join(
     )
 
 
+def _epoch_us(df: DataFrame, col: str):
+    """Epoch-microseconds expression for a TIMESTAMP or TIMESTAMP_NTZ column
+    (``unix_micros`` rejects NTZ; the cast interprets NTZ wall time in the
+    session tz — offsets cancel in the |l-r| band arithmetic either way)."""
+    c = F.col(col)
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        c = c.cast("timestamp")
+    return F.unix_micros(c)
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -150,10 +160,10 @@ def range_join(
             f"tolerance_s must be at least 1 microsecond, got {tolerance_s!r}"
         )
     lb = left.withColumn(
-        "_bkt", F.floor(F.unix_micros(F.col(left_ts)) / tol_us).cast("long")
+        "_bkt", F.floor(_epoch_us(left, left_ts) / tol_us).cast("long")
     )
     rb = right.withColumn(
-        "_bkt0", F.floor(F.unix_micros(F.col(right_ts)) / tol_us).cast("long")
+        "_bkt0", F.floor(_epoch_us(right, right_ts) / tol_us).cast("long")
     ).select(
         F.explode(
             F.array(F.col("_bkt0") - 1, F.col("_bkt0"), F.col("_bkt0") + 1)
@@ -167,7 +177,10 @@ def range_join(
         cond.append(lb[on] == rb["_rk"])
     joined = lb.join(rb, cond[0] if len(cond) == 1 else cond[0] & cond[1])
     close = (
-        F.abs(F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("_rts")))
+        F.abs(
+            F.unix_micros(F.col(left_ts).cast("timestamp"))
+            - F.unix_micros(F.col("_rts").cast("timestamp"))
+        )
         <= tol_us
     )
     return joined.where(close).select(
