@@ -251,16 +251,26 @@ def minhash_dedupe_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    max_verify_shingles: int | None = None,
 ) -> DataFrame:
-    """MinHash-LSH candidates verified with exact shingle Jaccard ≥ threshold.
+    """MinHash-LSH candidates verified with shingle Jaccard ≥ threshold.
 
-    ONE pass over the shingle explosion: the signature minima AND the exact
-    shingle set come out of a single groupBy on ``doc`` (vs the naive shape —
-    one scan+shuffle for signatures, a second for verification sets). The
-    per-doc compact table (sig + set) is persisted: it is the compressed
-    representation every later stage (banding, both sides of the
+    ONE pass over the shingle explosion: the signature minima AND the
+    verification shingle set come out of a single groupBy on ``doc`` (vs the
+    naive shape — one scan+shuffle for signatures, a second for verification
+    sets). The per-doc compact table (sig + set) is persisted: it is the
+    compressed representation every later stage (banding, both sides of the
     verification join) reads, so at corpus scale the raw text is scanned
     exactly once.
+
+    ``max_verify_shingles`` bounds the per-doc verification width for corpus
+    scale: shingles are carried as 8-byte hashes (not strings) and each doc
+    keeps only its ``k`` smallest — a bottom-k (K-minimum-values) sketch.
+    Pairs where both sketches are complete (doc had < k shingles) verify
+    with EXACT Jaccard; oversized pairs use the classic KMV estimate
+    |bottom_k(A∪B) ∩ A ∩ B| / |bottom_k(A∪B)| — unbiased, with error
+    O(1/sqrt(k)). ``None`` (default) keeps full string shingle sets and
+    exact Jaccard — bit-compatible with the relational oracle.
     """
     if num_perm % bands != 0:
         raise ValueError("num_perm must be divisible by bands")
@@ -284,9 +294,26 @@ def minhash_dedupe_pairs(
     mins = [
         F.min(F.element_at("hs", i + 1)).alias(f"m{i}") for i in range(num_perm)
     ]
+    if max_verify_shingles is None:
+        set_agg = F.collect_set("sh").alias("shset")
+    else:
+        # hash once (reuse the first permutation's base value = element 1 of
+        # hs before the affine map is NOT available; hash sh again — cheap)
+        # and keep the k smallest: a deterministic bottom-k sketch whose
+        # width is bounded regardless of document length
+        set_agg = F.slice(
+            F.sort_array(
+                F.collect_set(
+                    F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10)
+                    .cast("long")
+                )
+            ),
+            1,
+            int(max_verify_shingles),
+        ).alias("shset")
     per_doc = (
         hashed.groupBy("doc")
-        .agg(*mins, F.collect_set("sh").alias("shset"))
+        .agg(*mins, set_agg)
         .select(
             "doc",
             F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"),
@@ -317,14 +344,30 @@ def minhash_dedupe_pairs(
         .dropDuplicates()
     )
     sets = per_doc.select("doc", "shset")
-    out = (
-        cands.join(sets.withColumnsRenamed({"doc": "doc_a", "shset": "set_a"}), "doc_a")
-        .join(sets.withColumnsRenamed({"doc": "doc_b", "shset": "set_b"}), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("set_a", "set_b"))
-            / F.size(F.array_union("set_a", "set_b")).cast("double"),
+    joined = cands.join(
+        sets.withColumnsRenamed({"doc": "doc_a", "shset": "set_a"}), "doc_a"
+    ).join(sets.withColumnsRenamed({"doc": "doc_b", "shset": "set_b"}), "doc_b")
+    exact = F.size(F.array_intersect("set_a", "set_b")) / F.size(
+        F.array_union("set_a", "set_b")
+    ).cast("double")
+    if max_verify_shingles is None:
+        jaccard = exact
+    else:
+        k = int(max_verify_shingles)
+        # both sketches complete → sets are exact → exact Jaccard; else the
+        # KMV estimate over the k smallest of the union (sketches are sorted
+        # ascending, so bottom-k of the union is a sort+slice)
+        bottom = F.slice(
+            F.sort_array(F.array_union("set_a", "set_b")), 1, k
         )
+        kmv = F.size(
+            F.array_intersect(bottom, F.array_intersect("set_a", "set_b"))
+        ) / F.size(bottom).cast("double")
+        jaccard = F.when(
+            (F.size("set_a") < k) & (F.size("set_b") < k), exact
+        ).otherwise(kmv)
+    out = (
+        joined.withColumn("jaccard", jaccard)
         .where(F.col("jaccard") >= F.lit(float(threshold)))
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -83,6 +83,7 @@ class Catalog:
         self._max_id = 0
         self._last_assigned_n = 0
         self._assign_temp: DataFrame | None = None
+        self._assign_obs = None
         self._contains_empty = True
         self._clusters_empty = True
         # step values known to have rows, per step-keyed table — lets inserts
@@ -304,35 +305,44 @@ class Catalog:
         so assignment scales with the insert batch. Hashes are unique, so
         ids are deterministic. Extra columns on ``new_hashes`` ride along.
         """
-        from pyspark.sql import Window
+        from pyspark.sql import Observation, Window
 
         base = self._max_id
         bucketed = new_hashes.withColumn("_bkt", self._bucket_expr())
         self._assign_temp = None
-        if counts is None:
-            # cached, not checkpointed: the counts collect materialises it,
-            # and the caller unpersists it as soon as the assigned delta is
-            # checkpointed (bounded executor storage — no leaked blocks)
-            bucketed = bucketed.persist()
-            self._assign_temp = bucketed
-            counts = {
-                r["_bkt"]: r["n"]
-                for r in bucketed.groupBy("_bkt")
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
-        offsets, acc = {}, 0
-        for bkt in sorted(counts):
-            offsets[bkt] = acc
-            acc += counts[bkt]
-        self._last_assigned_n = acc
-        off_df = self.spark.createDataFrame(
-            [(bkt, off) for bkt, off in offsets.items()] or [(0, 0)],
-            "_bkt int, _off long",
-        )
+        self._assign_obs = None
+        if counts is not None:
+            offsets, acc = {}, 0
+            for bkt in sorted(counts):
+                offsets[bkt] = acc
+                acc += counts[bkt]
+            self._last_assigned_n = acc
+            off_df = self.spark.createDataFrame(
+                [(bkt, off) for bkt, off in offsets.items()] or [(0, 0)],
+                "_bkt int, _off long",
+            )
+        else:
+            # relational offsets: running sum over the bucket-count rows —
+            # single-partition window, but over ≤65536 rows (one per bucket),
+            # driver-sized by design. The counts aggregate and the data join
+            # both live in ONE plan, so the caller's materialisation is one
+            # job with no separate counts-collect pass.
+            woff = Window.orderBy("_bkt").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            off_df = (
+                bucketed.groupBy("_bkt")
+                .agg(F.count("*").alias("_n"))
+                .select(
+                    "_bkt",
+                    F.coalesce(F.sum("_n").over(woff), F.lit(0))
+                    .cast("long")
+                    .alias("_off"),
+                )
+            )
         w = Window.partitionBy("_bkt").orderBy("cluster_hash")
         payload = [c for c in new_hashes.columns if c != "cluster_hash"]
-        return (
+        out = (
             bucketed.join(F.broadcast(off_df), "_bkt")
             .select(
                 (F.row_number().over(w) + F.col("_off") + base).alias("cluster_id"),
@@ -340,12 +350,22 @@ class Catalog:
                 *payload,
             )
         )
+        if counts is None:
+            obs = Observation()
+            self._assign_obs = obs
+            out = out.observe(obs, F.count(F.lit(1)).alias("n"))
+        return out
 
     def _bump_max_id(self, assigned: DataFrame) -> None:
-        """Advance the id watermark by the new-assignment batch size, which
-        ``_assign_ids`` already counted driver-side — no extra job, and no
-        re-execution of the (unmaterialised) assignment plan."""
-        self._max_id += int(self._last_assigned_n)
+        """Advance the id watermark by the new-assignment batch size — read
+        from the assignment plan's Observation (rides whatever job
+        materialised it; blocks until one has) or the driver-side count when
+        the caller supplied bucket counts. No extra job either way."""
+        if self._assign_obs is not None:
+            self._max_id += int(self._assign_obs.get["n"] or 0)
+            self._assign_obs = None
+        else:
+            self._max_id += int(self._last_assigned_n)
 
     def _fingerprint_gate(self, step: str, fingerprint: bytes) -> bool:
         """H6: True → skip (identical data already inserted); False → proceed."""
@@ -382,44 +402,35 @@ class Catalog:
         New hashes become new clusters; keys unnest into ``cluster_keys``
         (insert.py:43-165 semantics: temp table → insert-if-absent → unnest).
         """
-        # ONE aggregation pass computes the fingerprint AND the per-bucket
-        # counts the id assignment needs (both are associative folds of the
-        # same scan), materialising the cached index as a side effect — the
-        # old shape paid four serial passes here (checkpoint, fingerprint,
-        # range sampling, counts)
-        index = index.select(
-            F.col("hash").alias("cluster_hash"), F.col("keys")
-        ).persist()
-        stats = (
-            index.select(
-                row_hash_expr(index.schema, ["cluster_hash", "keys"], "xxhash64")
-                .alias("_h"),
-                self._bucket_expr().alias("_bkt"),
-            )
-            .groupBy("_bkt")
-            .agg(*unordered_stats_aggs())
-            .collect()
-        )
-        if fingerprint is None:
-            # fingerprints gate idempotency; they need stability, not the
-            # reference-compatible byte recipe — use the fast distributed
-            # fingerprint (hash_table stays available for content parity)
-            fingerprint = fold_unordered_stats(stats)
-        if self._fingerprint_gate(step, fingerprint):
-            index.unpersist()
-            return
-
         # index is groupBy-output (unique by hash) — no distinct needed
-        if self._clusters_empty:
-            # first insert into an empty catalog: every hash is new, so the
-            # assignment shuffle carries the keys along and both deltas are
-            # projections of ONE checkpointed frame — no anti-join, no
-            # hash→id re-join, and bucket counts reuse the stats pass above
-            counts = {r["_bkt"]: r["n"] for r in stats}
-            assigned = self._ckpt(
-                self._assign_ids(index, counts=counts), eager=True
+        if self._clusters_empty and fingerprint is None:
+            # first insert into an empty catalog: every hash is new, so ONE
+            # eager job does everything — the assignment shuffle carries the
+            # keys along, the relational bucket offsets live inside the plan
+            # (_assign_ids), and the table fingerprint (an associative
+            # (n, sum, xor) fold of row hashes — fingerprints gate
+            # idempotency; they need stability, not the reference-compatible
+            # byte recipe) rides the checkpoint as an Observation instead of
+            # its own pass. The idempotent-resync case pays this one job
+            # before the gate says skip — the right trade: resync is rare,
+            # cold build is the hot path.
+            from pyspark.sql import Observation
+
+            index = index.select(F.col("hash").alias("cluster_hash"), "keys")
+            plan = self._assign_ids(index)
+            h = row_hash_expr(plan.schema, ["cluster_hash", "keys"], "xxhash64")
+            fobs = Observation()
+            plan = plan.observe(
+                fobs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(h.cast("decimal(38,0)")).alias("s"),
+                F.bit_xor(h).alias("x"),
             )
-            index.unpersist()
+            assigned = self._ckpt(plan, eager=True)
+            fingerprint = fold_unordered_stats([fobs.get])
+            if self._fingerprint_gate(step, fingerprint):
+                self._assign_obs = None  # discard the unused assignment
+                return
             self._append(
                 "clusters",
                 assigned.select("cluster_id", "cluster_hash"),
@@ -433,6 +444,23 @@ class Catalog:
             keys_materialised = False  # shallow plan over the checkpoint;
             # _append's lazy checkpoint makes the dedup run once, not per read
         else:
+            index = index.select(
+                F.col("hash").alias("cluster_hash"), F.col("keys")
+            ).persist()
+            if fingerprint is None:
+                stats = (
+                    index.select(
+                        row_hash_expr(
+                            index.schema, ["cluster_hash", "keys"], "xxhash64"
+                        ).alias("_h"),
+                    )
+                    .agg(*unordered_stats_aggs())
+                    .collect()
+                )
+                fingerprint = fold_unordered_stats(stats)
+            if self._fingerprint_gate(step, fingerprint):
+                index.unpersist()
+                return
             new = index.select("cluster_hash").join(
                 self.clusters, "cluster_hash", "left_anti"
             )
@@ -582,13 +610,14 @@ class Catalog:
         first_hierarchy_insert = self._contains_empty
         if not self._clusters_empty:
             new = new.join(self.clusters, "cluster_hash", "left_anti")
-        # LAZY checkpoint: the batch_contains materialisation below reads
-        # clusters (incl. this delta), so the assignment executes inside that
-        # job — one fewer serial pass; the assignment temp stays persisted
-        # until then
+        # EAGER checkpoint: the batch size rides this job as the assignment
+        # plan's Observation (metrics only fire reliably when the observed
+        # plan runs as its own query — a lazy checkpoint materialised inside
+        # a downstream job loses them), and the id watermark must advance
+        # before anything else assigns. O(new clusters) — tiny.
         assigned = self._ckpt(
             self._assign_ids(new).select("cluster_id", "cluster_hash"),
-            eager=False,
+            eager=True,
         )
         self._append("clusters", assigned, materialised=True)
         self._clusters_empty = False

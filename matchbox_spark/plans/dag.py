@@ -13,10 +13,10 @@ import logging
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from matchbox_spark.operators.dedupers import Deduper
 from matchbox_spark.operators.linkers import Linker
-from matchbox_spark.operators.results import normalise_scores
 from matchbox_spark.plans.catalog import Catalog
 from matchbox_spark.plans.query import QueryConfig, match_key, query_data
 from matchbox_spark.plans.resolvers import ResolverMethod
@@ -242,12 +242,33 @@ class DAG:
                 else:
                     right = self._query_for_model(step.right_query)
                     edges = step.model.link(left, right)
-                # materialise once: validation and insert reuse the same
-                # result instead of re-running the model plan
-                edges = edges.localCheckpoint(eager=True)
-                self.catalog.insert_model_edges(
-                    name, normalise_scores(edges), fingerprint=fp
+                # ONE materialisation pass: score validation (P4) rides the
+                # checkpoint job as an Observation instead of a second scan
+                # of the edge set — at 100 TB the saved pass is a full read
+                # of every scored pair
+                from pyspark.sql import Observation
+
+                from matchbox_spark.operators.results import ScoreError
+                from matchbox_spark.schemas import SCHEMA_MODEL_EDGES, conform
+
+                edges = conform(edges, SCHEMA_MODEL_EDGES)
+                obs = Observation()
+                bad = (
+                    F.col("score").isNull()
+                    | F.isnan("score")
+                    | (F.col("score") < 0)
+                    | (F.col("score") > 1)
                 )
+                edges = edges.observe(
+                    obs, F.sum(bad.cast("long")).alias("n_bad")
+                ).localCheckpoint(eager=True)
+                n_bad = int(obs.get["n_bad"] or 0)
+                if n_bad:
+                    example = edges.where(bad).first()
+                    raise ScoreError(
+                        f"invalid score outside [0,1] or null/NaN: {example}"
+                    )
+                self.catalog.insert_model_edges(name, edges, fingerprint=fp)
             elif isinstance(step, ResolverStep):
                 logger.info("resolver step %s", name)
                 fp = self._derived_fingerprint(

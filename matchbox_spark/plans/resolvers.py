@@ -182,23 +182,67 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_cc_edge_limit(spark) -> int:
+    """Edge cap for the driver union-find escape, sized by driver memory
+    rather than a magic constant: ~500 bytes/edge of worst-case Python dict
+    overhead against a quarter of the heap, floored at 2M so small drivers
+    still take the fast path for graphs the reference itself handled
+    driver-side, capped at 50M."""
+    try:
+        mem = spark.conf.get("spark.driver.memory", "4g") or "4g"
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+        m = mem.strip().lower()
+        mult = units.get(m[-1], 1)
+        num = float(m[:-1]) if m[-1] in units else float(m)
+        heap = int(num * mult)
+    except Exception:  # noqa: BLE001
+        heap = 4 << 30
+    return max(2_000_000, min(50_000_000, heap // 4 // 500))
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, checkpoint_every: int = 1
+    edges: DataFrame,
+    max_iter: int = 50,
+    checkpoint_every: int = 1,
+    strategy: str = "auto",
+    driver_edge_limit: int | None = None,
 ) -> DataFrame:
-    """Distributed CC: returns ``(id, component)`` — component = min member id.
+    """Connected components: returns ``(id, component)`` — component = min
+    member id.
 
     ``edges`` needs columns ``src``/``dst`` (long). Nodes appearing only as
     isolated vertices must be unioned in by the caller (an edge list cannot
     carry them).
+
+    ``strategy='auto'`` (default) runs the exact driver union-find when the
+    deduped edge count fits the memory-derived cap — the count is free (it
+    rides the materialisation job's Observation), and star contraction's ~6
+    fixed-overhead shuffle rounds dwarf a single Arrow collect on small
+    graphs. ``'distributed'`` forces the large-star/small-star rounds (the
+    100 TB path; what the stress harness pins).
     """
+    spark = edges.sparkSession
     e, sig = _materialize_with_signature(
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
     if sig[0] == 0:
-        spark = edges.sparkSession
         return spark.createDataFrame([], "id long, component long")
+
+    if strategy == "auto":
+        limit = driver_edge_limit or _driver_cc_edge_limit(spark)
+        if sig[0] <= limit:
+            import pandas as pd
+
+            pdf = e.toPandas()
+            mapping = connected_components_driver(
+                zip(pdf["src"].tolist(), pdf["dst"].tolist())
+            )
+            lab = pd.DataFrame(mapping.items(), columns=["id", "component"])
+            return spark.createDataFrame(
+                lab.astype("int64"), "id long, component long"
+            )
 
     for it in range(max_iter):
         e2 = _small_star(_large_star(e))
@@ -295,9 +339,10 @@ class Components(ResolverMethod):
             unioned = e if unioned is None else unioned.union(e)
         if unioned is None:
             raise ValueError("no model edges given")
-        # cache, don't checkpoint: the count below materialises it in the
-        # same pass (an eager checkpoint would cost one extra full job)
-        unioned = unioned.persist()
+        # no persist/checkpoint here: each consumer reads the (already
+        # materialised upstream) edge deltas exactly once — the auto probe is
+        # one collect job, and the distributed path materialises its own
+        # working set immediately
 
         spark = unioned.sparkSession
         method = s.method
@@ -320,7 +365,6 @@ class Components(ResolverMethod):
             # and skipping it saves a full shuffle.
             if pdf is None:
                 pdf = unioned.toPandas()
-            unioned.unpersist()
             mapping = connected_components_driver(
                 zip(pdf["src"].tolist(), pdf["dst"].tolist())
             )
@@ -344,7 +388,9 @@ class Components(ResolverMethod):
             )
             return conform(assignments, SCHEMA_CLUSTERS)
 
-        labels = connected_components(unioned)
+        # the resolver's own probe already decided this graph exceeds the
+        # driver — don't let connected_components re-probe (and re-collect)
+        labels = connected_components(unioned, strategy="distributed")
 
         # dense deterministic parent ids 1..k ordered by component minimum —
         # distributed zip-with-index (range partition + per-partition row

@@ -73,7 +73,8 @@ def test_distributed_cc_matches_union_find(spark, seed):
 
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {
-        r["id"]: r["component"] for r in connected_components(df).collect()
+        r["id"]: r["component"]
+        for r in connected_components(df, strategy="distributed").collect()
     }
     assert got == expected
 
@@ -83,7 +84,7 @@ def test_distributed_cc_long_chain(spark):
     # propagation)
     n = 256
     df = spark.createDataFrame([(i, i + 1) for i in range(n)], "src long, dst long")
-    got = connected_components(df)
+    got = connected_components(df, strategy="distributed")
     comps = got.select("component").distinct().collect()
     assert len(comps) == 1 and comps[0]["component"] == 0
     assert got.count() == n + 1
@@ -99,3 +100,30 @@ def test_distributed_method_in_resolver(spark):
         frozenset({1, 2, 3}),
         frozenset({10, 11}),
     }
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_auto_cc_small_graph_takes_driver_path_and_matches(spark, seed):
+    rng = random.Random(seed)
+    edges = [
+        (rng.randrange(300), rng.randrange(300)) for _ in range(200)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = connected_components_driver(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == expected
+
+
+def test_auto_cc_respects_explicit_edge_limit(spark):
+    # limit below the edge count forces the distributed rounds; result is
+    # identical either way
+    df = spark.createDataFrame([(i, i + 1) for i in range(64)], "src long, dst long")
+    got = connected_components(df, driver_edge_limit=10, strategy="auto")
+    # limit=10 < 64 edges, but auto only escapes when count <= limit, so
+    # this ran the star rounds — same single component
+    comps = got.select("component").distinct().collect()
+    assert len(comps) == 1 and comps[0]["component"] == 0
+    assert got.count() == 65

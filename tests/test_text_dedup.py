@@ -341,3 +341,43 @@ def test_repetition_stats_handcrafted(spark):
     assert round(got[2]["top_bigram_frac"], 6) == round(1 / 3, 6)
     assert got[2]["dup_trigram_frac"] == 0.0
     assert got[3]["top_bigram_frac"] == 0.0 and got[3]["dup_trigram_frac"] == 0.0
+
+
+def test_minhash_capped_verification_matches_exact(near_dup_docs):
+    # cap far above the doc shingle counts: sketches complete → exact path;
+    # jaccard values must equal the uncapped (string-set) computation
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.minhash_dedupe_pairs(
+            near_dup_docs, "doc_id", "text", num_perm=32, bands=8,
+            threshold=0.5,
+        ).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.minhash_dedupe_pairs(
+            near_dup_docs, "doc_id", "text", num_perm=32, bands=8,
+            threshold=0.5, max_verify_shingles=10_000,
+        ).collect()
+    }
+    assert exact == capped
+
+
+def test_minhash_capped_verification_long_docs(spark):
+    # docs far wider than the cap: the KMV estimate must still separate a
+    # planted near-dup (~0.8 true jaccard) from an unrelated doc
+    words_a = [f"tok{i}" for i in range(3000)]
+    words_b = words_a[:2700] + [f"alt{i}" for i in range(300)]
+    words_c = [f"other{i}" for i in range(3000)]
+    df = spark.createDataFrame(
+        [(0, " ".join(words_a)), (1, " ".join(words_b)), (2, " ".join(words_c))],
+        "doc_id long, text string",
+    )
+    out = DD.minhash_dedupe_pairs(
+        df, "doc_id", "text", num_perm=32, bands=16, threshold=0.5,
+        max_verify_shingles=256,
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert (0, 1) in pairs
+    assert 0.6 <= pairs[(0, 1)] <= 1.0  # KMV estimate near the true ~0.8
+    assert not any(2 in p for p in pairs)

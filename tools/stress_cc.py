@@ -48,7 +48,7 @@ def main() -> int:
     graph = edges.union(chords)
 
     t0 = time.time()
-    cc = connected_components(graph).localCheckpoint(eager=True)
+    cc = connected_components(graph, strategy="distributed").localCheckpoint(eager=True)
     elapsed = time.time() - t0
 
     n_components = cc.select("component").distinct().count()
