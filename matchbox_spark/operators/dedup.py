@@ -228,9 +228,12 @@ def minhash_lsh_candidates(
     ).select(
         "doc",
         "band",
-        F.expr(
-            f"array_join(transform(slice(sig, band * {rows_per_band} + 1, "
-            f"{rows_per_band}), x -> cast(x as string)), '|')"
+        # 8-byte join key: xxhash64 of the signature slice (a string
+        # band_key both widens the shuffle and hashes char-by-char at join
+        # time; slice equality <=> key equality modulo negligible 64-bit
+        # collisions, and candidates are Jaccard-verified downstream anyway)
+        F.xxhash64(
+            F.expr(f"slice(sig, band * {rows_per_band} + 1, {rows_per_band})")
         ).alias("band_key"),
     )
     a = banded.select(F.col("doc").alias("doc_a"), "band", "band_key")
@@ -328,9 +331,12 @@ def minhash_dedupe_pairs(
     ).select(
         "doc",
         "band",
-        F.expr(
-            f"array_join(transform(slice(sig, band * {rows_per_band} + 1, "
-            f"{rows_per_band}), x -> cast(x as string)), '|')"
+        # 8-byte join key: xxhash64 of the signature slice (a string
+        # band_key both widens the shuffle and hashes char-by-char at join
+        # time; slice equality <=> key equality modulo negligible 64-bit
+        # collisions, and candidates are Jaccard-verified downstream anyway)
+        F.xxhash64(
+            F.expr(f"slice(sig, band * {rows_per_band} + 1, {rows_per_band})")
         ).alias("band_key"),
     )
     cands = (

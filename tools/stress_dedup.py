@@ -7,7 +7,12 @@ near-duplicate twin with the last word replaced (shingle Jaccard ≈ 0.93).
 
 Reports wall time and recall of planted pairs at threshold 0.7. Usage::
 
-    python tools/stress_dedup.py [n_docs]
+    python tools/stress_dedup.py [n_docs] [words_per_doc] [max_verify_shingles]
+
+With ``words_per_doc`` large (e.g. 2000) and a small cap (e.g. 512) this
+doubles as the adversarially-long-document harness: verification joins carry
+bounded bottom-k sketches instead of full shingle sets, so executor memory
+stays flat regardless of document length.
 """
 
 from __future__ import annotations
@@ -25,8 +30,9 @@ from matchbox_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    words = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    cap = int(sys.argv[3]) if len(sys.argv) > 3 else None
     spark = get_spark(app_name="stress_dedup")
-    words = 30
 
     base = spark.range(n).select(
         F.col("id").alias("doc_id"),
@@ -54,7 +60,8 @@ def main() -> None:
 
     t0 = time.time()
     pairs = minhash_dedupe_pairs(
-        docs, "doc_id", "text", num_perm=32, bands=8, threshold=0.7
+        docs, "doc_id", "text", num_perm=32, bands=8, threshold=0.7,
+        max_verify_shingles=cap,
     )
     found = (
         pairs.where(F.col("doc_b") - F.col("doc_a") == n)
