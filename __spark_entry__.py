@@ -2678,6 +2678,86 @@ def entry(spark: SparkSession) -> DataFrame:
     return j7_flagship(spark, "/root/testdata/sf0.001")
 
 
+@_q(
+    "c2_pack_documents",
+    r"""WITH t AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '')) AS n_tokens,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 8 AS shard
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, shard, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ce
+          FROM t)
+        SELECT doc_id, shard, CAST(floor(ce / 512.0) AS BIGINT) AS pack,
+               n_tokens
+        FROM p""",
+)
+def c2_pack(spark, sf):
+    """Sequence packing (operators.curation.pack_documents): documents cut
+    into 512-token packs within md5-derived shards — the sharded contiguous
+    packing a tokeniser feed uses; the oracle restates the exclusive
+    running-sum rule."""
+    from matchbox_spark.operators.curation import pack_documents
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", TX.token_count_expr("text").alias("n_tokens")
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 8
+    )
+    return pack_documents(
+        d, "doc_id", "n_tokens", budget=512, n_shards=8, shard_expr=shard
+    ).select("doc_id", "shard", "pack", "n_tokens")
+
+
+@_q(
+    "o6_stratified_sample",
+    """SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+                row_number() OVER (
+                  PARTITION BY lang
+                  ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         FROM documents) WHERE rn <= 20""",
+)
+def o6_stratified(spark, sf):
+    """Stratified sample (operators.curation.stratified_sample): 20 docs per
+    language in deterministic hash order — the balanced-mix primitive."""
+    from matchbox_spark.operators.curation import stratified_sample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return stratified_sample(d, ["lang"], 20, "doc_id")
+
+
+@_q(
+    "o7_quota_sample",
+    """SELECT doc_id, source FROM (
+         SELECT doc_id, source,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         FROM documents)
+       WHERE rn <= CASE source WHEN 'web' THEN 40 WHEN 'wiki' THEN 15
+                   ELSE 5 END""",
+)
+def o7_quota(spark, sf):
+    """Quota rebalancing (operators.curation.quota_rebalance): per-source
+    caps (web 40, wiki 15, default 5) in the same deterministic order —
+    the training-mix rebalancer."""
+    from matchbox_spark.operators.curation import quota_rebalance
+
+    d = _t(spark, sf, "documents").select("doc_id", "source")
+    return quota_rebalance(
+        d, ["source"], {"web": 40, "wiki": 15}, "doc_id", default_quota=5
+    ).select("doc_id", "source")
+
+
 # Queries the round-2 correctness gate sampled (it checks ~50 of the
 # registry); listing them LAST this round rotates the unsampled tail to the
 # front so every registered query gets a driver-checked correctness row at

@@ -1,0 +1,133 @@
+"""Corpus-curation operators: sequence packing and stratified sampling.
+
+Training-data pipelines between dedup and tokenisation need two more
+relational primitives:
+
+- **Sequence packing**: assign documents to fixed-token-budget packs
+  (context windows). True first-fit packing is inherently sequential; the
+  scalable form every large pipeline uses is sharded contiguous packing —
+  hash documents into shards, order deterministically within each shard,
+  and cut packs by running token count. One shuffle (the per-shard window);
+  shards are independent, so 1000 executors pack 1000 shards concurrently.
+- **Stratified sampling**: top-n per stratum in deterministic hash order —
+  balanced per-language / per-source training mixes without a seed, stable
+  across runs and engines.
+
+Both are pure window compositions (no UDFs), and both state their exact
+semantics relationally so a SQL oracle can pin them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 1024,
+    shard_expr=None,
+) -> DataFrame:
+    """Assign each document a ``(shard, pack)`` id by contiguous packing.
+
+    Documents hash into ``n_shards`` shards; within a shard, documents are
+    ordered by id and packed greedily by EXCLUSIVE running token count:
+    a document starts a new pack when the tokens before it already meet the
+    budget. A document longer than the budget occupies its own pack (it
+    still advances the running count — downstream truncation is the
+    tokeniser's decision, not the packer's).
+
+    Returns the input columns plus ``shard``, ``pack`` (0-based within
+    shard), and ``pack_id`` (globally unique ``shard * 2^32 + pack``).
+
+    Scale shape: one shuffle on ``shard`` (pmod of a 64-bit hash); each
+    window is one shard, so parallelism == n_shards and no global order
+    exists anywhere in the plan.
+
+    ``shard_expr`` overrides the shard assignment (default: xxhash64 pmod —
+    fastest JVM-side; pass an md5-based expression when cross-engine
+    reproducibility matters more than hash speed).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    shard = (
+        shard_expr
+        if shard_expr is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    ).alias("shard")
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum_excl = F.coalesce(
+        F.sum(F.col(token_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("pack", F.floor(cum_excl / F.lit(budget)).cast("long"))
+        .withColumn(
+            "pack_id",
+            (F.col("shard").cast("long") * F.lit(1 << 32)) + F.col("pack"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic top-n per stratum, ordered by SHA-256 of the key.
+
+    Seedless and engine-portable: the hash order is a fixed pseudo-random
+    permutation, so the same rows are chosen on every run and every engine
+    (O5 semantics per stratum). One shuffle on the strata columns.
+    """
+    if n_per_stratum <= 0:
+        raise ValueError(f"n_per_stratum must be positive: {n_per_stratum}")
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.sha2(F.col(key_col).cast("string"), 256), key_col
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def quota_rebalance(
+    df: DataFrame,
+    strata_cols: list[str],
+    quotas: dict[str, int],
+    key_col: str,
+    default_quota: int = 0,
+) -> DataFrame:
+    """Per-stratum quota sampling: each stratum keeps at most its quota of
+    rows (deterministic hash order), unknown strata keep ``default_quota``.
+
+    ``quotas`` keys are the string form of the (single) strata column value;
+    multi-column strata pass a struct-cast string. The quota table joins as
+    a broadcast (it is config-sized), so the plan stays one shuffle.
+    """
+    if len(strata_cols) != 1:
+        raise ValueError("quota_rebalance takes exactly one strata column")
+    col = strata_cols[0]
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in quotas.items()] or [("", 0)],
+        f"{col} string, _quota int",
+    ).where(F.col(col) != "")
+    w = Window.partitionBy(col).orderBy(
+        F.sha2(F.col(key_col).cast("string"), 256), key_col
+    )
+    return (
+        df.join(F.broadcast(qdf), col, "left")
+        .withColumn("_quota", F.coalesce("_quota", F.lit(int(default_quota))))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )

@@ -1,0 +1,105 @@
+"""Curation operators: sequence packing + stratified/quota sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from matchbox_spark.operators.curation import (
+    pack_documents,
+    quota_rebalance,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_pack_documents_respects_budget_rule(spark):
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(10)], "doc_id long, n_tokens long"
+    )
+    out = pack_documents(
+        df, "doc_id", "n_tokens", budget=250, n_shards=1,
+        shard_expr=F.lit(0),
+    ).orderBy("doc_id")
+    rows = out.collect()
+    # exclusive cumsum: docs 0,1,2 (0,100,200) → pack 0; 3,4 (300,400) →
+    # pack 1; 5,6,7 → pack 2; 8,9 → pack 3
+    assert [r["pack"] for r in rows] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    # pack_id embeds the shard
+    assert all(r["pack_id"] == r["pack"] for r in rows)
+
+
+def test_pack_documents_oversized_doc_gets_own_pack(spark):
+    df = spark.createDataFrame(
+        [(0, 50), (1, 9000), (2, 50)], "doc_id long, n_tokens long"
+    )
+    out = {
+        r["doc_id"]: r["pack"]
+        for r in pack_documents(
+            df, "doc_id", "n_tokens", budget=100, n_shards=1,
+            shard_expr=F.lit(0),
+        ).collect()
+    }
+    assert out[0] == 0
+    assert out[1] == 0  # starts within budget (50 tokens before it)
+    assert out[2] > out[1]  # the giant pushed the next doc far ahead
+
+
+def test_pack_documents_partitions_all_docs(docs):
+    from matchbox_spark.functions.text import token_count_expr
+
+    d = docs.select("doc_id", token_count_expr("text").alias("n_tokens"))
+    out = pack_documents(d, "doc_id", "n_tokens", budget=512, n_shards=8)
+    assert out.count() == d.count()
+    assert out.select("shard").distinct().count() <= 8
+    # per (shard, pack) token totals: every pack except possibly the last of
+    # each shard starts below budget (exclusive rule allows overflow only
+    # via its final doc)
+    first_tokens = (
+        out.groupBy("shard", "pack")
+        .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n"))
+    )
+    assert first_tokens.count() > 1
+
+
+def test_stratified_sample_deterministic_and_balanced(docs):
+    d = docs.select("doc_id", "lang")
+    a = stratified_sample(d, ["lang"], 5, "doc_id")
+    b = stratified_sample(d, ["lang"], 5, "doc_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    per = a.groupBy("lang").count().collect()
+    n_langs = d.select("lang").distinct().count()
+    assert len(per) == n_langs
+    assert all(r["count"] <= 5 for r in per)
+
+
+def test_quota_rebalance_caps_each_stratum(docs):
+    d = docs.select("doc_id", "source")
+    out = quota_rebalance(
+        d, ["source"], {"web": 10, "wiki": 3}, "doc_id", default_quota=1
+    )
+    per = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert per.get("web", 0) <= 10
+    assert per.get("wiki", 0) <= 3
+    for src, n in per.items():
+        if src not in ("web", "wiki"):
+            assert n <= 1
+
+
+def test_quota_rebalance_subset_of_stratified(docs):
+    # quota sampling with uniform quotas == stratified sampling
+    d = docs.select("doc_id", "source")
+    strata = [r["source"] for r in d.select("source").distinct().collect()]
+    uniform = quota_rebalance(
+        d, ["source"], {s: 4 for s in strata}, "doc_id"
+    ).select("doc_id", "source")
+    strat = stratified_sample(d, ["source"], 4, "doc_id").select(
+        "doc_id", "source"
+    )
+    assert sorted(map(tuple, uniform.collect())) == sorted(
+        map(tuple, strat.collect())
+    )
