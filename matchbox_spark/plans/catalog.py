@@ -326,7 +326,12 @@ class Catalog:
             # single-partition window, but over ≤65536 rows (one per bucket),
             # driver-sized by design. The counts aggregate and the data join
             # both live in ONE plan, so the caller's materialisation is one
-            # job with no separate counts-collect pass.
+            # job with no separate counts-collect pass. The shared input
+            # subtree is cached (Catalyst does not reuse the exchange across
+            # the count and join branches — verified via executedPlan); the
+            # caller releases it via _release_assign_temp once materialised.
+            bucketed = bucketed.persist()
+            self._assign_temp = bucketed
             woff = Window.orderBy("_bkt").rowsBetween(
                 Window.unboundedPreceding, -1
             )
@@ -427,6 +432,7 @@ class Catalog:
                 F.bit_xor(h).alias("x"),
             )
             assigned = self._ckpt(plan, eager=True)
+            self._release_assign_temp()
             fingerprint = fold_unordered_stats([fobs.get])
             if self._fingerprint_gate(step, fingerprint):
                 self._assign_obs = None  # discard the unused assignment
