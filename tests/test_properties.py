@@ -138,3 +138,70 @@ def test_component_edge_generator_invariants(spark, n_nodes, comp_frac, extra_fr
     # never emit an edge, so compare over multi-node components
     expected = {frozenset(v) for v in planted.values() if len(v) > 1}
     assert {frozenset(v) for v in got.values()} == expected
+
+
+# -- curation invariants ------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(1, 400)),  # (doc_id, n_tokens)
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=docs_strategy, budget=st.integers(50, 300))
+@settings(**_SETTINGS)
+def test_pack_documents_invariants(spark, docs, budget):
+    from pyspark.sql import functions as F
+
+    from matchbox_spark.operators.curation import pack_documents
+
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    out = pack_documents(df, "doc_id", "n_tokens", budget=budget, n_shards=4)
+    rows = sorted(
+        ((r["shard"], r["doc_id"], r["n_tokens"], r["pack"]) for r in out.collect())
+    )
+    # every document assigned exactly once
+    assert len(rows) == len(docs)
+    # within each shard: packs are 0-based, non-decreasing in doc order, and
+    # the exclusive running sum reproduces the pack id
+    by_shard: dict[int, list] = {}
+    for shard, doc, tok, pack in rows:
+        by_shard.setdefault(shard, []).append((doc, tok, pack))
+    for members in by_shard.values():
+        cum = 0
+        prev_pack = 0
+        for doc, tok, pack in members:  # already doc_id-ordered
+            assert pack == cum // budget
+            assert pack >= prev_pack
+            prev_pack = pack
+            cum += tok
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    overlap=st.integers(10, 120),
+    extra=st.integers(0, 120),
+)
+@settings(**_SETTINGS)
+def test_kmv_jaccard_estimate_tracks_exact(seed, overlap, extra):
+    # pure-python check of the KMV estimator the capped verification uses:
+    # bottom-k of the union vs exact jaccard on synthetic hashed sets
+    import hashlib
+
+    def h(x):
+        return int(hashlib.md5(f"{seed}|{x}".encode()).hexdigest()[:15], 16)
+
+    shared = {h(("s", i)) for i in range(overlap)}
+    a = sorted(shared | {h(("a", i)) for i in range(extra)})
+    b = sorted(shared | {h(("b", i)) for i in range(extra)})
+    exact = len(set(a) & set(b)) / len(set(a) | set(b))
+    k = 64
+    ka, kb = a[:k], b[:k]
+    bottom = sorted(set(ka) | set(kb))[:k]
+    est = len(set(bottom) & set(ka) & set(kb)) / len(bottom)
+    if len(a) < k and len(b) < k:
+        assert est == exact  # complete sketches → exact
+    else:
+        assert abs(est - exact) <= 0.25  # O(1/sqrt(k)) error band
