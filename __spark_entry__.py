@@ -481,6 +481,27 @@ def j2_naive(spark, sf):
 
 
 @_q(
+    "j2b_chunked_dedupe",
+    """SELECT DISTINCT least(a.c_custkey, b.c_custkey) AS left_id,
+              greatest(a.c_custkey, b.c_custkey) AS right_id,
+              CAST(1.0 AS REAL) AS score
+       FROM customer a JOIN customer b
+         ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+        AND a.c_custkey < b.c_custkey""",
+)
+def j2b_chunked(spark, sf):
+    """The skew-distributed NaiveDeduper path (chunk_size): identical pair
+    set to j2, but a group's quadratic work spreads over (g/chunk)² tasks —
+    what keeps a degenerate key from OOMing one executor at corpus scale."""
+    df = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"), "c_nationkey", "c_mktsegment"
+    )
+    return NaiveDeduper(
+        id="id", unique_fields=["c_nationkey", "c_mktsegment"], chunk_size=50
+    ).dedupe(df)
+
+
+@_q(
     "j3_deterministic_link",
     """SELECT DISTINCT c.c_custkey AS left_id, s.s_suppkey AS right_id,
               CAST(1.0 AS REAL) AS score

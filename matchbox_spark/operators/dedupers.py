@@ -59,6 +59,12 @@ class NaiveSettings(DeduperSettings):
     # executor at corpus scale. Groups above the cap are dropped with a
     # warning. None = faithful reference semantics (no cap).
     max_group_size: int | None = None
+    # Scale path: when set, groups split into chunks of this many rows and
+    # pairs build as in-chunk combinations + a chunk-replicated equi-join —
+    # SAME pair set, but the quadratic work of a giant group spreads across
+    # ~(g/chunk)² tasks instead of exploding inside one. Costs an extra
+    # shuffle, so leave None when group sizes are bounded.
+    chunk_size: int | None = None
 
 
 @add_model_class
@@ -75,6 +81,8 @@ class NaiveDeduper(Deduper):
         rows = data.select(
             F.col(s.id).alias("_id"), *[F.col(f) for f in s.unique_fields]
         )
+        if s.chunk_size is not None:
+            return self._dedupe_chunked(data, rows)
 
         # One shuffle: group identical field tuples, collect member ids.
         # SQL equality semantics: rows with a NULL in any unique field never
@@ -134,6 +142,106 @@ class NaiveDeduper(Deduper):
             .withColumn("score", F.lit(1.0))
         )
         # preserve the caller's id dtype (reference naive.py:66-75)
+        id_type = data.schema[s.id].dataType
+        return pairs.select(
+            F.col("left_id").cast(id_type).alias("left_id"),
+            F.col("right_id").cast(id_type).alias("right_id"),
+            F.col("score").cast("float").alias("score"),
+        )
+
+    def _dedupe_chunked(self, data: DataFrame, rows: DataFrame) -> DataFrame:
+        """Skew-distributed pair construction (set-identical to ``dedupe``).
+
+        Rows number off within their group (window on the unique fields) and
+        split into chunks of ``chunk_size``. Pairs come from two sources:
+
+        - **in-chunk**: positional combinations inside each (group, chunk) —
+          at most chunk_size²/2 structs per task;
+        - **cross-chunk**: each row replicates once per HIGHER chunk of its
+          group (explode of a sequence) and equi-joins the rows of that
+          chunk on (group, chunk) — so a group of g rows spreads its
+          g·(g-1)/2 pairs over ~(g/chunk_size)² join tasks instead of one.
+
+        Total work is unchanged (the pair count is the semantics); what
+        changes is the worst-case single-task memory, which drops from
+        O(g²) to O(chunk_size²) — the difference between a degenerate key
+        OOMing an executor and merely costing time.
+        """
+        s = self.settings
+        c = int(s.chunk_size)
+        if c < 2:
+            raise ValueError(f"chunk_size must be >= 2: {c}")
+        from pyspark.sql import Window
+
+        gk = [F.col(f) for f in s.unique_fields]
+        w = Window.partitionBy(*gk).orderBy("_id")
+        numbered = (
+            rows.na.drop(subset=list(s.unique_fields))
+            .withColumn("_rn", F.row_number().over(w) - 1)
+            .withColumn("_g", F.count("*").over(Window.partitionBy(*gk)))
+            .where(F.col("_g") >= 2)
+        )
+        if s.max_group_size is not None:
+            numbered = numbered.where(F.col("_g") <= s.max_group_size)
+        numbered = numbered.withColumn(
+            "_chunk", (F.col("_rn") / c).cast("int")
+        ).withColumn("_nchunks", F.ceil(F.col("_g") / c).cast("int"))
+
+        # in-chunk: collect each (group, chunk)'s ids, combinations as usual
+        m = F.col("members")
+        in_chunk = (
+            numbered.groupBy(*gk, F.col("_chunk"))
+            .agg(F.sort_array(F.collect_list(F.struct("_rn", "_id"))).alias("mm"))
+            .select(F.transform(F.col("mm"), lambda x: x["_id"]).alias("members"))
+            .where(F.size(m) >= 2)
+            .select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            F.sequence(F.lit(0), F.size(m) - 2),
+                            lambda i: F.transform(
+                                F.slice(m, i + 2, F.size(m) - i - 1),
+                                lambda b: F.struct(
+                                    F.element_at(m, i + 1).alias("lid"),
+                                    b.alias("rid"),
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+        )
+        # cross-chunk: replicate each row to every higher chunk of its group
+        left_rep = numbered.select(
+            *gk,
+            F.col("_id").alias("_lid"),
+            F.explode(
+                F.when(
+                    F.col("_chunk") + 1 <= F.col("_nchunks") - 1,
+                    F.sequence(F.col("_chunk") + 1, F.col("_nchunks") - 1),
+                ).otherwise(F.array()),
+            ).alias("_chunk"),
+        )
+        right_side = numbered.select(
+            *gk, F.col("_chunk"), F.col("_id").alias("_rid")
+        )
+        cross = left_rep.join(
+            right_side, [*s.unique_fields, "_chunk"]
+        ).select(
+            F.struct(
+                F.col("_lid").alias("lid"), F.col("_rid").alias("rid")
+            ).alias("p")
+        )
+        pairs = (
+            in_chunk.unionByName(cross)
+            .where(F.col("p.lid") != F.col("p.rid"))
+            .select(
+                F.least("p.lid", "p.rid").alias("left_id"),
+                F.greatest("p.lid", "p.rid").alias("right_id"),
+            )
+            .dropDuplicates(["left_id", "right_id"])
+            .withColumn("score", F.lit(1.0))
+        )
         id_type = data.schema[s.id].dataType
         return pairs.select(
             F.col("left_id").cast(id_type).alias("left_id"),

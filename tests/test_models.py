@@ -201,3 +201,51 @@ def test_naive_deduper_skew_guard(spark):
     # default (faithful) semantics keeps everything
     full = NaiveDeduper(id="id", unique_fields=["v"]).dedupe(data)
     assert full.count() == 50 * 49 // 2 + 1
+
+
+def test_naive_chunked_equals_default(spark):
+    import random
+
+    from matchbox_spark.operators.dedupers import NaiveDeduper
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"grp{rng.randrange(8)}", f"seg{rng.randrange(3)}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    base = NaiveDeduper(id="id", unique_fields=["a", "b"]).dedupe(df)
+    chunked = NaiveDeduper(
+        id="id", unique_fields=["a", "b"], chunk_size=7
+    ).dedupe(df)
+    pa = {(r["left_id"], r["right_id"]) for r in base.collect()}
+    pb = {(r["left_id"], r["right_id"]) for r in chunked.collect()}
+    assert pa == pb and len(pa) > 0
+
+
+def test_naive_chunked_giant_group_exact_count(spark):
+    from pyspark.sql import functions as F
+
+    from matchbox_spark.operators.dedupers import NaiveDeduper
+
+    g = 3000  # one degenerate key: 4,498,500 pairs
+    df = spark.range(g).select(
+        F.col("id"), F.lit("SAME").alias("k")
+    )
+    out = NaiveDeduper(id="id", unique_fields=["k"], chunk_size=500).dedupe(df)
+    assert out.count() == g * (g - 1) // 2
+
+
+def test_naive_chunked_true_duplicate_rows(spark):
+    # rows sharing an id (true duplicates) never self-pair, matching the
+    # default path's semantics
+    from matchbox_spark.operators.dedupers import NaiveDeduper
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "x"), (3, "y")], "id long, k string"
+    )
+    base = NaiveDeduper(id="id", unique_fields=["k"]).dedupe(df)
+    chunked = NaiveDeduper(id="id", unique_fields=["k"], chunk_size=2).dedupe(df)
+    pa = {(r["left_id"], r["right_id"]) for r in base.collect()}
+    pb = {(r["left_id"], r["right_id"]) for r in chunked.collect()}
+    assert pa == pb == {(1, 2)}
