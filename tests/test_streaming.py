@@ -264,3 +264,41 @@ def test_stream_stream_interval_join_bounds(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt5"),
     )
     assert [(r["click_id"], r["purchase_id"]) for r in out.collect()] == [(1, 100)]
+
+
+def test_transform_with_state_gated_or_batch_equivalent(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas: runs the per-user ValueState +
+    MapState processor when the runtime has protobuf; otherwise asserts the
+    clear capability error (this container ships a broken google.protobuf)."""
+    import pytest as _pytest
+
+    from matchbox_spark.streaming.transform_state import (
+        stateful_user_type_stats,
+        transform_with_state_available,
+    )
+
+    import __spark_entry__ as entrymod
+
+    stream = entrymod._events_stream(spark, sf_dir)
+    if not transform_with_state_available():
+        with _pytest.raises(ImportError, match="protobuf"):
+            stateful_user_type_stats(stream)
+        return
+    from pyspark.sql import functions as F
+
+    from matchbox_spark.streaming.windows import drain_to_memory
+
+    out = drain_to_memory(
+        stateful_user_type_stats(stream), spark, output_mode="update"
+    )
+    batch = (
+        entrymod._events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.max("value").alias("max_value"),
+            F.min("event_id").alias("min_event"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
