@@ -217,9 +217,15 @@ class DAG:
         return hashlib.sha256(payload.encode("utf-8")).digest()
 
     def run(self) -> Catalog:
-        """§3.1: execute all steps in topological order, syncing each."""
+        """§3.1: execute all steps in topological order, syncing each.
+
+        Records per-step outcome in ``last_run_status`` (``done`` /
+        ``skipped``) for ``draw``.
+        """
+        self.last_run_status: dict[str, str] = {}
         for name in self.sequence():
             step = self.steps[name]
+            self.last_run_status[name] = "done"
             if isinstance(step, SourceStep):
                 logger.info("source step %s", name)
                 index = step.config.index(self.spark)
@@ -235,6 +241,7 @@ class DAG:
                     # gate BEFORE building the model plan: a previously synced
                     # identical step costs nothing (raises on config drift)
                     if self.catalog._fingerprint_gate(name, fp):
+                        self.last_run_status[name] = "skipped"
                         continue
                 left = self._query_for_model(step.left_query)
                 if step.right_query is None:
@@ -277,6 +284,7 @@ class DAG:
                 )
                 if self.catalog.steps.get(name, {}).get("fingerprint") is not None:
                     if self.catalog._fingerprint_gate(name, fp):
+                        self.last_run_status[name] = "skipped"
                         continue
                 model_edges = {
                     m: self.catalog.model_edges.where(f"step = '{m}'").select(
@@ -291,6 +299,66 @@ class DAG:
             else:  # pragma: no cover
                 raise TypeError(f"unknown step type {type(step)}")
         return self.catalog
+
+    # -- rendering (reference dags.py:384-470) ----------------------------------
+
+    _TYPE_ICONS = {
+        "SourceStep": "📄",
+        "ModelStep": "⚙️",
+        "ResolverStep": "💎",
+    }
+    _STATUS_ICONS = {"done": "✅", "skipped": "⏭️", "doing": "🔄", None: "⏸️"}
+
+    def draw(
+        self, status: dict[str, str] | None = None, mode: str = "tree"
+    ) -> str:
+        """String representation of the DAG (reference dags.py:384-470).
+
+        ``mode='tree'`` renders a dependency tree from each terminal step
+        down through its inputs; ``'list'`` renders flat execution order.
+        ``status`` maps step → ``done``/``skipped``/``doing`` (defaults to
+        ``last_run_status`` when the DAG has run; unknown steps show ⏸️).
+        """
+        if not self.steps:
+            return "Empty DAG"
+        if status is None:
+            status = getattr(self, "last_run_status", {})
+
+        def icon(name: str) -> str:
+            t = self._TYPE_ICONS[type(self.steps[name]).__name__]
+            s = self._STATUS_ICONS.get(status.get(name), "⏸️") if status is not None else ""
+            return f"{s} {t} {name}".strip()
+
+        if mode == "list":
+            return "\n".join(
+                f"{i + 1}. {icon(name)}" for i, name in enumerate(self.sequence())
+            )
+        if mode != "tree":
+            raise ValueError(f"mode must be 'tree' or 'list': {mode!r}")
+
+        children: dict[str, list[str]] = {n: [] for n in self.steps}
+        for name, step in self.steps.items():
+            for d in step.deps:
+                children[d].append(name)
+        terminals = [n for n in self.sequence() if not children[n]]
+
+        lines: list[str] = []
+
+        def render(name: str, prefix: str, is_last: bool, top: bool) -> None:
+            if top:
+                lines.append(icon(name))
+                child_prefix = ""
+            else:
+                branch = "└── " if is_last else "├── "
+                lines.append(f"{prefix}{branch}{icon(name)}")
+                child_prefix = prefix + ("    " if is_last else "│   ")
+            deps = self.steps[name].deps
+            for i, d in enumerate(deps):
+                render(d, child_prefix, i == len(deps) - 1, False)
+
+        for t in terminals:
+            render(t, "", True, True)
+        return "\n".join(lines)
 
     # -- retrieval --------------------------------------------------------------
 

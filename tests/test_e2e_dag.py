@@ -259,3 +259,20 @@ def test_bucketed_catalog_join_is_shuffle_free(spark, crn_parquet, tmp_path):
         ]:
             spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
         spark.sql(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_dag_draw_tree_and_list(spark):
+    from matchbox_spark.scenarios import scenario
+
+    s = scenario(spark, "link")
+    tree = s.dag.draw()
+    # terminal resolver at the top, sources nested below via the model
+    assert tree.splitlines()[0].endswith("resolve_linked")
+    assert "└── " in tree and "📄" in tree and "⚙️" in tree and "💎" in tree
+    assert "✅" in tree  # scenario ran → steps done
+    flat = s.dag.draw(mode="list")
+    assert flat.splitlines()[0].startswith("1. ")
+    assert len(flat.splitlines()) == len(s.dag.steps)
+    # second run skips everything via fingerprint gates → ⏭️ in the render
+    s.dag.run()
+    assert "⏭️" in s.dag.draw(mode="list")
