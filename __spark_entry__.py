@@ -2779,6 +2779,56 @@ def o7_quota(spark, sf):
     ).select("doc_id", "source")
 
 
+@_q(
+    "m3_media_features",
+    """SELECT doc_id, dim,
+              round((CAST(('0x' || substr(sha256(text), dim * 2 + 1, 2))
+                          AS INT) - 127.5) / 127.5, 6) AS value
+       FROM documents, UNNEST(range(8)) AS d(dim)
+       WHERE doc_id < 100""",
+)
+def m3_features(spark, sf):
+    """Feature-extraction plumbing (multimodal.extract_features): binary
+    payload → array<float> through the real Arrow mapInPandas stage, then
+    exploded to (doc_id, dim, value); the stub embedding (sha256 bytes
+    scaled to [-1,1]) is ANSI-reproducible so the oracle pins batch shape
+    AND values."""
+    from matchbox_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 100).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    feats = extract_features(d, dim=8)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim", "value")
+    ).select("doc_id", "dim", F.round(F.col("value").cast("double"), 6).alias("value"))
+
+
+@_q(
+    "m4_resize_plumbing",
+    """SELECT doc_id, sha256(text || '|16x16') AS out_checksum,
+              16 AS width, 16 AS height
+       FROM documents WHERE doc_id < 100""",
+)
+def m4_resize(spark, sf):
+    """Resize plumbing (multimodal.resize_images): binary-in → binary-out
+    mapInPandas stage at a target geometry; the deterministic stub transform
+    (digest of payload || geometry tag) lets the oracle check the full
+    pipeline shape byte-for-byte."""
+    from matchbox_spark.operators.multimodal import resize_images
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 100).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = resize_images(d, 16, 16)
+    return out.select(
+        "doc_id",
+        F.lower(F.hex("payload")).alias("out_checksum"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+    )
+
+
 # Queries the round-2 correctness gate sampled (it checks ~50 of the
 # registry); listing them LAST this round rotates the unsampled tail to the
 # front so every registered query gets a driver-checked correctness row at

@@ -169,3 +169,93 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_sample, schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize plumbing: binary-in → binary-out at a target geometry.
+
+    Real Spark surface (schema, Arrow batching, binary-in/binary-out
+    signature); the pixel transform is a deterministic stub — the "resized"
+    payload is the SHA-256 digest of ``payload || "|WxH"`` (no image
+    libraries in-container). Production swaps the inner lambda for
+    PIL/libvips; everything around it is unchanged.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+        ]
+    )
+    tag = f"|{width}x{height}".encode("ascii")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col].map(
+                lambda p: bytes(p) if p is not None else b""
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").to_numpy(),
+                    "payload": payloads.map(
+                        lambda p: hashlib.sha256(p + tag).digest()
+                    ).to_numpy(),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_resize, schema)
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Feature-extraction plumbing: binary payload → ``array<float>``.
+
+    The output shape is exactly what the similarity operators consume
+    (cosine_topk / ann_topk / embedding near-dup), so stub features flow
+    through the real downstream plans. The stub embedding is deterministic:
+    dimension *i* is byte *i* of SHA-256(payload) scaled to [-1, 1] —
+    reproducible in ANSI SQL, which is what lets an oracle pin the plumbing.
+    Production swaps the digest for a model forward pass (CLIP, wav2vec, …)
+    batched over the same Arrow stream.
+    """
+    if not 1 <= dim <= 32:
+        raise ValueError(f"dim must be in [1, 32] (one sha256 digest): {dim}")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("features", T.ArrayType(T.FloatType()), False),
+        ]
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col].map(
+                lambda p: bytes(p) if p is not None else b""
+            )
+            feats = payloads.map(
+                lambda p: [
+                    round((hashlib.sha256(p).digest()[i] - 127.5) / 127.5, 6)
+                    for i in range(dim)
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").to_numpy(),
+                    "features": feats.to_numpy(),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_extract, schema)

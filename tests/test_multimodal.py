@@ -90,3 +90,48 @@ def test_extract_media_metadata_column_pruning(spark):
     out = extract_media_metadata(df)
     assert "extra" not in out.columns
     assert out.count() == 1
+
+
+def test_resize_images_deterministic_shape(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from matchbox_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, b"imgbytes-a"), (2, b"imgbytes-b")], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r for r in resize_images(df, 32, 8).collect()}
+    assert out[1]["width"] == 32 and out[1]["height"] == 8
+    expect = hashlib.sha256(b"imgbytes-a|32x8").digest()
+    assert bytes(out[1]["payload"]) == expect
+    # determinism across runs
+    again = {r["doc_id"]: bytes(r["payload"]) for r in resize_images(df, 32, 8).collect()}
+    assert again == {k: bytes(v["payload"]) for k, v in out.items()}
+
+
+def test_extract_features_feed_similarity(spark):
+    # stub features flow through the REAL similarity operator unchanged —
+    # the downstream-compat contract of the plumbing
+    from pyspark.sql import functions as F
+
+    from matchbox_spark.operators.multimodal import extract_features
+    from matchbox_spark.operators.similarity import cosine_topk
+
+    df = spark.createDataFrame(
+        [(i, f"payload-{i}".encode()) for i in range(20)],
+        "doc_id long, payload binary",
+    )
+    feats = extract_features(df, dim=8)
+    assert dict(feats.dtypes)["features"] == "array<float>"
+    corpus = feats.withColumnRenamed("doc_id", "vec_id").withColumnRenamed(
+        "features", "embedding"
+    )
+    queries = corpus.limit(2)
+    top = cosine_topk(corpus, queries, k=3, exclude_self=False)
+    per_q = top.groupBy("query").count().collect()
+    assert all(r["count"] == 3 for r in per_q)
+    # self-similarity wins: each query's best hit is itself
+    best = top.where(F.col("rank") == 1).collect()
+    assert all(r["query"] == r["neighbor"] for r in best)
