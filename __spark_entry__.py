@@ -2780,6 +2780,48 @@ def o7_quota(spark, sf):
 
 
 @_q(
+    "v3_quantized_cosine",
+    """WITH q AS (
+         SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(round(greatest(-1.0, least(1.0, x)) * 127.0)
+                            AS BIGINT) / 127.0) AS dq
+         FROM embeddings WHERE vec_id < 200
+       )
+       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              round(list_inner_product(a.dq, b.dq)
+                    / (sqrt(list_inner_product(a.dq, a.dq))
+                       * sqrt(list_inner_product(b.dq, b.dq))), 4) AS cosine
+       FROM q a JOIN q b ON b.vec_id = a.vec_id + 1""",
+)
+def v3_quantized_cosine(spark, sf):
+    """Int8 embedding quantisation (functions.vectors.quantize_int8_expr):
+    store 4× smaller, compute cosine on the dequantised vectors —
+    expression-only round trip pinned against the oracle's identical
+    quantise→dequantise arithmetic."""
+    from matchbox_spark.functions.vectors import (
+        cosine_expr,
+        dequantize_int8_expr,
+        quantize_int8_expr,
+    )
+
+    e = _t(spark, sf, "embeddings").where(F.col("vec_id") < 200).select(
+        "vec_id", quantize_int8_expr("embedding").alias("qv")
+    )
+    dq = e.select("vec_id", dequantize_int8_expr("qv").alias("dq"))
+    a = dq.select(F.col("vec_id").alias("query_id"), F.col("dq").alias("va"))
+    b = dq.select(F.col("vec_id").alias("neighbor_id"), F.col("dq").alias("vb"))
+    return (
+        a.join(b, a["query_id"] + 1 == b["neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_expr("va", "vb"), 4).alias("cosine"),
+        )
+    )
+
+
+@_q(
     "m3_media_features",
     """SELECT doc_id, dim,
               round((CAST(('0x' || substr(sha256(text), dim * 2 + 1, 2))

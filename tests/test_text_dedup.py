@@ -381,3 +381,29 @@ def test_minhash_capped_verification_long_docs(spark):
     assert (0, 1) in pairs
     assert 0.6 <= pairs[(0, 1)] <= 1.0  # KMV estimate near the true ~0.8
     assert not any(2 in p for p in pairs)
+
+
+def test_int8_quantization_roundtrip_error_bound(spark, sf_dir):
+    from matchbox_spark.functions.vectors import (
+        dequantize_int8_expr,
+        quantize_int8_expr,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    rt = e.select(
+        "embedding",
+        dequantize_int8_expr(quantize_int8_expr("embedding")).alias("dq"),
+    )
+    err = rt.select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "dq", lambda a, b: F.abs(a.cast("double") - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+        ).alias("max_err")
+    ).collect()[0]["max_err"]
+    # half a quantisation step for in-range values
+    assert err <= 0.5 / 127.0 + 1e-9
