@@ -295,8 +295,9 @@ class ComponentsSettings:
     thresholds: dict[str, float] = field(default_factory=dict)
     # 'auto' | 'driver' | 'distributed'
     method: str = "auto"
-    # auto switches to distributed above this many edges
-    driver_edge_limit: int = 2_000_000
+    # auto switches to distributed above this many edges; None derives the
+    # cap from driver memory (same sizing as connected_components auto)
+    driver_edge_limit: int | None = None
 
     def validate_inputs(self, model_names: Iterable[str]) -> None:
         invalid = set(self.thresholds) - set(model_names)
@@ -351,8 +352,9 @@ class Components(ResolverMethod):
             # single-job probe: pull at most limit+1 edges — fits → that IS
             # the driver collect (no separate count pass); overflows → go
             # distributed (the count job told us nothing we'd reuse anyway)
-            probe = unioned.limit(s.driver_edge_limit + 1).toPandas()
-            if len(probe) <= s.driver_edge_limit:
+            limit = s.driver_edge_limit or _driver_cc_edge_limit(spark)
+            probe = unioned.limit(limit + 1).toPandas()
+            if len(probe) <= limit:
                 method, pdf = "driver", probe
             else:
                 method = "distributed"

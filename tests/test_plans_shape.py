@@ -139,3 +139,49 @@ def test_minhash_dedupe_scans_text_once(spark, sf_dir):
     scan_ids = set(re.findall(r"Scan parquet\s*\((\d+)\)", plan))
     assert len(scan_ids) <= 1, plan
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_pack_documents_single_shuffle_and_pruned_scan(spark, sf_dir):
+    from matchbox_spark.functions.text import token_count_expr
+    from matchbox_spark.operators.curation import pack_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", token_count_expr("text").alias("n_tokens")
+    )
+    out = pack_documents(d, "doc_id", "n_tokens", budget=512, n_shards=8)
+    plan = _formatted_plan(out)
+    # exactly one exchange over the data (on shard); the scan reads only
+    # the two source columns
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_stratified_sample_single_shuffle(spark, sf_dir):
+    from matchbox_spark.operators.curation import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    out = stratified_sample(d, ["lang"], 5, "doc_id")
+    plan = _formatted_plan(out)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+def test_quantized_cosine_stays_in_codegen(spark, sf_dir):
+    from matchbox_spark.functions.vectors import (
+        dequantize_int8_expr,
+        quantize_int8_expr,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", dequantize_int8_expr(quantize_int8_expr("embedding")).alias("dq")
+    )
+    plan = _formatted_plan(e)
+    # expression-only: no exchange, no Python evaluation node
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython
