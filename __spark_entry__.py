@@ -2780,6 +2780,40 @@ def o7_quota(spark, sf):
 
 
 @_q(
+    "t6_winnowing",
+    r"""WITH t AS (
+          SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+          FROM documents WHERE doc_id < 200
+        ), g AS (
+          SELECT doc_id,
+            CASE WHEN length(nt) >= 5
+              THEN [substr(sha256(substr(nt, i, 5)), 1, 16)
+                    for i in range(1, length(nt) - 3)]
+              ELSE [] END AS hs
+          FROM t
+        ), w AS (
+          SELECT doc_id,
+            CASE WHEN len(hs) >= 4
+              THEN list_distinct([list_min(hs[i:i+3])
+                                  for i in range(1, len(hs) - 2)])
+              ELSE list_distinct(hs) END AS fps
+          FROM g
+        )
+        SELECT doc_id, f.fp FROM w, UNNEST(fps) AS f(fp)""",
+)
+def t6_winnowing(spark, sf):
+    """Winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme) in
+    the relational form — posexplode grams, hash once per row, sliding
+    window minimum, one shuffle on doc — because the nested-array form
+    re-evaluates upstream expressions per lambda element (~500x slower).
+    The oracle restates the identical rolling selection in SQL."""
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return TX.winnowing_fingerprints(
+        d, "doc_id", "text", k=5, window=4
+    ).select(F.col("doc").alias("doc_id"), "fp")
+
+
+@_q(
     "v3_quantized_cosine",
     """WITH q AS (
          SELECT vec_id,

@@ -360,3 +360,56 @@ def repetition_stats(df, id_col: str, text_col: str):
             F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
         )
     )
+
+
+def winnowing_fingerprints(
+    df,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    max_chars: int | None = None,
+):
+    """Relational winnowing (Schleimer et al. 2003): one row per selected
+    (doc, fingerprint).
+
+    The array-expression form (:func:`winnowing_fingerprints_expr`) nests
+    higher-order lambdas, and Catalyst inlines the upstream array into every
+    lambda element — re-running normalisation+hash per (window × gram), a
+    quadratic re-evaluation blowup measured at ~500× on 2k-char docs. This
+    form is the scale shape: posexplode the k-grams ONCE, hash each gram as
+    a plain row expression, take the sliding-window minimum with a window
+    function (one shuffle on the doc id), and de-duplicate. Long documents
+    become many rows, never a giant in-memory array.
+    """
+    from pyspark.sql import Window as W
+
+    c = normalize_text_expr(text_col)
+    if max_chars is not None:
+        c = F.substring(c, 1, int(max_chars))
+    grams = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(char_ngrams_expr(c, k)).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        "doc", "pos", F.substring(F.sha2("gram", 256), 1, 16).alias("h")
+    )
+    w_min = W.partitionBy("doc").orderBy("pos").rowsBetween(0, window - 1)
+    w_cnt = W.partitionBy("doc")
+    return (
+        hashed.withColumn("_n", F.count("*").over(w_cnt))
+        .withColumn(
+            # docs with fewer grams than the window keep EVERY gram hash
+            # (the degenerate-document rule of the expression form); all
+            # others take the sliding-window minimum
+            "fp",
+            F.when(F.col("_n") < window, F.col("h")).otherwise(
+                F.min("h").over(w_min)
+            ),
+        )
+        .where(
+            (F.col("pos") <= F.col("_n") - window) | (F.col("_n") < window)
+        )
+        .select("doc", "fp")
+        .dropDuplicates()
+    )

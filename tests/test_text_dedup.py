@@ -407,3 +407,37 @@ def test_int8_quantization_roundtrip_error_bound(spark, sf_dir):
     ).collect()[0]["max_err"]
     # half a quantisation step for in-range values
     assert err <= 0.5 / 127.0 + 1e-9
+
+
+def test_relational_winnowing_equals_expr_form(spark):
+    # including a degenerate doc shorter than k+window-1
+    from matchbox_spark.functions.text import (
+        winnowing_fingerprints,
+        winnowing_fingerprints_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy hound"),
+            (3, "tiny"),
+            (4, "sixchar"),
+        ],
+        "doc_id long, text string",
+    )
+    rel = {
+        (r["doc"], r["fp"])
+        for r in winnowing_fingerprints(df, "doc_id", "text").collect()
+    }
+    via_expr = {
+        (r["doc_id"], r["fp"])
+        for r in df.select(
+            "doc_id",
+            F.explode(winnowing_fingerprints_expr("text")).alias("fp"),
+        ).collect()
+    }
+    assert rel == via_expr
+    # shared substrings of >= k + window - 1 chars share a fingerprint
+    d1 = {fp for d, fp in rel if d == 1}
+    d2 = {fp for d, fp in rel if d == 2}
+    assert d1 & d2
