@@ -2780,6 +2780,103 @@ def o7_quota(spark, sf):
 
 
 @_q(
+    "c3_training_mix",
+    r"""WITH t AS (
+          SELECT doc_id, text, source,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS toks,
+                 regexp_replace(text, '[^\w\s]', '', 'g') AS stripped
+          FROM documents
+        ), f AS (
+          SELECT doc_id, text, source, toks,
+            CASE WHEN len(toks) > 0 THEN
+              CAST(len(list_filter(toks, x -> list_contains(
+                ['the','a','of','and','to','in','is','that','it','for'], x)))
+                AS DOUBLE) / len(toks) ELSE 0.0 END AS sw,
+            CASE WHEN len(toks) > 0 THEN
+              CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                / len(toks) ELSE 0.0 END AS mt,
+            CASE WHEN length(text) > 0 THEN
+              CAST(length(text) - length(stripped) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS pr,
+            CASE WHEN len(toks) > 0 THEN
+              1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+              ELSE 0.0 END AS rep
+          FROM t),
+        scored AS (
+          SELECT doc_id, source, text, len(toks) AS n_tokens,
+                 round(least(sw * 4.0, 1.0) * 0.4
+                       + (CASE WHEN mt >= 3.0 AND mt <= 8.0
+                               THEN 1.0 ELSE 0.5 END) * 0.3
+                       + (1.0 - least(pr * 4.0, 1.0)) * 0.15
+                       + (1.0 - rep) * 0.15, 6) AS quality
+          FROM f),
+        passing AS (SELECT * FROM scored WHERE quality >= 0.6),
+        kept AS (
+          SELECT MIN(doc_id) AS doc_id FROM passing
+          GROUP BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        ),
+        kd AS (SELECT p.doc_id, p.source, p.n_tokens FROM passing p
+               JOIN kept k ON p.doc_id = k.doc_id),
+        quota AS (
+          SELECT doc_id, source, n_tokens FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY source
+              ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM kd)
+          WHERE rn <= CASE source WHEN 'web' THEN 60 WHEN 'wiki' THEN 25
+                      ELSE 10 END
+        ),
+        sharded AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 4 AS shard
+          FROM quota
+        ),
+        packed AS (
+          SELECT doc_id, source, shard, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ce
+          FROM sharded)
+        SELECT doc_id, source, shard,
+               CAST(floor(ce / 512.0) AS BIGINT) AS pack
+        FROM packed""",
+)
+def c3_training_mix(spark, sf):
+    """The full training-mix pipeline as ONE declarative plan: quality gate
+    (t2 score ≥ 0.6) → exact dedupe (min doc per content fingerprint) →
+    per-source quota rebalance (web 60 / wiki 25 / default 10, o7
+    semantics) → sequence packing into 512-token packs (c2 semantics).
+    Catalyst pipelines all four stages; every stage restated relationally
+    in the oracle."""
+    from matchbox_spark.operators.curation import pack_documents, quota_rebalance
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        TX.token_count_expr("text").alias("n_tokens"),
+        TX.quality_score_expr("text").alias("quality"),
+        TX.fingerprint_expr("text").alias("fp"),
+    )
+    passing = docs.where(F.col("quality") >= 0.6)
+    kept = passing.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kd = passing.join(kept.select("doc_id"), "doc_id").select(
+        "doc_id", "source", "n_tokens"
+    )
+    quota = quota_rebalance(
+        kd, ["source"], {"web": 60, "wiki": 25}, "doc_id", default_quota=10
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 4
+    )
+    return pack_documents(
+        quota, "doc_id", "n_tokens", budget=512, n_shards=4, shard_expr=shard
+    ).select("doc_id", "source", "shard", "pack")
+
+
+@_q(
     "t6_winnowing",
     r"""WITH t AS (
           SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
