@@ -199,9 +199,12 @@ def test_kmv_jaccard_estimate_tracks_exact(seed, overlap, extra):
     exact = len(set(a) & set(b)) / len(set(a) | set(b))
     k = 64
     ka, kb = a[:k], b[:k]
-    bottom = sorted(set(ka) | set(kb))[:k]
-    est = len(set(bottom) & set(ka) & set(kb)) / len(bottom)
+    # mirror the operator's conditional (dedup.minhash_dedupe_pairs): exact
+    # Jaccard when BOTH sketches are complete, KMV estimate otherwise
     if len(a) < k and len(b) < k:
-        assert est == exact  # complete sketches → exact
+        est = len(set(ka) & set(kb)) / len(set(ka) | set(kb))
+        assert est == exact
     else:
+        bottom = sorted(set(ka) | set(kb))[:k]
+        est = len(set(bottom) & set(ka) & set(kb)) / len(bottom)
         assert abs(est - exact) <= 0.25  # O(1/sqrt(k)) error band
