@@ -2561,6 +2561,59 @@ def st4_stateful_stats(spark, sf):
 
 
 @_q(
+    "st7_incremental_resolve",
+    """SELECT CAST(c_custkey AS VARCHAR) AS key,
+              MIN(c_custkey) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                  AS entity_rep
+       FROM customer""",
+)
+def st7_incremental_resolve(spark, sf):
+    """Streaming entity resolution (streaming/incremental): the customer
+    table arrives as 4 micro-batches (maxFilesPerTrigger=1); every batch
+    ingests + refreshes the dedupe model and resolver over the accumulated
+    state through the catalog's step-rewrite paths. The terminal resolved
+    entities equal the batch pipeline, which the j7 oracle states."""
+    import tempfile
+
+    from matchbox_spark.operators.dedupers import NaiveDeduper
+    from matchbox_spark.plans.catalog import Catalog
+    from matchbox_spark.plans.query import unified_query
+    from matchbox_spark.plans.resolvers import Components
+    from matchbox_spark.streaming.incremental import incremental_resolve_stream
+
+    tmp = tempfile.mkdtemp(prefix="mbspark_st7_")
+    cust = _t(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    cust.repartition(4).write.mode("overwrite").parquet(f"{tmp}/data")
+    cat = Catalog(spark)
+    stream = (
+        spark.readStream.schema(cust.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp}/data")
+    )
+    q = incremental_resolve_stream(
+        stream,
+        cat,
+        source_step="cust",
+        key_field="c_custkey",
+        index_fields=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        model=NaiveDeduper(
+            id="id", unique_fields=["cust_c_nationkey", "cust_c_mktsegment"]
+        ),
+        resolver_method=Components(method="auto"),
+        checkpoint_dir=tempfile.mkdtemp(prefix="mbspark_st7_ckpt_"),
+        source_location=f"{tmp}/data",
+    )
+    q.awaitTermination(600)
+    ids = unified_query(
+        cat, ["cust_resolve", "cust_model", "cust"], ["cust"], level="key"
+    ).withColumn("custkey", F.col("key").cast("long"))
+    rep = ids.groupBy("id").agg(F.min("custkey").alias("entity_rep"))
+    return ids.join(rep, "id").select("key", "entity_rep")
+
+
+@_q(
     "ev5_asof_join",
     """SELECT c.event_id, round(p.value, 6) AS r_value
        FROM (SELECT * FROM events WHERE event_type = 'click') c

@@ -302,3 +302,49 @@ def test_transform_with_state_gated_or_batch_equivalent(spark, sf_dir):
         )
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_incremental_resolve_stream_matches_batch(spark, tmp_path):
+    """Streaming ER over 3 micro-batches: terminal clusters equal the batch
+    pipeline's, and mid-stream models only ever see ingested rows."""
+    from pyspark.sql import functions as F
+
+    from matchbox_spark.operators.dedupers import NaiveDeduper
+    from matchbox_spark.plans.catalog import Catalog
+    from matchbox_spark.plans.query import unified_query
+    from matchbox_spark.plans.resolvers import Components
+    from matchbox_spark.streaming.incremental import incremental_resolve_stream
+
+    rows = [(i, f"g{i % 5}") for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, grp string")
+    data_dir = str(tmp_path / "data")
+    df.repartition(3).write.parquet(data_dir)
+
+    cat = Catalog(spark)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data_dir)
+    )
+    q = incremental_resolve_stream(
+        stream,
+        cat,
+        source_step="s",
+        key_field="k",
+        index_fields=["grp"],
+        model=NaiveDeduper(id="id", unique_fields=["s_grp"]),
+        resolver_method=Components(method="auto"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_location=data_dir,
+    )
+    q.awaitTermination(600)
+
+    ids = unified_query(cat, ["s_resolve", "s_model", "s"], ["s"], level="key")
+    clusters: dict[int, set[int]] = {}
+    for r in ids.collect():
+        clusters.setdefault(r["id"], set()).add(int(r["key"]))
+    got = {frozenset(v) for v in clusters.values()}
+    expected = {
+        frozenset(k for k, g in rows if g == f"g{i}") for i in range(5)
+    }
+    assert got == expected
