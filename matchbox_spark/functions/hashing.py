@@ -18,9 +18,9 @@ Re-implements the reference hashing recipe (semantics studied at
   count — no ``toLocalIterator`` over per-row digests.
 - **Edge hash (H3)**: (left_id,right_id) replaced by a sorted list so (1,2)
   ≡ (2,1).
-- **Cluster hash (H4)**: canonicalise a clustering (group children, sort,
-  ordinal relabel) so the hash is invariant to row order and parent
-  relabelling.
+- **Cluster hash (H4)**: content-defined — each cluster's token is the H5
+  leaf-set hash of its members; the token multiset folds through H2. Invariant
+  to row order and parent relabelling, with no global sort/ordinal step.
 - **Leaf-set hash (H5)**: SHA-256 of "|"-joined sorted member hashes.
 
 Hash *values* are bytes (BinaryType), never ints — uint64 ids in the reference
@@ -33,7 +33,7 @@ import base64
 import hashlib
 from typing import Iterable
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -100,13 +100,12 @@ def hash_cluster_leaves(leaves: Iterable[bytes]) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def normalize_for_hash(name: str, dtype: T.DataType) -> Column:
-    """Per-type normalisation of a column to a string for hashing.
+def normalize_value(col: Column, dtype: T.DataType) -> Column:
+    """Per-type normalisation of a Column to a string for hashing.
 
     binary→lowercase hex; struct→JSON; array→","-joined elements; everything
     else CAST to string. Nulls become "\\x00".
     """
-    col = F.col(name)
     if isinstance(dtype, T.BinaryType):
         out = F.lower(F.hex(col))
     elif isinstance(dtype, T.StructType):
@@ -116,6 +115,12 @@ def normalize_for_hash(name: str, dtype: T.DataType) -> Column:
     else:
         out = col.cast(T.StringType())
     return F.coalesce(out, F.lit(NULL_SENTINEL))
+
+
+def normalize_for_hash(name: str, dtype: T.DataType) -> Column:
+    """Per-type hash normalisation of a named column (see
+    :func:`normalize_value`)."""
+    return normalize_value(F.col(name), dtype)
 
 
 def row_hash_expr(
@@ -308,28 +313,28 @@ def hash_model_results(edges: DataFrame) -> bytes:
 def hash_clusters(assignments: DataFrame) -> bytes:
     """H4: fingerprint cluster assignments by membership semantics.
 
-    Invariant to row ordering, parent_id relabelling, and child order within a
-    parent: group children per parent, sort each member list, order clusters
-    by member list, relabel with 1-based ordinals, explode, then H2.
+    Invariant to row ordering, parent_id relabelling, and child order within
+    a parent. Content-defined, with no global ordering step: each cluster's
+    token is the H5 leaf-set hash of its members (per-member type-normalised
+    string → SHA-256, sorted, "|"-folded), and the multiset of cluster
+    tokens folds through the partition-invariant H2 bucket tree. Duplicate
+    clusters (distinct parents, identical member sets) yield duplicate
+    tokens, which H2's multiset fold preserves.
 
-    The global ordinal window is single-partition, but it runs over one row
-    per *cluster* (already aggregated) — acceptable for fingerprinting; the
-    heavy lifting (groupBy) is distributed.
+    One shuffle (the per-parent groupBy) plus H2's bucket shuffle — no
+    single-partition window, so the recipe holds at 10^8-10^9 clusters.
     """
     if assignments.isEmpty():
         return EMPTY_TABLE_HASH
 
     child_type = assignments.schema["child_id"].dataType
-    grouped = (
-        assignments.select("parent_id", "child_id")
+    member_hash = F.unhex(
+        F.sha2(normalize_value(F.col("child_id"), child_type), 256)
+    )
+    tokens = (
+        assignments.select("parent_id", member_hash.alias("mh"))
         .groupBy("parent_id")
-        .agg(F.sort_array(F.collect_set("child_id")).alias("child_ids"))
-        .select("child_ids")
+        .agg(F.collect_set("mh").alias("member_hashes"))
+        .select(leaf_set_hash_expr(F.col("member_hashes")).alias("cluster_token"))
     )
-    w = Window.orderBy("child_ids")
-    canonical = (
-        grouped.withColumn("cluster_ordinal", F.row_number().over(w).cast("long"))
-        .withColumn("child_id", F.explode_outer("child_ids"))
-        .select(F.col("cluster_ordinal"), F.col("child_id").cast(child_type))
-    )
-    return hash_table(canonical)
+    return hash_table(tokens)

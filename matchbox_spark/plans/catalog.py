@@ -332,15 +332,46 @@ class Catalog:
             # caller releases it via _release_assign_temp once materialised.
             bucketed = bucketed.persist()
             self._assign_temp = bucketed
-            woff = Window.orderBy("_bkt").rowsBetween(
-                Window.unboundedPreceding, -1
+            # Two-level prefix sum, every step partitioned: buckets group
+            # into ≤256 super-groups (high byte); the intra-group running
+            # sum is a window PARTITIONED by super-group (≤256 rows each),
+            # and the cross-group offsets come from a broadcast non-equi
+            # self-join over the ≤256 super-group totals (≤32k pairs — row
+            # count is fixed by the bucket width, not the data). No
+            # unpartitioned window anywhere in the insert path.
+            counts_df = bucketed.groupBy("_bkt").agg(
+                F.count("*").alias("_n")
+            ).withColumn("_sup", F.shiftright("_bkt", 8))
+            sup_tot = counts_df.groupBy("_sup").agg(F.sum("_n").alias("_sn"))
+            sup_lower = sup_tot.select(
+                F.col("_sup").alias("_lsup"), F.col("_sn").alias("_lsn")
+            )
+            sup_off = (
+                sup_tot.join(
+                    F.broadcast(sup_lower),
+                    F.col("_lsup") < F.col("_sup"),
+                    "left",
+                )
+                .groupBy("_sup")
+                .agg(
+                    F.coalesce(F.sum("_lsn"), F.lit(0))
+                    .cast("long")
+                    .alias("_soff")
+                )
+            )
+            wintra = (
+                Window.partitionBy("_sup")
+                .orderBy("_bkt")
+                .rowsBetween(Window.unboundedPreceding, -1)
             )
             off_df = (
-                bucketed.groupBy("_bkt")
-                .agg(F.count("*").alias("_n"))
+                counts_df.join(F.broadcast(sup_off), "_sup")
                 .select(
                     "_bkt",
-                    F.coalesce(F.sum("_n").over(woff), F.lit(0))
+                    (
+                        F.coalesce(F.sum("_n").over(wintra), F.lit(0))
+                        + F.col("_soff")
+                    )
                     .cast("long")
                     .alias("_off"),
                 )

@@ -109,6 +109,24 @@ def test_cluster_hash_invariances(spark):
     assert H.hash_clusters(base) != H.hash_clusters(different)
 
 
+def test_cluster_hash_duplicate_clusters_and_nulls(spark):
+    # two distinct parents with identical member sets are a different
+    # clustering than one parent with that member set (multiset semantics)
+    dup = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 11)], "parent_id long, child_id long"
+    )
+    single = spark.createDataFrame(
+        [(1, 10), (1, 11)], "parent_id long, child_id long"
+    )
+    assert H.hash_clusters(dup) != H.hash_clusters(single)
+    # null members are preserved, not dropped
+    with_null = spark.createDataFrame(
+        [(1, 10), (1, None)], "parent_id long, child_id long"
+    )
+    just_ten = spark.createDataFrame([(1, 10)], "parent_id long, child_id long")
+    assert H.hash_clusters(with_null) != H.hash_clusters(just_ten)
+
+
 def test_leaf_set_hash_expr_matches_python(spark):
     h1, h2 = hashlib.sha256(b"a").digest(), hashlib.sha256(b"b").digest()
     expected = H.hash_cluster_leaves([h1, h2])
