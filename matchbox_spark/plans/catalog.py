@@ -537,6 +537,90 @@ class Catalog:
             "fingerprint": hash_to_base64(fingerprint),
         }
 
+    def insert_source_index_delta(self, step: str, index: DataFrame) -> None:
+        """Streaming/merge insert: append a source-index DELTA under ``step``.
+
+        Unlike :meth:`insert_source_index` (which *replaces* a step when
+        re-run), this MERGES: new hashes become new clusters
+        (insert-if-absent), and only ``(cluster_id, key)`` pairs not already
+        present for the step are appended. All state mutations are O(delta)
+        appends; accumulated state is only ever *read* (two anti-joins), never
+        rewritten — the write-ahead-log shape a streaming ingest needs. The
+        method is idempotent: replaying a batch appends nothing, so
+        foreachBatch retry semantics compose with checkpointing to
+        exactly-once state.
+
+        The step is not fingerprint-gated — a streaming step is perpetually
+        amendable; its metadata records ``streaming: True``.
+        """
+        index = index.select(
+            F.col("hash").alias("cluster_hash"), F.col("keys")
+        ).persist()
+        new = index.select("cluster_hash")
+        if not self._clusters_empty:
+            new = new.join(self.clusters, "cluster_hash", "left_anti")
+        assigned = self._ckpt(
+            self._assign_ids(new).select("cluster_id", "cluster_hash"),
+            eager=True,
+        )
+        self._release_assign_temp()
+        self._append("clusters", assigned, materialised=True)
+        self._clusters_empty = False
+        self._bump_max_id(assigned)
+
+        keys = (
+            index.join(self.clusters, "cluster_hash")
+            .select(
+                "cluster_id",
+                F.lit(step).alias("source"),
+                F.explode("keys").alias("key"),
+            )
+            .dropDuplicates()
+        )
+        if self._step_has_rows("cluster_keys", "source", step):
+            keys = keys.join(
+                self.cluster_keys.where(F.col("source") == step),
+                ["cluster_id", "source", "key"],
+                "left_anti",
+            )
+        keys = self._ckpt(keys, eager=True)
+        index.unpersist()
+        self._append("cluster_keys", keys, materialised=True)
+        self._step_rows["cluster_keys"].add(step)
+        self.steps[step] = {
+            "type": "source",
+            "fingerprint": hash_to_base64(b"streaming"),
+            "streaming": True,
+        }
+
+    def insert_model_edges_delta(self, step: str, edges: DataFrame) -> None:
+        """Streaming/merge insert: append new scored edges under ``step``.
+
+        Only pairs not already recorded for the step are appended (anti-join
+        on ``(left_id, right_id)`` — read-only over accumulated state); the
+        existing edge set is never dropped or rewritten. Assumes the model is
+        deterministic, so a re-derived pair carries the same score as the
+        stored one. Idempotent under batch replay.
+        """
+        tagged = edges.select(
+            F.lit(step).alias("step"), "left_id", "right_id", "score"
+        )
+        if self._step_has_rows("model_edges", "step", step):
+            tagged = tagged.join(
+                self.model_edges.where(F.col("step") == step).select(
+                    "left_id", "right_id"
+                ),
+                ["left_id", "right_id"],
+                "left_anti",
+            )
+        self._append("model_edges", self._ckpt(tagged, eager=True), materialised=True)
+        self._step_rows["model_edges"].add(step)
+        self.steps[step] = {
+            "type": "model",
+            "fingerprint": hash_to_base64(b"streaming"),
+            "streaming": True,
+        }
+
     def insert_model_edges(
         self, step: str, edges: DataFrame, fingerprint: bytes | None = None
     ) -> None:

@@ -1,16 +1,36 @@
-"""Incremental source indexing via Structured Streaming.
+"""Incremental source indexing + entity resolution via Structured Streaming.
 
 The reference is batch-only (SURVEY §1.4/§2.12 — its "real-time" matching is
 a key lookup over precomputed clusters); this module is the Spark-native
 extension it leaves open: new source rows arrive as a stream, each
 micro-batch is content-indexed (H1/A1) and merged into the catalog
-insert-if-absent (U6), so the cluster store stays current without
-re-indexing the corpus.
+APPEND-ONLY (U6 insert-if-absent), so the cluster store stays current
+without re-indexing the corpus and without rewriting accumulated state.
 
 ``foreachBatch`` is the right tool: the per-batch body reuses the exact
 batch operators (same hash recipe, same catalog semantics), and exactly-once
-sink behaviour comes from checkpointing + the content-addressed idempotence
-of the catalog (re-inserting an already-seen hash is a no-op).
+state comes from checkpointing + the idempotence of the catalog's delta
+inserts (replaying a batch appends nothing).
+
+Scale shape per micro-batch:
+
+- **Indexing** (`incremental_index_stream`): O(delta) state appends; the
+  accumulated ``clusters``/``cluster_keys`` tables are only *read* (two
+  anti-joins), never rewritten.
+- **Resolution** (`incremental_resolve_stream`): with ``blocking_fields``
+  set, only rows sharing a blocking value with the batch are re-linked
+  (delta-link); previously resolved components are carried as star edges
+  (one synthetic edge per member — O(entities), not O(past edges)) so a
+  bridging record can still merge clusters formed in earlier batches. New
+  edges APPEND into the persisted edge set. Without ``blocking_fields`` the
+  model re-runs over all accumulated rows (general-correct for
+  non-monotone models; documented O(accumulated) per batch).
+
+Checkpoint/state coupling: the streaming checkpoint is durable but a
+``Catalog(spark)`` without a path is not. Resuming a checkpoint against a
+catalog that is missing the earlier batches' state would silently resolve
+only post-restart data — both entry points detect that (first seen batch_id
+> 0 against a step-less catalog) and raise instead.
 """
 
 from __future__ import annotations
@@ -21,6 +41,43 @@ from pyspark.sql.streaming import StreamingQuery
 
 from matchbox_spark.functions.hashing import row_hash_expr
 from matchbox_spark.plans.catalog import Catalog
+
+
+def _guard_checkpoint_state(catalog: Catalog, step: str, batch_id: int) -> None:
+    """Detect a durable checkpoint replayed against a fresh, empty catalog.
+
+    The file-source checkpoint marks earlier files processed; if the catalog
+    holds no state for ``step`` while the checkpoint says batches already
+    ran, every pre-restart row would silently vanish from the resolved
+    output. Fail fast instead.
+    """
+    if batch_id > 0 and step not in catalog.steps:
+        raise RuntimeError(
+            f"streaming checkpoint resumes at batch {batch_id} but the "
+            f"catalog has no state for step {step!r}: earlier micro-batches "
+            "were marked processed by the checkpoint yet are absent here. "
+            "Either restart with a fresh checkpoint_dir, or reopen the "
+            "catalog that processed the earlier batches "
+            "(Catalog(spark, path=...) / Catalog.load_tables)."
+        )
+
+
+def _index_batch(
+    catalog: Catalog,
+    step: str,
+    batch: DataFrame,
+    key_field: str,
+    index_fields: list[str],
+) -> None:
+    """H1-hash a batch, group to a content index, merge append-only (U6)."""
+    hashed = batch.select(
+        row_hash_expr(batch.schema, sorted(index_fields)).alias("hash"),
+        F.col(key_field).cast("string").alias("key"),
+    )
+    index = hashed.groupBy("hash").agg(
+        F.sort_array(F.collect_list("key")).alias("keys")
+    )
+    catalog.insert_source_index_delta(step, index)
 
 
 def incremental_index_stream(
@@ -35,36 +92,16 @@ def incremental_index_stream(
     """Index a streaming source into the catalog, one micro-batch at a time.
 
     Each batch: H1 row hash over sorted index fields → group hashes → merge
-    into ``catalog`` under ``step`` (insert-if-absent; previously seen content
-    just accumulates new keys). The step's fingerprint is dropped between
-    batches — a streaming step is perpetually amendable, unlike the
-    fingerprint-gated batch sync.
+    into ``catalog`` under ``step`` via the append-only delta insert
+    (insert-if-absent; previously seen content just accumulates new keys).
+    Per-batch state cost is O(batch); accumulated state is never rewritten.
     """
-    fields = sorted(index_fields)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        hashed = batch.select(
-            row_hash_expr(batch.schema, fields).alias("hash"),
-            F.col(key_field).cast("string").alias("key"),
-        )
-        index = hashed.groupBy("hash").agg(
-            F.sort_array(F.collect_list("key")).alias("keys")
-        )
-        # merge semantics: union new keys with whatever the step already holds
-        existing_keys = catalog.cluster_keys.where(F.col("source") == step)
-        catalog.steps.pop(step, None)  # streaming steps are not fingerprint-gated
-        catalog.insert_source_index(step, index, fingerprint=b"streaming")
-        merged = (
-            catalog.cluster_keys.where(F.col("source") == step)
-            .unionByName(existing_keys)
-            .dropDuplicates()
-        )
-        catalog._commit(
-            "cluster_keys",
-            catalog.cluster_keys.where(F.col("source") != step).unionByName(merged),
-        )
+        _guard_checkpoint_state(catalog, step, batch_id)
+        _index_batch(catalog, step, batch, key_field, index_fields)
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
@@ -72,6 +109,31 @@ def incremental_index_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _prior_star_edges(catalog: Catalog, resolver_step: str) -> DataFrame | None:
+    """Compress the step's current components into star edges.
+
+    One ``(min_leaf, leaf)`` edge per member — O(resolved entities) rows
+    regardless of how many model edges ever produced them. Unioned with a
+    batch's fresh edges, connected components over the stars reproduces
+    (and can merge) every earlier cluster without re-reading past edges.
+    """
+    if resolver_step not in catalog.steps:
+        return None
+    from matchbox_spark.plans.query import resolver_assignments
+
+    prev = resolver_assignments(catalog, resolver_step)
+    reps = prev.groupBy("root_id").agg(F.min("leaf_id").alias("_rep"))
+    return (
+        prev.join(reps, "root_id")
+        .where(F.col("leaf_id") != F.col("_rep"))
+        .select(
+            F.col("_rep").alias("left_id"),
+            F.col("leaf_id").alias("right_id"),
+            F.lit(1.0).cast("float").alias("score"),
+        )
+    )
 
 
 def incremental_resolve_stream(
@@ -84,56 +146,55 @@ def incremental_resolve_stream(
     resolver_method,
     checkpoint_dir: str,
     source_location: str | None = None,
+    blocking_fields: list[str] | None = None,
 ) -> StreamingQuery:
-    """Streaming entity resolution: every micro-batch ingests new rows AND
-    refreshes the model + resolver over the accumulated state.
+    """Streaming entity resolution: every micro-batch ingests new rows and
+    refreshes the model + resolver state.
 
     ``source_location`` is the batch-readable path of the stream's data
     (the model re-query joins it against the catalog's ingested keys — the
     inner join means rows from not-yet-processed files drop out, so the
     per-batch model sees exactly the accumulated state).
 
-    Per batch: (1) content-index the batch into ``source_step`` (merge keys,
-    insert-if-absent clusters); (2) re-run ``model.dedupe`` over ALL indexed
-    data so far (queried back from the catalog — one id per content
-    cluster); (3) drop + re-insert the model edges and resolver clusters
-    (the catalog's step-rewrite path). The resolver state therefore tracks
-    the stream: after any batch, queries serve clusters over everything
-    ingested so far — streaming ER the reference (batch-only) leaves open.
+    Per batch: (1) content-index the batch into ``source_step`` (append-only
+    delta insert); (2) derive scored edges; (3) refresh the resolver step so
+    queries serve clusters over everything ingested so far — streaming ER
+    the reference (batch-only) leaves open.
 
-    Scale note: step (2) is O(accumulated state) per batch by design — the
-    model is global (new rows can merge old clusters). For models with
-    blocking keys the re-run prunes to touched blocks via Catalyst filters;
-    a fully incremental delta-link variant is future work.
+    **Delta-link mode** (``blocking_fields`` set — names as they appear in
+    the queried/qualified space, e.g. ``"s_grp"``; raw batch columns are
+    recovered by stripping the ``"{source_step}_"`` prefix, so blocking
+    fields must pass through cleaning unchanged): step (2) runs the model
+    ONLY over accumulated rows that share a blocking value with the batch —
+    everything else is pruned by a broadcast semi-join — and appends the
+    resulting edges via the idempotent delta insert. Step (3) runs connected
+    components over (new edges ∪ prior star edges), so merges across old
+    clusters (a bridging record) still happen, at O(batch blocks + resolved
+    entities) per batch instead of O(accumulated corpus). Requires a
+    deterministic model whose edges depend only on rows within a block
+    (true for blocking-style dedupers/linkers).
+
+    **Full mode** (default): the model re-runs over ALL indexed data and the
+    model/resolver steps are dropped and re-inserted — O(accumulated state)
+    per batch by design, the general-correct path for models whose scores
+    change as data accumulates (e.g. EM-trained).
+
+    The only per-batch rewrite in delta mode is the resolver step's
+    membership rows (O(resolved entities)); ``clusters``/``contains``/
+    ``cluster_keys``/``model_edges`` all move append-only.
     """
     from matchbox_spark.plans.query import QueryConfig, query_data
     from matchbox_spark.sources.source import SourceConfig
 
+    model_step = f"{source_step}_model"
+    resolver_step = f"{source_step}_resolve"
+
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        hashed = batch.select(
-            row_hash_expr(batch.schema, sorted(index_fields)).alias("hash"),
-            F.col(key_field).cast("string").alias("key"),
-        )
-        index = hashed.groupBy("hash").agg(
-            F.sort_array(F.collect_list("key")).alias("keys")
-        )
-        existing = catalog.cluster_keys.where(F.col("source") == source_step)
-        catalog.steps.pop(source_step, None)
-        catalog.insert_source_index(source_step, index, fingerprint=b"streaming")
-        merged = (
-            catalog.cluster_keys.where(F.col("source") == source_step)
-            .unionByName(existing)
-            .dropDuplicates()
-        )
-        catalog._commit(
-            "cluster_keys",
-            catalog.cluster_keys.where(F.col("source") != source_step).unionByName(
-                merged
-            ),
-        )
-        # model + resolver refresh over the accumulated state
+        _guard_checkpoint_state(catalog, source_step, batch_id)
+        _index_batch(catalog, source_step, batch, key_field, index_fields)
+
         cfg = SourceConfig(
             name=source_step,
             location=source_location,
@@ -143,19 +204,44 @@ def incremental_resolve_stream(
         data = query_data(
             batch.sparkSession, catalog, QueryConfig(sources=[cfg])
         )
-        edges = model.dedupe(data).localCheckpoint(eager=True)
-        model_step, resolver_step = f"{source_step}_model", f"{source_step}_resolve"
-        catalog.drop_step(model_step)
-        catalog.insert_model_edges(
-            model_step, edges, fingerprint=f"b{batch_id}".encode()
-        )
-        assignments = resolver_method.compute_clusters(
-            {
-                model_step: catalog.model_edges.where(
-                    F.col("step") == model_step
-                ).select("left_id", "right_id", "score")
-            }
-        )
+
+        if blocking_fields:
+            # OR semantics: keep accumulated rows sharing ANY blocking value
+            # with the batch — a conservative superset that is correct for
+            # both tuple-blocked and multi-pass (per-field) models
+            prefix = f"{source_step}_"
+            raw = [
+                f[len(prefix):] if f.startswith(prefix) else f
+                for f in blocking_fields
+            ]
+            touched_parts = []
+            for q, r in zip(blocking_fields, raw):
+                vals = batch.select(F.col(r).alias(q)).distinct()
+                touched_parts.append(
+                    data.join(F.broadcast(vals), q, "left_semi")
+                )
+            data = touched_parts[0]
+            for part in touched_parts[1:]:
+                data = data.unionByName(part)
+            if len(touched_parts) > 1:
+                data = data.dropDuplicates()
+            new_edges = model.dedupe(data).localCheckpoint(eager=True)
+            catalog.insert_model_edges_delta(model_step, new_edges)
+            stars = _prior_star_edges(catalog, resolver_step)
+            cc_edges = (
+                new_edges if stars is None else new_edges.unionByName(stars)
+            )
+        else:
+            edges = model.dedupe(data).localCheckpoint(eager=True)
+            catalog.drop_step(model_step)
+            catalog.insert_model_edges(
+                model_step, edges, fingerprint=f"b{batch_id}".encode()
+            )
+            cc_edges = catalog.model_edges.where(
+                F.col("step") == model_step
+            ).select("left_id", "right_id", "score")
+
+        assignments = resolver_method.compute_clusters({model_step: cc_edges})
         catalog.steps.pop(resolver_step, None)
         catalog.insert_resolver_clusters(
             resolver_step, assignments, fingerprint=f"b{batch_id}".encode()

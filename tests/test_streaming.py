@@ -348,3 +348,108 @@ def test_incremental_resolve_stream_matches_batch(spark, tmp_path):
         frozenset(k for k, g in rows if g == f"g{i}") for i in range(5)
     }
     assert got == expected
+
+
+class _TwoPassDeduper:
+    """OR of two single-field naive passes — lets a record bridge clusters."""
+
+    def dedupe(self, data):
+        from matchbox_spark.operators.dedupers import NaiveDeduper
+
+        a = NaiveDeduper(id="id", unique_fields=["s_a"]).dedupe(data)
+        b = NaiveDeduper(id="id", unique_fields=["s_b"]).dedupe(data)
+        return a.unionByName(b).dropDuplicates(["left_id", "right_id"])
+
+
+def test_delta_link_bridging_record_merges_old_clusters(spark, tmp_path):
+    """Delta-link mode: batch 3's record shares field a with cluster {3,4}
+    and field b with cluster {1,2} — the case a naive delta (new edges only,
+    no prior-component stars) would leave as two clusters."""
+    from matchbox_spark.operators.dedupers import NaiveDeduper
+    from matchbox_spark.plans.catalog import Catalog
+    from matchbox_spark.plans.query import unified_query
+    from matchbox_spark.plans.resolvers import Components
+    from matchbox_spark.streaming.incremental import incremental_resolve_stream
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    schema = "k long, a string, b string"
+    batches = [
+        [(1, "A1", "B1"), (2, "A1", "B2")],   # cluster {1,2} via a
+        [(3, "A2", "B3"), (4, "A2", "B4")],   # cluster {3,4} via a
+        [(5, "A2", "B2")],                     # bridges both via a AND b
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(data_dir))
+
+    cat = Catalog(spark)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(data_dir))
+    )
+    q = incremental_resolve_stream(
+        stream,
+        cat,
+        source_step="s",
+        key_field="k",
+        index_fields=["a", "b"],
+        model=_TwoPassDeduper(),
+        resolver_method=Components(method="auto"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_location=str(data_dir),
+        blocking_fields=["s_a", "s_b"],
+    )
+    q.awaitTermination(600)
+
+    ids = unified_query(cat, ["s_resolve", "s_model", "s"], ["s"], level="key")
+    clusters: dict[int, set[int]] = {}
+    for r in ids.collect():
+        clusters.setdefault(r["id"], set()).add(int(r["key"]))
+    got = {frozenset(v) for v in clusters.values()}
+    assert got == {frozenset({1, 2, 3, 4, 5})}
+
+    # model_edges moved append-only and replays deduped: the pair set is
+    # exactly the batch pipeline's — a:(1,2),(3,4),(3,5),(4,5); b:(2,5)
+    assert cat.model_edges.where(F.col("step") == "s_model").count() == 5
+
+
+def test_checkpoint_resume_against_fresh_catalog_raises(spark, tmp_path):
+    """ADVICE: a durable checkpoint replayed onto an empty catalog must
+    fail fast, not silently resolve only post-restart batches."""
+    import pytest
+
+    from matchbox_spark.plans.catalog import Catalog
+    from matchbox_spark.streaming import incremental_index_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "key string, name string"
+    spark.createDataFrame([("k1", "x")], schema).write.parquet(str(src / "b1"))
+
+    cat = Catalog(spark)
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    incremental_index_stream(
+        stream, cat, "s", key_field="key", index_fields=["name"],
+        checkpoint_dir=ckpt,
+    ).awaitTermination(120)
+
+    # new data + same checkpoint, but a FRESH catalog: batch_id > 0 with no
+    # step state → the guard raises inside foreachBatch
+    spark.createDataFrame([("k2", "y")], schema).write.parquet(str(src / "b2"))
+    fresh = Catalog(spark)
+    q = incremental_index_stream(
+        spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src)),
+        fresh, "s", key_field="key", index_fields=["name"],
+        checkpoint_dir=ckpt,
+    )
+    with pytest.raises(Exception, match="no state for step"):
+        q.awaitTermination(120)
