@@ -231,8 +231,32 @@ def splink_sql_to_spark(sql: str) -> str:
     return out
 
 
-def _parse_splink_comparisons(linker_settings: dict):
-    """Extract ordered (name, [level sql...], null_mask) per comparison.
+@dataclass
+class _SplinkComparison:
+    """One parsed comparison: ordered levels (first-match-wins, ``ELSE``
+    always matches), null mask (no-evidence levels), optional fixed
+    per-level m/u probabilities, and optional per-level term-frequency
+    adjustment config (``tf_adjustment_column`` / ``tf_adjustment_weight``,
+    Splink's documented keys)."""
+
+    name: str
+    levels: list[str]
+    null_mask: list[bool]
+    m_probs: list[float | None]
+    u_probs: list[float | None]
+    tf_cols: list[str | None]
+    tf_weights: list[float]
+
+    def fully_specified(self) -> bool:
+        """Every evidence-bearing level carries explicit m and u."""
+        return all(
+            null or (mp is not None and up is not None)
+            for null, mp, up in zip(self.null_mask, self.m_probs, self.u_probs)
+        )
+
+
+def _parse_splink_comparisons(linker_settings: dict) -> list[_SplinkComparison]:
+    """Extract ordered comparison levels per comparison.
 
     Levels keep Splink's order — first matching level wins, top down; an
     ``ELSE`` level always matches; ``is_null_level`` levels carry no
@@ -244,15 +268,24 @@ def _parse_splink_comparisons(linker_settings: dict):
             "comparison_description", f"cmp{len(parsed)}"
         )
         levels, null_mask = [], []
+        m_probs, u_probs, tf_cols, tf_weights = [], [], [], []
         for lvl in comp["comparison_levels"]:
             cond = lvl["sql_condition"].strip()
             levels.append(
                 "true" if cond.upper() == "ELSE" else splink_sql_to_spark(cond)
             )
             null_mask.append(bool(lvl.get("is_null_level", False)))
+            m_probs.append(lvl.get("m_probability"))
+            u_probs.append(lvl.get("u_probability"))
+            tf_cols.append(lvl.get("tf_adjustment_column"))
+            tf_weights.append(float(lvl.get("tf_adjustment_weight", 1.0)))
         if not levels:
             raise ValueError(f"comparison {name!r} has no levels")
-        parsed.append((name, levels, null_mask))
+        parsed.append(
+            _SplinkComparison(
+                name, levels, null_mask, m_probs, u_probs, tf_cols, tf_weights
+            )
+        )
     return parsed
 
 
@@ -397,6 +430,26 @@ class SplinkCompatLinker(Linker):
         self._comparisons = _parse_splink_comparisons(ls)
         if not self._comparisons:
             raise ValueError("comparisons must not be empty")
+        # Splink's pre-trained path: when the settings dict fully specifies
+        # the model (per-level m/u + the match prior), prediction uses those
+        # parameters directly — no EM. Matches Splink's behaviour for a
+        # saved/loaded model.
+        prior = ls.get("probability_two_random_records_match")
+        self._fixed_params = None
+        if prior is not None and all(
+            c.fully_specified() for c in self._comparisons
+        ):
+            self._fixed_params = (
+                float(prior),
+                [
+                    [1.0 if mp is None else float(mp) for mp in c.m_probs]
+                    for c in self._comparisons
+                ],
+                [
+                    [1.0 if up is None else float(up) for up in c.u_probs]
+                    for c in self._comparisons
+                ],
+            )
         for fn in self.settings.linker_training_functions:
             logger.info(
                 "accepted Splink training function %r (native EM supersedes)",
@@ -415,22 +468,44 @@ class SplinkCompatLinker(Linker):
             )
         return out.otherwise(F.lit(-1)).alias(f"g{idx}")
 
+    def _tf_columns(self) -> list[str]:
+        """Distinct term-frequency columns across all comparison levels."""
+        seen: list[str] = []
+        for c in self._comparisons:
+            for col in c.tf_cols:
+                if col and col not in seen:
+                    seen.append(col)
+        return seen
+
     def link(self, left: DataFrame, right: DataFrame) -> DataFrame:
         s = self.settings
         k = len(self._comparisons)
-        n_levels = [len(levels) for _, levels, _ in self._comparisons]
+        n_levels = [len(c.levels) for c in self._comparisons]
+        tf_columns = self._tf_columns()
 
         l = left.alias("l")  # noqa: E741
         r = right.alias("r")
         gamma_cols = [
-            self._gamma_col(levels, null_mask, i)
-            for i, (_, levels, null_mask) in enumerate(self._comparisons)
+            self._gamma_col(c.levels, c.null_mask, i)
+            for i, c in enumerate(self._comparisons)
+        ]
+        # TF-adjusted levels need the pair's value of the tf column; carried
+        # from both sides (fuzzy levels can disagree — Splink then uses the
+        # GREATER of the two term frequencies)
+        tf_val_cols = [
+            col
+            for c in tf_columns
+            for col in (
+                F.col(f"l.`{c}`").alias(f"_tfl_{c}"),
+                F.col(f"r.`{c}`").alias(f"_tfr_{c}"),
+            )
         ]
         per_rule = [
             l.join(r, F.expr(rule), "inner").select(
                 F.col(f"l.{s.left_id}").alias("left_id"),
                 F.col(f"r.{s.right_id}").alias("right_id"),
                 *gamma_cols,
+                *tf_val_cols,
             )
             for rule in self._blocking
         ]
@@ -446,12 +521,15 @@ class SplinkCompatLinker(Linker):
             (tuple(int(row[g]) for g in gcols), int(row["n"]))
             for row in cands.groupBy(*gcols).agg(F.count("*").alias("n")).collect()
         ]
-        lam, m, u = _em_levels(
-            counts,
-            n_levels,
-            s,
-            null_masks=[mask for _, _, mask in self._comparisons],
-        )
+        if self._fixed_params is not None:
+            lam, m, u = self._fixed_params
+        else:
+            lam, m, u = _em_levels(
+                counts,
+                n_levels,
+                s,
+                null_masks=[c.null_mask for c in self._comparisons],
+            )
         self.lambda_, self.m_, self.u_ = lam, m, u
 
         spark = cands.sparkSession
@@ -467,13 +545,96 @@ class SplinkCompatLinker(Linker):
         score_df = spark.createDataFrame(
             rows, ", ".join(f"{g} int" for g in gcols) + ", score double"
         )
+        scored = cands.join(F.broadcast(score_df), gcols)
+
+        if tf_columns:
+            scored = self._apply_tf_adjustments(
+                scored, left, right, tf_columns, u
+            )
+
         thr = s.threshold if s.threshold is not None else 0.0
-        scored = cands.join(F.broadcast(score_df), gcols).where(
-            F.col("score") >= F.lit(float(thr))
-        )
+        scored = scored.where(F.col("score") >= F.lit(float(thr)))
         return finalise_edges(
             scored.select("left_id", "right_id", "score"),
             left, right, s.left_id, s.right_id,
+        )
+
+    def _apply_tf_adjustments(
+        self,
+        scored: DataFrame,
+        left: DataFrame,
+        right: DataFrame,
+        tf_columns: list[str],
+        u,
+    ) -> DataFrame:
+        """Splink's documented term-frequency adjustment, applied per row.
+
+        For a level with ``tf_adjustment_column`` c, the level's Bayes
+        factor m/u (u = the AVERAGE collision probability) is corrected for
+        the specific value observed: multiply by ``(u_level / tf(v))^w``
+        where tf(v) is the value's share of the vertically-concatenated
+        input (non-null rows) and w = ``tf_adjustment_weight``. When the two
+        sides disagree (fuzzy level), the greater of the two frequencies is
+        used — Splink's documented choice. Log-odds stay finite because u is
+        clamped and tf(v) > 0 by construction (v came from the data).
+
+        Plan shape: one tiny aggregate per tf column (|distinct values|
+        rows) joined twice onto the scored pairs; AQE broadcasts when small.
+        The adjustment itself is a codegen'd CASE expression — no UDFs.
+        """
+        # clamp before the logit: a (near-)degenerate posterior of exactly
+        # 0/1 must stay finite through log-odds space
+        clamped = F.least(
+            F.greatest(F.col("score"), F.lit(1e-15)), F.lit(1.0 - 1e-15)
+        )
+        base_logodds = F.log(clamped / (F.lit(1.0) - clamped))
+
+        for c in tf_columns:
+            vals = left.select(F.col(c).alias("_v")).unionByName(
+                right.select(F.col(c).alias("_v"))
+            ).where(F.col("_v").isNotNull())
+            total = vals.count() or 1
+            tf = vals.groupBy("_v").agg(
+                (F.count("*") / F.lit(float(total))).alias(f"_tf_{c}")
+            )
+            scored = (
+                scored.join(
+                    tf.select(
+                        F.col("_v").alias(f"_tfl_{c}"),
+                        F.col(f"_tf_{c}").alias(f"_tfv_l_{c}"),
+                    ),
+                    f"_tfl_{c}",
+                    "left",
+                )
+                .join(
+                    tf.select(
+                        F.col("_v").alias(f"_tfr_{c}"),
+                        F.col(f"_tf_{c}").alias(f"_tfv_r_{c}"),
+                    ),
+                    f"_tfr_{c}",
+                    "left",
+                )
+            )
+
+        adj = F.lit(0.0)
+        for i, comp in enumerate(self._comparisons):
+            for lvl, (tf_col, w) in enumerate(
+                zip(comp.tf_cols, comp.tf_weights)
+            ):
+                if not tf_col:
+                    continue
+                u_lvl = float(u[i][lvl])
+                tf_v = F.greatest(
+                    F.col(f"_tfv_l_{tf_col}"), F.col(f"_tfv_r_{tf_col}")
+                )
+                term = F.lit(w) * (F.lit(math.log(u_lvl)) - F.log(tf_v))
+                adj = adj + F.when(
+                    (F.col(f"g{i}") == F.lit(lvl)) & tf_v.isNotNull(), term
+                ).otherwise(F.lit(0.0))
+
+        logodds = base_logodds + adj
+        return scored.withColumn(
+            "score", F.lit(1.0) / (F.lit(1.0) + F.exp(-logodds))
         )
 
     def match_weights(self) -> list[dict]:
@@ -481,11 +642,11 @@ class SplinkCompatLinker(Linker):
         if self.m_ is None:
             raise RuntimeError("fit the linker first (call link)")
         out = []
-        for (name, levels, _), mi, ui in zip(self._comparisons, self.m_, self.u_):
-            for lvl, (cond, mv, uv) in enumerate(zip(levels, mi, ui)):
+        for comp, mi, ui in zip(self._comparisons, self.m_, self.u_):
+            for lvl, (cond, mv, uv) in enumerate(zip(comp.levels, mi, ui)):
                 out.append(
                     {
-                        "comparison": name,
+                        "comparison": comp.name,
                         "level": lvl,
                         "sql_condition": cond,
                         "m": mv,

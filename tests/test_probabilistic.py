@@ -258,6 +258,136 @@ def test_splink_compat_block_on_lists_and_validation(spark):
         )
 
 
+def _pretrained_settings():
+    """A fully-specified (pre-trained) Splink settings dict: explicit
+    per-level m/u + match prior, the shape a saved Splink model carries.
+    City's exact-match level opts into term-frequency adjustment."""
+    s = _splink_settings()
+    s["probability_two_random_records_match"] = 0.2
+    name_levels = s["comparisons"][0]["comparison_levels"]
+    name_levels[1].update({"m_probability": 0.7, "u_probability": 0.01})
+    name_levels[2].update({"m_probability": 0.25, "u_probability": 0.04})
+    name_levels[3].update({"m_probability": 0.05, "u_probability": 0.95})
+    city_levels = s["comparisons"][1]["comparison_levels"]
+    city_levels[1].update(
+        {
+            "m_probability": 0.8,
+            "u_probability": 0.1,
+            "tf_adjustment_column": "city",
+            "tf_adjustment_weight": 1.0,
+        }
+    )
+    city_levels[2].update({"m_probability": 0.2, "u_probability": 0.9})
+    return s
+
+
+def test_splink_pretrained_params_skip_em_and_match_closed_form(spark):
+    """A fully-specified settings dict scores with the given parameters (no
+    EM), and every pair's score equals the documented Splink formula —
+    including the per-value term-frequency adjustment
+    (u_level / tf(v))^w on the city exact-match level."""
+    import math
+
+    from matchbox_spark.operators.probabilistic import SplinkCompatLinker
+
+    linker = SplinkCompatLinker(
+        left_id="uid",
+        right_id="uid",
+        linker_settings=_pretrained_settings(),
+        threshold=0.0,
+    )
+    left, right = _company_frames(spark)
+    got = {
+        (r["left_id"], r["right_id"]): r["score"]
+        for r in linker.link(left, right).collect()
+    }
+    # parameters are the dict's, not EM output
+    assert linker.lambda_ == 0.2
+    assert linker.m_[0][1] == 0.7 and linker.u_[1][1] == 0.1
+
+    # closed-form re-derivation (pure Python, no Spark)
+    lrows = [
+        (r["uid"], r["company_name"], r["postcode"], r["city"])
+        for r in left.collect()
+    ]
+    rrows = [
+        (r["uid"], r["company_name"], r["postcode"], r["city"])
+        for r in right.collect()
+    ]
+    cities = [c for *_, c in lrows + rrows if c is not None]
+    tf = {c: cities.count(c) / len(cities) for c in set(cities)}
+
+    def lev(a, b):
+        if a is None or b is None:
+            return None
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    lam, m, u = 0.2, linker.m_, linker.u_
+    expected = {}
+    for luid, lname, lpc, lcity in lrows:
+        for ruid, rname, rpc, rcity in rrows:
+            if lpc != rpc:
+                continue
+            # gamma: company_name levels (null, exact, lev<=2, ELSE)
+            if lname is None or rname is None:
+                g0 = -1
+            elif lname == rname:
+                g0 = 1
+            elif lev(lname, rname) <= 2:
+                g0 = 2
+            else:
+                g0 = 3
+            g1 = -1 if (lcity is None or rcity is None) else (
+                1 if lcity == rcity else 2
+            )
+            pm, pu = lam, 1 - lam
+            for i, g in enumerate((g0, g1)):
+                if g < 0:
+                    continue
+                pm *= m[i][g]
+                pu *= u[i][g]
+            score = pm / (pm + pu)
+            if g1 == 1:  # tf-adjusted level matched
+                logodds = math.log(score / (1 - score)) + 1.0 * (
+                    math.log(u[1][1]) - math.log(max(tf[lcity], tf[rcity]))
+                )
+                score = 1 / (1 + math.exp(-logodds))
+            expected[(luid, ruid)] = score
+
+    assert set(got) == set(expected)
+    for pair, sc in expected.items():
+        # edges carry float32 scores — compare at that precision
+        assert abs(got[pair] - sc) < 1e-6, (pair, got[pair], sc)
+
+    # the adjustment moves scores: City0 appears 3x (left 0, left 20,
+    # right 100 share it) vs City1 2x — the rarer-city exact pair must
+    # outscore an otherwise-identical common-city pair
+    assert got[(1, 101)] > got[(0, 100)]
+
+
+def test_tf_adjustment_requires_full_spec_to_skip_em(spark):
+    """Missing one u_probability → the dict is not pre-trained → EM runs."""
+    from matchbox_spark.operators.probabilistic import SplinkCompatLinker
+
+    s = _pretrained_settings()
+    del s["comparisons"][0]["comparison_levels"][1]["u_probability"]
+    linker = SplinkCompatLinker(
+        left_id="uid", right_id="uid", linker_settings=s, threshold=0.0
+    )
+    assert linker._fixed_params is None
+    left, right = _company_frames(spark)
+    assert linker.link(left, right).count() > 0
+    # EM fitted something other than the dict's partial values
+    assert linker.lambda_ != 0.2
+
+
 # -- Fellegi–Sunter ground-truth pinning -------------------------------------
 # Real Splink is not installable in this environment; what CAN be pinned is
 # the public mathematics both engines implement (Fellegi & Sunter 1969;
