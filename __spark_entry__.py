@@ -2401,6 +2401,103 @@ def v2_ivf(spark, sf):
     return ivf_topk(emb, q, k=5, n_lists=8, n_probe=4)
 
 
+_V2B_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@_q(
+    "v2b_ivf_recall",
+    f"""WITH corpus AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       ),
+       q AS (SELECT vec_id, v FROM corpus WHERE vec_id % 20 = 0),
+       cent AS (
+         SELECT ROW_NUMBER() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS list_id, v
+         FROM (SELECT * FROM corpus
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+       ),
+       assign AS (
+         SELECT vec_id, v, list_id FROM (
+           SELECT c.vec_id, c.v, ct.list_id,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+               ORDER BY ROUND({_V2B_COS.format(a="c.v", b="ct.v")}, 6) DESC,
+                        ct.list_id) AS rn
+           FROM corpus c CROSS JOIN cent ct) WHERE rn = 1
+       ),
+       probe AS (
+         SELECT query, list_id FROM (
+           SELECT qq.vec_id AS query, ct.list_id,
+             ROW_NUMBER() OVER (PARTITION BY qq.vec_id
+               ORDER BY ROUND({_V2B_COS.format(a="qq.v", b="ct.v")}, 6) DESC,
+                        ct.list_id) AS rn
+           FROM q qq CROSS JOIN cent ct) WHERE rn <= 4
+       ),
+       approx AS (
+         SELECT query, neighbor FROM (
+           SELECT p.query, a.vec_id AS neighbor,
+             ROW_NUMBER() OVER (PARTITION BY p.query
+               ORDER BY ROUND({_V2B_COS.format(a="qv.v", b="a.v")}, 6) DESC,
+                        a.vec_id) AS rank
+           FROM probe p
+           JOIN q qv ON qv.vec_id = p.query
+           JOIN assign a USING (list_id)
+           WHERE a.vec_id <> p.query) WHERE rank <= 10
+       ),
+       exact AS (
+         SELECT query, neighbor FROM (
+           SELECT qq.vec_id AS query, c.vec_id AS neighbor,
+             ROW_NUMBER() OVER (PARTITION BY qq.vec_id
+               ORDER BY ROUND({_V2B_COS.format(a="qq.v", b="c.v")}, 6) DESC,
+                        c.vec_id) AS rank
+           FROM q qq CROSS JOIN corpus c WHERE qq.vec_id <> c.vec_id)
+         WHERE rank <= 10
+       ),
+       hits AS (
+         SELECT a.query, COUNT(*) AS h
+         FROM approx a JOIN exact e
+           ON a.query = e.query AND a.neighbor = e.neighbor
+         GROUP BY 1
+       )
+       SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+              ROUND(AVG(COALESCE(h, 0) / 10.0), 6) AS mean_recall
+       FROM q LEFT JOIN hits ON q.vec_id = hits.query""",
+)
+def v2b_ivf_recall(spark, sf):
+    """IVF recall, driver-checkable end to end: the hash-centroid IVF
+    variant (deterministic relational pivots — no KMeans) searches 16 lists
+    with 4 probes, and this query reports (n_queries, mean recall@10
+    against the exact brute-force top-k). The DuckDB oracle replays the
+    ENTIRE pipeline — centroid selection, list assignment, probing, top-k,
+    recall arithmetic — so the approximate path itself is hash-verified,
+    not just row-counted. The KMeans-trained variant (v2_ivf_topk) stays
+    rows-only with recall pinned in pytest."""
+    from matchbox_spark.operators.similarity import cosine_topk, ivf_topk_hashed
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") % 20 == 0)
+    approx = ivf_topk_hashed(emb, q, k=10, n_lists=16, n_probe=4)
+    exact = cosine_topk(emb, q, k=10)
+    hits = (
+        approx.select("query", "neighbor")
+        .join(exact.select("query", "neighbor"), ["query", "neighbor"])
+        .groupBy("query")
+        .agg(F.count("*").alias("_h"))
+    )
+    return (
+        q.select(F.col("vec_id").cast("long").alias("query"))
+        .join(hits, "query", "left")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.round(
+                F.avg(F.coalesce(F.col("_h"), F.lit(0)) / F.lit(10.0)), 6
+            ).alias("mean_recall"),
+        )
+    )
+
+
 @_q(
     "st1_incremental_index",
     """SELECT CAST(doc_id AS VARCHAR) AS key,
@@ -2727,7 +2824,65 @@ def q21_waiting(spark, sf):
     )
 
 
-@_q("t4_lang_id", None)  # heuristic classifier — no exact SQL oracle
+def _t4_oracle_sql() -> str:
+    """DuckDB restatement of ``lang_id_expr``, GENERATED from the same
+    profile tables (LANG_PROFILES / _SCRIPT_RANGES) the Spark expression
+    uses — the two engines cannot drift. Mirrors every stage exactly:
+    tokenisation (boundary-spacing regex + split), function-word hit ratio,
+    marker-character bonus, struct-max argmax (ties → alphabetically-last
+    language), then the script-detection CASE in priority order."""
+    from matchbox_spark.functions.text import LANG_PROFILES, _SCRIPT_RANGES
+
+    structs = []
+    for lang, (words, marker) in LANG_PROFILES.items():
+        wl = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+        sw = (
+            "CASE WHEN n > 0 THEN CAST(len(list_filter(tk, t -> "
+            f"list_contains([{wl}], t))) AS DOUBLE) / n ELSE 0.0 END"
+        )
+        if marker:
+            sw = (
+                f"({sw} + CASE WHEN nonspace > 0 THEN "
+                f"CAST(len(regexp_extract_all(lower(text), '{marker}')) AS "
+                "DOUBLE) / nonspace * 3.0 ELSE 0.0 END)"
+            )
+        structs.append(f"{{'score': {sw}, 'lang': '{lang}'}}")
+    script_whens = "\n    ".join(
+        f"WHEN nonspace > 0 AND CAST(len(regexp_extract_all(text, '{rng}')) "
+        f"AS DOUBLE) / nonspace >= 0.15 THEN '{lang}'"
+        for lang, rng in _SCRIPT_RANGES
+    )
+    struct_list = ",\n      ".join(structs)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text,
+    length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+    list_filter(
+      string_split_regex(
+        regexp_replace(text, '([^\\sA-Za-z0-9]|\\d+)', ' \\1 ', 'g'),
+        '\\s+'),
+      t -> t <> '') AS tk
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, nonspace, tk, len(tk) AS n FROM toks
+), best AS (
+  SELECT doc_id, text, nonspace, n,
+    list_aggregate([
+      {struct_list}
+    ], 'max') AS b
+  FROM scored
+)
+SELECT doc_id,
+  CASE
+    {script_whens}
+    WHEN b.score > 0 THEN b.lang
+    ELSE 'und'
+  END AS lang_pred
+FROM best
+"""
+
+
+@_q("t4_lang_id", _t4_oracle_sql())
 def t4_lang_id(spark, sf):
     """Language identification heuristic: Unicode-script detection for 9
     non-Latin scripts (decisive), function-word + marker-character argmax
@@ -2735,8 +2890,8 @@ def t4_lang_id(spark, sf):
     fixture in tests/test_text_dedup.py (the testdata ``lang`` column is a
     random label — unlearnable by construction). Disclosed as a heuristic:
     production-quality lang-id should swap a trained model in behind a
-    pandas UDF. Rows-only entry records the operator in the driver
-    contract."""
+    pandas UDF. The DuckDB oracle is generated from the same profile
+    tables, so this entry is fully hash-checked."""
     return _t(spark, sf, "documents").select(
         "doc_id", TX.lang_id_expr("text").alias("lang_pred")
     )

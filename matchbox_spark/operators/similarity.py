@@ -90,6 +90,98 @@ def exact_cosine_pairs(
     )
 
 
+def ivf_topk_hashed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-Flat with hash-selected centroids — deterministic AND relational.
+
+    Same inverted-list layout as :func:`ivf_topk`, but the ``n_lists``
+    centroids are the corpus vectors with the smallest ``md5(id)`` (a
+    seedless deterministic sample), similarities are rounded to 6 places
+    before every rank comparison, and ties break on ids — so list
+    assignment, probing, and the final top-k are pure relational algebra an
+    independent SQL engine can replicate row-for-row. Recall trails
+    KMeans-trained lists on clustered data (random pivots vs learned ones) —
+    the classic verifiability/quality trade; use :func:`ivf_topk` when
+    quality matters more than replay.
+
+    Scale shape matches ivf_topk: centroids broadcast (n_lists × dim), the
+    corpus shuffles once on list_id, each query probes ``n_probe`` lists.
+    """
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(corpus_id).cast("long").alias("neighbor"),
+        F.col(corpus_vec).alias("_cv"),
+    )
+    # centroid pick: TakeOrdered (distributed sort-limit), then n_lists rows
+    # land on the driver to become the broadcast centroid table
+    cent_rows = (
+        c.withColumn("_h", F.md5(F.col("neighbor").cast("string")))
+        .orderBy("_h", "neighbor")
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = spark.createDataFrame(
+        [(i + 1, list(r["_cv"])) for i, r in enumerate(cent_rows)],
+        f"list_id int, centroid {dict(c.dtypes)['_cv']}",
+    )
+
+    sim_c = F.round(cosine_expr(F.col("_cv"), F.col("centroid")), 6)
+    assigned = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "_arank",
+            F.row_number().over(
+                Window.partitionBy("neighbor").orderBy(
+                    sim_c.desc(), F.asc("list_id")
+                )
+            ),
+        )
+        .where(F.col("_arank") == 1)
+        .select("neighbor", "_cv", "list_id")
+    )
+
+    q = queries.select(
+        F.col(query_id).cast("long").alias("query"), F.col(query_vec).alias("_qv")
+    )
+    sim_q = F.round(cosine_expr(F.col("_qv"), F.col("centroid")), 6)
+    q_lists = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "_crank",
+            F.row_number().over(
+                Window.partitionBy("query").orderBy(
+                    sim_q.desc(), F.asc("list_id")
+                )
+            ),
+        )
+        .where(F.col("_crank") <= n_probe)
+        .select("query", "_qv", "list_id")
+    )
+    scored = q_lists.join(assigned, "list_id").select(
+        "query",
+        "neighbor",
+        F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col("query") != F.col("neighbor"))
+    w = Window.partitionBy("query").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query", "neighbor", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

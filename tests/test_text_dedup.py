@@ -277,6 +277,25 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall collapsed: {recall}"
 
 
+def test_ivf_topk_hashed_deterministic_and_sane(spark, sf_dir):
+    from matchbox_spark.operators.similarity import cosine_topk, ivf_topk_hashed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.limit(10)
+    run1 = {
+        (r["query"], r["neighbor"])
+        for r in ivf_topk_hashed(emb, q, k=5, n_lists=8, n_probe=4).collect()
+    }
+    run2 = {
+        (r["query"], r["neighbor"])
+        for r in ivf_topk_hashed(emb, q, k=5, n_lists=8, n_probe=4).collect()
+    }
+    assert run1 == run2  # seedless determinism — same data, same answer
+    exact = {(r["query"], r["neighbor"]) for r in cosine_topk(emb, q, k=5).collect()}
+    recall = len(exact & run1) / len(exact)
+    assert recall >= 0.4, f"hashed-IVF recall collapsed: {recall}"
+
+
 def test_exact_cosine_pairs(spark):
     from matchbox_spark.operators.similarity import exact_cosine_pairs
 
