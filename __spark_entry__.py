@@ -3210,6 +3210,61 @@ def m4_resize(spark, sf):
     )
 
 
+@_q(
+    "m5_real_image_decode",
+    """SELECT doc_id,
+              4 + CAST(('0x' || substr(sha256(text), 7, 2)) AS INT) % 13 AS width,
+              4 + CAST(('0x' || substr(sha256(text), 9, 2)) AS INT) % 13 AS height,
+              CAST(CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) AS DOUBLE) AS mean_r,
+              CAST(CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) AS DOUBLE) AS mean_g,
+              CAST(CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) AS DOUBLE) AS mean_b
+       FROM documents WHERE doc_id < 200""",
+)
+def m5_real_decode(spark, sf):
+    """REAL image decode, hash-verified end to end: each document synthesises
+    an actual 24-bit BMP (solid colour + geometry derived from sha256(text)),
+    which decode_image_stats then decodes FOR REAL — header parse, row
+    padding, BGR order, pixel means — through the Arrow mapInPandas stage.
+    The oracle recomputes the expected geometry and channel means from
+    sha256(text) in SQL, so any decoder bug (wrong stride, channel swap,
+    off-by-one in padding) hash-mismatches. Unlike m1/m3/m4 (plumbing
+    stubs), this entry pins actual pixel decoding."""
+    import hashlib as _hl
+
+    import numpy as _np
+    import pandas as _pd
+
+    from matchbox_spark.operators.multimodal import decode_image_stats, encode_bmp
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+
+    def _make(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _hl.sha256(str(text).encode("utf-8")).digest()
+                w, ht = 4 + h[3] % 13, 4 + h[4] % 13
+                img = _np.full((ht, w, 3), (h[0], h[1], h[2]), dtype=_np.uint8)
+                rows.append((int(doc_id), encode_bmp(img), "image/bmp"))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "payload", "media_type"]
+            )
+
+    payloads = d.mapInPandas(
+        _make, "doc_id long, payload binary, media_type string"
+    )
+    return decode_image_stats(payloads).select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )
+
+
 # Queries the round-2 correctness gate sampled (it checks ~50 of the
 # registry); listing them LAST this round rotates the unsampled tail to the
 # front so every registered query gets a driver-checked correctness row at

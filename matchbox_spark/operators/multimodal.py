@@ -2,15 +2,23 @@
 
 Image/audio/video ride as opaque ``binary`` columns with a metadata struct.
 Decode / feature-extraction / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages — the Spark-side plumbing (schemas, batch shape,
-partitioning) is real and tested; the actual codec calls are stubbed behind
-``DECODERS`` because media libraries aren't in this container (swap in PIL /
-torchaudio / pyav entries in production — signature unchanged).
+``mapInPandas`` stages.
+
+Formats that need no external library decode FOR REAL, pure Python/NumPy:
+uncompressed 24-bit **BMP** and binary **PPM (P6)** images (header probe +
+full pixel decode via :func:`decode_image_stats`), and PCM **WAV** audio
+(header probe → duration). Matching encoders (:func:`encode_bmp`,
+:func:`encode_ppm`, :func:`encode_wav`) generate real payloads for tests
+and fixtures. Compressed codecs (JPEG/MP3/H.264 …) stay behind the
+``DECODERS`` registry for production to fill with PIL / torchaudio / pyav —
+signature unchanged; the deterministic ``*/stub`` entries remain for
+plumbing tests.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Callable, Iterator
 
 import pandas as pd
@@ -60,6 +68,236 @@ def _stub_audio_decoder(payload: bytes) -> dict:
     return {"width": None, "height": None, "duration_ms": 1000 + h[2] * 37}
 
 
+# ---------------------------------------------------------------------------
+# real pure-Python codecs (no external libraries required)
+# ---------------------------------------------------------------------------
+
+
+@register_decoder("image/bmp")
+def _bmp_decoder(payload: bytes) -> dict:
+    """Real BMP header probe (BITMAPINFOHEADER family; CORE fallback)."""
+    if len(payload) < 22 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size >= 40:
+        w, h = struct.unpack_from("<ii", payload, 18)
+    else:  # BITMAPCOREHEADER: 16-bit unsigned dimensions
+        w, h = struct.unpack_from("<HH", payload, 18)
+    return {"width": abs(w), "height": abs(h), "duration_ms": None}
+
+
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a P6 header → (width, height, maxval, pixel_data_offset)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        ch = payload[pos:pos + 1]
+        if ch == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+        elif ch.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos:pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+    return fields[0], fields[1], fields[2], pos + 1  # single ws after maxval
+
+
+@register_decoder("image/x-portable-pixmap")
+def _ppm_decoder(payload: bytes) -> dict:
+    w, h, _, _ = _ppm_header(payload)
+    return {"width": w, "height": h, "duration_ms": None}
+
+
+@register_decoder("audio/wav")
+def _wav_decoder(payload: bytes) -> dict:
+    """Real RIFF/WAVE probe: walk chunks, duration = data bytes / byte rate."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, byte_rate, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt " and pos + 24 <= len(payload):
+            byte_rate = struct.unpack_from("<I", payload, pos + 16)[0]
+        elif cid == b"data":
+            data_size = sz
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if not byte_rate or data_size is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return {
+        "width": None,
+        "height": None,
+        "duration_ms": round(data_size * 1000 / byte_rate),
+    }
+
+
+def encode_bmp(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (bottom-up rows, 4-byte row padding, BGR byte order — the on-disk
+    format real viewers read)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    pad = (-(w * 3)) % 4
+    data = b"".join(
+        px[r, :, ::-1].tobytes() + b"\x00" * pad for r in range(h - 1, -1, -1)
+    )
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+        )
+    )
+    return header + data
+
+
+def encode_ppm(pixels) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a binary PPM (P6)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + px.tobytes()
+
+
+def encode_wav(
+    samples, sample_rate: int = 8000, channels: int = 1
+) -> bytes:
+    """Encode 16-bit PCM samples (iterable of ints) as a minimal WAV."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+
+
+def decode_bmp_pixels(payload: bytes):
+    """Decode an uncompressed 24-bit BMP to an (H, W, 3) uint8 RGB array.
+
+    Handles bottom-up and top-down row order and 4-byte row padding."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant: {bpp}bpp compression={compression}")
+    top_down, hh = h < 0, abs(h)
+    row_bytes = (w * 3 + 3) // 4 * 4
+    px = (
+        np.frombuffer(payload, np.uint8, count=row_bytes * hh, offset=data_offset)
+        .reshape(hh, row_bytes)[:, : w * 3]
+        .reshape(hh, w, 3)
+    )
+    if not top_down:
+        px = px[::-1]
+    return px[..., ::-1]  # BGR → RGB
+
+
+def decode_ppm_pixels(payload: bytes):
+    """Decode a binary PPM (P6, maxval ≤ 255) to an (H, W, 3) uint8 array."""
+    import numpy as np
+
+    w, h, maxval, off = _ppm_header(payload)
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    return np.frombuffer(payload, np.uint8, count=w * h * 3, offset=off).reshape(
+        h, w, 3
+    )
+
+
+_PIXEL_DECODERS = {
+    "image/bmp": decode_bmp_pixels,
+    "image/x-portable-pixmap": decode_ppm_pixels,
+}
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_image_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    type_col: str = "media_type",
+) -> DataFrame:
+    """REAL image decode through the Arrow stage: pixels → per-channel stats.
+
+    One ``mapInPandas`` pass; per payload the registered pixel decoder (BMP
+    or PPM — pure NumPy) materialises the raster and reports geometry plus
+    per-channel means. Malformed/unsupported payloads yield null stats,
+    never task failures. The shape is the template for any per-item media
+    transform: opaque binary in, typed columns out, decode parallelism =
+    input partitioning, no driver involvement.
+    """
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            width = [None] * n
+            height = [None] * n
+            means: list[list] = [[None] * n for _ in range(3)]
+            for i, (mt, p) in enumerate(zip(pdf[type_col], pdf[payload_col])):
+                decoder = _PIXEL_DECODERS.get(mt)
+                if decoder is None or p is None:
+                    continue
+                try:
+                    px = decoder(bytes(p))
+                except (ValueError, struct.error):
+                    continue
+                height[i], width[i] = int(px.shape[0]), int(px.shape[1])
+                ch_mean = px.reshape(-1, 3).mean(axis=0)
+                for c in range(3):
+                    means[c][i] = float(ch_mean[c])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").to_numpy(),
+                    "width": pd.array(width, dtype="Int32"),
+                    "height": pd.array(height, dtype="Int32"),
+                    "mean_r": pd.array(means[0], dtype="float64"),
+                    "mean_g": pd.array(means[1], dtype="float64"),
+                    "mean_b": pd.array(means[2], dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col, type_col).mapInPandas(
+        _stats, IMAGE_STATS_SCHEMA
+    )
+
+
 def extract_media_metadata(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -103,7 +341,9 @@ def extract_media_metadata(
                     continue
                 try:
                     meta = decoder(payload)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, struct.error):
+                    # unsupported or malformed payload → null fields, not a
+                    # task failure (a corrupt object must not kill the scan)
                     continue
                 width[i] = meta.get("width")
                 height[i] = meta.get("height")

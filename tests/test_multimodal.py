@@ -135,3 +135,76 @@ def test_extract_features_feed_similarity(spark):
     # self-similarity wins: each query's best hit is itself
     best = top.where(F.col("rank") == 1).collect()
     assert all(r["query"] == r["neighbor"] for r in best)
+
+
+def test_real_bmp_roundtrip_through_arrow_stage(spark):
+    """Encode a REAL 24-bit BMP, decode it through the mapInPandas stage:
+    geometry from the header probe, channel means from the pixel decode."""
+    import numpy as np
+
+    from matchbox_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_image_stats,
+        encode_bmp,
+        extract_media_metadata,
+    )
+
+    rng = np.random.default_rng(7)
+    img_a = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)   # padded rows
+    img_b = np.full((3, 4, 3), (10, 200, 30), dtype=np.uint8)  # solid
+    # pixel decode is exact, including row order and padding
+    assert (decode_bmp_pixels(encode_bmp(img_a)) == img_a).all()
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp(img_a)), "image/bmp"),
+            (2, bytearray(encode_bmp(img_b)), "image/bmp"),
+            (3, bytearray(b"BM corrupt"), "image/bmp"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    meta = {r["doc_id"]: r for r in extract_media_metadata(df).collect()}
+    assert (meta[1]["width"], meta[1]["height"]) == (7, 5)
+    assert (meta[2]["width"], meta[2]["height"]) == (4, 3)
+    assert meta[3]["width"] is None  # corrupt → nulls, not a task failure
+
+    stats = {r["doc_id"]: r for r in decode_image_stats(df).collect()}
+    assert (stats[2]["mean_r"], stats[2]["mean_g"], stats[2]["mean_b"]) == (
+        10.0, 200.0, 30.0,
+    )
+    exp = img_a.reshape(-1, 3).mean(axis=0)
+    assert abs(stats[1]["mean_r"] - exp[0]) < 1e-9
+    assert abs(stats[1]["mean_g"] - exp[1]) < 1e-9
+    assert abs(stats[1]["mean_b"] - exp[2]) < 1e-9
+    assert stats[3]["width"] is None
+
+
+def test_real_ppm_and_wav_decode(spark):
+    import numpy as np
+
+    from matchbox_spark.operators.multimodal import (
+        decode_ppm_pixels,
+        encode_ppm,
+        encode_wav,
+        extract_media_metadata,
+    )
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (decode_ppm_pixels(encode_ppm(img)) == img).all()
+    # comments + arbitrary whitespace in the header parse too
+    with_comment = b"P6 # wide\n# another\n 3\t2\n255\n" + img.tobytes()
+    assert (decode_ppm_pixels(with_comment) == img).all()
+
+    wav = encode_wav([0] * 8000, sample_rate=8000)  # exactly 1 s mono 16-bit
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_ppm(img)), "image/x-portable-pixmap"),
+            (2, bytearray(wav), "audio/wav"),
+            (3, bytearray(b"RIFFxxxx"), "audio/wav"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    meta = {r["doc_id"]: r for r in extract_media_metadata(df).collect()}
+    assert (meta[1]["width"], meta[1]["height"]) == (3, 2)
+    assert meta[2]["duration_ms"] == 1000
+    assert meta[3]["duration_ms"] is None
