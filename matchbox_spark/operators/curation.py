@@ -34,11 +34,14 @@ def pack_documents(
     """Assign each document a ``(shard, pack)`` id by contiguous packing.
 
     Documents hash into ``n_shards`` shards; within a shard, documents are
-    ordered by id and packed greedily by EXCLUSIVE running token count:
-    a document starts a new pack when the tokens before it already meet the
-    budget. A document longer than the budget occupies its own pack (it
-    still advances the running count — downstream truncation is the
-    tokeniser's decision, not the packer's).
+    ordered by id and packed by EXCLUSIVE running token count: a document's
+    pack index is ``floor(tokens_before_it / budget)``. Consequences worth
+    stating exactly: an oversized document may overflow whatever pack it
+    lands in (it shares that pack with any documents already there), and
+    because it advances the running count by more than one budget, pack
+    indices within a shard are monotone but NOT contiguous — values can be
+    skipped after a giant document. Downstream truncation is the
+    tokeniser's decision, not the packer's.
 
     Returns the input columns plus ``shard``, ``pack`` (0-based within
     shard), and ``pack_id`` (globally unique ``shard * 2^32 + pack``).
@@ -117,10 +120,11 @@ def quota_rebalance(
         raise ValueError("quota_rebalance takes exactly one strata column")
     col = strata_cols[0]
     spark = df.sparkSession
+    # explicit schema, no sentinel row — an empty-string stratum is a
+    # legitimate key and keeps its configured quota
     qdf = spark.createDataFrame(
-        [(k, int(v)) for k, v in quotas.items()] or [("", 0)],
-        f"{col} string, _quota int",
-    ).where(F.col(col) != "")
+        [(k, int(v)) for k, v in quotas.items()], f"{col} string, _quota int"
+    )
     w = Window.partitionBy(col).orderBy(
         F.sha2(F.col(key_col).cast("string"), 256), key_col
     )

@@ -182,6 +182,19 @@ class NaiveDeduper(Deduper):
             .where(F.col("_g") >= 2)
         )
         if s.max_group_size is not None:
+            # same disclosure as the non-chunked path: dropping a group is a
+            # semantic decision the operator must not make silently
+            import logging
+
+            oversized = numbered.where(F.col("_g") > s.max_group_size)
+            if oversized.limit(1).count():
+                example = oversized.select(*s.unique_fields).first()
+                logging.getLogger(__name__).warning(
+                    "NaiveDeduper(chunked): dropping group(s) larger than "
+                    "max_group_size=%d (example values: %s)",
+                    s.max_group_size,
+                    example,
+                )
             numbered = numbered.where(F.col("_g") <= s.max_group_size)
         numbered = numbered.withColumn(
             "_chunk", (F.col("_rn") / c).cast("int")

@@ -183,11 +183,23 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _driver_cc_edge_limit(spark) -> int:
-    """Edge cap for the driver union-find escape, sized by driver memory
-    rather than a magic constant: ~500 bytes/edge of worst-case Python dict
-    overhead against a quarter of the heap, floored at 2M so small drivers
-    still take the fast path for graphs the reference itself handled
-    driver-side, capped at 50M."""
+    """Edge cap for the driver union-find escape, sized by memory rather
+    than a magic constant: ~500 bytes/edge of worst-case Python dict
+    overhead against a quarter of the budget, floored at 2M so small
+    drivers still take the fast path for graphs the reference itself
+    handled driver-side, capped at 50M.
+
+    The collected pandas frame and union-find dict live in the PYTHON
+    driver process, whose footprint the JVM heap setting does not bound —
+    so the budget is min(spark.driver.memory, free system memory right
+    now), and the ``MATCHBOX_SPARK_CC_EDGE_LIMIT`` env var overrides the
+    whole derivation for operators who know better.
+    """
+    import os
+
+    override = os.environ.get("MATCHBOX_SPARK_CC_EDGE_LIMIT")
+    if override:
+        return max(0, int(override))
     try:
         mem = spark.conf.get("spark.driver.memory", "4g") or "4g"
         units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
@@ -197,7 +209,18 @@ def _driver_cc_edge_limit(spark) -> int:
         heap = int(num * mult)
     except Exception:  # noqa: BLE001
         heap = 4 << 30
-    return max(2_000_000, min(50_000_000, heap // 4 // 500))
+    try:
+        # MemAvailable: what the kernel says this host can actually give us
+        with open("/proc/meminfo") as f:
+            avail = {
+                line.split(":")[0]: int(line.split()[1]) * 1024
+                for line in f
+                if line.startswith(("MemAvailable", "MemTotal"))
+            }
+        budget = min(heap, avail.get("MemAvailable", avail.get("MemTotal", heap)))
+    except OSError:  # non-Linux: fall back to the heap figure
+        budget = heap
+    return max(2_000_000, min(50_000_000, budget // 4 // 500))
 
 
 def connected_components(

@@ -90,6 +90,23 @@ def test_quota_rebalance_caps_each_stratum(docs):
             assert n <= 1
 
 
+def test_quota_rebalance_empty_string_stratum(spark):
+    # '' is a legitimate stratum key: its configured quota applies (it must
+    # not fall through to default_quota)
+    d = spark.createDataFrame(
+        [(i, "" if i < 6 else "web") for i in range(10)],
+        "doc_id long, source string",
+    )
+    out = quota_rebalance(
+        d, ["source"], {"": 2, "web": 1}, "doc_id", default_quota=0
+    )
+    per = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert per == {"": 2, "web": 1}
+    # and an empty quota dict means every stratum uses default_quota
+    none = quota_rebalance(d, ["source"], {}, "doc_id", default_quota=1)
+    assert none.count() == 2
+
+
 def test_quota_rebalance_subset_of_stratified(docs):
     # quota sampling with uniform quotas == stratified sampling
     d = docs.select("doc_id", "source")

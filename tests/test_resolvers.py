@@ -127,3 +127,12 @@ def test_auto_cc_respects_explicit_edge_limit(spark):
     comps = got.select("component").distinct().collect()
     assert len(comps) == 1 and comps[0]["component"] == 0
     assert got.count() == 65
+
+
+def test_driver_cc_edge_limit_env_override(spark, monkeypatch):
+    from matchbox_spark.plans.resolvers import _driver_cc_edge_limit
+
+    derived = _driver_cc_edge_limit(spark)
+    assert 2_000_000 <= derived <= 50_000_000
+    monkeypatch.setenv("MATCHBOX_SPARK_CC_EDGE_LIMIT", "1234")
+    assert _driver_cc_edge_limit(spark) == 1234
