@@ -3265,10 +3265,298 @@ def m5_real_decode(spark, sf):
     )
 
 
-# Queries the round-2 correctness gate sampled (it checks ~50 of the
-# registry); listing them LAST this round rotates the unsampled tail to the
-# front so every registered query gets a driver-checked correctness row at
-# least every other round.
+# ---------------------------------------------------------------------------
+# Round 4: PII scrubbing, contamination detection, BM25 keyword search,
+# grouping-sets analytics, windowed running aggregates, exact percentiles,
+# and fuzzy (edit-distance) linking.
+# ---------------------------------------------------------------------------
+
+# Both engines synthesise the same PII-bearing text from doc_id (the corpus
+# itself is PII-free word salad), so the redaction actually fires: one email
+# + one IPv4 + one phone per row, a second email on every third row.
+_T7_SYNTH_SQL = (
+    "'contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 555-01'"
+    " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@test.org' ELSE '' END"
+    " || ' re: ' || text"
+)
+
+
+@_q(
+    "t7_pii_redaction",
+    rf"""WITH synth AS (SELECT doc_id, {_T7_SYNTH_SQL} AS raw FROM documents)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                 '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g'),
+                 '\+\d[\d -]{{7,}}\d', '<PHONE>', 'g') AS redacted,
+               len(regexp_extract_all(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_emails,
+               len(regexp_extract_all(raw,
+                 '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS n_ips,
+               len(regexp_extract_all(raw, '\+\d[\d -]{{7,}}\d')) AS n_phones
+        FROM synth""",
+)
+def t7_pii(spark, sf):
+    """PII scrubbing pass (functions.text.pii_redact_expr): emails, IPv4s and
+    international phones → placeholder tokens, with per-row audit counts.
+    Pure regexp_replace chain, whole-stage codegen — the patterns are
+    restricted to constructs with identical Java-regex/RE2 semantics so the
+    DuckDB oracle is bit-exact."""
+    d = _t(spark, sf, "documents")
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cc admin@test.org")).otherwise(
+            F.lit("")
+        ),
+        F.lit(" re: "),
+        F.col("text"),
+    )
+    counts = TX.pii_counts_exprs(raw)
+    return d.select(
+        "doc_id",
+        TX.pii_redact_expr(raw).alias("redacted"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+    )
+
+
+@_q(
+    "d7_contamination",
+    r"""WITH toks AS (
+          SELECT doc_id, source,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, source, s.g FROM toks, LATERAL (
+            SELECT CASE WHEN len(t) >= 8 THEN
+                     [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)]
+                   ELSE [] END AS gl
+          ) l, UNNEST(l.gl) AS s(g)
+        ),
+        corp AS (SELECT DISTINCT doc_id AS doc, g FROM sh WHERE source <> 'src0'),
+        bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0')
+        SELECT doc, COUNT(*) AS n_shingles, COUNT(b.g) AS n_hit,
+               round(CAST(COUNT(b.g) AS DOUBLE) / COUNT(*), 6) AS contamination
+        FROM corp LEFT JOIN bench b USING (g)
+        GROUP BY doc""",
+)
+def d7_contamination(spark, sf):
+    """Benchmark-contamination report (operators.dedup.contamination_check):
+    fraction of each corpus document's distinct 8-grams that appear in the
+    benchmark split (source = 'src0' stands in for the eval suite). The
+    benchmark shingle set is broadcast; the corpus only shuffles once on doc."""
+    d = _t(spark, sf, "documents")
+    return DD.contamination_check(
+        d.where(F.col("source") != "src0"),
+        d.where(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=8,
+    )
+
+
+@_q(
+    "b1_bm25_search",
+    r"""WITH toks AS (
+          SELECT doc_id AS doc,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        lens AS (SELECT doc, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+                  FROM lens),
+        post AS (
+          SELECT doc, s.term, COUNT(*) AS tf
+          FROM toks, UNNEST(t) AS s(term)
+          WHERE s.term IN ('hash', 'merge', 'spark')
+          GROUP BY doc, s.term
+        ),
+        dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+        parts AS (
+          SELECT p.doc,
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS part
+          FROM post p
+          JOIN lens USING (doc)
+          CROSS JOIN stats
+          JOIN dfs USING (term)
+        )
+        SELECT doc, COUNT(*) AS n_terms, round(SUM(part), 6) AS score
+        FROM parts GROUP BY doc""",
+)
+def b1_bm25(spark, sf):
+    """BM25 keyword search (operators.search.bm25_scores) for the query
+    {hash, merge, spark}: the lexical retrieval path next to v1's vector
+    path. Postings are exploded only for matching terms; corpus stats and
+    per-term dfs are broadcast."""
+    from matchbox_spark.operators.search import bm25_scores
+
+    return bm25_scores(
+        _t(spark, sf, "documents"), "doc_id", "text", ["hash", "merge", "spark"]
+    )
+
+
+@_q(
+    "q23_rollup_revenue",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+              COUNT(*) AS n
+       FROM lineitem
+       GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def q23_rollup(spark, sf):
+    """Grouping-sets analytics: ROLLUP over (returnflag, linestatus) with the
+    decimal-stabilised revenue sum. One shuffle; Spark expands the rollup
+    into grouping sets inside the same hash aggregate."""
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec6(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        F.sum(_dec6(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "q24_cube_counts",
+    """SELECT l_linenumber, l_returnflag,
+              CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+              COUNT(*) AS n
+       FROM lineitem
+       GROUP BY CUBE (l_linenumber, l_returnflag)""",
+)
+def q24_cube(spark, sf):
+    """CUBE over (linenumber, returnflag): all four grouping sets in one
+    aggregate — the OLAP cross-tab companion to q23's rollup."""
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    return l.cube("l_linenumber", "l_returnflag").agg(
+        F.sum(_dec6(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "w2_running_revenue",
+    """SELECT o_custkey, o_orderkey,
+              CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+              ) AS DOUBLE) AS running_total,
+              ROUND(o_totalprice - lag(o_totalprice) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ), 2) AS delta_prev,
+              row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ) AS seq,
+              ntile(4) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ) AS quartile
+       FROM orders""",
+)
+def w2_running(spark, sf):
+    """Windowed running aggregates per customer: cumulative spend (decimal-
+    exact, so the oracle matches bit-for-bit), order-over-order delta,
+    sequence number and ntile quartile. Every window is partitioned by
+    o_custkey — no global sort anywhere in the plan."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec6(F.col("o_totalprice")))
+        .over(wsum)
+        .cast("double")
+        .alias("running_total"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("delta_prev"),
+        F.row_number().over(w).alias("seq"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@_q(
+    "e1_value_percentiles",
+    """SELECT event_type,
+              COUNT(*) AS n,
+              round(quantile_cont(value, 0.25), 6) AS p25,
+              round(quantile_cont(value, 0.5), 6) AS p50,
+              round(quantile_cont(value, 0.75), 6) AS p75,
+              round(quantile_cont(value, 0.95), 6) AS p95,
+              round(MIN(value), 6) AS vmin,
+              round(MAX(value), 6) AS vmax
+       FROM events
+       GROUP BY event_type""",
+)
+def e1_percentiles(spark, sf):
+    """Exact per-type value percentiles (R-7 linear interpolation — Spark's
+    `percentile` and DuckDB's `quantile_cont` share it). Exact quantiles
+    sort within each group; at 100 TB swap in `percentile_approx` (t-digest,
+    mergeable map-side) — the oracle pins the exact variant."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.min("value"), 6).alias("vmin"),
+        F.round(F.max("value"), 6).alias("vmax"),
+    )
+
+
+@_q(
+    "j12_fuzzy_link",
+    """SELECT l.s_suppkey AS left_id, r.s_suppkey AS right_id,
+              CAST(round(1.0 - levenshtein(l.s_name, r.s_name)
+                   / CAST(greatest(length(l.s_name), length(r.s_name)) AS DOUBLE),
+                   6) AS REAL) AS score
+       FROM supplier l JOIN supplier r ON l.s_nationkey = r.s_nationkey
+       WHERE levenshtein(l.s_name, r.s_name) <= 1
+         AND l.s_suppkey < r.s_suppkey""",
+)
+def j12_fuzzy(spark, sf):
+    """Fuzzy self-link (operators.linkers.FuzzyLinker): suppliers within the
+    same nation whose names are within 1 edit. The blocking equi-join bounds
+    pairs at sigma(block size squared); levenshtein is Spark's built-in (JVM
+    codegen, no UDF)."""
+    from matchbox_spark.operators.linkers import FuzzyLinker
+
+    s = _t(spark, sf, "supplier")
+    linker = FuzzyLinker(
+        left_id="s_suppkey",
+        right_id="s_suppkey",
+        field="s_name",
+        blocking=["s_nationkey"],
+        max_distance=1,
+    )
+    return linker.link(s, s).where(F.col("left_id") < F.col("right_id"))
+
+
+# Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
+# prefix of the registry each round; ordering the registry by how much a
+# fresh check is worth keeps green rows from going stale behind code churn:
+#   0. never driver-checked (new this round, or added since the last gate)
+#   1. operators CHANGED this round since their last green row
+#   2. last checked in round 2 (stale green)
+#   3. re-verified in round 3 (freshest green)
 _CHECKED_R2 = {
     "s2_key_filter_pushdown", "p1_field_qualification", "p2_cleaning_exprs",
     "p5_threshold_filter", "q1_pricing_summary", "q3_top_revenue_orders",
@@ -3289,12 +3577,52 @@ _CHECKED_R2 = {
     "m2_frame_sampling", "q4_order_priority",
 }
 
+# CORRECTNESS_r03.json keys — every row green (or disclosed no-oracle).
+_CHECKED_R3 = {
+    "a9_latest_judgement", "c2_pack_documents", "c3_training_mix",
+    "d5_embedding_pairs", "d6_exact_dedupe", "ev5_asof_join",
+    "ev6_range_join", "g4_leaf_expansion", "j11_match_lookup",
+    "j2b_chunked_dedupe", "j6_splink_compat", "j8_lookup_full_outer",
+    "j9_enrich_samples", "m3_media_features", "m4_resize_plumbing",
+    "o6_stratified_sample", "o7_quota_sample", "p1_field_qualification",
+    "p2_cleaning_exprs", "p5_threshold_filter", "p6_recency_filter",
+    "q10_returned_items", "q11_brand_value_share", "q13_customer_distribution",
+    "q15_top_supplier", "q16_supplier_count", "q17_small_quantity",
+    "q19_disjunctive_join", "q1_pricing_summary", "q20_part_promotion",
+    "q21_waiting_supplier", "q22_idle_customers", "q2_min_cost_supplier",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "r1_default_run_query", "s2_key_filter_pushdown",
+    "st1_incremental_index", "st2_streaming_sessions", "st3_streaming_dedupe",
+    "st4_stateful_stats", "st5_stream_stream_join", "st7_incremental_resolve",
+    "t2_quality_score", "t4_lang_id", "t6_winnowing",
+    "v2_ivf_topk", "v3_quantized_cosine"
+}
+
+# Queries whose underlying operators round 4 modified (content-defined H4
+# fingerprints; streaming delta-link; Splink TF surface; lang-id/IVF oracles;
+# real media codecs; quota/chunked-dedupe/CC-cap advisory fixes) — their old
+# green rows no longer pin the current code.
+_TOUCHED_R4 = {
+    "j7_resolved_entities", "r1_default_run_query", "j7_set_agg_query",
+    "h1_row_hash", "h5_leaf_set_hash", "st1_incremental_index",
+    "st7_incremental_resolve", "j6_splink_compat", "t4_lang_id",
+    "v2_ivf_topk", "m1_media_metadata", "m3_media_features",
+    "m4_resize_plumbing", "o7_quota_sample", "j2b_chunked_dedupe",
+    "g1_connected_components",
+}
+
 
 def _rotated() -> list[str]:
-    names = list(_REGISTRY)
-    return [n for n in names if n not in _CHECKED_R2] + [
-        n for n in names if n in _CHECKED_R2
-    ]
+    def prio(n: str) -> int:
+        if n not in _CHECKED_R2 and n not in _CHECKED_R3:
+            return 0
+        if n in _TOUCHED_R4:
+            return 1
+        if n not in _CHECKED_R3:
+            return 2
+        return 3
+
+    return sorted(_REGISTRY, key=prio)  # stable: registry order within tiers
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

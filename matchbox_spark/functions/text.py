@@ -263,6 +263,45 @@ def quality_score_expr(col: Column | str, lang: str = "en") -> Column:
     return F.round(score, 6)
 
 
+# PII scrubbing patterns. Deliberately restricted to constructs whose
+# semantics are identical under Java's backtracking regex (Spark) and RE2
+# (DuckDB, the oracle): character classes, simple greedy quantifiers and \b —
+# no alternation, no lookaround — so redacted output is bit-identical
+# cross-engine and the operator stays whole-stage-codegen JVM-side.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# international-format phone: leading '+' then >= 9 digits with optional
+# space/dash separators; the mandatory '+' keeps plain number runs (ids,
+# quantities) out of scope
+PII_PHONE_RE = r"\+\d[\d -]{7,}\d"
+
+
+def pii_redact_expr(col: Column | str) -> Column:
+    """Replace emails, IPv4 addresses and international phone numbers with
+    ``<EMAIL>`` / ``<IP>`` / ``<PHONE>`` placeholder tokens.
+
+    The training-data scrubbing pass (emails first so their local parts
+    cannot be re-matched as phones; phone last since its pattern is the
+    loosest). Pure ``regexp_replace`` chain — no UDF, fully codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(c, PII_PHONE_RE, "<PHONE>")
+
+
+def pii_counts_exprs(col: Column | str) -> dict[str, Column]:
+    """Per-row counts of each PII class (audit columns for the redaction
+    report). ``regexp_extract_all`` + ``size`` — the empty-match case is an
+    empty array, so counts are 0 not null."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "n_emails": F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0)),
+        "n_ips": F.size(F.regexp_extract_all(c, F.lit(PII_IPV4_RE), 0)),
+        "n_phones": F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), 0)),
+    }
+
+
 def normalize_text_expr(col: Column | str) -> Column:
     """Lowercase, collapse whitespace, trim — canonical form for hashing."""
     c = F.col(col) if isinstance(col, str) else col

@@ -154,6 +154,49 @@ def ngram_jaccard_pairs(
     return out
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination report: for each corpus document, the fraction
+    of its distinct word ``n``-grams that also appear in the benchmark set
+    (the decontamination pass run before training — e.g. GPT-3 appendix C /
+    PaLM §9 style 8-gram overlap).
+
+    Returns ``(doc, n_shingles, n_hit, contamination)`` per corpus document,
+    including zero-overlap rows (a report, not a filter — thresholding is the
+    caller's policy).
+
+    Scale shape: the benchmark shingle set is DISTINCT'd and broadcast — it
+    is bounded by the benchmark suite's size (millions of rows at most, vs a
+    ~100 TB corpus), so the corpus side never shuffles on shingle; the only
+    wide exchange is the per-document re-aggregation on ``doc``. If the
+    benchmark outgrows broadcast range, drop the hint and Catalyst falls
+    back to a shuffled hash join on ``sh`` — same semantics.
+    """
+    corpus_sh = _doc_shingles(corpus, id_col, text_col, n)
+    bench_sh = (
+        benchmark.select(F.explode(word_shingles_expr(text_col, n)).alias("sh"))
+        .dropDuplicates()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh", "left")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_hit"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_hit") / F.col("n_shingles").cast("double"), 6),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -1,0 +1,98 @@
+"""Keyword search scoring: BM25 over a tokenised document corpus.
+
+The lexical complement to the vector path (`operators/similarity.py`) — a
+training-data pipeline needs both: ANN for embedding retrieval, BM25 for
+query-driven corpus slicing (topic mining, eval-set construction,
+contamination probes by query).
+
+Spark-first shape (Robertson/Sparck Jones BM25, the Lucene variant with the
++1 inside the idf log so scores stay non-negative):
+
+- document lengths come straight from ``token_count_expr`` — no explode;
+- only tokens matching the query terms are exploded and aggregated, so the
+  wide work is O(matching postings), not O(corpus tokens);
+- corpus stats (N, avgdl) and per-term document frequencies are tiny
+  one-row / per-term frames, broadcast into the scoring join — the only
+  shuffle on the corpus side is the per-document score re-aggregation.
+
+Everything is built-in column expressions (log/division) — whole-stage
+codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from matchbox_spark.functions.text import token_count_expr, tokens_expr
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Score every document matching ≥1 query term; return
+    ``(doc, n_terms, score)`` ordered by score desc (ties: doc asc).
+
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+    with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))``; rounded to 6 dp so
+    the number is reproducible cross-engine.
+    """
+    if not query_terms:
+        raise ValueError("bm25_scores requires at least one query term")
+    terms = sorted({t.lower() for t in query_terms})
+
+    lengths = docs.select(
+        F.col(id_col).cast("long").alias("doc"),
+        token_count_expr(text_col).cast("double").alias("dl"),
+    )
+    postings = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.explode(tokens_expr(text_col)).alias("term"),
+        )
+        .where(F.col("term").isin(terms))
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = lengths.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    doc_freq = postings.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        postings.join(lengths, "doc")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(doc_freq), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum("part"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc"))
+    )
+    if top_k is not None:
+        scored = scored.limit(int(top_k))
+    return scored

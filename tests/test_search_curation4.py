@@ -1,0 +1,183 @@
+"""Round-4 operators: PII redaction, contamination check, BM25, fuzzy link."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from matchbox_spark.functions import text as TX
+from matchbox_spark.operators.dedup import contamination_check
+from matchbox_spark.operators.linkers import FuzzyLinker
+from matchbox_spark.operators.search import bm25_scores
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def _redact_one(spark, text: str) -> tuple[str, int, int, int]:
+    df = spark.createDataFrame([(text,)], "t string")
+    counts = TX.pii_counts_exprs("t")
+    row = df.select(
+        TX.pii_redact_expr("t").alias("red"),
+        counts["n_emails"].alias("e"),
+        counts["n_ips"].alias("i"),
+        counts["n_phones"].alias("p"),
+    ).first()
+    return row["red"], row["e"], row["i"], row["p"]
+
+
+def test_pii_redact_all_three_classes(spark):
+    red, e, i, p = _redact_one(
+        spark,
+        "mail a.b+c@sub.example.co.uk, host 192.168.1.254, tel +44 7700-900123.",
+    )
+    assert red == "mail <EMAIL>, host <IP>, tel <PHONE>."
+    assert (e, i, p) == (1, 1, 1)
+
+
+def test_pii_redact_clean_text_untouched(spark):
+    text = "no pii here, just 12345 and version 1.2 of the spec"
+    red, e, i, p = _redact_one(spark, text)
+    assert red == text
+    assert (e, i, p) == (0, 0, 0)
+
+
+def test_pii_redact_multiple_and_adjacent(spark):
+    red, e, i, p = _redact_one(
+        spark, "a@b.io c@d.org 10.0.0.1 10.0.0.2 +1 23456789 end"
+    )
+    assert red == "<EMAIL> <EMAIL> <IP> <IP> <PHONE> end"
+    assert (e, i, p) == (2, 2, 1)
+
+
+def test_pii_phone_requires_plus_prefix(spark):
+    # bare digit runs (ids, quantities) must not be redacted
+    red, _, _, p = _redact_one(spark, "order 123456789012 total 999999999")
+    assert red == "order 123456789012 total 999999999"
+    assert p == 0
+
+
+# ---------------------------------------------------------------------------
+# Contamination check
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def contamination_frames(spark):
+    words = [f"w{i}" for i in range(20)]
+    full = " ".join(words)  # 13 distinct 8-grams
+    half = " ".join(words[:10] + [f"x{i}" for i in range(10)])
+    clean = " ".join(f"y{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [(1, full), (2, half), (3, clean)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(99, full)], "doc_id long, text string")
+    return corpus, bench
+
+
+def test_contamination_fractions(spark, contamination_frames):
+    corpus, bench = contamination_frames
+    out = {
+        r["doc"]: r
+        for r in contamination_check(corpus, bench, "doc_id", "text", n=8).collect()
+    }
+    assert out[1]["contamination"] == 1.0  # identical to a benchmark doc
+    # doc 2 shares exactly the 3 8-grams fully inside words[:10]
+    assert out[2]["n_hit"] == 3
+    assert out[2]["n_shingles"] == 13
+    assert out[3]["contamination"] == 0.0  # disjoint vocabulary
+    assert out[3]["n_hit"] == 0
+
+
+def test_contamination_short_doc_dropped(spark, contamination_frames):
+    _, bench = contamination_frames
+    short = spark.createDataFrame([(7, "too short")], "doc_id long, text string")
+    # < n tokens -> no shingles -> no report row (not a 0/0 division)
+    assert contamination_check(short, bench, "doc_id", "text", n=8).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_closed_form(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark shuffle"),
+            (2, "spark join merge sort"),
+            (3, "sort merge only here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc"]: r for r in bm25_scores(docs, "doc_id", "text", ["spark"]).collect()
+    }
+    assert set(rows) == {1, 2}
+    n, avgdl, df = 3.0, 4.0, 2.0
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def score(tf, dl):
+        return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert rows[1]["score"] == pytest.approx(round(score(3, 4), 6), abs=1e-6)
+    assert rows[2]["score"] == pytest.approx(round(score(1, 4), 6), abs=1e-6)
+    assert rows[1]["score"] > rows[2]["score"]  # higher tf wins at equal dl
+
+
+def test_bm25_orders_and_limits(spark):
+    docs = spark.createDataFrame(
+        [(i, "alpha " + "pad " * i) for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    top = bm25_scores(docs, "doc_id", "text", ["alpha"], top_k=2).collect()
+    assert len(top) == 2
+    # shortest doc scores highest (length normalisation)
+    assert top[0]["doc"] == 1
+    assert top[0]["score"] >= top[1]["score"]
+
+
+def test_bm25_rejects_empty_query(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="query term"):
+        bm25_scores(docs, "doc_id", "text", [])
+
+
+# ---------------------------------------------------------------------------
+# FuzzyLinker
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_linker_blocked_edit_distance(spark):
+    left = spark.createDataFrame(
+        [(1, "acme corp", "uk"), (2, "zzzz ltd", "uk"), (3, "acme corp", "fr")],
+        "id long, name string, country string",
+    )
+    right = spark.createDataFrame(
+        [(10, "acme corp", "uk"), (11, "acme gorp", "uk"), (12, "acme corp", "de")],
+        "id long, name string, country string",
+    )
+    linker = FuzzyLinker(
+        left_id="id", right_id="id", field="name", blocking=["country"],
+        max_distance=1,
+    )
+    edges = {(r["left_id"], r["right_id"]): r["score"]
+             for r in linker.link(left, right).collect()}
+    # same block, distance 0 and 1; cross-country pairs blocked out
+    assert set(edges) == {(1, 10), (1, 11)}
+    assert edges[(1, 10)] == 1.0
+    assert edges[(1, 11)] == pytest.approx(round(1.0 - 1.0 / 9.0, 6), abs=1e-6)
+
+
+def test_fuzzy_linker_requires_blocking():
+    with pytest.raises(ValueError, match="blocking"):
+        FuzzyLinker(left_id="id", right_id="id", field="name", blocking=[])
+
+
+def test_fuzzy_linker_requires_field():
+    with pytest.raises(ValueError, match="field"):
+        FuzzyLinker(left_id="id", right_id="id", blocking=["b"])
