@@ -3550,6 +3550,88 @@ def j12_fuzzy(spark, sf):
     return linker.link(s, s).where(F.col("left_id") < F.col("right_id"))
 
 
+@_q(
+    "c4_line_dedupe",
+    r"""WITH raw AS (
+          SELECT doc_id AS doc,
+                 substr(text, 1, 40) || chr(10) || 'shared boilerplate footer'
+                   || chr(10) || substr(text, 41, 40) AS t
+          FROM documents
+        ),
+        lines AS (
+          SELECT doc, i - 1 AS pos, parts[i] AS line
+          FROM (SELECT doc, string_split(t, chr(10)) AS parts FROM raw)
+          CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, len(parts))) AS i
+          ) u
+        ),
+        ranked AS (
+          SELECT doc, pos, line,
+                 row_number() OVER (PARTITION BY line ORDER BY doc, pos) AS rn
+          FROM lines
+        )
+        SELECT doc,
+               COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                                   ORDER BY pos), '') AS text,
+               COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+               COUNT(CASE WHEN rn <> 1 THEN 1 END) AS n_dropped
+        FROM ranked GROUP BY doc""",
+)
+def c4_line_dedupe(spark, sf):
+    """C4-style corpus-wide line dedup (operators.curation.dedupe_lines):
+    each distinct line survives only at its first corpus occurrence; docs
+    reassemble from surviving lines. Line structure is synthesised
+    identically in both engines (two 40-char slices around a shared
+    boilerplate footer), so the footer demonstrably dedupes to one doc."""
+    from matchbox_spark.operators.curation import dedupe_lines
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.lit("shared boilerplate footer"),
+            F.substring("text", 41, 40),
+        ).alias("t"),
+    )
+    out = dedupe_lines(d, "doc_id", "t")
+    return out.select(
+        "doc",
+        "text",
+        F.col("n_kept").alias("n_kept"),
+        F.col("n_dropped").alias("n_dropped"),
+    )
+
+
+@_q(
+    "st6_stream_static_join",
+    """SELECT e.event_id, e.user_id, n.n_name AS nation,
+              CAST(ROUND(e.value, 6) AS DOUBLE) AS value
+       FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+       WHERE e.event_type = 'purchase'""",
+)
+def st6_stream_static(spark, sf):
+    """Stream-static enrichment join: the streaming side (events) hash-joins
+    a broadcast static dimension (nation) per micro-batch — the standard
+    dimension-enrichment shape (no state, no watermark needed; the static
+    side is re-broadcast per batch). Completes the streaming family next to
+    st5's stream-stream interval join."""
+    from matchbox_spark.streaming.windows import drain_to_memory
+
+    stream = _events_stream(spark, sf).where(F.col("event_type") == "purchase")
+    nation = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    enriched = stream.join(
+        F.broadcast(nation),
+        stream["user_id"] % 25 == nation["n_nationkey"],
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("n_name").alias("nation"),
+        F.round("value", 6).cast("double").alias("value"),
+    )
+    return drain_to_memory(enriched, spark, output_mode="append")
+
+
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:

@@ -135,3 +135,55 @@ def quota_rebalance(
         .where(F.col("_rn") <= F.col("_quota"))
         .drop("_rn", "_quota")
     )
+
+
+def dedupe_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style corpus-wide line deduplication (Raffel et al. 2020 §2.2):
+    every distinct line is kept exactly once — at its FIRST occurrence in
+    corpus order (min ``(doc, position)``) — and removed everywhere else;
+    documents are reassembled from their surviving lines in original order.
+
+    Returns one row per input document: ``(doc, text, n_kept, n_dropped)``
+    — a document all of whose lines appeared earlier collapses to the empty
+    string rather than disappearing (the caller decides whether to filter).
+
+    Scale shape: one shuffle partitioned by line content (the first-
+    occurrence window — line cardinality ≈ corpus lines, so no skew beyond
+    genuinely viral lines, which are exactly the rows this op deletes), and
+    one shuffle back onto ``doc`` for reassembly. Reassembly is
+    collect_list + array_sort of ``(pos, line)`` structs — bounded by a
+    single document's line count, never the corpus.
+    """
+    lines = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("doc", "pos")
+    kept = lines.withColumn("_rn", F.row_number().over(w))
+    rebuilt = (
+        kept.groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text"),
+            F.sum((F.col("_rn") == 1).cast("long")).alias("n_kept"),
+            F.sum((F.col("_rn") != 1).cast("long")).alias("n_dropped"),
+        )
+    )
+    return rebuilt

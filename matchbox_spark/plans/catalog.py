@@ -83,7 +83,6 @@ class Catalog:
         self._max_id = 0
         self._last_assigned_n = 0
         self._assign_temp: DataFrame | None = None
-        self._assign_obs = None
         self._contains_empty = True
         self._clusters_empty = True
         # step values known to have rows, per step-keyed table — lets inserts
@@ -299,109 +298,61 @@ class Catalog:
 
         Distributed zip-with-index that stays JVM-side (no Python RDD
         round-trip): digest-prefix buckets give a sampling-free total order;
-        per-bucket row numbers plus driver-computed bucket offsets (one tiny
-        count job, or ``counts`` reused from a caller's aggregation pass)
-        turn it into dense global ids — no single-partition global window,
-        so assignment scales with the insert batch. Hashes are unique, so
-        ids are deterministic. Extra columns on ``new_hashes`` ride along.
+        per-bucket row numbers plus driver-computed bucket offsets turn it
+        into dense global ids — no single-partition window over the DATA
+        anywhere, so assignment scales with the insert batch. The offsets
+        come from one tiny count job over the cached bucketed subtree:
+        ≤65,536 ``(bucket, count)`` rows regardless of batch size, a
+        scale-independent driver transfer (callers that already know the
+        per-bucket counts pass them and skip the job). Hashes are unique,
+        so ids are deterministic. Extra columns on ``new_hashes`` ride
+        along. The cached subtree is released by the caller via
+        ``_release_assign_temp`` once the assignment materialises.
         """
-        from pyspark.sql import Observation, Window
+        from pyspark.sql import Window
 
         base = self._max_id
-        bucketed = new_hashes.withColumn("_bkt", self._bucket_expr())
-        self._assign_temp = None
-        self._assign_obs = None
-        if counts is not None:
-            offsets, acc = {}, 0
-            for bkt in sorted(counts):
-                offsets[bkt] = acc
-                acc += counts[bkt]
-            self._last_assigned_n = acc
-            off_df = self.spark.createDataFrame(
-                [(bkt, off) for bkt, off in offsets.items()] or [(0, 0)],
-                "_bkt int, _off long",
-            )
+        if "_bkt" in new_hashes.columns:
+            # caller pre-bucketed (and persisted) the input — e.g.
+            # insert_source_index, whose stats job already computed counts;
+            # the caller keeps ownership of its _assign_temp handle
+            bucketed = new_hashes
         else:
-            # relational offsets: running sum over the bucket-count rows —
-            # single-partition window, but over ≤65536 rows (one per bucket),
-            # driver-sized by design. The counts aggregate and the data join
-            # both live in ONE plan, so the caller's materialisation is one
-            # job with no separate counts-collect pass. The shared input
-            # subtree is cached (Catalyst does not reuse the exchange across
-            # the count and join branches — verified via executedPlan); the
-            # caller releases it via _release_assign_temp once materialised.
+            bucketed = new_hashes.withColumn("_bkt", self._bucket_expr())
+            self._assign_temp = None
+        if counts is None:
             bucketed = bucketed.persist()
             self._assign_temp = bucketed
-            # Two-level prefix sum, every step partitioned: buckets group
-            # into ≤256 super-groups (high byte); the intra-group running
-            # sum is a window PARTITIONED by super-group (≤256 rows each),
-            # and the cross-group offsets come from a broadcast non-equi
-            # self-join over the ≤256 super-group totals (≤32k pairs — row
-            # count is fixed by the bucket width, not the data). No
-            # unpartitioned window anywhere in the insert path.
-            counts_df = bucketed.groupBy("_bkt").agg(
-                F.count("*").alias("_n")
-            ).withColumn("_sup", F.shiftright("_bkt", 8))
-            sup_tot = counts_df.groupBy("_sup").agg(F.sum("_n").alias("_sn"))
-            sup_lower = sup_tot.select(
-                F.col("_sup").alias("_lsup"), F.col("_sn").alias("_lsn")
-            )
-            sup_off = (
-                sup_tot.join(
-                    F.broadcast(sup_lower),
-                    F.col("_lsup") < F.col("_sup"),
-                    "left",
-                )
-                .groupBy("_sup")
-                .agg(
-                    F.coalesce(F.sum("_lsn"), F.lit(0))
-                    .cast("long")
-                    .alias("_soff")
-                )
-            )
-            wintra = (
-                Window.partitionBy("_sup")
-                .orderBy("_bkt")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            )
-            off_df = (
-                counts_df.join(F.broadcast(sup_off), "_sup")
-                .select(
-                    "_bkt",
-                    (
-                        F.coalesce(F.sum("_n").over(wintra), F.lit(0))
-                        + F.col("_soff")
-                    )
-                    .cast("long")
-                    .alias("_off"),
-                )
-            )
-        w = Window.partitionBy("_bkt").orderBy("cluster_hash")
-        payload = [c for c in new_hashes.columns if c != "cluster_hash"]
-        out = (
-            bucketed.join(F.broadcast(off_df), "_bkt")
-            .select(
-                (F.row_number().over(w) + F.col("_off") + base).alias("cluster_id"),
-                "cluster_hash",
-                *payload,
-            )
+            counts = {
+                r["_bkt"]: r["_n"]
+                for r in bucketed.groupBy("_bkt")
+                .agg(F.count("*").alias("_n"))
+                .collect()
+            }
+        offsets, acc = {}, 0
+        for bkt in sorted(counts):
+            offsets[bkt] = acc
+            acc += counts[bkt]
+        self._last_assigned_n = acc
+        off_df = self.spark.createDataFrame(
+            [(bkt, off) for bkt, off in offsets.items()] or [(0, 0)],
+            "_bkt int, _off long",
         )
-        if counts is None:
-            obs = Observation()
-            self._assign_obs = obs
-            out = out.observe(obs, F.count(F.lit(1)).alias("n"))
-        return out
+        w = Window.partitionBy("_bkt").orderBy("cluster_hash")
+        payload = [
+            c for c in new_hashes.columns if c not in ("cluster_hash", "_bkt")
+        ]
+        return bucketed.join(F.broadcast(off_df), "_bkt").select(
+            (F.row_number().over(w) + F.col("_off") + base).alias("cluster_id"),
+            "cluster_hash",
+            *payload,
+        )
 
     def _bump_max_id(self, assigned: DataFrame) -> None:
-        """Advance the id watermark by the new-assignment batch size — read
-        from the assignment plan's Observation (rides whatever job
-        materialised it; blocks until one has) or the driver-side count when
-        the caller supplied bucket counts. No extra job either way."""
-        if self._assign_obs is not None:
-            self._max_id += int(self._assign_obs.get["n"] or 0)
-            self._assign_obs = None
-        else:
-            self._max_id += int(self._last_assigned_n)
+        """Advance the id watermark by the new-assignment batch size — known
+        driver-side from the bucket counts; no extra job."""
+        del assigned
+        self._max_id += int(self._last_assigned_n)
 
     def _fingerprint_gate(self, step: str, fingerprint: bytes) -> bool:
         """H6: True → skip (identical data already inserted); False → proceed."""
@@ -440,34 +391,34 @@ class Catalog:
         """
         # index is groupBy-output (unique by hash) — no distinct needed
         if self._clusters_empty and fingerprint is None:
-            # first insert into an empty catalog: every hash is new, so ONE
-            # eager job does everything — the assignment shuffle carries the
-            # keys along, the relational bucket offsets live inside the plan
-            # (_assign_ids), and the table fingerprint (an associative
-            # (n, sum, xor) fold of row hashes — fingerprints gate
-            # idempotency; they need stability, not the reference-compatible
-            # byte recipe) rides the checkpoint as an Observation instead of
-            # its own pass. The idempotent-resync case pays this one job
-            # before the gate says skip — the right trade: resync is rare,
-            # cold build is the hot path.
-            from pyspark.sql import Observation
-
+            # first insert into an empty catalog: every hash is new, so TWO
+            # jobs do everything. Job 1 is one grouped aggregate over the
+            # cached index that yields BOTH the per-bucket counts (the id-
+            # assignment offsets — ≤65,536 rows, scale-independent) AND the
+            # table fingerprint (the (n, sum, xor) stats are associative, so
+            # the per-bucket partials fold to the identical global digest) —
+            # and it runs BEFORE any mutation, so the idempotent-resync gate
+            # fires after one cheap aggregate. Job 2 is the assignment
+            # checkpoint; the shuffle carries the keys along.
             index = index.select(F.col("hash").alias("cluster_hash"), "keys")
-            plan = self._assign_ids(index)
-            h = row_hash_expr(plan.schema, ["cluster_hash", "keys"], "xxhash64")
-            fobs = Observation()
-            plan = plan.observe(
-                fobs,
-                F.count(F.lit(1)).alias("n"),
-                F.sum(h.cast("decimal(38,0)")).alias("s"),
-                F.bit_xor(h).alias("x"),
+            bucketed = index.withColumn("_bkt", self._bucket_expr()).persist()
+            self._assign_temp = bucketed
+            h = row_hash_expr(index.schema, ["cluster_hash", "keys"], "xxhash64")
+            stats = (
+                bucketed.select("_bkt", h.alias("_h"))
+                .groupBy("_bkt")
+                .agg(*unordered_stats_aggs())
+                .collect()
             )
-            assigned = self._ckpt(plan, eager=True)
-            self._release_assign_temp()
-            fingerprint = fold_unordered_stats([fobs.get])
+            fingerprint = fold_unordered_stats(stats)
             if self._fingerprint_gate(step, fingerprint):
-                self._assign_obs = None  # discard the unused assignment
+                self._release_assign_temp()
                 return
+            counts = {r["_bkt"]: r["n"] for r in stats}
+            assigned = self._ckpt(
+                self._assign_ids(bucketed, counts=counts), eager=True
+            )
+            self._release_assign_temp()
             self._append(
                 "clusters",
                 assigned.select("cluster_id", "cluster_hash"),
@@ -731,14 +682,15 @@ class Catalog:
         first_hierarchy_insert = self._contains_empty
         if not self._clusters_empty:
             new = new.join(self.clusters, "cluster_hash", "left_anti")
-        # EAGER checkpoint: the batch size rides this job as the assignment
-        # plan's Observation (metrics only fire reliably when the observed
-        # plan runs as its own query — a lazy checkpoint materialised inside
-        # a downstream job loses them), and the id watermark must advance
-        # before anything else assigns. O(new clusters) — tiny.
-        assigned = self._ckpt(
-            self._assign_ids(new).select("cluster_id", "cluster_hash"),
-            eager=True,
+        # PERSIST, not eager checkpoint: the batch size (id watermark) is
+        # already known driver-side from the assignment's bucket counts, so
+        # nothing needs this plan to run as its own job — the cache fills
+        # inside the batch_contains materialisation below (roots joins
+        # through it), fusing what used to be two serial jobs into one.
+        # Recomputation on cache eviction is deterministic (content-ordered
+        # ids from a fixed watermark base). O(new clusters) — tiny.
+        assigned = (
+            self._assign_ids(new).select("cluster_id", "cluster_hash").persist()
         )
         self._append("clusters", assigned, materialised=True)
         self._clusters_empty = False

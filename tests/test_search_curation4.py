@@ -181,3 +181,90 @@ def test_fuzzy_linker_requires_blocking():
 def test_fuzzy_linker_requires_field():
     with pytest.raises(ValueError, match="field"):
         FuzzyLinker(left_id="id", right_id="id", blocking=["b"])
+
+
+# ---------------------------------------------------------------------------
+# C4-style line dedup
+# ---------------------------------------------------------------------------
+
+
+def test_dedupe_lines_keeps_first_occurrence(spark):
+    from matchbox_spark.operators.curation import dedupe_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared footer\nbeta"),
+            (2, "gamma\nshared footer\ndelta"),
+            (3, "shared footer"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: r for r in dedupe_lines(docs, "doc_id", "text").collect()}
+    assert out[1]["text"] == "alpha\nshared footer\nbeta"  # first keeps all
+    assert out[2]["text"] == "gamma\ndelta"  # footer dropped, order kept
+    assert out[2]["n_dropped"] == 1
+    assert out[3]["text"] == ""  # fully-duplicate doc collapses to empty
+    assert out[3]["n_kept"] == 0 and out[3]["n_dropped"] == 1
+
+
+def test_dedupe_lines_intra_doc_duplicates(spark):
+    from matchbox_spark.operators.curation import dedupe_lines
+
+    docs = spark.createDataFrame(
+        [(7, "x\ny\nx\nz\nx")], "doc_id long, text string"
+    )
+    row = dedupe_lines(docs, "doc_id", "text").first()
+    # repeated line inside ONE doc also dedupes to its first position
+    assert row["text"] == "x\ny\nz"
+    assert row["n_kept"] == 3 and row["n_dropped"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Plan shapes (100x-scale lens): broadcast where a broadcast belongs,
+# no cartesian anywhere
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_contamination_benchmark_side_broadcasts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from matchbox_spark.operators.dedup import contamination_check
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = contamination_check(
+        d.where(F.col("source") != "src0"),
+        d.where(F.col("source") == "src0"),
+        "doc_id", "text", n=8,
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_stats_broadcast_no_corpus_shuffle_on_term(spark, sf_dir):
+    df = bm25_scores(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        "doc_id", "text", ["hash", "merge"],
+    )
+    plan = _plan(df)
+    # stats and per-term dfs join broadcast; only doc-keyed exchanges remain
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_linker_is_hash_join_not_nested_loop(spark, sf_dir):
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    linker = FuzzyLinker(
+        left_id="s_suppkey", right_id="s_suppkey", field="s_name",
+        blocking=["s_nationkey"], max_distance=1,
+    )
+    plan = _plan(linker.link(s, s))
+    # the blocking equality is the join key; levenshtein is a post-filter
+    assert "Join" in plan and "CartesianProduct" not in plan
+    assert "levenshtein" in plan.lower()
