@@ -3632,6 +3632,100 @@ def st6_stream_static(spark, sf):
     return drain_to_memory(enriched, spark, output_mode="append")
 
 
+@_q(
+    "q25_salted_heavy_hitters",
+    """SELECT user_id, COUNT(*) AS n,
+              CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       FROM events GROUP BY user_id
+       ORDER BY n DESC, user_id LIMIT 20""",
+)
+def q25_salted(spark, sf):
+    """Heavy-hitter report via explicit salted two-phase aggregation
+    (operators.skew.salted_agg): partial aggregate on (user, salt), merge on
+    user — the skew recovery for hot keys when the input arrives
+    pre-partitioned on the aggregation key. The oracle is the PLAIN
+    aggregate, pinning that salting changes only the shuffle shape, never
+    the result (decimal-stabilised sum, so the two-phase total is exact)."""
+    from matchbox_spark.operators.skew import salted_agg
+
+    e = _events(spark, sf).select(
+        "user_id", _dec6(F.col("value")).alias("v6"), "event_id"
+    )
+    out = salted_agg(
+        e,
+        ["user_id"],
+        {"n": ("*", "count"), "_sv": ("v6", "sum")},
+        n_salts=16,
+        salt_expr=F.pmod(F.xxhash64("event_id"), F.lit(16)),
+    )
+    return (
+        out.select(
+            "user_id", "n", F.col("_sv").cast("double").alias("total_value")
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@_q(
+    "g5_triangle_count",
+    """WITH ranked AS (
+         SELECT s_nationkey AS nk, s_suppkey AS id,
+                row_number() OVER (PARTITION BY s_nationkey
+                                   ORDER BY s_suppkey) AS rn
+         FROM supplier
+       ),
+       e AS (
+         SELECT l.nk, l.id AS a, r.id AS b
+         FROM ranked l JOIN ranked r
+           ON l.nk = r.nk AND r.rn > l.rn AND r.rn - l.rn <= 2
+       )
+       SELECT e1.nk AS nation, COUNT(*) AS triangles
+       FROM e e1
+       JOIN e e2 ON e1.nk = e2.nk AND e1.b = e2.a
+       JOIN e e3 ON e3.nk = e1.nk AND e3.a = e1.a AND e3.b = e2.b
+       GROUP BY e1.nk""",
+)
+def g5_triangles(spark, sf):
+    """Triangle counting by the canonical a<b<c edge-join (the MapReduce
+    triangle-enumeration shape — three hash joins on oriented edges, no
+    cartesian): each supplier links to its next two same-nation peers, so
+    every consecutive rank triple closes a triangle. Complements G1's
+    connected components on the graph-analytics side."""
+    from pyspark.sql import Window
+
+    s = _t(spark, sf, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    ranked = s.select(
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_suppkey").alias("id"),
+        F.row_number().over(w).alias("rn"),
+    )
+    l, r = ranked.alias("l"), ranked.alias("r")
+    e = l.join(
+        r,
+        (F.col("l.nk") == F.col("r.nk"))
+        & (F.col("r.rn") > F.col("l.rn"))
+        & (F.col("r.rn") - F.col("l.rn") <= 2),
+    ).select(F.col("l.nk").alias("nk"), F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.nk") == F.col("e2.nk")) & (F.col("e1.b") == F.col("e2.a")),
+        )
+        .join(
+            e3,
+            (F.col("e3.nk") == F.col("e1.nk"))
+            & (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .groupBy(F.col("e1.nk").alias("nation"))
+        .agg(F.count("*").alias("triangles"))
+    )
+    return tri
+
+
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:

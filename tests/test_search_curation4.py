@@ -268,3 +268,66 @@ def test_fuzzy_linker_is_hash_join_not_nested_loop(spark, sf_dir):
     # the blocking equality is the join key; levenshtein is a post-filter
     assert "Join" in plan and "CartesianProduct" not in plan
     assert "levenshtein" in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# Salted aggregation
+# ---------------------------------------------------------------------------
+
+
+def test_salted_agg_matches_plain_agg_on_skewed_data(spark):
+    from matchbox_spark.operators.skew import salted_agg
+
+    # one viral key (90% of rows) + a long tail
+    rows = [(0, i, float(i % 7)) for i in range(900)]
+    rows += [(k, 1000 + k * 10 + j, float(j)) for k in range(1, 21) for j in range(5)]
+    df = spark.createDataFrame(rows, "key long, event long, v double")
+    salted = {
+        r["key"]: r
+        for r in salted_agg(
+            df,
+            ["key"],
+            {"n": ("*", "count"), "s": ("v", "sum"),
+             "mn": ("v", "min"), "mx": ("v", "max")},
+            n_salts=8,
+            salt_expr=F.pmod(F.xxhash64("event"), F.lit(8)),
+        ).collect()
+    }
+    plain = {
+        r["key"]: r
+        for r in df.groupBy("key")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"),
+             F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert set(salted) == set(plain)
+    for k in plain:
+        assert salted[k]["n"] == plain[k]["n"]
+        assert salted[k]["s"] == pytest.approx(plain[k]["s"])
+        assert salted[k]["mn"] == plain[k]["mn"]
+        assert salted[k]["mx"] == plain[k]["mx"]
+
+
+def test_salted_agg_spreads_hot_key_across_salts(spark):
+    from matchbox_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(0, i, 1.0) for i in range(800)], "key long, event long, v double"
+    )
+    # the partial stage must see the hot key split into many sub-groups
+    salt = F.pmod(F.xxhash64("event"), F.lit(16))
+    partial = (
+        df.withColumn("_salt", salt).groupBy("key", "_salt").count()
+    )
+    assert partial.count() == 16  # all 16 salt buckets hit for the hot key
+    out = salted_agg(
+        df, ["key"], {"n": ("*", "count")}, n_salts=16, salt_expr=salt
+    ).first()
+    assert out["n"] == 800
+
+
+def test_salted_agg_rejects_non_algebraic():
+    from matchbox_spark.operators.skew import salted_agg
+
+    with pytest.raises(ValueError, match="unsupported"):
+        salted_agg(None, ["k"], {"a": ("v", "avg")})
