@@ -87,10 +87,16 @@ class NaiveDeduper(Deduper):
         # One shuffle: group identical field tuples, collect member ids.
         # SQL equality semantics: rows with a NULL in any unique field never
         # match anything (join `=` is null-rejecting), so drop them up front.
+        # Member ids are DISTINCT'd inside the group array: rows sharing an
+        # id (true duplicates of one entity) would otherwise emit the same
+        # unordered pair repeatedly, forcing a full extra shuffle
+        # (dropDuplicates) over the O(g²) pair set — deduping the O(g)
+        # member list instead makes every combination pair unique by
+        # construction, so the pair stage stays shuffle-free.
         grouped = (
             rows.na.drop(subset=list(s.unique_fields))
             .groupBy(*s.unique_fields)
-            .agg(F.collect_list(F.col("_id")).alias("members"))
+            .agg(F.array_distinct(F.collect_list(F.col("_id"))).alias("members"))
             .where(F.size("members") >= 2)
         )
         if s.max_group_size is not None:
@@ -113,8 +119,9 @@ class NaiveDeduper(Deduper):
         # with the tail slice after it, emitting exactly g·(g-1)/2 structs
         # (no g² intermediate, no synthetic row index: positional (i, j),
         # i<j, is the strict row order the reference's _unique_e4003b row
-        # index provides). Row pairs sharing an id (true duplicates of the
-        # same entity) are self-matches at id level — filtered below.
+        # index provides). Members are distinct, so each unordered pair
+        # appears exactly once — least/greatest canonicalises orientation
+        # without needing a dedup shuffle afterwards.
         m = F.col("members")
         pairs = (
             grouped.select(
@@ -133,12 +140,10 @@ class NaiveDeduper(Deduper):
                     )
                 ).alias("p")
             )
-            .where(F.col("p.lid") != F.col("p.rid"))
             .select(
                 F.least("p.lid", "p.rid").alias("left_id"),
                 F.greatest("p.lid", "p.rid").alias("right_id"),
             )
-            .dropDuplicates(["left_id", "right_id"])
             .withColumn("score", F.lit(1.0))
         )
         # preserve the caller's id dtype (reference naive.py:66-75)
