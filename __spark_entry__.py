@@ -3726,6 +3726,37 @@ def g5_triangles(spark, sf):
     return tri
 
 
+@_q(
+    "v4_label_centroids",
+    """SELECT label, i - 1 AS dim,
+              ROUND(CAST(SUM(CAST(ROUND(embedding[i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*), 6) AS centroid,
+              COUNT(*) AS n
+       FROM embeddings
+       CROSS JOIN LATERAL (
+         SELECT unnest(generate_series(1, len(embedding))) AS i
+       ) u
+       GROUP BY label, i""",
+)
+def v4_centroids(spark, sf):
+    """Per-label embedding centroids: posexplode to (label, dim, value),
+    one decimal-stabilised mean per cell — the class-prototype aggregation
+    feeding nearest-centroid classification and IVF coarse quantisers. One
+    shuffle on (label, dim); emitted as scalar rows (label, dim, centroid)
+    so the oracle compare stays element-exact."""
+    emb = _t(spark, sf, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(_dec6(F.col("v"))).cast("double") / F.count("*"), 6
+            ).alias("centroid"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:
@@ -3785,6 +3816,9 @@ _TOUCHED_R4 = {
     "v2_ivf_topk", "m1_media_metadata", "m3_media_features",
     "m4_resize_plumbing", "o7_quota_sample", "j2b_chunked_dedupe",
     "g1_connected_components",
+    # late-round-4 churn: catalog insert fusion + deduper pair-stage rewrite
+    "j2_naive_dedupe", "u6_insert_if_absent", "g4_leaf_expansion",
+    "j11_match_lookup",
 }
 
 
