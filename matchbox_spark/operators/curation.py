@@ -152,28 +152,36 @@ def dedupe_lines(
     — a document all of whose lines appeared earlier collapses to the empty
     string rather than disappearing (the caller decides whether to filter).
 
-    Scale shape: one shuffle partitioned by line content (the first-
-    occurrence window — line cardinality ≈ corpus lines, so no skew beyond
-    genuinely viral lines, which are exactly the rows this op deletes), and
-    one shuffle back onto ``doc`` for reassembly. Reassembly is
-    collect_list + array_sort of ``(pos, line)`` structs — bounded by a
-    single document's line count, never the corpus.
+    Scale shape: first occurrences come from ``min(struct(doc, pos))``
+    grouped by line — an algebraic aggregate with map-side partial combine,
+    so a VIRAL line (boilerplate in 10⁹ documents) reduces to one row per
+    input partition before the shuffle instead of sorting the whole hot
+    group in one task (the row_number-window formulation has exactly that
+    straggler). The join back on ``line`` is skew-splittable by AQE; the
+    reassembly shuffle is keyed by ``doc`` and bounded by a single
+    document's line count.
     """
     lines = df.select(
         F.col(id_col).cast("long").alias("doc"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     )
-    w = Window.partitionBy("line").orderBy("doc", "pos")
-    kept = lines.withColumn("_rn", F.row_number().over(w))
+    firsts = lines.groupBy("line").agg(
+        F.min(F.struct("doc", "pos")).alias("_first")
+    )
+    marked = lines.join(firsts, "line").withColumn(
+        "_keep",
+        (F.col("doc") == F.col("_first.doc"))
+        & (F.col("pos") == F.col("_first.pos")),
+    )
     rebuilt = (
-        kept.groupBy("doc")
+        marked.groupBy("doc")
         .agg(
             F.array_join(
                 F.transform(
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.col("_rn") == 1,
+                                F.col("_keep"),
                                 F.struct(F.col("pos"), F.col("line")),
                             )
                         )
@@ -182,8 +190,8 @@ def dedupe_lines(
                 ),
                 sep,
             ).alias("text"),
-            F.sum((F.col("_rn") == 1).cast("long")).alias("n_kept"),
-            F.sum((F.col("_rn") != 1).cast("long")).alias("n_dropped"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_dropped"),
         )
     )
     return rebuilt

@@ -208,3 +208,104 @@ def test_kmv_jaccard_estimate_tracks_exact(seed, overlap, extra):
         bottom = sorted(set(ka) | set(kb))[:k]
         est = len(set(bottom) & set(ka) & set(kb)) / len(bottom)
         assert abs(est - exact) <= 0.25  # O(1/sqrt(k)) error band
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operator invariants
+# ---------------------------------------------------------------------------
+
+_line = st.sampled_from(["alpha", "beta", "gamma", "delta", "shared", "x y z"])
+_docs_of_lines = st.lists(
+    st.lists(_line, min_size=1, max_size=5), min_size=1, max_size=8
+)
+
+
+@given(docs=_docs_of_lines)
+@settings(**_SETTINGS)
+def test_dedupe_lines_invariants(spark, docs):
+    """(1) idempotent: a deduped corpus dedupes to itself; (2) conservation:
+    kept + dropped == input lines; (3) every distinct line survives exactly
+    once corpus-wide."""
+    from pyspark.sql import functions as F
+
+    from matchbox_spark.operators.curation import dedupe_lines
+
+    df = spark.createDataFrame(
+        [(i, "\n".join(ls)) for i, ls in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    once = dedupe_lines(df, "doc_id", "text").cache()
+    total_lines = sum(len(ls) for ls in docs)
+    agg = once.agg(F.sum("n_kept"), F.sum("n_dropped")).first()
+    assert agg[0] + agg[1] == total_lines
+    distinct_lines = {line for ls in docs for line in ls}
+    assert agg[0] == len(distinct_lines)
+    # idempotence (drop fully-empty docs first: '' is a line once re-split)
+    again = dedupe_lines(
+        once.where(F.col("text") != "").select(
+            F.col("doc").alias("doc_id"), "text"
+        ),
+        "doc_id",
+        "text",
+    )
+    assert again.agg(F.sum("n_dropped")).first()[0] == 0
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10 ** 6)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_salted_agg_equals_plain_agg(spark, rows):
+    from pyspark.sql import functions as F
+
+    from matchbox_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "k int, v long")
+    salted = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"n": ("*", "count"), "s": ("v", "sum"),
+             "mn": ("v", "min"), "mx": ("v", "max")},
+            n_salts=4,
+            salt_expr=F.pmod(F.xxhash64("v"), F.lit(4)),
+        ).collect()
+    }
+    plain = {
+        r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"),
+             F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert salted == plain
+
+
+@given(
+    text=st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+            whitelist_characters="@.+-",
+        ),
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_pii_redaction_idempotent(spark, text):
+    """Redacting already-redacted text changes nothing: placeholders contain
+    no redactable patterns, and untouched text stays untouched."""
+    from pyspark.sql import functions as F
+
+    from matchbox_spark.functions.text import pii_redact_expr
+
+    df = spark.createDataFrame([(text,)], "t string")
+    once, twice = df.select(
+        pii_redact_expr("t").alias("r1"),
+        pii_redact_expr(pii_redact_expr("t")).alias("r2"),
+    ).first()
+    assert once == twice

@@ -1,0 +1,113 @@
+"""Scale stress for the round-4 operators: line dedup under a viral line,
+BM25 over a wide corpus, salted aggregation under extreme key skew.
+
+Usage: python tools/stress_round4.py [n_docs] [n_events]
+
+Each section generates data distributively (spark.range — nothing driver-
+side), runs the operator, and asserts an exact invariant, so the check is
+"correct at scale", not just "finished".
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from matchbox_spark.operators.curation import dedupe_lines  # noqa: E402
+from matchbox_spark.operators.search import bm25_scores  # noqa: E402
+from matchbox_spark.operators.skew import salted_agg  # noqa: E402
+from matchbox_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+    spark = get_spark(app_name="stress_round4", shuffle_partitions=64)
+
+    # -- line dedup: every doc carries the SAME viral footer line ---------
+    # (the adversarial case for the first-occurrence aggregate: one line
+    # with n_docs occurrences). Two unique lines + one viral line per doc.
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("unique-a-"), F.col("id")),
+            F.lit("viral boilerplate footer"),
+            F.concat(F.lit("unique-b-"), F.col("id")),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    out = dedupe_lines(docs, "doc_id", "text")
+    agg = out.agg(
+        F.sum("n_kept").alias("k"), F.sum("n_dropped").alias("d")
+    ).first()
+    dt = time.time() - t0
+    kept, dropped = int(agg["k"]), int(agg["d"])
+    assert kept == 2 * n_docs + 1, (kept, n_docs)
+    assert dropped == n_docs - 1, (dropped, n_docs)
+    print(
+        f"dedupe_lines: {3 * n_docs:,} lines, viral line x{n_docs:,} -> "
+        f"kept {kept:,} dropped {dropped:,} EXACT in {dt:.1f}s"
+    )
+
+    # -- BM25: 1M docs, zipf-ish term mix --------------------------------
+    corpus = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("alpha"),
+            F.when(F.col("id") % 10 == 0, F.lit("target")).otherwise(
+                F.lit("filler")
+            ),
+            F.lit("beta gamma delta"),
+            F.when(F.col("id") % 100 == 0, F.lit("target")).otherwise(
+                F.lit("pad")
+            ),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    scored = bm25_scores(corpus, "doc_id", "text", ["target"])
+    n_hits = scored.count()
+    top = scored.first()
+    dt = time.time() - t0
+    assert n_hits == n_docs // 10, n_hits
+    assert top["doc"] % 100 == 0 and top["n_terms"] == 1  # tf=2 docs rank first
+    print(
+        f"bm25: {n_docs:,} docs -> {n_hits:,} hits, top doc {top['doc']} "
+        f"(tf=2) in {dt:.1f}s"
+    )
+
+    # -- salted agg: 90% of rows on ONE key ------------------------------
+    events = spark.range(n_events).select(
+        F.when(F.col("id") % 10 != 0, F.lit(0))
+        .otherwise(F.col("id") % 1000)
+        .alias("key"),
+        F.col("id").alias("event"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    t0 = time.time()
+    out = salted_agg(
+        events,
+        ["key"],
+        {"n": ("*", "count"), "s": ("v", "sum")},
+        n_salts=64,
+        salt_expr=F.pmod(F.xxhash64("event"), F.lit(64)),
+    )
+    hot = out.where(F.col("key") == 0).first()
+    total = out.agg(F.sum("n")).first()[0]
+    dt = time.time() - t0
+    assert total == n_events, total
+    exact_hot = events.where(F.col("key") == 0).count()
+    assert hot["n"] == exact_hot, (hot["n"], exact_hot)
+    print(
+        f"salted_agg: {n_events:,} rows, hot key holds {hot['n']:,} "
+        f"({100.0 * hot['n'] / n_events:.0f}%) EXACT in {dt:.1f}s"
+    )
+
+
+if __name__ == "__main__":
+    main()
