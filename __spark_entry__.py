@@ -3757,6 +3757,101 @@ def v4_centroids(spark, sf):
     )
 
 
+@_q(
+    "q26_pivot_status_counts",
+    """SELECT l_returnflag,
+              COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F,
+              COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O,
+              CAST(SUM(CASE WHEN l_linestatus = 'F'
+                   THEN CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6)) END)
+                   AS DOUBLE) AS qty_F,
+              CAST(SUM(CASE WHEN l_linestatus = 'O'
+                   THEN CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6)) END)
+                   AS DOUBLE) AS qty_O
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def q26_pivot(spark, sf):
+    """PIVOT: one output column per linestatus value, via Spark's native
+    groupBy().pivot() with the value list given explicitly (skipping the
+    extra distinct-values job — at scale, always enumerate pivot values).
+    The oracle states the same cross-tab with FILTER-style CASE aggregates."""
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    out = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(_dec6(F.col("l_quantity"))).cast("double").alias("q"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F_c").alias("F"),
+        F.col("O_c").alias("O"),
+        F.col("F_q").alias("qty_F"),
+        F.col("O_q").alias("qty_O"),
+    )
+
+
+@_q(
+    "q27_unpivot_part_metrics",
+    """SELECT p_partkey, metric, CAST(value AS DOUBLE) AS value
+       FROM (
+         SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+         FROM part
+         UNION ALL
+         SELECT p_partkey, 'retailprice', ROUND(p_retailprice, 6)
+         FROM part
+       ) WHERE p_partkey <= 500""",
+)
+def q27_unpivot(spark, sf):
+    """UNPIVOT/melt: wide part attributes to long (key, metric, value) rows
+    via Spark's native unpivot — the inverse of q26's pivot; the oracle
+    states it as the equivalent UNION ALL."""
+    p = _t(spark, sf, "part").where(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.round("p_retailprice", 6).alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
+@_q(
+    "e2_moment_stats",
+    """SELECT event_type, COUNT(*) AS n,
+              CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+              CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+              ROUND((CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     - CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                       * CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(*))
+                    / (COUNT(*) - 1), 6) AS variance
+       FROM events GROUP BY event_type HAVING COUNT(*) > 1""",
+)
+def e2_moments(spark, sf):
+    """Distributed moment statistics from decimal-exact power sums: variance
+    derives from (n, Σx, Σx²) — the mergeable map-side-combinable shape —
+    instead of a float-order-dependent built-in stddev, so the oracle is
+    bit-stable. The same three sums feed mean/stddev/corr at 100 TB with
+    one aggregate pass."""
+    e = _t(spark, sf, "events")
+    s1 = F.sum(_dec6(F.col("value"))).cast("double")
+    s2 = F.sum(_dec6(F.col("value") * F.col("value"))).cast("double")
+    n = F.count("*")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            n.alias("n"),
+            s1.alias("s1"),
+            s2.alias("s2"),
+            F.round(
+                (s2 - s1 * s1 / n) / (n - F.lit(1)), 6
+            ).alias("variance"),
+        )
+        .where(F.col("n") > 1)
+    )
+
+
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:
