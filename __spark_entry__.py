@@ -3852,6 +3852,106 @@ def e2_moments(spark, sf):
     )
 
 
+@_q(
+    "t8_unigram_logprob",
+    r"""WITH toks AS (
+          SELECT doc_id AS doc, s.term
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents), UNNEST(t) AS s(term)
+        ),
+        freqs AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM freqs)
+        SELECT doc, COUNT(*) AS n_tokens,
+               ROUND(CAST(SUM(CAST(ROUND(ln(c / total), 6) AS DECIMAL(18,6)))
+                          AS DOUBLE) / COUNT(*), 6) AS mean_logprob
+        FROM toks JOIN freqs USING (term) CROSS JOIN tot
+        GROUP BY doc""",
+)
+def t8_unigram_logprob(spark, sf):
+    """CCNet-style language-model quality proxy: per-document mean unigram
+    log-probability under the corpus's own unigram distribution (the cheap
+    stand-in for KenLM perplexity bucketing). Per-token log-probs round to
+    6 dp then decimal-sum, so the mean is bit-stable cross-engine. The
+    frequency table is vocabulary-sized (≪ corpus) — Catalyst broadcasts it
+    under the threshold, shuffle-joins above; either way the corpus side
+    exchanges once on doc for the final mean."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.col("doc_id").alias("doc"), F.explode(TX.tokens_expr("text")).alias("term")
+    )
+    freqs = toks.groupBy("term").agg(F.count("*").alias("c"))
+    tot = freqs.agg(F.sum("c").cast("double").alias("total"))
+    return (
+        toks.join(freqs, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    _dec6(F.log(F.col("c") / F.col("total")))
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+@_q(
+    "d8_canonical_doc",
+    r"""WITH corpus AS (
+          SELECT doc_id, text, n_chars FROM documents
+          UNION ALL
+          -- synthetic exact duplicates of every third doc (both engines
+          -- build the same corpus so the selection logic actually fires)
+          SELECT doc_id + 100000, text, n_chars FROM documents
+          WHERE doc_id % 3 = 0
+        ),
+        scored AS (
+          SELECT doc_id,
+                 sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                 n_chars
+          FROM corpus
+        )
+        SELECT fp, doc_id AS rep_doc, n AS group_size
+        FROM (
+          SELECT fp, doc_id,
+                 COUNT(*) OVER (PARTITION BY fp) AS n,
+                 row_number() OVER (PARTITION BY fp
+                                    ORDER BY n_chars DESC, doc_id DESC) AS rn
+          FROM scored
+        ) WHERE rn = 1""",
+)
+def d8_canonical(spark, sf):
+    """Canonical-representative selection: after exact dedup groups form
+    (H-fingerprint), keep ONE document per group — the longest, ties to the
+    highest id — via a single max(struct(quality, id)) aggregate (map-side
+    combinable; no per-group sort, no window over the corpus). The pattern
+    that turns a dedup report into the actual retained corpus."""
+    d = _t(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    corpus = d.unionByName(
+        d.where(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "n_chars"
+        )
+    )
+    scored = corpus.select(
+        F.col("doc_id"),
+        TX.fingerprint_expr("text").alias("fp"),
+        F.col("n_chars"),
+    )
+    return (
+        scored.groupBy("fp")
+        .agg(
+            F.max(F.struct("n_chars", "doc_id")).alias("best"),
+            F.count("*").alias("group_size"),
+        )
+        .select("fp", F.col("best.doc_id").alias("rep_doc"), "group_size")
+    )
+
+
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:
