@@ -3952,6 +3952,84 @@ def d8_canonical(spark, sf):
     )
 
 
+_D9_SLOGAN = (
+    "the quick brown fox jumps over the lazy dog while rain falls on "
+    "silent hills"
+)  # 15 words — longer than the 13-gram window, so interior grams repeat
+
+
+@_q(
+    "d9_span_dedupe",
+    rf"""WITH raw AS (
+          SELECT doc_id AS doc,
+                 text || CASE WHEN doc_id % 4 = 0
+                              THEN ' ' || '{_D9_SLOGAN}' ELSE '' END AS t
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc, list_filter(string_split_regex(lower(t), '\s+'),
+                                  x -> x <> '') AS arr
+          FROM raw
+        ),
+        tok AS (
+          SELECT doc, i - 1 AS pos, arr[i] AS w
+          FROM toks CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, len(arr))) AS i) u
+        ),
+        grams AS (
+          SELECT doc, i - 1 AS pos, array_to_string(arr[i:i+12], ' ') AS g
+          FROM toks CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(1, len(arr) - 12)) AS i) u
+          WHERE len(arr) >= 13
+        ),
+        dups AS (
+          SELECT doc, pos FROM (
+            SELECT doc, pos,
+                   row_number() OVER (PARTITION BY g ORDER BY doc, pos) AS rn
+            FROM grams
+          ) WHERE rn > 1
+        ),
+        covered AS (
+          SELECT DISTINCT doc, pos + o AS cpos
+          FROM dups CROSS JOIN LATERAL (
+            SELECT unnest(generate_series(0, 12)) AS o) v
+        ),
+        kept AS (
+          SELECT t.doc, t.pos, t.w
+          FROM tok t LEFT JOIN covered c
+            ON t.doc = c.doc AND t.pos = c.cpos
+          WHERE c.doc IS NULL
+        ),
+        reb AS (
+          SELECT doc, string_agg(w, ' ' ORDER BY pos) AS text,
+                 COUNT(*) AS n_kept
+          FROM kept GROUP BY doc
+        )
+        SELECT s.doc,
+               COALESCE(reb.text, '') AS text,
+               COALESCE(reb.n_kept, 0) AS n_kept,
+               len(s.arr) - COALESCE(reb.n_kept, 0) AS n_dropped
+        FROM toks s LEFT JOIN reb ON s.doc = reb.doc""",
+)
+def d9_span_dedupe(spark, sf):
+    """MassiveText-style duplicated-span removal (operators.dedup.
+    span_dedupe): positions covered by a non-first occurrence of any word
+    13-gram are deleted, documents reassembled from survivors. Every fourth
+    document carries the same 15-word slogan (built identically in both
+    engines), so the slogan survives only in doc 0 and is excised — with
+    correct boundary behaviour — everywhere else."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(" " + _D9_SLOGAN)).otherwise(
+                F.lit("")
+            ),
+        ).alias("t"),
+    )
+    return DD.span_dedupe(d, "doc_id", "t", n=13)
+
+
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:

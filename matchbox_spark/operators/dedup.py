@@ -197,6 +197,93 @@ def contamination_check(
     )
 
 
+def span_dedupe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Duplicated-span removal (the MassiveText/Gopher exact-substring pass,
+    Rae et al. 2021 §A1.2): every corpus position covered by a word
+    ``n``-gram whose first corpus occurrence lies elsewhere is deleted;
+    documents are reassembled from the surviving tokens in order.
+
+    Exact semantics (disclosed, oracle-pinned): an occurrence of an n-gram
+    is a duplicate unless it is the minimum ``(doc, position)`` occurrence
+    of that gram; every token position inside a duplicate occurrence is
+    removed. The first occurrence — and any text never repeated — is kept
+    verbatim.
+
+    Returns ``(doc, text, n_kept, n_dropped)`` for every input document
+    (fully-covered documents collapse to the empty string).
+
+    Scale shape: first occurrences are ``min(struct)`` grouped by gram —
+    map-side combinable, so a viral span (boilerplate repeated 10⁹ times)
+    partially aggregates before the shuffle instead of sorting one hot
+    group; coverage expansion is a bounded explode (n rows per duplicate
+    occurrence, distinct'd on (doc, pos)); the final anti-join and
+    reassembly are keyed by doc/pos. No corpus-sized window anywhere.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        tokens_expr(text_col).alias("arr"),
+    )
+    tok = base.select("doc", F.size("arr").alias("n_total")).alias("tot")
+    words = base.select("doc", F.posexplode("arr").alias("pos", "w"))
+    grams = base.select(
+        "doc",
+        F.posexplode(
+            F.when(
+                F.size("arr") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("arr") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("arr", i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "g"),
+    )
+    firsts = grams.groupBy("g").agg(F.min(F.struct("doc", "pos")).alias("f"))
+    dups = (
+        grams.join(firsts, "g")
+        .where(
+            ~(
+                (F.col("doc") == F.col("f.doc"))
+                & (F.col("pos") == F.col("f.pos"))
+            )
+        )
+        .select("doc", "pos")
+    )
+    covered = dups.select(
+        "doc",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias(
+            "cpos"
+        ),
+    ).dropDuplicates()
+    kept = words.alias("w").join(
+        covered.alias("c"),
+        (F.col("w.doc") == F.col("c.doc")) & (F.col("w.pos") == F.col("c.cpos")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    return tok.join(rebuilt.alias("r"), "doc", "left").select(
+        "doc",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_dropped"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -331,3 +331,55 @@ def test_salted_agg_rejects_non_algebraic():
 
     with pytest.raises(ValueError, match="unsupported"):
         salted_agg(None, ["k"], {"a": ("v", "avg")})
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span removal (MassiveText exact-substring pass)
+# ---------------------------------------------------------------------------
+
+
+def test_span_dedupe_excises_repeated_span(spark):
+    from matchbox_spark.operators.dedup import span_dedupe
+
+    slogan = " ".join(f"s{i}" for i in range(15))  # 15-word repeated span
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c " + slogan),
+            (2, "x y z " + slogan + " tail words here"),
+            (3, "totally unique text with no repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc"]: r for r in span_dedupe(docs, "doc_id", "text").collect()}
+    # first occurrence keeps the slogan verbatim
+    assert out[1]["text"] == "a b c " + slogan
+    assert out[1]["n_dropped"] == 0
+    # later occurrence loses exactly the slogan, boundary words survive
+    assert out[2]["text"] == "x y z tail words here"
+    assert out[2]["n_dropped"] == 15
+    # untouched document passes through
+    assert out[3]["n_dropped"] == 0
+
+
+def test_span_dedupe_short_docs_pass_through(spark):
+    from matchbox_spark.operators.dedup import span_dedupe
+
+    docs = spark.createDataFrame(
+        [(1, "short doc"), (2, "short doc")], "doc_id long, text string"
+    )
+    out = {r["doc"]: r for r in span_dedupe(docs, "doc_id", "text").collect()}
+    # under 13 tokens -> no grams -> nothing ever removed (by design: the
+    # pass targets long repeated spans; exact whole-doc dedup is d1/d6)
+    assert out[1]["n_dropped"] == 0 and out[2]["n_dropped"] == 0
+
+
+def test_span_dedupe_fully_duplicate_doc_collapses(spark):
+    from matchbox_spark.operators.dedup import span_dedupe
+
+    body = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, body), (2, body)], "doc_id long, text string"
+    )
+    out = {r["doc"]: r for r in span_dedupe(docs, "doc_id", "text").collect()}
+    assert out[1]["text"] == body
+    assert out[2]["text"] == "" and out[2]["n_kept"] == 0

@@ -54,6 +54,40 @@ def main() -> None:
         f"kept {kept:,} dropped {dropped:,} EXACT in {dt:.1f}s"
     )
 
+    # -- span dedup: the SAME 15-word slogan in every 4th doc ------------
+    slogan = " ".join(f"s{i}" for i in range(15))
+    # filler tokens embed the doc id, so ONLY the slogan repeats corpus-wide
+    filler = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(17)),
+            lambda i: F.concat(F.lit("t"), F.col("id"), F.lit("_"), i),
+        ),
+        " ",
+    )
+    sdocs = spark.range(n_docs // 10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            filler,
+            F.when(F.col("id") % 4 == 0, F.lit(" " + slogan)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    from matchbox_spark.operators.dedup import span_dedupe
+
+    t0 = time.time()
+    sd = span_dedupe(sdocs, "doc_id", "text", n=13)
+    agg = sd.agg(F.sum("n_dropped").alias("d")).first()
+    dt = time.time() - t0
+    n_slogan_docs = (n_docs // 10 + 3) // 4
+    # every slogan doc except the first loses exactly the 15 slogan words
+    assert int(agg["d"]) == 15 * (n_slogan_docs - 1), (agg["d"], n_slogan_docs)
+    print(
+        f"span_dedupe: {n_docs // 10:,} docs, slogan viral in "
+        f"{n_slogan_docs:,} -> dropped {int(agg['d']):,} tokens EXACT in "
+        f"{dt:.1f}s"
+    )
+
     # -- BM25: 1M docs, zipf-ish term mix --------------------------------
     corpus = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
