@@ -4092,6 +4092,86 @@ _REGISTRY["d10_near_dup_canonical"] = (
 )
 
 
+@_q(
+    "c5_chunk_documents",
+    r"""WITH toks AS (
+          SELECT doc_id AS doc,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS arr
+          FROM documents
+        )
+        SELECT doc, (s.i) // 24 AS chunk_idx,
+               array_to_string(arr[s.i + 1 : s.i + 32], ' ') AS chunk_text,
+               len(arr[s.i + 1 : s.i + 32]) AS n_tokens
+        FROM toks, LATERAL (
+          SELECT unnest(generate_series(0, len(arr) - 1, 24)) AS i
+        ) s
+        WHERE len(arr) > 0""",
+)
+def c5_chunks(spark, sf):
+    """Sliding-window chunking (operators.curation.chunk_documents): token
+    windows of 32 starting every 24 tokens (8-token overlap) — the RAG /
+    embedding preprocessing step. Pure array expressions + one explode; no
+    shuffle anywhere in the plan."""
+    from matchbox_spark.operators.curation import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf, "documents"), "doc_id", "text", size=32, overlap=8
+    )
+
+
+@_q(
+    "f1_event_funnel",
+    """WITH fc AS (
+         SELECT user_id,
+                strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_click
+         FROM events WHERE event_type = 'click' GROUP BY user_id
+       ),
+       fp AS (
+         SELECT f.user_id,
+                strftime(MIN(e.ts), '%Y-%m-%d %H:%M:%S') AS first_purchase
+         FROM fc f JOIN events e
+           ON e.user_id = f.user_id AND e.event_type = 'purchase'
+          AND strftime(e.ts, '%Y-%m-%d %H:%M:%S') >= f.first_click
+         GROUP BY f.user_id
+       )
+       SELECT f.user_id, f.first_click, p.first_purchase,
+              CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS converted
+       FROM fc f LEFT JOIN fp p ON f.user_id = p.user_id""",
+)
+def f1_funnel(spark, sf):
+    """Conversion-funnel analysis: per user, the first click and the first
+    purchase at-or-after it — the ordered-sequence analytics a product team
+    runs over the events table. Two keyed aggregations + one ranged join;
+    event-time normalised exactly like the ev-family."""
+    e = _events(spark, sf)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    fc = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.date_format(F.min("ts"), fmt).alias("first_click"))
+    )
+    fp = (
+        fc.join(
+            e.where(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("uid"), "ts"
+            ),
+            (F.col("user_id") == F.col("uid"))
+            & (F.date_format(F.col("ts"), fmt) >= F.col("first_click")),
+        )
+        .groupBy("user_id")
+        .agg(F.date_format(F.min("ts"), fmt).alias("first_purchase"))
+    )
+    return fc.join(fp, "user_id", "left").select(
+        "user_id",
+        "first_click",
+        "first_purchase",
+        F.when(F.col("first_purchase").isNull(), 0).otherwise(1).alias(
+            "converted"
+        ),
+    )
+
+
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:

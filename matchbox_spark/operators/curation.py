@@ -195,3 +195,49 @@ def dedupe_lines(
         )
     )
     return rebuilt
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG/embedding preprocessing
+    step): token windows of ``size`` starting every ``size - overlap``
+    tokens, so consecutive chunks share ``overlap`` tokens and the final
+    chunk may run short.
+
+    Returns ``(doc, chunk_idx, chunk_text, n_tokens)`` — ``chunk_idx`` is
+    0-based within the document.
+
+    Scale shape: pure array expressions per row (tokenise once, slice per
+    window) followed by one explode — no shuffle at all; chunking is
+    embarrassingly parallel and stays inside whole-stage codegen.
+    """
+    if size <= 0 or overlap < 0 or overlap >= size:
+        raise ValueError(
+            f"need size > 0 and 0 <= overlap < size: size={size}, "
+            f"overlap={overlap}"
+        )
+    stride = size - overlap
+    from matchbox_spark.functions.text import tokens_expr
+
+    arr = tokens_expr(text_col)
+    chunks = F.when(
+        F.size(arr) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 1, F.lit(stride)),
+            lambda s: F.slice(arr, s + 1, size),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    return df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.posexplode(chunks).alias("chunk_idx", "_c"),
+    ).select(
+        "doc",
+        "chunk_idx",
+        F.array_join("_c", " ").alias("chunk_text"),
+        F.size("_c").alias("n_tokens"),
+    )

@@ -383,3 +383,49 @@ def test_span_dedupe_fully_duplicate_doc_collapses(spark):
     out = {r["doc"]: r for r in span_dedupe(docs, "doc_id", "text").collect()}
     assert out[1]["text"] == body
     assert out[2]["text"] == "" and out[2]["n_kept"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from matchbox_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(
+        (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, "doc_id", "text", size=4, overlap=1).collect()
+    )
+    # stride 3: starts 0,3,6,9 -> windows [0:4],[3:7],[6:10],[9:10]
+    assert chunks == [
+        (0, "w0 w1 w2 w3", 4),
+        (1, "w3 w4 w5 w6", 4),
+        (2, "w6 w7 w8 w9", 4),
+        (3, "w9", 1),
+    ]
+    # consecutive chunks share exactly `overlap` tokens
+    assert chunks[0][1].split()[-1] == chunks[1][1].split()[0]
+
+
+def test_chunk_documents_short_and_empty(spark):
+    from matchbox_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "only three words"), (2, "   ")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, "doc_id", "text", size=32, overlap=8).collect()
+    assert len(out) == 1  # empty doc yields no chunks
+    assert out[0]["doc"] == 1 and out[0]["n_tokens"] == 3
+
+
+def test_chunk_documents_validates_params(spark):
+    import pytest as _pt
+
+    from matchbox_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", size=8, overlap=8)
