@@ -4172,6 +4172,51 @@ def f1_funnel(spark, sf):
     )
 
 
+@_q(
+    "ev7_nearest_asof",
+    """WITH c AS (
+         SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+       ),
+       p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+       SELECT event_id, nearest_purchase FROM (
+         SELECT c.event_id,
+                strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS nearest_purchase,
+                row_number() OVER (
+                  PARTITION BY c.event_id
+                  ORDER BY abs(epoch(c.ts) - epoch(p.ts)),
+                           CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END
+                ) AS rn
+         FROM c LEFT JOIN p ON c.user_id = p.user_id
+       ) WHERE rn = 1""",
+)
+def ev7_nearest(spark, sf):
+    """Nearest-direction as-of join (operators.temporal.asof_join,
+    direction='nearest'): each click matched to the same user's closest
+    purchase in either time direction, ties to the past — pandas
+    merge_asof('nearest') at corpus scale, still one shuffle on the key.
+    The oracle brute-forces arg_min over |delta t| with the same tie rule."""
+    from matchbox_spark.operators.temporal import asof_join
+
+    e = _events(spark, sf)
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        value_cols=["ts"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("nearest_purchase"),
+    )
+
+
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:

@@ -43,9 +43,10 @@ def asof_join(
             (forward) right rows.
         tolerance: optional max lookback/lookahead (SQL interval string,
             e.g. ``'15 minutes'``): matches beyond it are nulled out.
-        direction: ``'backward'`` or ``'forward'`` (pandas merge_asof
-            semantics). Forward is the backward scan on a reversed time
-            axis — same single-shuffle plan.
+        direction: ``'backward'``, ``'forward'`` or ``'nearest'`` (pandas
+            merge_asof semantics). Forward is the backward scan on a
+            reversed time axis; nearest takes the closer of the two (ties
+            to backward) — all three are ONE shuffle on the key.
 
     Scale shape: both sides shuffle ONCE on the key; the window is
     partitioned by key (no global ordering). Ties on equal timestamps order
@@ -82,11 +83,51 @@ def asof_join(
             *[F.col(c) for c in value_cols],
         ).alias("_rrow"),
     )
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be 'backward' or 'forward': {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest': "
+            f"{direction!r}"
+        )
     # strict: right rows at an equal timestamp sort AFTER left rows and are
     # therefore not yet visible; non-strict: right rows sort first.
     order_side = F.col("_side") if not strict else -F.col("_side")
+    if direction == "nearest":
+        # pandas merge_asof(direction='nearest'): closer of the backward and
+        # forward matches, ties to backward. Both carries share ONE shuffle
+        # on the key — same partitioning, two sort orders within it.
+        wb = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").asc(), order_side)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").desc(), order_side)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = l_tag.unionByName(r_tag).select(
+            "_side",
+            "_ts",
+            "_lrow",
+            F.last("_rrow", ignorenulls=True).over(wb).alias("_cb"),
+            F.last("_rrow", ignorenulls=True).over(wf).alias("_cf"),
+        )
+        out = carried.where(F.col("_side") == 1)
+        ok_b = F.col("_cb").isNotNull()
+        ok_f = F.col("_cf").isNotNull()
+        if tolerance is not None:
+            iv = F.expr(f"INTERVAL {tolerance}")
+            ok_b = ok_b & (F.col("_cb._rts") >= F.col("_ts") - iv)
+            ok_f = ok_f & (F.col("_cf._rts") <= F.col("_ts") + iv)
+        db = F.col("_ts").cast("double") - F.col("_cb._rts").cast("double")
+        df_ = F.col("_cf._rts").cast("double") - F.col("_ts").cast("double")
+        chosen = F.when(ok_b & (~ok_f | (db <= df_)), F.col("_cb")).otherwise(
+            F.when(ok_f, F.col("_cf"))
+        )
+        return out.select(
+            *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+            *[chosen.getField(c).alias(f"r_{c}") for c in value_cols],
+        )
     ts_order = (
         F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     )

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from matchbox_spark.operators.temporal import asof_join
 
 
@@ -322,3 +324,41 @@ def test_asof_forward_tolerance(spark):
     far = asof_join(left, right, on="k", value_cols=["val"],
                     direction="forward", tolerance="10 minutes").collect()
     assert near[0]["r_val"] == 5.0 and far[0]["r_val"] is None
+
+
+def test_asof_nearest_picks_closer_side_ties_backward(spark):
+    from matchbox_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (2, 100.0)], "k int, ts double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 8.0, "b"), (1, 11.0, "f"),      # forward is closer (1 < 2)
+         (2, 95.0, "b"), (2, 105.0, "f")],   # tie (5 == 5) -> backward
+        "k int, ts double, v string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = {
+        r["k"]: r["r_v"]
+        for r in asof_join(left, right, on="k", direction="nearest").collect()
+    }
+    assert out[1] == "f"
+    assert out[2] == "b"
+
+
+def test_asof_nearest_tolerance_and_missing(spark):
+    from matchbox_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100.0), (3, 50.0)], "k int, ts double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 10.0, "far")], "k int, ts double, v string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    out = {
+        r["k"]: r["r_v"]
+        for r in asof_join(
+            left, right, on="k", direction="nearest", tolerance="30 seconds"
+        ).collect()
+    }
+    assert out[1] is None  # 90s away, beyond the 30s tolerance
+    assert out[3] is None  # key never matches
