@@ -4217,6 +4217,152 @@ def ev7_nearest(spark, sf):
     )
 
 
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One PageRank iteration as SQL CTEs: decimal-exact contribution sums
+    (order-invariant), per-iteration rounding to 12 dp so both engines walk
+    the identical float trajectory."""
+    return f""",
+       contrib_{out} AS (
+         SELECT e.dst,
+                CAST(ROUND(p.pr / deg.d, 12) AS DECIMAL(28,12)) AS c
+         FROM ed e JOIN {prev} p ON p.id = e.src
+         JOIN deg ON deg.src = e.src
+       ),
+       m_{out} AS (
+         SELECT dst, CAST(SUM(c) AS DOUBLE) AS s FROM contrib_{out}
+         GROUP BY dst
+       ),
+       {out} AS (
+         SELECT p.id, ROUND(0.15 / nn.n + 0.85 * COALESCE(m.s, 0.0), 12) AS pr
+         FROM pr0_base p CROSS JOIN nn LEFT JOIN m_{out} m ON m.dst = p.id
+       )"""
+
+
+@_q(
+    "g6_pagerank",
+    """WITH ranked AS (
+         SELECT s_nationkey AS nk, s_suppkey AS id,
+                row_number() OVER (PARTITION BY s_nationkey
+                                   ORDER BY s_suppkey) AS rn
+         FROM supplier
+       ),
+       e0 AS (
+         SELECT l.id AS a, r.id AS b
+         FROM ranked l JOIN ranked r
+           ON l.nk = r.nk AND r.rn = l.rn + 1
+       ),
+       ed AS (SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b, a FROM e0),
+       deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM ed GROUP BY src),
+       nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM supplier),
+       pr0_base AS (SELECT s_suppkey AS id FROM supplier),
+       pr0 AS (SELECT id, 1.0 / nn.n AS pr FROM pr0_base CROSS JOIN nn)"""
+    + _pr_iter_sql("pr0", "pr1")
+    + _pr_iter_sql("pr1", "pr2")
+    + _pr_iter_sql("pr2", "pr3")
+    + """
+       SELECT id, ROUND(pr, 9) AS pagerank FROM pr3""",
+)
+def g6_pagerank(spark, sf):
+    """PageRank (3 unrolled power iterations, damping 0.85) over the
+    per-nation supplier chain graph — the iterative graph-analytics shape
+    Spark runs as a driver loop of join+aggregate plans. Cross-engine
+    determinism: per-edge contributions round to 12 dp and sum as
+    DECIMAL(28,12) (order-invariant), and each iteration's rank rounds to
+    12 dp, so both engines walk the identical trajectory. At 10^9 nodes the
+    same loop runs with the rank frame checkpointed per iteration."""
+    from pyspark.sql import Window
+
+    s = _t(spark, sf, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    ranked = s.select(
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_suppkey").alias("id"),
+        F.row_number().over(w).alias("rn"),
+    )
+    l, r = ranked.alias("l"), ranked.alias("r")
+    e0 = l.join(
+        r, (F.col("l.nk") == F.col("r.nk")) & (F.col("r.rn") == F.col("l.rn") + 1)
+    ).select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    ed = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = ed.groupBy("src").agg(F.count("*").cast("double").alias("d"))
+    nn = s.agg(F.count("*").cast("double").alias("n"))
+    base = s.select(F.col("s_suppkey").alias("id"))
+    pr = base.crossJoin(F.broadcast(nn)).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    dec12 = lambda c: F.round(c, 12).cast("decimal(28,12)")  # noqa: E731
+    for _ in range(3):
+        contrib = (
+            ed.join(pr.select(F.col("id").alias("src"), "pr"), "src")
+            .join(deg, "src")
+            .select("dst", dec12(F.col("pr") / F.col("d")).alias("c"))
+        )
+        m = contrib.groupBy("dst").agg(F.sum("c").cast("double").alias("s"))
+        pr = (
+            base.crossJoin(F.broadcast(nn))
+            .join(m, base["id"] == m["dst"], "left")
+            .select(
+                "id",
+                F.round(
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0)),
+                    12,
+                ).alias("pr"),
+            )
+        )
+    return pr.select("id", F.round("pr", 9).alias("pagerank"))
+
+
+@_q(
+    "ev8_ema",
+    """WITH evs AS (
+         SELECT user_id,
+                list_transform(
+                  list_sort(list(struct_pack(ts := ts, eid := event_id,
+                                             v := value))),
+                  x -> x.v) AS vs
+         FROM events GROUP BY user_id
+       )
+       SELECT user_id, len(vs) AS n,
+              ROUND(list_reduce(vs, (a, x) -> ROUND(0.3 * x + 0.7 * a, 9)),
+                    6) AS ema
+       FROM evs""",
+)
+def ev8_ema(spark, sf):
+    """Exponential moving average per user (alpha = 0.3), an ORDERED fold no
+    SQL window expresses: events sort per user by (ts, event_id), the first
+    value seeds, each step rounds to 9 dp — both engines execute the
+    identical left fold, so the result is bit-stable. Array-fold
+    (F.aggregate) keeps it one shuffle; per-user state is bounded by that
+    user's event count."""
+    e = _events(spark, sf)
+    evs = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", F.col("event_id").alias("eid"),
+                                        F.col("value").alias("v")))
+            ),
+            lambda x: x["v"],
+        ).alias("vs")
+    )
+    folded = F.when(
+        F.size("vs") >= 2,
+        F.aggregate(
+            F.slice("vs", 2, F.size("vs") - 1),
+            F.element_at("vs", 1),
+            lambda a, x: F.round(F.lit(0.3) * x + F.lit(0.7) * a, 9),
+        ),
+    ).otherwise(F.element_at("vs", 1))
+    return evs.select(
+        "user_id",
+        F.size("vs").alias("n"),
+        F.round(folded, 6).alias("ema"),
+    )
+
+
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:
