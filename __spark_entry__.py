@@ -4363,6 +4363,41 @@ def ev8_ema(spark, sf):
     )
 
 
+@_q(
+    "o8_weighted_sample",
+    """WITH w AS (
+         SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                      AS BIGINT) + 0.5) / 4503599627370496.0 AS u
+         FROM documents WHERE n_chars > 0
+       )
+       SELECT doc_id, weight FROM w
+       ORDER BY ln(u) / weight DESC, doc_id LIMIT 50""",
+)
+def o8_weighted(spark, sf):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    each row draws a deterministic uniform u from md5(id) (52 bits), and the
+    top-k by ln(u)/weight is EXACTLY a weight-proportional sample — seedless,
+    engine-portable (both engines compute the identical doubles), and
+    single-pass: orderBy+limit compiles to a distributed top-k heap, no full
+    sort. The quality-weighted document picker for training-mix
+    construction."""
+    d = _t(spark, sf, "documents").where(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+        ).cast("double")
+        + 0.5
+    ) / F.lit(float(1 << 52))
+    wt = F.col("n_chars").cast("double")
+    return (
+        d.select("doc_id", wt.alias("weight"), (F.log(u) / wt).alias("_key"))
+        .orderBy(F.desc("_key"), F.asc("doc_id"))
+        .limit(50)
+        .select("doc_id", "weight")
+    )
+
+
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:
