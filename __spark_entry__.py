@@ -4398,6 +4398,39 @@ def o8_weighted(spark, sf):
     )
 
 
+@_q(
+    "t9_blocklist_filter",
+    r"""SELECT doc_id,
+               len(list_filter(
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> ''),
+                 x -> list_contains(['dup', 'spam', 'slow'], x)
+               )) AS n_blocked,
+               CASE WHEN len(list_filter(
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> ''),
+                 x -> list_contains(['dup', 'spam', 'slow'], x)
+               )) = 0 THEN 1 ELSE 0 END AS clean
+        FROM documents""",
+)
+def t9_blocklist(spark, sf):
+    """Blocklist filtering (the C4 'bad words' pass, Raffel et al. 2020
+    §2.2): per-document count of blocklisted tokens and a clean flag —
+    thresholding is the caller's policy. Pure array expressions (token
+    filter against a literal list), whole-stage codegen, no shuffle."""
+    blocked = F.array(F.lit("dup"), F.lit("spam"), F.lit("slow"))
+    hits = F.size(
+        F.filter(
+            TX.tokens_expr("text"), lambda t: F.array_contains(blocked, t)
+        )
+    )
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        hits.alias("n_blocked"),
+        F.when(hits == 0, 1).otherwise(0).alias("clean"),
+    )
+
+
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:

@@ -309,3 +309,33 @@ def test_pii_redaction_idempotent(spark, text):
         pii_redact_expr(pii_redact_expr("t")).alias("r2"),
     ).first()
     assert once == twice
+
+
+@given(
+    lefts=st.lists(st.integers(0, 50), min_size=1, max_size=8, unique=True),
+    rights=st.lists(st.integers(0, 50), min_size=0, max_size=8, unique=True),
+)
+@settings(**_SETTINGS)
+def test_asof_nearest_equals_bruteforce(spark, lefts, rights):
+    """nearest = argmin |Δt| with ties to the past, per pandas merge_asof."""
+    from pyspark.sql import functions as F
+
+    from matchbox_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, float(t)) for t in lefts], "k int, ts double"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, float(t), f"v{t}") for t in rights] or [(2, 0.0, "x")],
+        "k int, ts double, v string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v")
+    got = {
+        int(r["ts"].timestamp()): r["r_v"]
+        for r in asof_join(left, right, on="k", direction="nearest").collect()
+    }
+    for t in lefts:
+        if not rights:
+            assert got[t] is None
+            continue
+        best = min(rights, key=lambda r: (abs(r - t), r > t))
+        assert got[t] == f"v{best}", (t, rights, got[t])
