@@ -4431,6 +4431,60 @@ def t9_blocklist(spark, sf):
     )
 
 
+@_q(
+    "t10_url_extract",
+    r"""WITH synth AS (
+          SELECT doc_id,
+                 'see https://Sub.site' || CAST(doc_id % 20 AS VARCHAR)
+                 || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                 || '?q=1 and http://plain' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.net/x plus ' || text AS raw
+          FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(raw,
+                 'https?://[A-Za-z0-9.-]+[A-Za-z0-9/._?=&%-]*')) AS n_urls,
+               array_to_string(list_sort(list_distinct(
+                 list_transform(
+                   regexp_extract_all(raw,
+                     'https?://[A-Za-z0-9.-]+[A-Za-z0-9/._?=&%-]*'),
+                   u -> regexp_extract(
+                     lower(regexp_extract(u, 'https?://([A-Za-z0-9.-]+)', 1)),
+                     '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$', 1)
+                 ))), ',') AS reg_domains
+        FROM synth""",
+)
+def t10_urls(spark, sf):
+    """URL extraction + domain normalisation (functions.text.extract_urls /
+    url_domain / registered_domain): the prerequisite for C4's URL-level
+    filtering and domain quotas. URLs are synthesised from doc_id
+    identically in both engines (mixed-case host exercises the lowering);
+    output is the sorted distinct registered-domain list per doc. Pure
+    regexp expressions, codegen-only."""
+    d = _t(spark, sf, "documents")
+    raw = F.concat(
+        F.lit("see https://Sub.site"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q=1 and http://plain"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".net/x plus "),
+        F.col("text"),
+    )
+    urls = TX.extract_urls_expr(raw)
+    reg = F.transform(
+        urls, lambda u: TX.registered_domain_expr(TX.url_domain_expr(u))
+    )
+    return d.select(
+        "doc_id",
+        F.size(urls).alias("n_urls"),
+        F.array_join(F.array_sort(F.array_distinct(reg)), ",").alias(
+            "reg_domains"
+        ),
+    )
+
+
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:

@@ -302,6 +302,29 @@ def pii_counts_exprs(col: Column | str) -> dict[str, Column]:
     }
 
 
+# URL pattern — same Java-regex/RE2-identical constraint as the PII set
+URL_RE = r"https?://[A-Za-z0-9.-]+[A-Za-z0-9/._?=&%-]*"
+
+
+def extract_urls_expr(col: Column | str) -> Column:
+    """All URLs in the text as array<string> (C4-style URL filtering /
+    URL-based dedup needs these before anything else)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(URL_RE), 0)
+
+
+def url_domain_expr(url: Column) -> Column:
+    """Lower-cased hostname of one URL ('' when the input is not a URL)."""
+    return F.lower(F.regexp_extract(url, r"https?://([A-Za-z0-9.-]+)", 1))
+
+
+def registered_domain_expr(host: Column) -> Column:
+    """Last two labels of a hostname — the eTLD+1 approximation that groups
+    subdomains for domain-level quota/blocklists (a real public-suffix list
+    plugs in here at production scale)."""
+    return F.regexp_extract(host, r"([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$", 1)
+
+
 def normalize_text_expr(col: Column | str) -> Column:
     """Lowercase, collapse whitespace, trim — canonical form for hashing."""
     c = F.col(col) if isinstance(col, str) else col
