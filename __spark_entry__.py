@@ -4485,6 +4485,64 @@ def t10_urls(spark, sf):
     )
 
 
+@_q(
+    "q28_intersect_except",
+    """SELECT 'both' AS side, c_custkey FROM (
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       )
+       UNION ALL
+       SELECT 'only_building', c_custkey FROM (
+         SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         EXCEPT
+         SELECT o_custkey FROM orders
+       )""",
+)
+def q28_setops(spark, sf):
+    """Native set operators (Catalyst's dedicated Intersect/Except nodes,
+    not join rewrites): BUILDING customers with a finished order, and
+    BUILDING customers who never ordered. Both compile to hash-based
+    semi/anti aggregation under AQE."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    finished = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    both = building.intersect(finished).select(
+        F.lit("both").alias("side"), "c_custkey"
+    )
+    never = building.exceptAll(
+        o.select(F.col("o_custkey").alias("c_custkey"))
+    ).distinct().select(F.lit("only_building").alias("side"), "c_custkey")
+    return both.unionByName(never)
+
+
+@_q(
+    "q29_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+              COUNT(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+)
+def q29_gsets(spark, sf):
+    """Explicit GROUPING SETS — the general form underlying q23's rollup and
+    q24's cube: per-returnflag, per-linestatus, and grand-total aggregates
+    in ONE hash-aggregate pass (Catalyst expands the sets, the shuffle
+    happens once)."""
+    l = _t(spark, sf, "lineitem")  # noqa: E741
+    return l.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.sum(_dec6(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:
