@@ -4543,6 +4543,90 @@ def q29_gsets(spark, sf):
     )
 
 
+@_q(
+    "q30_sql_interface",
+    """SELECT p1.p_brand, p1.p_partkey,
+              ROUND(p1.p_retailprice, 2) AS price
+       FROM part p1
+       WHERE p1.p_retailprice > 1.02 * (
+         SELECT CAST(SUM(CAST(ROUND(p2.p_retailprice, 6) AS DECIMAL(18,6)))
+                     AS DOUBLE) / COUNT(*)
+         FROM part p2 WHERE p2.p_brand = p1.p_brand
+       )""",
+)
+def q30_sql(spark, sf):
+    """The plain-SQL surface: a correlated scalar subquery (parts priced
+    >10% above their brand's decimal-exact average) submitted through
+    spark.sql over temp views — Catalyst decorrelates it into an aggregate
+    + join; DuckDB runs the IDENTICAL statement. Demonstrates that a SQL
+    user of this engine needs no DataFrame code at all."""
+    _t(spark, sf, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """SELECT p1.p_brand, p1.p_partkey,
+                  ROUND(p1.p_retailprice, 2) AS price
+           FROM part p1
+           WHERE p1.p_retailprice > 1.02 * (
+             SELECT CAST(SUM(CAST(ROUND(p2.p_retailprice, 6)
+                                  AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             FROM part p2 WHERE p2.p_brand = p1.p_brand
+           )"""
+    )
+
+
+@_q(
+    "ev9_gap_fill",
+    """WITH hourly AS (
+         SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n,
+                CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                    AS total
+         FROM events GROUP BY user_id, date_trunc('hour', ts)
+       ),
+       spans AS (
+         SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly
+         GROUP BY user_id
+       ),
+       grid AS (
+         SELECT s.user_id, g.h
+         FROM spans s CROSS JOIN LATERAL (
+           SELECT unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS h
+         ) g
+       )
+       SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+              COALESCE(hh.n, 0) AS n, COALESCE(hh.total, 0.0) AS total
+       FROM grid g LEFT JOIN hourly hh
+         ON hh.user_id = g.user_id AND hh.h = g.h""",
+)
+def ev9_gap_fill(spark, sf):
+    """Time-series gap filling (the hypertable resample shape): each user's
+    hourly grid from first to last event, missing hours densified to
+    (0, 0.0) — sequence(min, max, interval 1 hour) exploded per user, left
+    join onto the sparse aggregates. The grid explode is bounded per key;
+    at 100 TB the same plan densifies per device/partition with no global
+    structure."""
+    e = _events(spark, sf)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(_dec6(F.col("value"))).cast("double").alias("total"),
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    return grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+    )
+
+
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:
