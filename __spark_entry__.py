@@ -4627,6 +4627,58 @@ def ev9_gap_fill(spark, sf):
     )
 
 
+@_q(
+    "c7_corpus_report",
+    r"""WITH toks AS (
+          SELECT doc_id, n_chars, lang,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS t,
+                 sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                     AS fp
+          FROM documents
+        )
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT fp) AS n_unique,
+               COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups,
+               COUNT(DISTINCT lang) AS n_langs,
+               CAST(SUM(len(t)) AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(len(t)) AS DOUBLE) / COUNT(*), 6)
+                   AS mean_tokens,
+               COUNT(CASE WHEN len(list_filter(t, x -> list_contains(
+                 ['dup', 'spam', 'slow'], x))) = 0 THEN 1 END) AS n_clean,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM toks""",
+)
+def c7_report(spark, sf):
+    """One-row corpus health report — the summary a curation run logs before
+    and after each pass: doc/unique/dup counts, language spread, token
+    volume, blocklist-clean count, length envelope. Single aggregate pass,
+    every metric map-side combinable (the distinct counts are exact;
+    approx_count_distinct swaps in at 100 TB)."""
+    d = _t(spark, sf, "documents")
+    toks = TX.tokens_expr("text")
+    blocked = F.array(F.lit("dup"), F.lit("spam"), F.lit("slow"))
+    n_blocked = F.size(
+        F.filter(toks, lambda t: F.array_contains(blocked, t))
+    )
+    return d.select(
+        "doc_id", "n_chars", "lang",
+        F.size(toks).alias("ntok"),
+        TX.fingerprint_expr("text").alias("fp"),
+        n_blocked.alias("nb"),
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_exact_dups"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("ntok").alias("n_tokens"),
+        F.round(F.sum("ntok") / F.count("*"), 6).alias("mean_tokens"),
+        F.count(F.when(F.col("nb") == 0, 1)).alias("n_clean"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:
