@@ -4682,10 +4682,15 @@ def c7_report(spark, sf):
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:
-#   0. never driver-checked (new this round, or added since the last gate)
-#   1. operators CHANGED this round since their last green row
-#   2. last checked in round 2 (stale green)
-#   3. re-verified in round 3 (freshest green)
+#   0. certification debt (stale/absent driver row despite judge re-check)
+#      and operators CHANGED this round since their last green row
+#   1. never driver-green in ANY round (new queries land here automatically)
+#   2. last green in round 2 (oldest green)
+#   3. last green in round 3
+#   4. green in round 4 (freshest)
+# NOTE (r4 verdict): ev2_sessionize was listed here for two rounds despite
+# never having a green driver row (r1 hash_mismatch, r2 crash) — it is now
+# excluded from this set and pinned at the head via _DEBT_R5.
 _CHECKED_R2 = {
     "s2_key_filter_pushdown", "p1_field_qualification", "p2_cleaning_exprs",
     "p5_threshold_filter", "q1_pricing_summary", "q3_top_revenue_orders",
@@ -4695,7 +4700,7 @@ _CHECKED_R2 = {
     "a1_hash_index", "h5_leaf_set_hash", "j2_naive_dedupe",
     "j3_deterministic_link", "j4_sequential_rounds", "j5_weighted_link",
     "g1_connected_components", "j7_resolved_entities", "j7_set_agg_query",
-    "ev1_hourly_window_agg", "ev2_sessionize", "t1_token_stats",
+    "ev1_hourly_window_agg", "t1_token_stats",
     "t3_doc_fingerprint", "t5_repetition_stats", "c1_curation_pipeline",
     "d1_exact_dup_groups", "d2_ngram_jaccard", "v1_cosine_topk",
     "q5_region_revenue", "q18_large_orders", "a3_explode_combine",
@@ -4727,32 +4732,67 @@ _CHECKED_R3 = {
     "v2_ivf_topk", "v3_quantized_cosine"
 }
 
-# Queries whose underlying operators round 4 modified (content-defined H4
-# fingerprints; streaming delta-link; Splink TF surface; lang-id/IVF oracles;
-# real media codecs; quota/chunked-dedupe/CC-cap advisory fixes) — their old
-# green rows no longer pin the current code.
-_TOUCHED_R4 = {
-    "j7_resolved_entities", "r1_default_run_query", "j7_set_agg_query",
-    "h1_row_hash", "h5_leaf_set_hash", "st1_incremental_index",
-    "st7_incremental_resolve", "j6_splink_compat", "t4_lang_id",
-    "v2_ivf_topk", "m1_media_metadata", "m3_media_features",
-    "m4_resize_plumbing", "o7_quota_sample", "j2b_chunked_dedupe",
+# CORRECTNESS_r04.json keys — every row green (j6/v2 disclosed no-oracle).
+_CHECKED_R4 = {
+    "b1_bm25_search", "c4_line_dedupe", "c5_chunk_documents",
+    "c7_corpus_report", "d10_near_dup_canonical", "d7_contamination",
+    "d8_canonical_doc", "d9_span_dedupe", "e1_value_percentiles",
+    "e2_moment_stats", "ev7_nearest_asof", "ev8_ema", "ev9_gap_fill",
+    "f1_event_funnel", "g1_connected_components", "g4_leaf_expansion",
+    "g5_triangle_count", "g6_pagerank", "h1_row_hash", "h5_leaf_set_hash",
+    "j11_match_lookup", "j12_fuzzy_link", "j2_naive_dedupe",
+    "j2b_chunked_dedupe", "j6_splink_compat", "j7_resolved_entities",
+    "j7_set_agg_query", "m1_media_metadata", "m5_real_image_decode",
+    "o8_weighted_sample", "q23_rollup_revenue", "q24_cube_counts",
+    "q25_salted_heavy_hitters", "q26_pivot_status_counts",
+    "q27_unpivot_part_metrics", "q28_intersect_except", "q29_grouping_sets",
+    "q30_sql_interface", "r1_default_run_query", "st1_incremental_index",
+    "st6_stream_static_join", "t10_url_extract", "t7_pii_redaction",
+    "t8_unigram_logprob", "t9_blocklist_filter", "u6_insert_if_absent",
+    "v2_ivf_topk", "v2b_ivf_recall", "v4_label_centroids",
+    "w2_running_revenue",
+}
+
+# Certification debt (r4 verdict): queries that shipped r4 on stale or absent
+# driver rows. ev2_sessionize has NEVER had a green driver row; the other
+# five were touched in r4 after their last green row. All six were judge-
+# verified green via tools/check_oracle.py at sf0.01, but the hard signal
+# (a fresh CORRECTNESS row) must lead this round's sample.
+_DEBT_R5 = {
+    "ev2_sessionize", "t4_lang_id", "m3_media_features",
+    "m4_resize_plumbing", "o7_quota_sample", "st7_incremental_resolve",
+}
+
+# Queries whose underlying operators round 5 modified (advisory fixes:
+# deduper null-id guard + cap unification; dedupe_lines separator quoting;
+# salted-agg default salt; catalog cache-leak fixes incl. the resolver
+# insert's assigned delta; merge_clusterings bucket-offset relabel) — their
+# old green rows no longer pin the current code.
+_TOUCHED_R5 = {
+    "j2_naive_dedupe", "j2b_chunked_dedupe", "c4_line_dedupe",
+    "q25_salted_heavy_hitters", "g3_merge_clusterings",
+    "u6_insert_if_absent", "j7_resolved_entities", "j7_set_agg_query",
+    "r1_default_run_query", "g4_leaf_expansion", "j11_match_lookup",
+    "st1_incremental_index", "st7_incremental_resolve",
     "g1_connected_components",
-    # late-round-4 churn: catalog insert fusion + deduper pair-stage rewrite
-    "j2_naive_dedupe", "u6_insert_if_absent", "g4_leaf_expansion",
-    "j11_match_lookup",
 }
 
 
 def _rotated() -> list[str]:
     def prio(n: str) -> int:
-        if n not in _CHECKED_R2 and n not in _CHECKED_R3:
+        if n in _DEBT_R5 or n in _TOUCHED_R5:
             return 0
-        if n in _TOUCHED_R4:
+        if (
+            n not in _CHECKED_R2
+            and n not in _CHECKED_R3
+            and n not in _CHECKED_R4
+        ):
             return 1
-        if n not in _CHECKED_R3:
-            return 2
-        return 3
+        if n in _CHECKED_R4:
+            return 4
+        if n in _CHECKED_R3:
+            return 3
+        return 2
 
     return sorted(_REGISTRY, key=prio)  # stable: registry order within tiers
 

@@ -161,9 +161,14 @@ def dedupe_lines(
     reassembly shuffle is keyed by ``doc`` and bounded by a single
     document's line count.
     """
+    # F.split treats its pattern as a Java regex while array_join (the
+    # reassembly below) treats ``sep`` literally — quote the separator
+    # (Java Pattern.quote form) so a metacharacter sep ('.', '|') splits
+    # on the literal character instead of silently corrupting documents.
+    sep_pattern = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = df.select(
         F.col(id_col).cast("long").alias("doc"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), sep_pattern)).alias("pos", "line"),
     )
     firsts = lines.groupBy("line").agg(
         F.min(F.struct("doc", "pos")).alias("_first")

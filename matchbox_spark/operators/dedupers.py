@@ -78,15 +78,20 @@ class NaiveDeduper(Deduper):
         if not s.unique_fields:
             raise ValueError("NaiveDeduper requires unique_fields")
 
+        # SQL equality semantics: rows with a NULL in any unique field never
+        # match anything (join `=` is null-rejecting), so drop them up front.
+        # Rows with a NULL entity id are dropped too: the reference's
+        # `raw.left_id != raw.right_id` guard (naive.py:63) silently
+        # excludes them, and a null surviving into the member array would
+        # forge a self-edge — least/greatest both skip the null and resolve
+        # (null, x) to (x, x), violating the left_id < right_id contract.
         rows = data.select(
             F.col(s.id).alias("_id"), *[F.col(f) for f in s.unique_fields]
-        )
+        ).na.drop(subset=["_id", *s.unique_fields])
         if s.chunk_size is not None:
             return self._dedupe_chunked(data, rows)
 
         # One shuffle: group identical field tuples, collect member ids.
-        # SQL equality semantics: rows with a NULL in any unique field never
-        # match anything (join `=` is null-rejecting), so drop them up front.
         # Member ids are DISTINCT'd inside the group array: rows sharing an
         # id (true duplicates of one entity) would otherwise emit the same
         # unordered pair repeatedly, forcing a full extra shuffle
@@ -94,8 +99,7 @@ class NaiveDeduper(Deduper):
         # member list instead makes every combination pair unique by
         # construction, so the pair stage stays shuffle-free.
         grouped = (
-            rows.na.drop(subset=list(s.unique_fields))
-            .groupBy(*s.unique_fields)
+            rows.groupBy(*s.unique_fields)
             .agg(F.array_distinct(F.collect_list(F.col("_id"))).alias("members"))
             .where(F.size("members") >= 2)
         )
@@ -180,10 +184,16 @@ class NaiveDeduper(Deduper):
 
         gk = [F.col(f) for f in s.unique_fields]
         w = Window.partitionBy(*gk).orderBy("_id")
+        wg = Window.partitionBy(*gk)
+        # `_g` counts DISTINCT member ids — the same quantity the non-chunked
+        # path caps on (size of the array_distinct'd member list), so a given
+        # input and max_group_size keep/drop identical group sets in both
+        # paths. `_graw` (raw row count) only drives the chunk layout, where
+        # physical rows are what occupy task memory.
         numbered = (
-            rows.na.drop(subset=list(s.unique_fields))
-            .withColumn("_rn", F.row_number().over(w) - 1)
-            .withColumn("_g", F.count("*").over(Window.partitionBy(*gk)))
+            rows.withColumn("_rn", F.row_number().over(w) - 1)
+            .withColumn("_g", F.size(F.collect_set("_id").over(wg)))
+            .withColumn("_graw", F.count("*").over(wg))
             .where(F.col("_g") >= 2)
         )
         if s.max_group_size is not None:
@@ -203,7 +213,7 @@ class NaiveDeduper(Deduper):
             numbered = numbered.where(F.col("_g") <= s.max_group_size)
         numbered = numbered.withColumn(
             "_chunk", (F.col("_rn") / c).cast("int")
-        ).withColumn("_nchunks", F.ceil(F.col("_g") / c).cast("int"))
+        ).withColumn("_nchunks", F.ceil(F.col("_graw") / c).cast("int"))
 
         # in-chunk: collect each (group, chunk)'s ids, combinations as usual
         m = F.col("members")

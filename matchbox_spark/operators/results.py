@@ -95,17 +95,38 @@ def merge_clusterings(a: DataFrame, b: DataFrame) -> DataFrame:
     )
     cc = connected_components(edges)
     leaves = cc.where(F.col("id") >= 0)
-    # relabel components densely 1..k ordered by min member — via range
-    # sort + zipWithIndex, not a global window (scales with component count)
+    # Relabel components densely 1..k ordered by min member. JVM-side
+    # zip-with-index (same bucket-offset pattern as catalog._assign_ids,
+    # plans/catalog.py:294): range-partition for a total order, then
+    # per-partition row numbers plus driver-computed partition offsets —
+    # no global window over the data and no Python RDD round-trip. The
+    # eager checkpoint pins partition membership so the partition-id keys
+    # are stable across re-reads; the offset job collects one count per
+    # shuffle partition, a scale-independent driver transfer.
     mins = (
         leaves.groupBy("component")
         .agg(F.min("id").alias("_min_leaf"))
         .repartitionByRange("_min_leaf")
-        .sortWithinPartitions("_min_leaf")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    comp_ids = mins.rdd.zipWithIndex().map(
-        lambda p: (p[0]["component"], p[1] + 1)
-    ).toDF(["component", "parent_id"])
+    counts = {
+        r["_pid"]: r["_n"]
+        for r in mins.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = leaves.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        "_pid int, _off long",
+    )
+    w = Window.partitionBy("_pid").orderBy("_min_leaf")
+    comp_ids = mins.join(F.broadcast(off_df), "_pid").select(
+        "component",
+        (F.row_number().over(w) + F.col("_off")).alias("parent_id"),
+    )
     return (
         leaves.join(comp_ids, "component")
         .select("parent_id", F.col("id").alias("child_id"))

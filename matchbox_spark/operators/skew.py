@@ -23,6 +23,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def default_salt(n_salts: int) -> Column:
+    """Uniform per-row salt independent of row content: identical duplicate
+    rows spread across buckets (content hashes would collapse them onto
+    one). Nondeterministic across recomputation — safe only for the partial
+    stage of a two-phase aggregate, where the merge erases bucket layout."""
+    return F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -36,19 +44,21 @@ def salted_agg(
     ``aggs`` maps output column → ``(input_column, fn)`` where ``fn`` is one
     of ``count`` / ``sum`` / ``min`` / ``max`` (the algebraic aggregates
     whose partial-merge is the same function; ``count`` merges with
-    ``sum``). ``salt_expr`` defaults to a uniform hash of the whole row's
-    monotonic id surrogate — pass an expression over a high-cardinality
-    column (an event id) for a deterministic spread.
+    ``sum``). ``salt_expr`` defaults to a uniform per-row draw INDEPENDENT
+    of row content (a hash of the monotonic row id): hashing row values
+    would send fully-identical duplicate rows of a hot key — viral
+    boilerplate, the exact case this module exists for — to one salt
+    bucket and leave the straggler intact. The default salt is therefore
+    nondeterministic across recomputation, which only affects the partial
+    stage: the merge re-aggregates, so the result is bit-identical
+    regardless of how rows landed in salt buckets. Pass ``salt_expr`` over
+    a high-cardinality column (an event id) for a deterministic spread.
     """
     allowed = {"count", "sum", "min", "max"}
     for out, (_, fn) in aggs.items():
         if fn not in allowed:
             raise ValueError(f"{out}: unsupported salted aggregate {fn!r}")
-    salt = (
-        salt_expr
-        if salt_expr is not None
-        else F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
-    )
+    salt = salt_expr if salt_expr is not None else default_salt(n_salts)
     partial_cols = []
     merge_cols = []
     for out, (col, fn) in aggs.items():

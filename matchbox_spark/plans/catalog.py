@@ -411,7 +411,12 @@ class Catalog:
                 .collect()
             )
             fingerprint = fold_unordered_stats(stats)
-            if self._fingerprint_gate(step, fingerprint):
+            try:
+                skip = self._fingerprint_gate(step, fingerprint)
+            except FingerprintMismatchError:
+                self._release_assign_temp()
+                raise
+            if skip:
                 self._release_assign_temp()
                 return
             counts = {r["_bkt"]: r["n"] for r in stats}
@@ -446,7 +451,12 @@ class Catalog:
                     .collect()
                 )
                 fingerprint = fold_unordered_stats(stats)
-            if self._fingerprint_gate(step, fingerprint):
+            try:
+                skip = self._fingerprint_gate(step, fingerprint)
+            except FingerprintMismatchError:
+                index.unpersist()
+                raise
+            if skip:
                 index.unpersist()
                 return
             new = index.select("cluster_hash").join(
@@ -622,7 +632,12 @@ class Catalog:
                 .select(F.col("m").cast("array<string>").alias("members"))
             )
             fingerprint = hash_table_unordered(canon)
-        if self._fingerprint_gate(step, fingerprint):
+        try:
+            skip = self._fingerprint_gate(step, fingerprint)
+        except FingerprintMismatchError:
+            assignments.unpersist()
+            raise
+        if skip:
             assignments.unpersist()
             return
 
@@ -682,15 +697,17 @@ class Catalog:
         first_hierarchy_insert = self._contains_empty
         if not self._clusters_empty:
             new = new.join(self.clusters, "cluster_hash", "left_anti")
-        # PERSIST, not eager checkpoint: the batch size (id watermark) is
-        # already known driver-side from the assignment's bucket counts, so
-        # nothing needs this plan to run as its own job — the cache fills
-        # inside the batch_contains materialisation below (roots joins
-        # through it), fusing what used to be two serial jobs into one.
-        # Recomputation on cache eviction is deterministic (content-ordered
-        # ids from a fixed watermark base). O(new clusters) — tiny.
-        assigned = (
-            self._assign_ids(new).select("cluster_id", "cluster_hash").persist()
+        # LAZY checkpoint, not persist/eager-checkpoint: the batch size (id
+        # watermark) is already known driver-side from the assignment's
+        # bucket counts, so nothing needs this plan to run as its own job —
+        # it materialises inside the batch_contains job below (roots joins
+        # through it), fusing what used to be two serial jobs into one. A
+        # checkpoint, unlike a persist, leaves no cache entry behind once
+        # the insert returns — the clusters delta keeps reading the
+        # checkpointed data until compaction. O(new clusters) — tiny.
+        assigned = self._ckpt(
+            self._assign_ids(new).select("cluster_id", "cluster_hash"),
+            eager=False,
         )
         self._append("clusters", assigned, materialised=True)
         self._clusters_empty = False
