@@ -1,0 +1,338 @@
+"""Generate the Splink-parity score fixture (tests/fixtures/splink_*).
+
+Writes a frozen dataset of pairwise match scores computed by an
+INDEPENDENT, pure-Python implementation of Splink's documented prediction
+semantics — written from Splink's public mathematical documentation
+(Fellegi–Sunter match weights, first-match-wins comparison levels,
+``is_null_level`` = no evidence, term-frequency adjustment with the
+greater of the two value frequencies raised to ``tf_adjustment_weight``)
+and sharing NO code with ``matchbox_spark.operators.probabilistic``. The
+parity test (tests/test_splink_fixture.py) runs ``SplinkCompatLinker``
+over the same records/settings and asserts per-pair score equality, so
+the settings-dict semantics of the reference's SplinkLinker
+(splinklinker.py:56-175) are pinned by frozen DATA, not by re-deriving
+the same formulas inside the test.
+
+Real Splink is not installable in this environment (documented in
+README); this fixture is the closest independently-derived stand-in:
+two separate implementations of the published semantics agreeing
+pairwise on concrete records, frozen so any engine regression breaks
+against data it cannot re-derive.
+
+Run: python tools/make_splink_fixture.py   (idempotent, seeded)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import random
+
+import pandas as pd
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures")
+
+PRIOR = 0.01
+
+SETTINGS = {
+    "link_type": "link_only",
+    "probability_two_random_records_match": PRIOR,
+    "blocking_rules_to_generate_predictions": [
+        'l."surname" = r."surname"',
+        'l."dob" = r."dob"',
+    ],
+    "comparisons": [
+        {
+            "output_column_name": "first_name",
+            "comparison_levels": [
+                {
+                    "sql_condition": (
+                        'l."first_name" IS NULL OR r."first_name" IS NULL'
+                    ),
+                    "is_null_level": True,
+                },
+                {
+                    "sql_condition": 'l."first_name" = r."first_name"',
+                    "m_probability": 0.90,
+                    "u_probability": 0.02,
+                    "tf_adjustment_column": "first_name",
+                    "tf_adjustment_weight": 1.0,
+                },
+                {
+                    "sql_condition": (
+                        'levenshtein(l."first_name", r."first_name") <= 2'
+                    ),
+                    "m_probability": 0.60,
+                    "u_probability": 0.10,
+                    "tf_adjustment_column": "first_name",
+                    "tf_adjustment_weight": 0.5,
+                },
+                {
+                    "sql_condition": "ELSE",
+                    "m_probability": 0.05,
+                    "u_probability": 0.88,
+                },
+            ],
+        },
+        {
+            "output_column_name": "dob",
+            "comparison_levels": [
+                {
+                    "sql_condition": 'l."dob" IS NULL OR r."dob" IS NULL',
+                    "is_null_level": True,
+                },
+                {
+                    "sql_condition": 'l."dob" = r."dob"',
+                    "m_probability": 0.95,
+                    "u_probability": 0.01,
+                },
+                {
+                    "sql_condition": (
+                        'substr(l."dob", 1, 7) = substr(r."dob", 1, 7)'
+                    ),
+                    "m_probability": 0.70,
+                    "u_probability": 0.05,
+                },
+                {
+                    "sql_condition": "ELSE",
+                    "m_probability": 0.02,
+                    "u_probability": 0.94,
+                },
+            ],
+        },
+        {
+            "output_column_name": "city",
+            "comparison_levels": [
+                {
+                    "sql_condition": 'l."city" IS NULL OR r."city" IS NULL',
+                    "is_null_level": True,
+                },
+                {
+                    "sql_condition": 'l."city" = r."city"',
+                    "m_probability": 0.80,
+                    "u_probability": 0.08,
+                    "tf_adjustment_column": "city",
+                    "tf_adjustment_weight": 0.5,
+                },
+                {
+                    "sql_condition": "ELSE",
+                    "m_probability": 0.20,
+                    "u_probability": 0.92,
+                },
+            ],
+        },
+    ],
+}
+
+
+def make_records() -> tuple[pd.DataFrame, pd.DataFrame]:
+    rng = random.Random(42)
+    first_names = [
+        "john", "jane", "ahmed", "maria", "chen", "fatima", "ivan",
+        "sofia", "liam", "noor",
+    ]
+    surnames = ["smith", "jones", "garcia", "khan", "li", "novak", "okafor"]
+    # skewed city distribution: "london" common (TF downweights a match),
+    # "slough" rare (TF upweights)
+    cities = ["london"] * 6 + ["leeds"] * 2 + ["york", "slough"]
+
+    def dob(rng):
+        return (
+            f"19{rng.randint(50, 99):02d}-"
+            f"{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
+        )
+
+    left_rows, right_rows = [], []
+    for i in range(40):
+        fn = rng.choice(first_names)
+        sn = rng.choice(surnames)
+        d = dob(rng)
+        ct = rng.choice(cities)
+        left_rows.append((i + 1, fn, sn, d, ct))
+        # ~half the right records are perturbed copies of a left record
+        # (same surname or dob keeps them inside a blocking rule)
+        if rng.random() < 0.5:
+            fn2 = fn
+            roll = rng.random()
+            if roll < 0.25:
+                fn2 = fn[:-1] + "x"  # levenshtein-1 typo
+            elif roll < 0.35:
+                fn2 = None  # null level
+            elif roll < 0.45:
+                fn2 = rng.choice(first_names)  # likely ELSE
+            d2 = d
+            if rng.random() < 0.25:
+                d2 = d[:8] + f"{rng.randint(1, 28):02d}"  # same month
+            elif rng.random() < 0.1:
+                d2 = None
+            ct2 = ct if rng.random() < 0.7 else rng.choice(cities)
+            right_rows.append((1000 + i, fn2, sn, d2, ct2))
+        else:
+            right_rows.append(
+                (
+                    1000 + i,
+                    rng.choice(first_names + [None]),
+                    rng.choice(surnames),
+                    dob(rng) if rng.random() > 0.1 else None,
+                    rng.choice(cities + [None]),
+                )
+            )
+    cols = ["id", "first_name", "surname", "dob", "city"]
+    return (
+        pd.DataFrame(left_rows, columns=cols),
+        pd.DataFrame(right_rows, columns=cols),
+    )
+
+
+# ---- independent reference implementation of Splink predict() ----------
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if a is None or b is None:
+        return 10**9
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _gamma(lrow, rrow):
+    """First-match-wins level index per comparison; -1 = null level."""
+    out = []
+    # first_name: null / exact / lev<=2 / else  (level numbering includes
+    # the null level, matching the engine's enumerate-based gamma values)
+    lf, rf = lrow["first_name"], rrow["first_name"]
+    if lf is None or rf is None:
+        out.append(-1)
+    elif lf == rf:
+        out.append(1)
+    elif _levenshtein(lf, rf) <= 2:
+        out.append(2)
+    else:
+        out.append(3)
+    ld, rd = lrow["dob"], rrow["dob"]
+    if ld is None or rd is None:
+        out.append(-1)
+    elif ld == rd:
+        out.append(1)
+    elif ld[:7] == rd[:7]:
+        out.append(2)
+    else:
+        out.append(3)
+    lc, rc = lrow["city"], rrow["city"]
+    if lc is None or rc is None:
+        out.append(-1)
+    elif lc == rc:
+        out.append(1)
+    else:
+        out.append(2)
+    return tuple(out)
+
+
+def reference_predict(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Pure-Python Splink predict: blocking → gamma → FS posterior → TF."""
+    lrec = left.where(pd.notnull(left), None).to_dict("records")
+    rrec = right.where(pd.notnull(right), None).to_dict("records")
+
+    # blocking: union of rules, SQL null-rejecting equality, pair-dedupe
+    pairs = {}
+    for lr in lrec:
+        for rr in rrec:
+            if (
+                lr["surname"] is not None and lr["surname"] == rr["surname"]
+            ) or (lr["dob"] is not None and lr["dob"] == rr["dob"]):
+                pairs[(lr["id"], rr["id"])] = (lr, rr)
+
+    # term frequencies over the vertical concat of both inputs (non-null)
+    tf = {}
+    for col in ("first_name", "city"):
+        vals = [r[col] for r in lrec + rrec if r[col] is not None]
+        total = len(vals) or 1
+        freq = {}
+        for v in vals:
+            freq[v] = freq.get(v, 0) + 1
+        tf[col] = {v: n / total for v, n in freq.items()}
+
+    comps = SETTINGS["comparisons"]
+    m = [
+        [lvl.get("m_probability", 1.0) for lvl in c["comparison_levels"]]
+        for c in comps
+    ]
+    u = [
+        [lvl.get("u_probability", 1.0) for lvl in c["comparison_levels"]]
+        for c in comps
+    ]
+    tf_conf = [
+        [
+            (lvl.get("tf_adjustment_column"), lvl.get("tf_adjustment_weight", 1.0))
+            for lvl in c["comparison_levels"]
+        ]
+        for c in comps
+    ]
+
+    rows = []
+    for (lid, rid), (lr, rr) in sorted(pairs.items()):
+        g = _gamma(lr, rr)
+        pm, pu = PRIOR, 1 - PRIOR
+        for i, gi in enumerate(g):
+            if gi < 0:
+                continue
+            pm *= m[i][gi]
+            pu *= u[i][gi]
+        score = pm / (pm + pu)
+        # TF adjustment in log-odds space (greater of the two value
+        # frequencies; weight w; u_level is the average collision rate)
+        p = min(max(score, 1e-15), 1 - 1e-15)
+        logodds = math.log(p / (1 - p))
+        for i, gi in enumerate(g):
+            if gi < 0:
+                continue
+            tf_col, w = tf_conf[i][gi]
+            if not tf_col:
+                continue
+            tl = tf[tf_col].get(lr[tf_col])
+            tr = tf[tf_col].get(rr[tf_col])
+            vals = [v for v in (tl, tr) if v is not None]
+            if not vals:
+                continue
+            tf_v = max(vals)
+            logodds += w * (math.log(u[i][gi]) - math.log(tf_v))
+        adjusted = 1.0 / (1.0 + math.exp(-logodds))
+        rows.append((lid, rid, adjusted, *g))
+    return pd.DataFrame(
+        rows, columns=["left_id", "right_id", "score", "g0", "g1", "g2"]
+    )
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    left, right = make_records()
+    scores = reference_predict(left, right)
+    left.to_parquet(os.path.join(OUT, "splink_left.parquet"), index=False)
+    right.to_parquet(os.path.join(OUT, "splink_right.parquet"), index=False)
+    scores.to_parquet(os.path.join(OUT, "splink_scores.parquet"), index=False)
+    with open(os.path.join(OUT, "splink_settings.json"), "w") as f:
+        json.dump(SETTINGS, f, indent=2)
+    # coverage summary: the fixture must exercise every semantic branch
+    cov = {
+        "pairs": len(scores),
+        "tf_exact_first_name": int((scores.g0 == 1).sum()),
+        "fuzzy_first_name": int((scores.g0 == 2).sum()),
+        "else_first_name": int((scores.g0 == 3).sum()),
+        "null_first_name": int((scores.g0 == -1).sum()),
+        "null_dob": int((scores.g1 == -1).sum()),
+        "month_dob": int((scores.g1 == 2).sum()),
+        "tf_city": int((scores.g2 == 1).sum()),
+    }
+    print(json.dumps(cov, indent=2))
+    assert all(v > 0 for v in cov.values()), "fixture misses a branch"
+
+
+if __name__ == "__main__":
+    main()
