@@ -3265,6 +3265,195 @@ def m5_real_decode(spark, sf):
     )
 
 
+@_q(
+    "m6_malformed_media",
+    """WITH h AS (
+         SELECT doc_id,
+                CAST('0x' || substr(sha256(text), 7, 2) AS INT) AS b3,
+                CAST('0x' || substr(sha256(text), 9, 2) AS INT) AS b4,
+                CAST('0x' || substr(sha256(text), 11, 2) AS INT) AS b5,
+                octet_length(encode(text)) AS tlen,
+                doc_id % 8 AS c
+         FROM documents WHERE doc_id < 400
+       ), d AS (
+         SELECT doc_id, c, tlen,
+                4 + b3 % 13 AS w, 4 + b4 % 13 AS ht,
+                8 * (1 + b5 % 32) AS ns
+         FROM h
+       )
+       SELECT doc_id,
+         CASE c WHEN 0 THEN 'image/bmp'
+                WHEN 1 THEN 'image/x-portable-pixmap'
+                WHEN 2 THEN 'audio/wav'
+                WHEN 3 THEN 'image/bmp'
+                WHEN 4 THEN 'image/bmp'
+                WHEN 5 THEN 'image/x-portable-pixmap'
+                WHEN 6 THEN 'audio/wav'
+                ELSE 'application/x-unknown' END AS media_type,
+         CAST(CASE c
+           WHEN 0 THEN 54 + ((3 * w + 3) // 4) * 4 * ht
+           WHEN 1 THEN 9 + length(CAST(w AS VARCHAR))
+                       + length(CAST(ht AS VARCHAR)) + 3 * w * ht
+           WHEN 2 THEN 44 + 2 * ns
+           WHEN 3 THEN 10
+           WHEN 4 THEN 34
+           WHEN 5 THEN 6
+           WHEN 6 THEN 36
+           ELSE tlen END AS BIGINT) AS n_bytes,
+         CAST(CASE WHEN c <= 1 THEN w END AS INT) AS width,
+         CAST(CASE WHEN c <= 1 THEN ht END AS INT) AS height,
+         CAST(CASE WHEN c = 2 THEN ns // 8 END AS BIGINT) AS duration_ms
+       FROM d""",
+)
+def m6_malformed_media(spark, sf):
+    """Mixed-format corpus with corrupt payloads through the REAL metadata
+    probes: every error branch of the BMP/PPM/WAV decoders
+    (operators/multimodal.py:76-137) is hit by a driver-oracle row — valid
+    BMP/PPM/WAV (header probe succeeds, oracle recomputes geometry/duration
+    from sha256(text)), truncated BMP (< header), wrong magic, truncated
+    PPM header, WAV missing its data chunk, and an unregistered media type.
+    A corrupt object yields null fields, never a task failure — the
+    contract a 100 TB scan over heterogeneous objects needs."""
+    import hashlib as _hl
+    import struct as _st
+
+    import numpy as _np
+    import pandas as _pd
+
+    from matchbox_spark.operators.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+        extract_media_metadata,
+    )
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 400).select(
+        "doc_id", "text"
+    )
+
+    def _make(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _hl.sha256(str(text).encode("utf-8")).digest()
+                c = int(doc_id) % 8
+                w, ht = 4 + h[3] % 13, 4 + h[4] % 13
+                ns = 8 * (1 + h[5] % 32)
+                solid = _np.full((ht, w, 3), (h[0], h[1], h[2]), _np.uint8)
+                if c == 0:
+                    payload, mt = encode_bmp(solid), "image/bmp"
+                elif c == 1:
+                    payload, mt = encode_ppm(solid), "image/x-portable-pixmap"
+                elif c == 2:
+                    payload, mt = encode_wav([0] * ns), "audio/wav"
+                elif c == 3:  # truncated below the BMP header
+                    payload, mt = encode_bmp(solid)[:10], "image/bmp"
+                elif c == 4:  # wrong magic bytes
+                    payload, mt = b"XX" + h, "image/bmp"
+                elif c == 5:  # PPM header cut mid-field
+                    payload, mt = b"P6\n12 ", "image/x-portable-pixmap"
+                elif c == 6:  # RIFF/WAVE with fmt but no data chunk
+                    payload = (
+                        b"RIFF" + _st.pack("<I", 28) + b"WAVE"
+                        + b"fmt " + _st.pack("<I", 16)
+                        + _st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                    )
+                    mt = "audio/wav"
+                else:  # no decoder registered for this type
+                    payload, mt = (
+                        str(text).encode("utf-8"), "application/x-unknown"
+                    )
+                rows.append((int(doc_id), payload, mt))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "payload", "media_type"]
+            )
+
+    payloads = d.mapInPandas(
+        _make, "doc_id long, payload binary, media_type string"
+    )
+    return extract_media_metadata(payloads).select(
+        "doc_id", "media_type", "n_bytes", "width", "height", "duration_ms"
+    )
+
+
+@_q(
+    "m7_decode_stats_malformed",
+    """WITH h AS (
+         SELECT doc_id,
+                CAST('0x' || substr(sha256(text), 1, 2) AS INT) AS b0,
+                CAST('0x' || substr(sha256(text), 3, 2) AS INT) AS b1,
+                CAST('0x' || substr(sha256(text), 5, 2) AS INT) AS b2,
+                CAST('0x' || substr(sha256(text), 7, 2) AS INT) AS b3,
+                CAST('0x' || substr(sha256(text), 9, 2) AS INT) AS b4,
+                doc_id % 5 AS c
+         FROM documents WHERE doc_id < 400
+       )
+       SELECT doc_id,
+         CAST(CASE WHEN c <= 1 THEN 4 + b3 % 13 END AS INT) AS width,
+         CAST(CASE WHEN c <= 1 THEN 4 + b4 % 13 END AS INT) AS height,
+         CAST(CASE WHEN c <= 1 THEN b0 END AS DOUBLE) AS mean_r,
+         CAST(CASE WHEN c <= 1 THEN b1 END AS DOUBLE) AS mean_g,
+         CAST(CASE WHEN c <= 1 THEN b2 END AS DOUBLE) AS mean_b
+       FROM h""",
+)
+def m7_decode_malformed(spark, sf):
+    """Pixel-decode error branches through the driver oracle: valid BMP and
+    PPM rasters decode FOR REAL (solid colour — channel means equal the
+    digest bytes exactly), while truncated BMP (struct.error), garbage PPM
+    magic (ValueError), and an unregistered pixel type all land as
+    null-stat rows (operators/multimodal.py:267-294) instead of task
+    failures."""
+    import hashlib as _hl
+
+    import numpy as _np
+    import pandas as _pd
+
+    from matchbox_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 400).select(
+        "doc_id", "text"
+    )
+
+    def _make(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _hl.sha256(str(text).encode("utf-8")).digest()
+                c = int(doc_id) % 5
+                w, ht = 4 + h[3] % 13, 4 + h[4] % 13
+                solid = _np.full((ht, w, 3), (h[0], h[1], h[2]), _np.uint8)
+                if c == 0:
+                    payload, mt = encode_bmp(solid), "image/bmp"
+                elif c == 1:
+                    payload, mt = encode_ppm(solid), "image/x-portable-pixmap"
+                elif c == 2:  # header truncated mid-struct
+                    payload, mt = encode_bmp(solid)[:10], "image/bmp"
+                elif c == 3:  # wrong magic for the declared type
+                    payload, mt = b"XX" + h, "image/x-portable-pixmap"
+                else:  # valid raster, but no pixel decoder for the type
+                    payload, mt = encode_bmp(solid), "image/jpeg"
+                rows.append((int(doc_id), payload, mt))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "payload", "media_type"]
+            )
+
+    payloads = d.mapInPandas(
+        _make, "doc_id long, payload binary, media_type string"
+    )
+    return decode_image_stats(payloads).select(
+        "doc_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 4: PII scrubbing, contamination detection, BM25 keyword search,
 # grouping-sets analytics, windowed running aggregates, exact percentiles,

@@ -1,0 +1,82 @@
+"""Run every stress harness as one suite with assertion exit codes.
+
+``--quick`` shrinks each harness to a CI-sized tier (the whole suite under
+~5 minutes on local[32]; harnesses run up to 4 at a time — separate JVMs,
+the box has the cores and memory) and exits 0 iff every harness exits 0.
+``--full`` runs the published full sizes sequentially (the numbers quoted
+in COVERAGE.md / README).
+
+Usage:
+    python tools/stress_all.py --quick
+    python tools/stress_all.py --full
+    python tools/stress_all.py --quick --only cc,dedup
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+# name → (quick argv, full argv)
+HARNESSES: dict[str, tuple[list[str], list[str]]] = {
+    "cc": (["200", "50"], []),                       # rings × ring_size
+    "dedup": (["5000", "20"], []),                   # docs, words
+    "ann": (["5000", "10"], []),                     # vectors, queries
+    "pipeline": (["50000", "10"], []),               # rows, group size
+    "curation": (["200000"], []),                    # rows
+    "round4": (["50000", "200000"], []),             # docs, events
+    "streaming": (["4", "5000"], []),                # batches, rows/batch
+    "streaming_resolve": (["6", "100", "10"], []),   # batches, groups, rows
+}
+
+
+def run_one(name: str, args: list[str]) -> tuple[str, int, float]:
+    t0 = time.monotonic()
+    proc = subprocess.run(
+        [sys.executable, f"tools/stress_{name}.py", *args],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    dt = time.monotonic() - t0
+    if proc.returncode != 0:
+        tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-15:])
+        print(f"--- {name} FAILED (exit {proc.returncode}) ---\n{tail}")
+    return name, proc.returncode, dt
+
+
+def main() -> int:
+    quick = "--quick" in sys.argv
+    full = "--full" in sys.argv
+    if quick == full:
+        print(__doc__)
+        return 2
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    jobs = {
+        n: (q if quick else f)
+        for n, (q, f) in HARNESSES.items()
+        if only is None or n in only
+    }
+    results = []
+    if quick:
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            futs = [ex.submit(run_one, n, a) for n, a in jobs.items()]
+            results = [f.result() for f in futs]
+    else:
+        results = [run_one(n, a) for n, a in jobs.items()]
+    width = max(len(n) for n in jobs)
+    bad = 0
+    for name, rc, dt in sorted(results, key=lambda r: r[0]):
+        status = "PASS" if rc == 0 else f"FAIL({rc})"
+        print(f"{name:<{width}}  {status:<8} {dt:6.1f}s")
+        bad += rc != 0
+    print(f"{len(results) - bad}/{len(results)} harnesses passed")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

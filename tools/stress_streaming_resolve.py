@@ -1,0 +1,154 @@
+"""Streaming-ER stress: delta-link resolve must stay flat per batch.
+
+Feeds N equal micro-batches through ``incremental_resolve_stream`` in
+delta-link mode (``blocking_fields`` set) with accumulated state growing
+every batch. Asserts:
+
+1. **Flat per-batch wall time** — batch k's cost is O(batch blocks +
+   resolved entities), never O(accumulated corpus): the tail/head duration
+   ratio must stay under the ramp bound (full mode, which re-runs the model
+   over everything, ramps linearly here by construction). Medians, not
+   means: the catalog's delta compaction (every `_COMPACT_WIDTH` appends)
+   lands its amortised O(total) cost on single batches — observed as
+   isolated ~2× spikes that return to baseline — and a mean over a 3-batch
+   tail can land entirely on one (the 12-batch run did exactly that). The
+   residual median drift is the DISCLOSED O(resolved entities) term
+   (streaming/incremental.py:184): 24 batches, entities 1.6k→9.6k,
+   median ≈9.5→12.9 s.
+2. **Bridging merge across old state** — a late batch carries one record
+   sharing field ``a`` with a cluster formed in batch 3 and field ``b``
+   with a cluster formed in batch 0; the prior-component star edges must
+   merge the two old clusters through it (streaming/incremental.py:139).
+
+Layout per batch: G groups × R rows on field ``a`` (unique to the batch, so
+delta pruning keeps per-batch model input at one batch); field ``b`` unique
+per row except batch 0's group 0, which shares a ``b`` block the bridge
+record later joins.
+
+Usage: python tools/stress_streaming_resolve.py [n_batches] [groups] [rows_per_group]
+       python tools/stress_streaming_resolve.py --quick
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from matchbox_spark.operators.dedupers import NaiveDeduper  # noqa: E402
+from matchbox_spark.plans.catalog import Catalog  # noqa: E402
+from matchbox_spark.plans.query import unified_query  # noqa: E402
+from matchbox_spark.plans.resolvers import Components  # noqa: E402
+from matchbox_spark.session import get_spark  # noqa: E402
+from matchbox_spark.streaming.incremental import (  # noqa: E402
+    incremental_resolve_stream,
+)
+
+
+class TwoPassDeduper:
+    """OR of two single-field naive passes — a record can bridge clusters."""
+
+    def dedupe(self, data):
+        a = NaiveDeduper(id="id", unique_fields=["s_a"]).dedupe(data)
+        b = NaiveDeduper(id="id", unique_fields=["s_b"]).dedupe(data)
+        return a.unionByName(b).dropDuplicates(["left_id", "right_id"])
+
+
+def main(n_batches: int = 24, groups: int = 400, rows_per_group: int = 20) -> int:
+    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="stress_resolve_")
+    src, ckpt = f"{work}/in", f"{work}/ckpt"
+    rows_per_batch = groups * rows_per_group
+    bridge_batch = n_batches - 1
+    try:
+        for b in range(n_batches):
+            batch = spark.range(rows_per_batch).selectExpr(
+                f"id + {b} * {rows_per_batch} as k",
+                f"concat('A{b}_', cast(id % {groups} as string)) as a",
+                # field b: unique per row EXCEPT batch 0 group 0 → 'BB' block
+                f"""if({b} = 0 and id % {groups} = 0,
+                      concat('BB_', cast(id as string)),
+                      concat('B{b}_', cast(id as string))) as b""",
+            )
+            if b == bridge_batch:
+                bridge = spark.createDataFrame(
+                    [(10**9, "A3_0", "BB_0")], "k long, a string, b string"
+                )
+                batch = batch.unionByName(bridge)
+            batch.coalesce(1).write.mode("append").parquet(src)
+
+        catalog = Catalog(spark)
+        stream = (
+            spark.readStream.schema("k long, a string, b string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = incremental_resolve_stream(
+            stream,
+            catalog,
+            source_step="s",
+            key_field="k",
+            index_fields=["a", "b"],
+            model=TwoPassDeduper(),
+            resolver_method=Components(method="auto"),
+            checkpoint_dir=ckpt,
+            source_location=src,
+            blocking_fields=["s_a", "s_b"],
+        )
+        q.awaitTermination(3600)
+
+        durs = [
+            p["batchDuration"] / 1000.0
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        ]
+        import statistics
+
+        print(f"batches={len(durs)} rows/batch={rows_per_batch}")
+        print("per-batch sec:", " ".join(f"{d:.1f}" for d in durs))
+        # medians: compaction spikes are amortised one-batch outliers that
+        # a short mean window can land on entirely (see module docstring)
+        k = max(3, min(5, len(durs) // 3))
+        head = statistics.median(durs[1:1 + k])  # skip batch 0 (cold JVM)
+        tail = statistics.median(durs[-k:])
+        ramp = tail / head if head else float("inf")
+        print(
+            f"head(median b1-{k})={head:.1f}s "
+            f"tail(median last{k})={tail:.1f}s ramp={ramp:.2f}x"
+        )
+
+        ids = unified_query(
+            cat := catalog, ["s_resolve", "s_model", "s"], ["s"], level="key"
+        )
+        sizes = (
+            ids.groupBy("id").agg(F.count("*").alias("n")).groupBy("n").count()
+        ).collect()
+        by_size = {r["n"]: r["count"] for r in sizes}
+        n_entities = sum(by_size.values())
+        print(f"entities={n_entities} size-histogram={dict(sorted(by_size.items()))}")
+
+        # bridge merged batch-0-group-0 and batch-3-group-0 into ONE entity
+        exp_entities = n_batches * groups - 1
+        assert n_entities == exp_entities, (n_entities, exp_entities)
+        merged = by_size.get(2 * rows_per_group + 1, 0)
+        assert merged == 1, f"expected exactly one bridged cluster, got {merged}"
+        assert by_size.get(rows_per_group, 0) == n_batches * groups - 2
+
+        ok = ramp < 2.0
+        print("FLAT OK" if ok else "RAMP DETECTED")
+        return 0 if ok else 1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    if "--quick" in sys.argv:
+        raise SystemExit(main(6, 100, 10))
+    args = [int(a) for a in sys.argv[1:4]]
+    raise SystemExit(main(*args))
