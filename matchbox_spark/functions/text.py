@@ -126,29 +126,48 @@ def token_count_expr(col: Column | str) -> Column:
     return F.size(tokens_expr(col))
 
 
+def bind_once(value: Column, fn) -> Column:
+    """Evaluate ``value`` ONCE per row and pass it to ``fn`` as a bound
+    lambda variable.
+
+    The antidote to a Catalyst trap: referencing an expression from inside
+    a higher-order-function lambda inlines it PER ELEMENT (a transform over
+    ``sequence(1, size(toks))`` whose lambda slices ``toks`` re-tokenises
+    the whole document at every position — O(len²) work that measured ~6×
+    on the MinHash path). A higher-order function's ARGUMENT, by contrast,
+    is evaluated once and the lambda variable is a cheap bound reference —
+    so wrap the value in a 1-element array, transform it, take element 1.
+    """
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
 def word_shingles_expr(col: Column | str, n: int = 3) -> Column:
     """All n-word shingles (space-joined) of the text; [] when too short."""
-    toks = tokens_expr(col)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return bind_once(
+        tokens_expr(col),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def char_ngrams_expr(col: Column | str, n: int = 5) -> Column:
     """All character n-grams of the lowercased text."""
     c = F.col(col) if isinstance(col, str) else col
-    low = F.lower(c)
-    return F.when(
-        F.length(low) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.length(low) - (n - 1)),
-            lambda i: F.substring(low, i, n).cast("string"),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return bind_once(
+        F.lower(c),
+        lambda low: F.when(
+            F.length(low) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(low) - (n - 1)),
+                lambda i: F.substring(low, i, n).cast("string"),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def _stopword_hits(toks: Column, words: list[str]) -> Column:
@@ -354,17 +373,20 @@ def winnowing_fingerprints_expr(
     returns array<string> of distinct selected hashes (16 hex chars each).
     """
     grams = char_ngrams_expr(normalize_text_expr(col), k)
-    hashes = F.transform(grams, lambda g: F.substring(F.sha2(g, 256), 1, 16))
-    n_windows = F.size(hashes) - (window - 1)
-    return F.when(
-        n_windows >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n_windows),
-                lambda i: F.array_min(F.slice(hashes, i, window)),
-            )
-        ),
-    ).otherwise(F.array_distinct(hashes))
+    # bind_once: the hash array appears inside the window lambda — inlined,
+    # every window position would re-hash EVERY gram (O(len²) sha256)
+    return bind_once(
+        F.transform(grams, lambda g: F.substring(F.sha2(g, 256), 1, 16)),
+        lambda hashes: F.when(
+            F.size(hashes) - (window - 1) >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(hashes) - (window - 1)),
+                    lambda i: F.array_min(F.slice(hashes, i, window)),
+                )
+            ),
+        ).otherwise(F.array_distinct(hashes)),
+    )
 
 
 def repetition_stats(df, id_col: str, text_col: str):

@@ -227,16 +227,20 @@ def chunk_documents(
             f"overlap={overlap}"
         )
     stride = size - overlap
-    from matchbox_spark.functions.text import tokens_expr
+    from matchbox_spark.functions.text import bind_once, tokens_expr
 
-    arr = tokens_expr(text_col)
-    chunks = F.when(
-        F.size(arr) > 0,
-        F.transform(
-            F.sequence(F.lit(0), F.size(arr) - 1, F.lit(stride)),
-            lambda s: F.slice(arr, s + 1, size),
-        ),
-    ).otherwise(F.array().cast("array<array<string>>"))
+    # bind_once: the token array appears inside the chunk lambda — inlined,
+    # every chunk start would re-tokenise the whole document
+    chunks = bind_once(
+        tokens_expr(text_col),
+        lambda arr: F.when(
+            F.size(arr) > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - 1, F.lit(stride)),
+                lambda s: F.slice(arr, s + 1, size),
+            ),
+        ).otherwise(F.array().cast("array<array<string>>")),
+    )
     return df.select(
         F.col(id_col).cast("long").alias("doc"),
         F.posexplode(chunks).alias("chunk_idx", "_c"),

@@ -302,14 +302,34 @@ def minhash_signatures(
     int), then permutation p applies an affine map
     ``(A_p·base + B_p) mod P`` (P = 1e9+7; A_p, B_p derived from p) — one
     cryptographic hash plus ``num_perm`` integer ops per shingle instead of
-    ``num_perm`` hashes. All permuted values compute as one array column and
-    the signature is ``num_perm`` positional MIN aggregates in a single
-    groupBy — no row-multiplying explode, one shuffle on ``doc``. The md5 +
-    modular arithmetic recipe is ANSI-SQL portable, so the DuckDB oracle
-    states the identical permutation.
+    ``num_perm`` hashes. The whole signature computes per ROW with array
+    expressions (distinct-shingle array → base-hash array → array_min per
+    permutation): no explode, no shuffle at all. The md5 + modular
+    arithmetic recipe is ANSI-SQL portable, so the DuckDB oracle states
+    the identical permutation.
     """
-    sh = _doc_shingles(df, id_col, text_col, shingle_n)
     a, b = minhash_params(num_perm)
+    # One shuffle (the groupBy-doc min aggregate), not two: shingles dedupe
+    # INSIDE the per-row array (explode(array_distinct(…))) instead of a
+    # corpus-wide (doc, shingle) dropDuplicates exchange. The exploded rows
+    # + positional-min hash aggregate stay inside whole-stage codegen.
+    #
+    # Plan lessons, learned the hard way (both variants measured SLOWER
+    # than this form despite "fewer shuffles"): (1) per-row signature
+    # projections via num_perm × array_min(transform(base_col, …)) get
+    # merged by CollapseProject, inlining the md5 base array into every
+    # permutation — num_perm× the cryptographic work; (2) a single
+    # aggregate-fold with a zip_with accumulator evaluates md5 once but
+    # runs INTERPRETED (Spark higher-order functions allocate per lambda
+    # call, outside codegen) — 3× slower end-to-end than exploding. The
+    # map-side partial min aggregate makes the explode shuffle tiny:
+    # num_perm longs per doc per input partition.
+    sh = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.explode(
+            F.array_distinct(word_shingles_expr(text_col, shingle_n))
+        ).alias("sh"),
+    )
     base = (
         F.conv(F.substring(F.md5(F.col("sh")), 1, 15), 16, 10).cast("long")
         % MINHASH_P
@@ -329,7 +349,10 @@ def minhash_signatures(
     return (
         hashed.groupBy("doc")
         .agg(*mins)
-        .select("doc", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"))
+        .select(
+            "doc",
+            F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig"),
+        )
     )
 
 
