@@ -4964,6 +4964,12 @@ _TOUCHED_R5 = {
     "r1_default_run_query", "g4_leaf_expansion", "j11_match_lookup",
     "st1_incremental_index", "st7_incremental_resolve",
     "g1_connected_components",
+    # round-5 perf work: bind_once lambda fix (shingles/ngrams/chunking/
+    # winnowing), in-array MinHash shingle dedup, single-shuffle weighted
+    # linker
+    "d3_minhash_lsh", "d10_near_dup_canonical", "d2_ngram_jaccard",
+    "d7_contamination", "t6_winnowing", "c5_chunk_documents",
+    "j5_weighted_link",
 }
 
 

@@ -195,21 +195,46 @@ class WeightedDeterministicLinker(Linker):
             raise ValueError("WeightedDeterministicLinker requires weighted_comparisons")
         total = sum(wc.weight for wc in s.weighted_comparisons)
 
-        scored: list[DataFrame] = []
-        for wc in s.weighted_comparisons:
+        # ONE pair-keyed shuffle instead of three: the reference shape
+        # (per-rule pair-dedupe, then a score-sum aggregate,
+        # weighteddeterministic.py:85-145) shuffles the SAME (left, right)
+        # key once per rule plus once to merge. Tagging each raw join row
+        # with its rule index and collecting the DISTINCT rule set per pair
+        # in a single aggregate is set-equivalent: duplicate (pair, rule)
+        # rows (non-unique ids joining many-to-many) collapse in the set,
+        # and the weight sum folds over the ≤|rules| set against a literal
+        # weight array driver-side. collect_set partials combine map-side,
+        # so the exchange carries at most |rules| ints per pair.
+        tagged: list[DataFrame] = []
+        for i, wc in enumerate(s.weighted_comparisons):
             validate_comparison(wc.comparison)
-            pairs = _join_one_condition(
-                left, right, wc.comparison, s.left_id, s.right_id
-            ).dropDuplicates(["left_id", "right_id"])
-            scored.append(pairs.withColumn("score", F.lit(float(wc.weight))))
-
-        unioned = scored[0]
-        for other in scored[1:]:
+            tagged.append(
+                _join_one_condition(
+                    left, right, wc.comparison, s.left_id, s.right_id
+                ).select("left_id", "right_id", F.lit(i).alias("_rule"))
+            )
+        unioned = tagged[0]
+        for other in tagged[1:]:
             unioned = unioned.union(other)
 
+        weights = F.array(
+            *[F.lit(float(wc.weight)) for wc in s.weighted_comparisons]
+        )
         out = (
             unioned.groupBy("left_id", "right_id")
-            .agg((F.sum("score") / F.lit(float(total))).alias("score"))
+            .agg(F.collect_set("_rule").alias("_rules"))
+            .select(
+                "left_id",
+                "right_id",
+                (
+                    F.aggregate(
+                        "_rules",
+                        F.lit(0.0),
+                        lambda acc, r: acc + F.element_at(weights, r + 1),
+                    )
+                    / F.lit(float(total))
+                ).alias("score"),
+            )
             .where(F.col("score") >= F.lit(float(s.threshold)))
         )
         return finalise_edges(out, left, right, s.left_id, s.right_id)
