@@ -585,25 +585,53 @@ class Catalog:
     def insert_model_edges(
         self, step: str, edges: DataFrame, fingerprint: bytes | None = None
     ) -> None:
-        """Insert scored pair edges for a model step (insert.py:168-250)."""
-        if fingerprint is None:
-            fingerprint = hash_table_unordered(
-                edges.withColumn(
-                    "_pair", F.array_sort(F.array("left_id", "right_id"))
-                ).drop("left_id", "right_id")
-            )
-        if self._fingerprint_gate(step, fingerprint):
-            return
+        """Insert scored pair edges for a model step (insert.py:168-250).
+
+        Fast path (no stored fingerprint, plain append): the fingerprint
+        stats ride the edge delta's OWN materialisation as an Observation —
+        one execution of the (often expensive) edge plan instead of two
+        (a fingerprint job, then the lazy checkpoint re-running the plan at
+        the next action). A gate-skip after materialising wastes one
+        checkpoint of data that was identical anyway — the rare re-sync
+        case; the insert path stays one job.
+        """
         tagged = edges.select(
             F.lit(step).alias("step"), "left_id", "right_id", "score"
         )
-        if self._step_has_rows("model_edges", "step", step):
+        rewrite = self._step_has_rows("model_edges", "step", step)
+        materialised = False
+        if fingerprint is None:
+            # the reference fingerprint recipe: hash over (score, _pair)
+            # with _pair = sorted id pair, so (1,2) ≡ (2,1) (H3 semantics)
+            from pyspark.sql import Observation
+
+            pf = edges.withColumn(
+                "_pair", F.array_sort(F.array("left_id", "right_id"))
+            ).drop("left_id", "right_id")
+            h = row_hash_expr(pf.schema, sorted(pf.columns), "xxhash64")
+            obs = Observation()
+            observed = (
+                edges.withColumn(
+                    "_pair", F.array_sort(F.array("left_id", "right_id"))
+                )
+                .withColumn("_h", h)
+                .observe(obs, *unordered_stats_aggs())
+                .select(
+                    F.lit(step).alias("step"), "left_id", "right_id", "score"
+                )
+            )
+            tagged = self._ckpt(observed, eager=True)
+            fingerprint = fold_unordered_stats([obs.get])
+            materialised = True
+        if self._fingerprint_gate(step, fingerprint):
+            return
+        if rewrite:
             self._commit(
                 "model_edges",
                 self.model_edges.where(F.col("step") != step).unionByName(tagged),
             )
         else:
-            self._append("model_edges", tagged)
+            self._append("model_edges", tagged, materialised=materialised)
         self._step_rows["model_edges"].add(step)
         self.steps[step] = {
             "type": "model",
