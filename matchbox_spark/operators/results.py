@@ -93,16 +93,16 @@ def merge_clusterings(a: DataFrame, b: DataFrame) -> DataFrame:
             F.col("child_id").alias("dst"),
         )
     )
+    from matchbox_spark.functions.indexing import dense_index
+
     cc = connected_components(edges)
     leaves = cc.where(F.col("id") >= 0)
-    # Relabel components densely 1..k ordered by min member. JVM-side
-    # zip-with-index (same bucket-offset pattern as catalog._assign_ids,
-    # plans/catalog.py:294): range-partition for a total order, then
-    # per-partition row numbers plus driver-computed partition offsets —
-    # no global window over the data and no Python RDD round-trip. The
-    # eager checkpoint pins partition membership so the partition-id keys
-    # are stable across re-reads; the offset job collects one count per
-    # shuffle partition, a scale-independent driver transfer.
+    # Relabel components densely 1..k ordered by min member — JVM-side
+    # zip-with-index via the shared dense_index helper (the same pattern
+    # catalog._assign_ids rides). The eager checkpoint pins partition
+    # membership so the partition-id keys are stable across re-reads; the
+    # offset job collects one count per shuffle partition, a
+    # scale-independent driver transfer.
     mins = (
         leaves.groupBy("component")
         .agg(F.min("id").alias("_min_leaf"))
@@ -114,20 +114,10 @@ def merge_clusterings(a: DataFrame, b: DataFrame) -> DataFrame:
         r["_pid"]: r["_n"]
         for r in mins.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
     }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_df = leaves.sparkSession.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
-        "_pid int, _off long",
-    )
-    w = Window.partitionBy("_pid").orderBy("_min_leaf")
-    comp_ids = mins.join(F.broadcast(off_df), "_pid").select(
-        "component",
-        (F.row_number().over(w) + F.col("_off")).alias("parent_id"),
+    indexed, _ = dense_index(
+        mins, "_pid", "_min_leaf", counts, id_name="parent_id"
     )
     return (
-        leaves.join(comp_ids, "component")
+        leaves.join(indexed.select("component", "parent_id"), "component")
         .select("parent_id", F.col("id").alias("child_id"))
     )

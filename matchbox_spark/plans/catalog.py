@@ -38,6 +38,7 @@ from typing import Iterable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from matchbox_spark.functions.indexing import dense_index
 from matchbox_spark.functions.hashing import (
     fold_unordered_stats,
     hash_table_unordered,
@@ -309,8 +310,6 @@ class Catalog:
         along. The cached subtree is released by the caller via
         ``_release_assign_temp`` once the assignment materialises.
         """
-        from pyspark.sql import Window
-
         base = self._max_id
         if "_bkt" in new_hashes.columns:
             # caller pre-bucketed (and persisted) the input — e.g.
@@ -329,24 +328,19 @@ class Catalog:
                 .agg(F.count("*").alias("_n"))
                 .collect()
             }
-        offsets, acc = {}, 0
-        for bkt in sorted(counts):
-            offsets[bkt] = acc
-            acc += counts[bkt]
-        self._last_assigned_n = acc
-        off_df = self.spark.createDataFrame(
-            [(bkt, off) for bkt, off in offsets.items()] or [(0, 0)],
-            "_bkt int, _off long",
-        )
-        w = Window.partitionBy("_bkt").orderBy("cluster_hash")
         payload = [
             c for c in new_hashes.columns if c not in ("cluster_hash", "_bkt")
         ]
-        return bucketed.join(F.broadcast(off_df), "_bkt").select(
-            (F.row_number().over(w) + F.col("_off") + base).alias("cluster_id"),
+        indexed, acc = dense_index(
+            bucketed,
+            "_bkt",
             "cluster_hash",
-            *payload,
+            counts,
+            base=base,
+            id_name="cluster_id",
         )
+        self._last_assigned_n = acc
+        return indexed.select("cluster_id", "cluster_hash", *payload)
 
     def _bump_max_id(self, assigned: DataFrame) -> None:
         """Advance the id watermark by the new-assignment batch size — known
@@ -620,9 +614,17 @@ class Catalog:
                     F.lit(step).alias("step"), "left_id", "right_id", "score"
                 )
             )
-            tagged = self._ckpt(observed, eager=True)
-            fingerprint = fold_unordered_stats([obs.get])
-            materialised = True
+            # NOT routed through the exception-swallowing _ckpt: if the
+            # eager checkpoint fails, no action ever completes on the
+            # observed plan and obs.get would block the driver forever.
+            # On failure fall back to the two-job fingerprint path.
+            try:
+                tagged = observed.localCheckpoint(eager=True)
+            except Exception:  # noqa: BLE001 — same rare planning bug _ckpt guards
+                fingerprint = hash_table_unordered(pf)
+            else:
+                fingerprint = fold_unordered_stats([obs.get])
+                materialised = True
         if self._fingerprint_gate(step, fingerprint):
             return
         if rewrite:

@@ -181,3 +181,34 @@ def test_merge_clusterings_dense_relabel(spark):
     # dense 1..k labels ordered by min member
     assert sorted(groups) == [1, 2, 3]
     assert min(groups[1]) < min(groups[2]) < min(groups[3])
+
+
+def test_model_edge_insert_survives_checkpoint_failure(spark, monkeypatch):
+    """The fused fingerprint path must not hang when the eager checkpoint
+    fails (obs.get would block forever): it falls back to the two-job
+    fingerprint and a lazy append, producing the identical fingerprint."""
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9), (3, 4, 0.8)], "left_id long, right_id long, score float"
+    )
+    ok = Catalog(spark)
+    ok.insert_model_edges("m", edges)
+
+    broken = Catalog(spark)
+    # patch the CONCRETE DataFrame class (Spark 4 exposes an abstract base
+    # at pyspark.sql.DataFrame; instances are the classic subclass)
+    cls = type(edges)
+    real = cls.localCheckpoint
+    calls = {"n": 0}
+
+    def exploding(self, eager=True):
+        calls["n"] += 1
+        raise RuntimeError("simulated checkpoint planning failure")
+
+    monkeypatch.setattr(cls, "localCheckpoint", exploding)
+    try:
+        broken.insert_model_edges("m", edges)
+    finally:
+        monkeypatch.setattr(cls, "localCheckpoint", real)
+    assert calls["n"] >= 1
+    assert broken.steps["m"]["fingerprint"] == ok.steps["m"]["fingerprint"]
+    assert broken.model_edges.count() == 2
