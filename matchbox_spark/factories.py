@@ -107,6 +107,27 @@ class LinkedSourcesTestkit:
                     out.add((ka, kb))
         return out
 
+    def diff_model_edges(
+        self,
+        edges,
+        sources: list[str],
+        left_clusters: dict,
+        right_clusters: dict | None = None,
+        threshold: float = 0.0,
+    ) -> tuple[bool, dict]:
+        """Diff model edges against the kit's ground truth (reference
+        sources.py:226-261): union-find the thresholded edges into merged
+        entities (``scores_to_results_entities``), compare with the true
+        entity key sets restricted to ``sources`` via ``diff_entities``."""
+        expected: dict[int, set[str]] = {}
+        for s in sources:
+            for ent, keys in self.sources[s].expected_entity_keys().items():
+                expected.setdefault(ent, set()).update(keys)
+        actual = scores_to_results_entities(
+            edges, left_clusters, right_clusters, threshold
+        )
+        return diff_entities(expected.values(), actual)
+
 
 def make_true_entities(n: int, seed: int = 42) -> list[TrueEntity]:
     rng = random.Random(seed)
@@ -219,6 +240,90 @@ def diff_clusters(
     p = {frozenset(v) for v in produced.values()}
     e = {frozenset(v) for v in expected.values()}
     return p - e, e - p
+
+
+def scores_to_results_entities(
+    edges,
+    left_clusters: dict,
+    right_clusters: dict | None = None,
+    threshold: float = 0.0,
+) -> set[frozenset]:
+    """Union-find model edges at a threshold into merged key-set entities.
+
+    The reference's ``scores_to_results_entities`` (entities.py:526-563):
+    every input cluster joins the disjoint set (unmerged singletons emerge
+    as themselves), edges with ``score >= threshold`` union their
+    endpoints, and each component's key sets merge. ``left_clusters`` /
+    ``right_clusters`` map an edge-id to that input cluster's key set; for
+    raw source rows that is ``{key: {key}}``. ``edges`` is a DataFrame
+    with ``left_id/right_id/score`` or an iterable of such triples.
+    """
+    right = left_clusters if right_clusters is None else right_clusters
+    # namespace the two sides: reference ids are globally unique objects,
+    # plain dict keys may collide between left and right
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    nodes = {("l", i) for i in left_clusters} | {
+        ("l" if right_clusters is None else "r", i) for i in right
+    }
+    for n in nodes:
+        parent[n] = n
+    rows = (
+        edges.collect() if isinstance(edges, DataFrame) else list(edges)
+    )
+    rside = "l" if right_clusters is None else "r"
+    for r in rows:
+        left_id, right_id, score = r[0], r[1], r[2]
+        if score >= threshold:
+            union(("l", left_id), (rside, right_id))
+    comps: dict = {}
+    for side, i in nodes:
+        keys = left_clusters[i] if side == "l" else right[i]
+        comps.setdefault(find((side, i)), set()).update(keys)
+    return {frozenset(v) for v in comps.values()}
+
+
+def diff_entities(expected, actual) -> tuple[bool, dict]:
+    """Detailed clustering diff, the reference report contract
+    (entities.py:566-613): ``(identical, {})`` when the key-set families
+    match, else counts of actual entities that are ``perfect`` / ``subset``
+    / ``superset`` of an expected entity, ``invalid`` (carry keys no
+    expected entity has), or ``wrong`` (overlap expected keys but match no
+    containment relation)."""
+    expected_set = {frozenset(e) for e in expected}
+    actual_set = {frozenset(a) for a in actual}
+    if expected_set == actual_set:
+        return True, {}
+    all_expected = frozenset().union(*expected_set) if expected_set else frozenset()
+    perfect = expected_set & actual_set
+    report = {
+        "perfect": len(perfect),
+        "subset": 0,
+        "superset": 0,
+        "wrong": 0,
+        "invalid": 0,
+    }
+    for a in actual_set - perfect:
+        if any(a < e for e in expected_set):
+            report["subset"] += 1
+        elif not a <= all_expected:
+            report["invalid"] += 1
+        elif any(e < a for e in expected_set):
+            report["superset"] += 1
+        else:
+            report["wrong"] += 1
+    return False, report
 
 
 # ---------------------------------------------------------------------------

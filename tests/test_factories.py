@@ -97,3 +97,79 @@ def test_replace_rule_and_cleaning_roundtrip(spark):
     assert {(r["left_id"], r["right_id"]) for r in edges.collect()} == (
         src.expected_pairs(id_map)
     )
+
+
+def test_scored_linker_diff_model_edges(spark):
+    """Mirror of the reference's scored-linker contract
+    (test_linkers_probabilistic.py:198-280): at threshold 0 the weighted
+    linker recovers the ground truth EXACTLY (diff_model_edges identical);
+    at the mean score the result fragments into strict SUBSETS of true
+    entities with zero wrong and zero invalid merges."""
+    from matchbox_spark.factories import (
+        LinkedSourcesTestkit,
+        SuffixRule,
+        make_true_entities,
+        source_factory,
+    )
+    from matchbox_spark.operators.linkers import WeightedDeterministicLinker
+
+    entities = make_true_entities(10, seed=42)
+    kit = LinkedSourcesTestkit(true_entities=entities)
+    variations = {
+        "company_name": [SuffixRule(" Ltd"), SuffixRule(" Limited")]
+    }
+    for side in ("source_left", "source_right"):
+        kit.sources[side] = source_factory(
+            spark, side, entities, ["company_name", "crn"],
+            variations=variations, seed=42,
+        )
+    left, right = kit.sources["source_left"], kit.sources["source_right"]
+
+    linker = WeightedDeterministicLinker(
+        left_id="key",
+        right_id="key",
+        weighted_comparisons=[
+            {"comparison": "l.company_name = r.company_name", "weight": 1.0},
+            {"comparison": "l.crn = r.crn", "weight": 1.0},
+        ],
+        threshold=0.0,
+    )
+    edges = linker.link(left.data, right.data).collect()
+    scores = [float(r["score"]) for r in edges]
+    assert len(set(scores)) > 1, "expected varying scores"
+
+    lc = {k: {k} for k in left.key_to_entity}
+    rc = {k: {k} for k in right.key_to_entity}
+    srcs = ["source_left", "source_right"]
+
+    identical, report = kit.diff_model_edges(edges, srcs, lc, rc, threshold=0.0)
+    assert identical, f"expected perfect results, got {report}"
+
+    mean = sum(scores) / len(scores)
+    identical, report = kit.diff_model_edges(edges, srcs, lc, rc, threshold=mean)
+    assert not identical
+    assert report["subset"] > 0
+    assert report["wrong"] == 0
+    assert report["invalid"] == 0
+
+
+def test_diff_entities_report_categories(spark):
+    """Every report category of the reference's diff_entities
+    (entities.py:566-613) on a hand-built example."""
+    from matchbox_spark.factories import diff_entities
+
+    expected = [{"a", "b", "c"}, {"d", "e"}, {"f"}]
+    actual = [
+        {"a", "b", "c"},       # perfect
+        {"d"},                 # subset of {d, e}
+        {"f", "e"},            # superset: contains all of {f}
+        {"c", "d"},            # wrong: overlaps keys, no containment
+        {"x"},                 # invalid: unknown key
+    ]
+    identical, report = diff_entities(expected, actual)
+    assert not identical
+    assert report == {
+        "perfect": 1, "subset": 1, "superset": 1, "wrong": 1, "invalid": 1
+    }
+    ok, empty = diff_entities(expected, [set(s) for s in expected])
+    assert ok and empty == {}
