@@ -43,86 +43,80 @@ class MinHashLinker(Linker):
     settings_class = MinHashLinkerSettings
 
     def link(self, left: DataFrame, right: DataFrame) -> DataFrame:
+        from matchbox_spark.operators.dedup import minhash_signatures
+
         s = self.settings
         if s.num_perm % s.bands != 0:
             raise ValueError("num_perm must be divisible by bands")
         rpb = s.num_perm // s.bands
 
+        # numeric composite doc key (rid·2 + side bit) keeps sides separate
+        # through the shared signature pipeline without string surgery
         tagged = left.select(
-            F.lit("l").alias("side"),
-            F.col(s.left_id).cast("long").alias("rid"),
+            (F.col(s.left_id).cast("long") * 2).alias("doc_key"),
             F.col(s.left_field).alias("text"),
         ).unionByName(
             right.select(
-                F.lit("r").alias("side"),
-                F.col(s.right_id).cast("long").alias("rid"),
+                (F.col(s.right_id).cast("long") * 2 + 1).alias("doc_key"),
                 F.col(s.right_field).alias("text"),
             )
         )
-        # composite doc key keeps sides separate through the shared pipeline
-        docs = tagged.withColumn(
-            "doc_key", F.concat("side", F.lit(":"), F.col("rid").cast("string"))
-        )
 
-        sh = (
-            docs.select(
-                "doc_key",
-                F.explode(word_shingles_expr("text", s.shingle_n)).alias("sh"),
-            )
-            .dropDuplicates()
-        )
-        hashed = sh.select(
-            "doc_key",
-            F.explode(F.sequence(F.lit(0), F.lit(s.num_perm - 1))).alias("perm"),
-            "sh",
-        ).select(
-            "doc_key",
-            "perm",
-            F.substring(
-                F.sha2(
-                    F.concat(F.col("perm").cast("string"), F.lit("|"), F.col("sh")),
-                    256,
-                ),
-                1,
-                16,
-            ).alias("h"),
-        )
-        sigs = (
-            hashed.groupBy("doc_key", "perm")
-            .agg(F.min("h").alias("mh"))
-            .groupBy("doc_key")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("perm", "mh"))),
-                    lambda x: x["mh"],
-                ).alias("sig")
-            )
+        # signatures via the shared one-md5-per-shingle affine recipe
+        # (dedup.minhash_signatures): one shuffle, no per-permutation row
+        # explosion — the previous inline pipeline hashed every shingle
+        # once PER permutation (num_perm× the crypto work) and paid an
+        # extra (doc, shingle) dedup exchange
+        sigs = minhash_signatures(
+            tagged, "doc_key", "text", s.num_perm, s.shingle_n
         )
         banded = sigs.select(
-            "doc_key",
-            "sig",
+            "doc",
             F.explode(F.sequence(F.lit(0), F.lit(s.bands - 1))).alias("band"),
+            "sig",
         ).select(
-            "doc_key",
+            "doc",
             "band",
-            F.expr(f"array_join(slice(sig, band * {rpb} + 1, {rpb}), '|')").alias(
-                "band_key"
-            ),
+            # 8-byte band key (same rationale as minhash_lsh_candidates):
+            # slice equality ⇔ key equality modulo negligible collisions,
+            # and candidates are exact-Jaccard-verified downstream
+            F.xxhash64(
+                F.expr(f"slice(sig, band * {rpb} + 1, {rpb})")
+            ).alias("band_key"),
         )
-        a = banded.where(F.col("doc_key").startswith("l:")).select(
-            F.col("doc_key").alias("dk_l"), "band", "band_key"
+        a = banded.where(F.col("doc") % 2 == 0).select(
+            (F.col("doc") / 2).cast("long").alias("left_id"),
+            "band",
+            "band_key",
         )
-        b = banded.where(F.col("doc_key").startswith("r:")).select(
-            F.col("doc_key").alias("dk_r"), "band", "band_key"
+        b = banded.where(F.col("doc") % 2 == 1).select(
+            ((F.col("doc") - 1) / 2).cast("long").alias("right_id"),
+            "band",
+            "band_key",
         )
         cands = (
-            a.join(b, ["band", "band_key"]).select("dk_l", "dk_r").dropDuplicates()
+            a.join(b, ["band", "band_key"])
+            .select("left_id", "right_id")
+            .dropDuplicates()
         )
 
-        sets = sh.groupBy("doc_key").agg(F.collect_set("sh").alias("shset"))
+        sets = tagged.select(
+            "doc_key",
+            F.array_distinct(word_shingles_expr("text", s.shingle_n)).alias(
+                "shset"
+            ),
+        )
+        set_l = sets.where(F.col("doc_key") % 2 == 0).select(
+            (F.col("doc_key") / 2).cast("long").alias("left_id"),
+            F.col("shset").alias("set_l"),
+        )
+        set_r = sets.where(F.col("doc_key") % 2 == 1).select(
+            ((F.col("doc_key") - 1) / 2).cast("long").alias("right_id"),
+            F.col("shset").alias("set_r"),
+        )
         verified = (
-            cands.join(sets.withColumnsRenamed({"doc_key": "dk_l", "shset": "set_l"}), "dk_l")
-            .join(sets.withColumnsRenamed({"doc_key": "dk_r", "shset": "set_r"}), "dk_r")
+            cands.join(set_l, "left_id")
+            .join(set_r, "right_id")
             .withColumn(
                 "score",
                 F.size(F.array_intersect("set_l", "set_r"))
@@ -130,12 +124,9 @@ class MinHashLinker(Linker):
             )
             .where(F.col("score") >= F.lit(float(s.threshold)))
         )
-        out = verified.select(
-            F.split("dk_l", ":")[1].cast("long").alias("left_id"),
-            F.split("dk_r", ":")[1].cast("long").alias("right_id"),
-            "score",
+        return conform(
+            verified.select("left_id", "right_id", "score"), SCHEMA_MODEL_EDGES
         )
-        return conform(out, SCHEMA_MODEL_EDGES)
 
 
 @dataclass
