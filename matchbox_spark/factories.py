@@ -242,6 +242,44 @@ def diff_clusters(
     return p - e, e - p
 
 
+def make_scored_deduper(
+    id_col: str,
+    unique_fields: list[str],
+    score_range: tuple[float, float] = (0.5, 0.99),
+    seed: int = 42,
+):
+    """A deduper emitting ground-truth pairs with SEEDED varying scores.
+
+    The reference's ``query_to_model_factory`` analogue
+    (factories/models.py — synthetic probability edges over known truth,
+    ``score_range=(0.5, 0.99)``): pairs come from grouping on an
+    entity-stable field (truth by construction), scores derive
+    relationally from ``xxhash64(left, right, seed)`` scaled into the
+    range — deterministic, reproducible, no driver-side loop. Used by the
+    ``scored_dedupe`` / ``alt_dedupe`` scenarios.
+    """
+    from pyspark.sql import functions as F
+
+    from matchbox_spark.operators.dedupers import NaiveDeduper
+
+    class ScoredDeduper(NaiveDeduper):
+        def dedupe(self, data: DataFrame) -> DataFrame:
+            base = super().dedupe(data)
+            lo, hi = score_range
+            u = (
+                F.pmod(
+                    F.xxhash64("left_id", "right_id", F.lit(seed)),
+                    F.lit(1_000_000),
+                )
+                / 1_000_000.0
+            )
+            return base.withColumn(
+                "score", (F.lit(lo) + u * F.lit(hi - lo)).cast("float")
+            )
+
+    return ScoredDeduper(id=id_col, unique_fields=unique_fields)
+
+
 def scores_to_results_entities(
     edges,
     left_clusters: dict,

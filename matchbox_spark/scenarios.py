@@ -21,6 +21,20 @@ Scenario ladder (each includes the previous):
                  each with its own naive dedupe model + resolver (reference
                  ``convergent``: scenarios.py:763-910)
 - ``mega``       ``link`` at 4× entity count with repetition (stress shape)
+- ``scored_dedupe``  ``index`` + per-source SCORED dedupe models (seeded
+                 probability edges over known truth, score_range
+                 (0.5, 0.99)) + resolvers thresholded at 0.5 (reference
+                 scenarios.py:343)
+- ``alt_dedupe`` one suffix-varied, repeated source deduplicated TWICE by
+                 rival scored models (different seeds), each with its own
+                 resolver (reference scenarios.py:634)
+- ``convergent_partial``  the convergent sources indexed, with their naive
+                 dedupe models + resolvers DECLARED but results not yet
+                 inserted — the mid-pipeline state; a later ``dag.run()``
+                 completes them (reference scenarios.py:763)
+
+The reference's ``admin`` / ``closed_collection`` scenarios are auth/user
+states of the HTTP backend — n/a under this repo's no-server design stance.
 """
 
 from __future__ import annotations
@@ -37,7 +51,17 @@ from matchbox_spark.plans.query import QueryConfig
 from matchbox_spark.plans.resolvers import Components
 from matchbox_spark.sources.source import SourceConfig
 
-SCENARIOS = ("bare", "index", "dedupe", "link", "convergent", "mega")
+SCENARIOS = (
+    "bare",
+    "index",
+    "dedupe",
+    "link",
+    "convergent",
+    "mega",
+    "scored_dedupe",
+    "alt_dedupe",
+    "convergent_partial",
+)
 
 _CACHE: dict[tuple, "Scenario"] = {}
 
@@ -99,7 +123,8 @@ def scenario(
         n_true_entities = n_true_entities * 4
 
     resolver: str | None = None
-    if name != "convergent":
+    already_ran = False
+    if name not in ("convergent", "convergent_partial", "alt_dedupe"):
         kit = linked_sources_factory(
             spark, n_true_entities=n_true_entities, seed=seed
         )
@@ -130,12 +155,85 @@ def scenario(
             "resolve_linked", Components(method="auto"), ["link_crn_cdms"]
         )
         resolver = "resolve_linked"
-    if name == "convergent":
+    if name == "scored_dedupe":
+        # reference scenarios.py:343 — per-source SCORED dedupe models
+        # (seeded probability edges over known truth) + 0.5-threshold
+        # resolvers; mirrors query_to_model_factory + resolver_factory
+        from matchbox_spark.factories import make_scored_deduper
+
+        for sname, stable in (("crn", "crn_crn"), ("cdms", "cdms_crn")):
+            dag.model(
+                f"scored_{sname}",
+                make_scored_deduper("id", [stable], seed=seed),
+                QueryConfig(sources=[sources[sname]]),
+            )
+            dag.resolver(
+                f"resolver_scored_{sname}",
+                Components(
+                    method="auto", thresholds={f"scored_{sname}": 0.5}
+                ),
+                [f"scored_{sname}"],
+            )
+        resolver = "resolver_scored_crn"
+
+    if name == "alt_dedupe":
+        # reference scenarios.py:634 — ONE suffix-varied, repeated source
+        # deduplicated twice by rival scored models (different seeds)
+        from matchbox_spark.factories import (
+            SuffixRule,
+            make_scored_deduper,
+            make_true_entities,
+            source_factory,
+        )
+
+        entities = make_true_entities(n_true_entities, seed)
+        kit = LinkedSourcesTestkit(true_entities=entities)
+        dag = DAG(spark)
+        # crn is entity-stable while company_name varies — the scored
+        # models group on crn, so the base and " UK" content clusters of
+        # each entity form real pairs the rivals score differently
+        tk = source_factory(
+            spark,
+            "foo_a",
+            entities,
+            ["company_name", "crn"],
+            variations={"company_name": [SuffixRule(" UK")]},
+            repetition=1,
+            seed=seed,
+        )
+        kit.sources["foo_a"] = tk
+        tk.data.createOrReplaceTempView("__scenario_foo_a")
+        cfg = SourceConfig(
+            name="foo_a",
+            location="__scenario_foo_a",
+            key_field="key",
+            index_fields=["company_name", "crn"],
+            format="table",
+        )
+        dag.source(cfg)
+        sources = {"foo_a": cfg}
+        for i, mseed in enumerate((seed, seed + 1)):
+            dag.model(
+                f"alt_dedupe_{i}",
+                make_scored_deduper("id", ["foo_a_crn"], seed=mseed),
+                QueryConfig(sources=[cfg]),
+            )
+            dag.resolver(
+                f"resolver_alt_{i}",
+                Components(method="auto", thresholds={f"alt_dedupe_{i}": 0.5}),
+                [f"alt_dedupe_{i}"],
+            )
+        resolver = "resolver_alt_0"
+
+    if name in ("convergent", "convergent_partial"):
         # replace the default sources: foo_a and foo_b generate IDENTICALLY
         # (same entity universe, same features, repetition) so their indexed
         # rows share content hashes — indexing foo_b adds keys to existing
         # clusters, not new clusters; each source gets its own naive dedupe
-        # model + resolver (reference convergent scenario shape)
+        # model + resolver (reference convergent scenario shape).
+        # ``convergent_partial``: sources run FIRST, then models/resolvers
+        # are declared but NOT run — the reference's "results not yet
+        # inserted" mid-pipeline state (scenarios.py:763).
         from matchbox_spark.factories import (
             SuffixRule,
             make_true_entities,
@@ -168,10 +266,14 @@ def scenario(
             )
             dag.source(cfg)
             sources[sname] = cfg
+        if name == "convergent_partial":
+            dag.run()  # sources only — models declared below stay pending
+            already_ran = True
+        for sname in ("foo_a", "foo_b"):
             dag.model(
                 f"naive_{sname}",
                 NaiveDeduper(id="id", unique_fields=[f"{sname}_company_name"]),
-                QueryConfig(sources=[cfg]),
+                QueryConfig(sources=[sources[sname]]),
             )
             dag.resolver(
                 f"resolver_naive_{sname}",
@@ -180,7 +282,7 @@ def scenario(
             )
         resolver = "resolver_naive_foo_a"
 
-    if name != "bare":
+    if name != "bare" and not already_ran:
         dag.run()
 
     built = Scenario(

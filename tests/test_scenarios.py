@@ -151,3 +151,81 @@ def test_mega_scales_and_links(spark):
 def test_all_scenarios_build(spark, name):
     s = scenario(spark, name)
     assert s.name == name
+
+
+def test_scored_dedupe_recovers_truth_with_varying_scores(spark):
+    """Reference 'scored_dedupe': per-source scored models whose edges all
+    clear the 0.5 resolver threshold — clusters equal the entity groups —
+    while scores genuinely vary inside (0.5, 0.99)."""
+    sc = scenario(spark, "scored_dedupe", n_true_entities=6)
+    edges = sc.catalog.model_edges.where(F.col("step") == "scored_crn")
+    scores = [float(r["score"]) for r in edges.collect()]
+    assert scores and all(0.5 <= s <= 0.99 for s in scores)
+    assert len(set(scores)) > 1, "expected varying scores"
+    ids = unified_query(
+        sc.catalog, sc.dag.resolver_lineage("resolver_scored_crn"),
+        ["crn"], level="key",
+    )
+    produced: dict[int, set[str]] = {}
+    for r in ids.collect():
+        produced.setdefault(r["id"], set()).add(r["key"])
+    from matchbox_spark.factories import diff_entities
+
+    expected = sc.kit.sources["crn"].expected_entity_keys()
+    identical, report = diff_entities(expected.values(), produced.values())
+    assert identical, report
+
+
+def test_alt_dedupe_rival_models_agree_on_clusters(spark):
+    """Reference 'alt_dedupe': two rival scored models over one source —
+    different edge scores (different seeds), identical resolved clusters."""
+    sc = scenario(spark, "alt_dedupe", n_true_entities=6)
+    e0 = {
+        (r["left_id"], r["right_id"]): round(float(r["score"]), 6)
+        for r in sc.catalog.model_edges.where(
+            F.col("step") == "alt_dedupe_0"
+        ).collect()
+    }
+    e1 = {
+        (r["left_id"], r["right_id"]): round(float(r["score"]), 6)
+        for r in sc.catalog.model_edges.where(
+            F.col("step") == "alt_dedupe_1"
+        ).collect()
+    }
+    assert set(e0) == set(e1), "rival models must see the same pair set"
+    assert e0 != e1, "rival models must score differently"
+
+    def clusters(resolver):
+        ids = unified_query(
+            sc.catalog, sc.dag.resolver_lineage(resolver), ["foo_a"],
+            level="key",
+        )
+        out: dict[int, frozenset] = {}
+        grouped: dict[int, set] = {}
+        for r in ids.collect():
+            grouped.setdefault(r["id"], set()).add(r["key"])
+        return {frozenset(v) for v in grouped.values()}
+
+    assert clusters("resolver_alt_0") == clusters("resolver_alt_1")
+
+
+def test_convergent_partial_completes_on_run(spark):
+    """Reference 'convergent_partial': sources indexed, models/resolvers
+    declared with no results; a later dag.run() completes exactly the
+    pending steps."""
+    sc = scenario(spark, "convergent_partial", n_true_entities=6)
+    cat = sc.catalog
+    assert "foo_a" in cat.steps and "foo_b" in cat.steps
+    assert "naive_foo_a" not in cat.steps, "model must be pending"
+    assert cat.model_edges.where(F.col("step") == "naive_foo_a").isEmpty()
+    # second run completes the pending models + resolvers idempotently:
+    # the already-synced sources re-gate (no new clusters/keys)
+    n_keys = cat.cluster_keys.count()
+    sc.dag.run()
+    assert "naive_foo_a" in cat.steps and "resolver_naive_foo_a" in cat.steps
+    assert cat.cluster_keys.count() == n_keys  # source re-sync gated
+    ids = unified_query(
+        cat, sc.dag.resolver_lineage("resolver_naive_foo_a"), ["foo_a"],
+        level="key",
+    )
+    assert ids.count() == len(sc.kit.sources["foo_a"].key_to_entity)
