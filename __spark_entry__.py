@@ -4868,6 +4868,83 @@ def c7_report(spark, sf):
     )
 
 
+@_q(
+    "c8_shard_export",
+    """WITH keyed AS (
+         SELECT doc_id,
+                md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+                CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)),
+                                     1, 4)) AS INT) % 8 AS shard
+         FROM documents
+       )
+       SELECT doc_id, shard,
+              ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key,
+                                 doc_id) AS pos
+       FROM keyed""",
+)
+def c8_shard_export(spark, sf):
+    """Deterministic corpus shuffle + shard export — the terminal step of a
+    pretraining data pipeline: every document gets a content-independent
+    pseudo-random position (md5 of its id — seedless, reproducible across
+    runs and engines) and a shard assignment, with a dense position WITHIN
+    its shard. Writing then becomes ``partitionBy(shard)`` with rows
+    pre-ordered by ``pos``. Scale shape: the shard-partitioned window is
+    the only shuffle and each shard orders independently — no global sort,
+    no driver involvement; 8 shards here, 10⁵ in production, same plan."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 8
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return d.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+@_q(
+    "t11_vocab_topk",
+    r"""WITH tok AS (
+          SELECT t.tok FROM (
+            SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+          ), UNNEST(toks) AS t(tok)
+        )
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok GROUP BY tok
+        ORDER BY n DESC, tok LIMIT 100""",
+)
+def t11_vocab_topk(spark, sf):
+    """Tokenizer vocabulary induction: the corpus's top-k tokens by
+    frequency with a deterministic tie-break — the seed step of WordLevel/
+    BPE vocab building. Plan shape: map-side-combined count aggregate, then
+    a distributed TakeOrderedAndProject (per-partition top-k heaps merged
+    on the driver) — no global sort of the vocabulary."""
+    toks = TX.tokens_expr("text")
+    return (
+        _t(spark, sf, "documents")
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(100)
+    )
+
+
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:
