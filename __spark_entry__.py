@@ -4945,6 +4945,217 @@ def t11_vocab_topk(spark, sf):
     )
 
 
+def _km_sql_prefix() -> str:
+    """Shared CTE prefix for the k-means/SemDeDup oracles: embeddings as
+    doubles, exploded (id, pos, val) form, and the k=8 seed centroids
+    (rows with the smallest ids, cid = seed rank)."""
+    return """WITH e AS (
+         SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       ),
+       ev AS (
+         SELECT id, r.range AS pos, v[r.range + 1] AS val FROM e, range(64) r
+       ),
+       seeds AS (
+         SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid
+         FROM e ORDER BY id LIMIT 8
+       ),
+       c0 AS (SELECT s.cid, ev.pos, ev.val
+              FROM seeds s JOIN ev ON ev.id = s.id)"""
+
+
+def _km_assign_sql(cents: str, d: str, asg: str) -> str:
+    """One nearest-centroid assignment as SQL CTEs — the PageRank pinning
+    recipe: per-element squared diffs round to 12 dp and sum as
+    DECIMAL(28,12), so the argmin compares exact decimals."""
+    return f""",
+       {d} AS (
+         SELECT ev.id, c.cid,
+                SUM(CAST(ROUND((ev.val - c.val) * (ev.val - c.val), 12)
+                         AS DECIMAL(28,12))) AS dist
+         FROM ev JOIN {cents} c ON c.pos = ev.pos
+         GROUP BY ev.id, c.cid
+       ),
+       {asg} AS (
+         SELECT id, cid, dist FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY dist, cid) AS rn
+           FROM {d})
+         WHERE rn = 1
+       )"""
+
+
+def _km_update_sql(asg: str, prev: str, m: str, out: str) -> str:
+    """Centroid update: per-(cluster, dim) decimal-exact mean rounded to
+    12 dp; empty clusters keep the previous centroid."""
+    return f""",
+       {m} AS (
+         SELECT a.cid, ev.pos,
+                ROUND(CAST(SUM(CAST(ROUND(ev.val, 12) AS DECIMAL(28,12)))
+                           AS DOUBLE) / COUNT(*), 12) AS val
+         FROM {asg} a JOIN ev ON ev.id = a.id
+         GROUP BY a.cid, ev.pos
+       ),
+       {out} AS (
+         SELECT c.cid, c.pos, COALESCE(m.val, c.val) AS val
+         FROM {prev} c LEFT JOIN {m} m ON m.cid = c.cid AND m.pos = c.pos
+       )"""
+
+
+@_q(
+    "v5_kmeans_embed",
+    _km_sql_prefix()
+    + _km_assign_sql("c0", "d1", "asg1")
+    + _km_update_sql("asg1", "c0", "m1", "c1")
+    + _km_assign_sql("c1", "d2", "asg2")
+    + """
+       SELECT id AS vec_id, cid AS cluster,
+              ROUND(CAST(dist AS DOUBLE), 6) AS sqdist
+       FROM asg2""",
+)
+def v5_kmeans(spark, sf):
+    """Lloyd k-means over the embedding corpus (k=8, two assignment passes
+    with one centroid update between) — the clustering stage of SemDeDup /
+    semantic curation. Spark shape: centroids are k·64 doubles collected to
+    the driver per iteration and inlined as literals, so assignment is a
+    zero-shuffle codegen projection (``least`` over k distance structs);
+    the update is one map-side-combinable (cluster, dim) aggregate.
+    Cross-engine: the g6_pagerank decimal recipe — squared diffs round-12
+    summed as DECIMAL(28,12), means round-12 — makes both engines walk the
+    identical trajectory, pinned hash-exact by the unrolled SQL."""
+    from matchbox_spark.operators.clustering import kmeans_lloyd
+
+    return kmeans_lloyd(
+        _t(spark, sf, "embeddings"), k=8, iters=2
+    ).withColumnRenamed("id", "vec_id")
+
+
+@_q(
+    "d11_semdedup",
+    _km_sql_prefix()
+    + _km_assign_sql("c0", "d1", "asg1")
+    + """,
+       p AS (
+         SELECT b.id AS dup
+         FROM asg1 a JOIN asg1 b ON a.cid = b.cid AND a.id < b.id
+         JOIN e ea ON ea.id = a.id JOIN e eb ON eb.id = b.id
+         WHERE ROUND(list_dot_product(ea.v, eb.v) /
+                     (sqrt(list_dot_product(ea.v, ea.v)) *
+                      sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.3
+       )
+       SELECT asg1.id AS vec_id, asg1.cid AS cluster,
+              asg1.id NOT IN (SELECT dup FROM p) AS keep
+       FROM asg1""",
+)
+def d11_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    prune cosine near-duplicates WITHIN clusters only — the partition
+    bounds the quadratic term to (n/k)² per cluster, which is what makes
+    semantic dedup feasible at corpus scale (k grows with n). Keep rule:
+    a row is dropped when a same-cluster row with a smaller id has
+    round-6 cosine ≥ 0.3. Assignment is the same zero-shuffle literal-
+    centroid projection as v5; the prune is one self-join keyed on the
+    cluster id."""
+    from matchbox_spark.operators.clustering import semdedup
+
+    return semdedup(
+        _t(spark, sf, "embeddings"), k=8, threshold=0.3
+    ).withColumnRenamed("id", "vec_id")
+
+
+@_q(
+    "b2_hybrid_rrf",
+    r"""WITH toks AS (
+          SELECT doc_id AS doc,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ),
+        lens AS (SELECT doc, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+                  FROM lens),
+        post AS (
+          SELECT doc, s.term, COUNT(*) AS tf
+          FROM toks, UNNEST(t) AS s(term)
+          WHERE s.term IN ('hash', 'merge', 'spark')
+          GROUP BY doc, s.term
+        ),
+        dfs AS (SELECT term, COUNT(*) AS df FROM post GROUP BY term),
+        parts AS (
+          SELECT p.doc,
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS part
+          FROM post p
+          JOIN lens USING (doc)
+          CROSS JOIN stats
+          JOIN dfs USING (term)
+        ),
+        lex AS (
+          SELECT doc, ROW_NUMBER() OVER (ORDER BY round(SUM(part), 6) DESC,
+                                         doc) AS rank
+          FROM parts GROUP BY doc
+          ORDER BY rank LIMIT 100
+        ),
+        emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        vec AS (
+          SELECT neighbor AS doc, rank FROM (
+            SELECT c.vec_id AS neighbor,
+                   ROW_NUMBER() OVER (
+                     ORDER BY ROUND(list_dot_product(q.v, c.v) /
+                              (sqrt(list_dot_product(q.v, q.v)) *
+                               sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                     c.vec_id) AS rank
+            FROM (SELECT v FROM emb WHERE vec_id = 0) q
+            CROSS JOIN emb c WHERE c.vec_id <> 0)
+          WHERE rank <= 100
+        ),
+        fused AS (
+          SELECT doc, COUNT(*) AS n_lists,
+                 ROUND(SUM(1.0 / (60.0 + rank)), 9) AS rrf
+          FROM (SELECT doc, rank FROM lex
+                UNION ALL SELECT doc, rank FROM vec)
+          GROUP BY doc
+        )
+        SELECT doc, n_lists, rrf,
+               ROW_NUMBER() OVER (ORDER BY rrf DESC, doc) AS fused_rank
+        FROM fused
+        ORDER BY fused_rank LIMIT 50""",
+)
+def b2_hybrid(spark, sf):
+    """Hybrid retrieval: BM25 top-100 for {hash, merge, spark} fused with
+    cosine top-100 around the vec_id-0 embedding via reciprocal-rank
+    fusion (operators.search.rrf_fuse, k=60) — the standard
+    lexical+vector combiner (no score calibration; only ranks enter).
+    Both inputs are already top-k lists, so the fusion shuffles a few
+    hundred candidate ids, never the corpus; the global fused_rank window
+    is bounded by Σ per-list k by construction."""
+    from pyspark.sql import Window
+
+    from matchbox_spark.operators.search import bm25_scores, rrf_fuse
+    from matchbox_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    lex = (
+        bm25_scores(docs, "doc_id", "text", ["hash", "merge", "spark"])
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("score"), F.asc("doc"))
+            ),
+        )
+        .where(F.col("rank") <= 100)
+        .select("doc", "rank")
+    )
+    vec = (
+        cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=100)
+        .select(F.col("neighbor").alias("doc"), "rank")
+    )
+    return rrf_fuse({"lex": lex, "vec": vec}, k=60, top_n=50)
+
+
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
 # prefix of the registry each round; ordering the registry by how much a
 # fresh check is worth keeps green rows from going stale behind code churn:

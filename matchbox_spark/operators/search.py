@@ -96,3 +96,51 @@ def bm25_scores(
     if top_k is not None:
         scored = scored.limit(int(top_k))
     return scored
+
+
+def rrf_fuse(
+    ranked_lists: dict[str, DataFrame],
+    k: int = 60,
+    id_col: str = "doc",
+    rank_col: str = "rank",
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of named ranked
+    lists: ``rrf = Σ_lists 1/(k + rank)``, a list contributing 0 for ids it
+    does not rank. Returns ``(doc, n_lists, rrf, fused_rank)`` ordered by
+    rrf desc (ties: doc asc).
+
+    The canonical hybrid-retrieval combiner — lexical (BM25) and vector
+    (cosine) top-k lists fuse without score calibration because only ranks
+    enter. Plan shape: each input is already a top-k list (small), so the
+    union + groupBy shuffles only candidate ids, never the corpus; rrf is
+    rounded to 9 dp (sums of ≤ a few reciprocals — deterministic in any
+    engine). The global ``fused_rank`` window runs on the fused candidate
+    set, which is bounded by Σ per-list k — metadata-sized by construction,
+    never the corpus.
+    """
+    if not ranked_lists:
+        raise ValueError("rrf_fuse requires at least one ranked list")
+    tagged = None
+    for name in sorted(ranked_lists):
+        part = ranked_lists[name].select(
+            F.col(id_col).cast("long").alias("doc"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                "contrib"
+            ),
+        )
+        tagged = part if tagged is None else tagged.unionAll(part)
+    fused = (
+        tagged.groupBy("doc")
+        .agg(
+            F.count("*").alias("n_lists"),
+            F.round(F.sum("contrib"), 9).alias("rrf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc"))
+    fused = fused.withColumn("fused_rank", F.row_number().over(w))
+    if top_n is not None:
+        fused = fused.limit(int(top_n))
+    return fused
