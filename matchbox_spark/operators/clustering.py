@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from matchbox_spark.functions.vectors import cosine_expr
+from matchbox_spark.functions.vectors import dot_expr, norm_expr
 
 _DEC = "decimal(28,12)"
 
@@ -175,31 +175,46 @@ def semdedup(
     false when a same-cluster row with a smaller id has cosine ≥
     ``threshold`` (round-6 compare, matching ``v1_cosine_topk``'s pinning).
 
-    One assignment projection (no shuffle), then a self-join keyed on the
-    cluster id — the quadratic term is (n/k)² per cluster, so at corpus
-    scale k rises with n to hold cluster populations constant.
+    One assignment projection (no shuffle), then the quadratic term is
+    (n/k)² per cluster — at corpus scale k rises with n to hold cluster
+    populations constant. Plan shape: pair IDS materialise through the
+    cluster-keyed self-join as narrow (ida, idb) rows, and the vectors
+    join back BY ID — so the expensive cosine evaluates in id-hashed
+    partitions at full parallelism instead of being bounded by the k
+    distinct cluster keys (with k=8 the naive join-on-cluster runs the
+    whole pair stream on ≤8 tasks).
     """
     centroids = _seed_centroids(df, k, id_col, vec_col)
     assigned = assign_to_centroids(df, centroids, id_col, vec_col).select(
         "id", "cluster"
     )
+    # norms computed once per row, not once per pair; the per-pair formula
+    # stays dot/(na·nb) — the identical float path the oracle's
+    # dot/(sqrt·sqrt) takes, so round-6 parity holds
     vecs = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
-    sides = assigned.join(vecs, "id")
-    a = sides.select(
-        F.col("cluster"), F.col("id").alias("ida"), F.col("v").alias("va")
-    )
-    b = sides.select(
-        F.col("cluster"), F.col("id").alias("idb"), F.col("v").alias("vb")
-    )
-    dups = (
-        a.join(b, "cluster")
+    vecs = vecs.select("id", "v", norm_expr("v").alias("nrm"))
+    a_ids = assigned.select("cluster", F.col("id").alias("ida"))
+    b_ids = assigned.select("cluster", F.col("id").alias("idb"))
+    pair_ids = (
+        a_ids.join(b_ids, "cluster")
         .where(F.col("ida") < F.col("idb"))
-        .where(
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
-            >= F.lit(float(threshold))
-        )
+        .select("ida", "idb")
+    )
+    va = vecs.select(
+        F.col("id").alias("ida"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = vecs.select(
+        F.col("id").alias("idb"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    den = F.col("na") * F.col("nb")
+    cos = F.when(den > 0, dot_expr("va", "vb") / den).otherwise(F.lit(0.0))
+    dups = (
+        pair_ids.join(va, "ida")
+        .join(vb, "idb")
+        .where(F.round(cos, 6) >= F.lit(float(threshold)))
         .select(F.col("idb").alias("id"))
         .distinct()
     )

@@ -53,6 +53,28 @@ def test_kmeans_covers_all_rows_and_improves(spark):
     assert sum(r["sqdist"] for r in two) <= sum(r["sqdist"] for r in one) + 1e-6
 
 
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # duplicate seed vectors: every row ties to the lower centroid id, so
+    # cluster 1 is empty after the first assignment — the update must keep
+    # its previous centroid (COALESCE fallback) instead of crashing or
+    # emitting a truncated centroid
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [0.0, 0.0]),
+            (2, [5.0, 5.0]),
+            (3, [5.1, 5.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["id"]: r["cluster"] for r in kmeans_lloyd(df, k=2, iters=3).collect()}
+    assert len(out) == 4
+    # pass 1: everything ties into cluster 0 (cluster 1 empty; its [0,0]
+    # centroid survives the update) — pass 2 onward the preserved centroid
+    # wins the zero vectors back while cluster 0 converges on the 5s
+    assert out == {0: 1, 1: 1, 2: 0, 3: 0}
+
+
 def test_kmeans_rejects_bad_params(spark):
     rng = np.random.default_rng(3)
     df = _vec_df(spark, rng, n=10)

@@ -29,6 +29,7 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
     "round4": (["50000", "200000"], []),             # docs, events
     "streaming": (["4", "5000"], []),                # batches, rows/batch
     "streaming_resolve": (["6", "100", "10"], []),   # batches, groups, rows
+    "clustering": (["20000", "8", "3"], []),         # vectors, k, iters
 }
 
 
