@@ -4945,6 +4945,106 @@ def t11_vocab_topk(spark, sf):
     )
 
 
+def _lpa_iter_sql(prev: str, out: str) -> str:
+    """One synchronous label-propagation round as SQL CTEs: each node takes
+    the most frequent neighbour label, ties to the smallest label; nodes
+    with no neighbours keep their own. Pure integer logic — hash-exact
+    cross-engine with no float pinning."""
+    return f""",
+       v_{out} AS (
+         SELECT ed.dst AS id, l.lbl, COUNT(*) AS c
+         FROM ed JOIN {prev} l ON l.id = ed.src
+         GROUP BY ed.dst, l.lbl
+       ),
+       w_{out} AS (
+         SELECT id, lbl FROM (
+           SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id
+                                              ORDER BY c DESC, lbl) AS rn
+           FROM v_{out})
+         WHERE rn = 1
+       ),
+       {out} AS (
+         SELECT p.id, COALESCE(w.lbl, p.lbl) AS lbl
+         FROM {prev} p LEFT JOIN w_{out} w ON w.id = p.id
+       )"""
+
+
+@_q(
+    "g7_label_propagation",
+    """WITH ranked AS (
+         SELECT s_nationkey AS nk, s_suppkey AS id,
+                row_number() OVER (PARTITION BY s_nationkey
+                                   ORDER BY s_suppkey) AS rn
+         FROM supplier
+       ),
+       e0 AS (
+         SELECT l.id AS a, r.id AS b
+         FROM ranked l JOIN ranked r
+           ON l.nk = r.nk AND r.rn > l.rn AND r.rn - l.rn <= 2
+       ),
+       ed AS (SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b, a FROM e0),
+       lp0 AS (SELECT s_suppkey AS id, s_suppkey AS lbl FROM supplier)"""
+    + _lpa_iter_sql("lp0", "lp1")
+    + _lpa_iter_sql("lp1", "lp2")
+    + _lpa_iter_sql("lp2", "lp3")
+    + """
+       SELECT id, lbl AS community FROM lp3""",
+)
+def g7_lpa(spark, sf):
+    """Community detection by synchronous label propagation (3 unrolled
+    rounds, Raghavan et al. 2007) over the same-nation supplier peer graph
+    (g5's next-two-peers edges, undirected). Each round a node adopts its
+    most frequent neighbour label, ties to the smallest — pure integer
+    logic, so the trajectory is hash-exact cross-engine with no decimal
+    pinning. Spark shape: a driver loop of join + count aggregate +
+    per-node argmax (min-struct), the same iterative pattern as g6
+    PageRank; at scale the label frame checkpoints per round."""
+    from pyspark.sql import Window
+
+    s = _t(spark, sf, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    ranked = s.select(
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_suppkey").alias("id"),
+        F.row_number().over(w).alias("rn"),
+    )
+    l, r = ranked.alias("l"), ranked.alias("r")
+    e0 = l.join(
+        r,
+        (F.col("l.nk") == F.col("r.nk"))
+        & (F.col("r.rn") > F.col("l.rn"))
+        & (F.col("r.rn") - F.col("l.rn") <= 2),
+    ).select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    ed = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = s.select(
+        F.col("s_suppkey").alias("id"), F.col("s_suppkey").alias("lbl")
+    )
+    for _ in range(3):
+        votes = (
+            ed.join(labels.select(F.col("id").alias("src"), "lbl"), "src")
+            .groupBy("dst", "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        # per-node argmax: max count, ties to smallest label
+        winners = (
+            votes.groupBy("dst")
+            .agg(
+                F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias(
+                    "m"
+                )
+            )
+            .select(F.col("dst").alias("id"), F.col("m.lbl").alias("w_lbl"))
+        )
+        labels = (
+            labels.join(winners, "id", "left")
+            .select("id", F.coalesce("w_lbl", "lbl").alias("lbl"))
+        )
+    return labels.select("id", F.col("lbl").alias("community"))
+
+
 def _km_sql_prefix() -> str:
     """Shared CTE prefix for the k-means/SemDeDup oracles: embeddings as
     doubles, exploded (id, pos, val) form, and the k=8 seed centroids
