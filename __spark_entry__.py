@@ -5138,9 +5138,12 @@ def v5_kmeans(spark, sf):
          SELECT b.id AS dup
          FROM asg1 a JOIN asg1 b ON a.cid = b.cid AND a.id < b.id
          JOIN e ea ON ea.id = a.id JOIN e eb ON eb.id = b.id
-         WHERE ROUND(list_dot_product(ea.v, eb.v) /
-                     (sqrt(list_dot_product(ea.v, ea.v)) *
-                      sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.3
+         WHERE ROUND(CASE WHEN sqrt(list_dot_product(ea.v, ea.v)) *
+                               sqrt(list_dot_product(eb.v, eb.v)) > 0
+                          THEN list_dot_product(ea.v, eb.v) /
+                               (sqrt(list_dot_product(ea.v, ea.v)) *
+                                sqrt(list_dot_product(eb.v, eb.v)))
+                          ELSE 0.0 END, 6) >= 0.3
        )
        SELECT asg1.id AS vec_id, asg1.cid AS cluster,
               asg1.id NOT IN (SELECT dup FROM p) AS keep

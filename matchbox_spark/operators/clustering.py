@@ -76,7 +76,8 @@ def assign_to_centroids(
         )
         for cid, arr in sorted(centroids.items())
     ]
-    best = F.least(*candidates)
+    # F.least rejects a single argument — k=1 degenerates to the lone struct
+    best = candidates[0] if len(candidates) == 1 else F.least(*candidates)
     return df.select(
         F.col(id_col).alias("id"),
         best["c"].alias("cluster"),

@@ -121,10 +121,14 @@ def rrf_fuse(
     """
     if not ranked_lists:
         raise ValueError("rrf_fuse requires at least one ranked list")
+    # the id column keeps its NATIVE type (advisory r5): a long cast would
+    # silently null out non-numeric ids (UUID strings) and collapse them
+    # into one fused group — the exact hazard exact_cosine_pairs documents.
+    # Mixed id types across lists now fail loudly at the union instead.
     tagged = None
     for name in sorted(ranked_lists):
         part = ranked_lists[name].select(
-            F.col(id_col).cast("long").alias("doc"),
+            F.col(id_col).alias("doc"),
             (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
                 "contrib"
             ),
@@ -142,5 +146,8 @@ def rrf_fuse(
     w = Window.orderBy(F.desc("rrf"), F.asc("doc"))
     fused = fused.withColumn("fused_rank", F.row_number().over(w))
     if top_n is not None:
-        fused = fused.limit(int(top_n))
+        # explicit orderBy before limit (advisory r5): a bare limit after a
+        # window relies on the single-partition sort order surviving the
+        # plan, which is plan-dependent rather than guaranteed
+        fused = fused.orderBy("fused_rank").limit(int(top_n))
     return fused
