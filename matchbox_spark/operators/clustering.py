@@ -39,6 +39,13 @@ from matchbox_spark.functions.vectors import dot_expr, norm_expr
 
 _DEC = "decimal(28,12)"
 
+# above this many centroids the literal-centroid plan is abandoned for the
+# broadcast-centroid plan: k structs inlined as plan literals blow up
+# analysis/codegen around k·dim ≳ 1e5 expressions, while SemDeDup's own
+# scale rule grows k with the corpus — so the 100 TB path must carry
+# centroids as DATA, not as plan nodes
+LITERAL_CENTROID_MAX = 256
+
 
 def _lit_array(values: list[float]) -> F.Column:
     return F.array(*[F.lit(float(v)) for v in values])
@@ -63,12 +70,45 @@ def assign_to_centroids(
     centroids: dict[int, list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """Nearest-centroid assignment: (id, cluster, dist DECIMAL(28,12)).
 
-    Ties break to the lowest centroid id (the struct comparison orders by
-    (dist, cid)). Zero shuffles — one projection over the scan.
+    Ties break to the lowest centroid id. Three physical plans:
+
+    - ``literal`` (default for k ≤ LITERAL_CENTROID_MAX): centroids inline
+      as plan literals; the argmin is one codegen projection over the scan
+      (``least`` over k round-12 DECIMAL(28,12) distance structs — the
+      cross-engine-exact recipe the DuckDB oracles pin). Zero shuffles —
+      but plan size grows with k·dim.
+    - ``broadcast``: centroids ride as DATA — a one-row broadcast frame
+      holding ``array<struct<c,v>>``, crossJoined onto every row; the
+      argmin is ``array_min`` over a ``transform``, computed in scaled-long
+      fixed point. BIT-IDENTICAL to ``literal`` (same rounding, same
+      decimal dist, same tie-break) with a constant-size plan — the exact
+      path for k beyond the literal bound. Interpreted higher-order
+      functions cap throughput (~ms/row·k), so it is an explicit opt-in.
+    - ``arrow`` (default for large k): mapInPandas over Arrow batches,
+      nearest centroid via one BLAS matmul (``‖x‖² − 2·X@Cᵀ + ‖c‖²``) per
+      batch — the 100 TB path SemDeDup's k-grows-with-n rule requires
+      (~1000× the interpreted-expression paths at k = 4096). Distance is
+      plain float64 (emitted as ``dist double``, not decimal) — argmin
+      agrees with the exact paths except on exact decimal near-ties, which
+      real embedding data does not produce (stress-checked sample-exact in
+      tools/stress_large_k.py).
+
+    ``auto`` dispatches literal below the bound, arrow above; pass
+    ``method="broadcast"`` when large-k runs must stay bit-compatible with
+    the oracle recipe at the cost of throughput.
     """
+    if method not in ("auto", "literal", "broadcast", "arrow"):
+        raise ValueError(f"unknown assignment method {method!r}")
+    if method == "arrow" or (
+        method == "auto" and len(centroids) > LITERAL_CENTROID_MAX
+    ):
+        return _assign_arrow(df, centroids, id_col, vec_col)
+    if method == "broadcast":
+        return _assign_broadcast(df, centroids, id_col, vec_col)
     v = F.col(vec_col).cast("array<double>")
     candidates = [
         F.struct(
@@ -83,6 +123,133 @@ def assign_to_centroids(
         best["c"].alias("cluster"),
         best["d"].alias("dist"),
     )
+
+
+def _assign_broadcast(
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Broadcast-centroid nearest-centroid assignment (constant plan size).
+
+    The centroid table collapses to ONE row carrying the full
+    ``array<struct<c:int, v:array<double>>>`` so the crossJoin broadcasts
+    k·dim doubles once per executor; per input row a single ``transform``
+    evaluates the distance to every centroid and ``array_min`` takes the
+    (dist, cid)-lexicographic best — the same argmin the literal path's
+    ``least`` computes. The vector is pre-projected once (``_v``) so the
+    higher-order-function lambdas reference a bound attribute, not a
+    re-inlined cast per element (the d3 ``bind_once`` lesson).
+
+    Arithmetic is SCALED-LONG fixed point, not per-element BigDecimal:
+    every term is ``round((x−y)², 12)`` — an exact multiple of 1e-12 whose
+    scaled integer fits a long — so the k·dim inner loop runs on primitive
+    longs (~100× BigDecimal) and only the WINNING distance converts back
+    to DECIMAL(28,12), exactly. Ordering of longs == ordering of the
+    decimals (same positive scale), so argmin, tie-breaks, and the emitted
+    decimal are bit-identical to the literal path. Bound: the scaled sum
+    overflows long only when Σ round(d²,12) > ~9.2e6 — far beyond any
+    embedding-space distance; ANSI mode makes an overflow raise loudly
+    rather than corrupt.
+    """
+    spark = df.sparkSession
+    rows = [
+        (int(cid), [float(x) for x in vec])
+        for cid, vec in sorted(centroids.items())
+    ]
+    cents = (
+        spark.createDataFrame(rows, "c int, v array<double>")
+        .agg(F.array_sort(F.collect_list(F.struct("c", "v"))).alias("cents"))
+    )
+    pre = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    joined = pre.crossJoin(F.broadcast(cents))
+    vv = F.col("_v")
+
+    def dist_struct(cv: F.Column) -> F.Column:
+        # round((x−y)², 12) is k/1e12 for integer k; round(·1e12) recovers
+        # k exactly (the product sits within 4e-4 of the integer)
+        diffs = F.zip_with(
+            vv,
+            cv["v"],
+            lambda x, y: F.round(
+                F.round((x - y) * (x - y), 12) * F.lit(1e12)
+            ).cast("long"),
+        )
+        dd = F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return F.struct(dd.alias("d"), cv["c"].alias("c"))
+
+    best = F.array_min(F.transform(F.col("cents"), dist_struct))
+    # exact long → DECIMAL(28,12) reconstruction: decimal division by the
+    # scale is exact (≤12 dp by construction), then a lossless down-cast
+    dist_dec = (
+        best["d"].cast("decimal(28,12)")
+        / F.lit(1_000_000_000_000).cast("decimal(13,0)")
+    ).cast(_DEC)
+    return joined.select(
+        "id", best["c"].alias("cluster"), dist_dec.alias("dist")
+    )
+
+
+def _assign_arrow(
+    df: DataFrame,
+    centroids: dict[int, list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Vectorized nearest-centroid assignment over Arrow batches.
+
+    Centroids ship in the task closure as one k×dim float64 matrix
+    (broadcast once per executor); each Arrow batch computes all distances
+    with a single matmul, row-chunked so the n_chunk×k temporary stays
+    ≤ ~64 MB regardless of k. ``np.argmin`` takes the FIRST minimum and
+    columns are ordered by ascending centroid id, so ties break low —
+    matching the exact paths' (dist, cid) ordering. ``dist`` is float64
+    squared L2 (expansion form, clamped at 0).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cids = np.array(sorted(centroids), dtype=np.int64)
+    cmat = np.array([centroids[int(c)] for c in cids], dtype=np.float64)
+    cnorm = (cmat * cmat).sum(axis=1)
+    k = len(cids)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            out_c = np.empty(len(x), dtype=np.int64)
+            out_d = np.empty(len(x), dtype=np.float64)
+            step = max(1, int(8_000_000 / k))  # n_chunk×k temp ≤ ~64 MB
+            for s in range(0, len(x), step):
+                xs = x[s : s + step]
+                d2 = (
+                    (xs * xs).sum(axis=1)[:, None]
+                    - 2.0 * (xs @ cmat.T)
+                    + cnorm[None, :]
+                )
+                j = np.argmin(d2, axis=1)
+                out_c[s : s + len(xs)] = cids[j]
+                out_d[s : s + len(xs)] = d2[np.arange(len(xs)), j]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "cluster": out_c.astype(np.int32),
+                    "dist": np.maximum(out_d, 0.0),
+                }
+            )
+
+    pre = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    id_type = pre.schema["id"].dataType.simpleString()
+    return pre.mapInPandas(assign, f"id {id_type}, cluster int, dist double")
 
 
 def _seed_centroids(
@@ -104,6 +271,7 @@ def kmeans_lloyd(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_method: str = "auto",
 ) -> DataFrame:
     """Lloyd k-means over an embedding column; returns the final assignment
     ``(id, cluster, sqdist)`` (sqdist = squared L2 to the winning centroid,
@@ -117,7 +285,7 @@ def kmeans_lloyd(
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
     centroids = _seed_centroids(df, k, id_col, vec_col)
-    assigned = assign_to_centroids(df, centroids, id_col, vec_col)
+    assigned = assign_to_centroids(df, centroids, id_col, vec_col, assign_method)
     for _ in range(iters - 1):
         # one update then one fresh assignment
         exploded = (
@@ -156,7 +324,7 @@ def kmeans_lloyd(
             )
             for cid, prev in centroids.items()
         }
-        assigned = assign_to_centroids(df, centroids, id_col, vec_col)
+        assigned = assign_to_centroids(df, centroids, id_col, vec_col, assign_method)
     return assigned.select(
         "id",
         "cluster",
@@ -170,6 +338,7 @@ def semdedup(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_method: str = "auto",
 ) -> DataFrame:
     """SemDeDup: nearest-seed clustering, then within-cluster cosine
     pruning. Returns every row as ``(id, cluster, keep)`` — ``keep`` is
@@ -186,7 +355,7 @@ def semdedup(
     whole pair stream on ≤8 tasks).
     """
     centroids = _seed_centroids(df, k, id_col, vec_col)
-    assigned = assign_to_centroids(df, centroids, id_col, vec_col).select(
+    assigned = assign_to_centroids(df, centroids, id_col, vec_col, assign_method).select(
         "id", "cluster"
     )
     # norms computed once per row, not once per pair; the per-pair formula

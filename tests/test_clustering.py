@@ -137,3 +137,42 @@ def test_rrf_fuse_exact_scores(spark):
 def test_rrf_top_n_limits(spark):
     lex = spark.createDataFrame([(i, i) for i in range(1, 8)], "doc long, rank int")
     assert rrf_fuse({"only": lex}, top_n=3).count() == 3
+
+
+def test_assignment_paths_agree_across_dispatch_boundary(spark):
+    """The three assignment plans agree: broadcast is BIT-identical to
+    literal (decimals included); arrow picks the same cluster with a
+    float64 distance within 1e-9; and auto dispatches by k around
+    LITERAL_CENTROID_MAX without changing the winning clusters."""
+    import random
+
+    from matchbox_spark.operators.clustering import (
+        LITERAL_CENTROID_MAX,
+        assign_to_centroids,
+    )
+
+    rng = random.Random(11)
+    dim, k, n = 8, LITERAL_CENTROID_MAX + 44, 120
+    cents = {i: [rng.uniform(0, 5) for _ in range(dim)] for i in range(k)}
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(0, 5) for _ in range(dim)]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    lit = {
+        r["id"]: (r["dist"], r["cluster"])
+        for r in assign_to_centroids(df, cents, method="literal").collect()
+    }
+    bc = {
+        r["id"]: (r["dist"], r["cluster"])
+        for r in assign_to_centroids(df, cents, method="broadcast").collect()
+    }
+    assert bc == lit  # bit-exact, Decimal included
+    for method in ("arrow", "auto"):  # auto > bound → arrow
+        ar = {
+            r["id"]: (r["dist"], r["cluster"])
+            for r in assign_to_centroids(df, cents, method=method).collect()
+        }
+        assert set(ar) == set(lit)
+        for i, (d, c) in ar.items():
+            assert c == lit[i][1], (method, i)
+            assert abs(float(d) - float(lit[i][0])) < 1e-9, (method, i)

@@ -79,6 +79,83 @@ def test_fixture_exercises_every_semantic_branch(fixture):
         assert tf_city.score.nunique() > 1
 
 
+@pytest.fixture(scope="module")
+def em_fixture():
+    with open(os.path.join(FIXDIR, "splink_em_settings.json")) as f:
+        settings = json.load(f)
+    with open(os.path.join(FIXDIR, "splink_em_params.json")) as f:
+        params = json.load(f)
+    return {
+        "settings": settings,
+        "params": params,
+        "left": pd.read_parquet(os.path.join(FIXDIR, "splink_left.parquet")),
+        "right": pd.read_parquet(os.path.join(FIXDIR, "splink_right.parquet")),
+        "scores": pd.read_parquet(
+            os.path.join(FIXDIR, "splink_em_scores.parquet")
+        ),
+    }
+
+
+def test_splink_em_matches_frozen_fixed_point(spark, em_fixture):
+    """EM-TRAINED parity (ref splinklinker.py:177-257): the settings dict
+    carries no m/u, so the engine must train; the frozen fixture holds the
+    (λ, m, u) fixed point and per-pair scores an independent pure-Python
+    EM (tools/make_splink_fixture.py:reference_em) converged to on the
+    same gamma-pattern counts. Both implementations follow the documented
+    init/stop spec, so they must land on the same fixed point within
+    float32 — trained parameters AND TF-adjusted scores."""
+    from matchbox_spark.operators.probabilistic import SplinkCompatLinker
+
+    left = spark.createDataFrame(em_fixture["left"])
+    right = spark.createDataFrame(em_fixture["right"])
+    linker = SplinkCompatLinker(
+        linker_settings=em_fixture["settings"], threshold=0.0
+    )
+    # stripped settings must NOT take the pre-trained pass-through
+    assert linker._fixed_params is None
+
+    got = {
+        (r["left_id"], r["right_id"]): r["score"]
+        for r in linker.link(left, right).collect()
+    }
+
+    params = em_fixture["params"]
+    assert abs(linker.lambda_ - params["lambda"]) < 5e-6
+    for mine, frozen in ((linker.m_, params["m"]), (linker.u_, params["u"])):
+        for comp_mine, comp_frozen in zip(mine, frozen):
+            for a, b in zip(comp_mine, comp_frozen):
+                assert abs(a - b) < 5e-6, (mine, frozen)
+
+    expected = {
+        (int(r.left_id), int(r.right_id)): float(r.score)
+        for r in em_fixture["scores"].itertuples()
+    }
+    assert set(got) == set(expected)
+    worst = max(abs(got[k] - expected[k]) for k in expected)
+    assert worst < 5e-6, f"worst trained-score divergence {worst}"
+
+
+def test_em_fixture_regenerates_identically():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "mkfix",
+        os.path.join(
+            os.path.dirname(__file__), "..", "tools", "make_splink_fixture.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    left, right = mod.make_records()
+    scores, params = mod.reference_predict_em(left, right)
+    frozen = pd.read_parquet(os.path.join(FIXDIR, "splink_em_scores.parquet"))
+    pd.testing.assert_frame_equal(
+        scores.reset_index(drop=True), frozen.reset_index(drop=True)
+    )
+    with open(os.path.join(FIXDIR, "splink_em_params.json")) as f:
+        assert params == json.load(f)
+
+
 def test_fixture_regenerates_identically():
     """The generator is deterministic — the committed fixture IS its output
     (guards against silent drift between fixture and generator)."""

@@ -188,6 +188,20 @@ def make_records() -> tuple[pd.DataFrame, pd.DataFrame]:
 # ---- independent reference implementation of Splink predict() ----------
 
 
+def strip_trained(settings: dict) -> dict:
+    """The EM-trained fixture's settings: same comparisons with every
+    per-level m/u REMOVED, so the engine must train (no pre-trained
+    pass-through path)."""
+    import copy
+
+    s = copy.deepcopy(settings)
+    for comp in s["comparisons"]:
+        for lvl in comp["comparison_levels"]:
+            lvl.pop("m_probability", None)
+            lvl.pop("u_probability", None)
+    return s
+
+
 def _levenshtein(a: str, b: str) -> int:
     if a is None or b is None:
         return 10**9
@@ -235,12 +249,8 @@ def _gamma(lrow, rrow):
     return tuple(out)
 
 
-def reference_predict(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-    """Pure-Python Splink predict: blocking → gamma → FS posterior → TF."""
-    lrec = left.where(pd.notnull(left), None).to_dict("records")
-    rrec = right.where(pd.notnull(right), None).to_dict("records")
-
-    # blocking: union of rules, SQL null-rejecting equality, pair-dedupe
+def _block_pairs(lrec, rrec):
+    """Blocking: union of rules, SQL null-rejecting equality, pair-dedupe."""
     pairs = {}
     for lr in lrec:
         for rr in rrec:
@@ -248,8 +258,11 @@ def reference_predict(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
                 lr["surname"] is not None and lr["surname"] == rr["surname"]
             ) or (lr["dob"] is not None and lr["dob"] == rr["dob"]):
                 pairs[(lr["id"], rr["id"])] = (lr, rr)
+    return pairs
 
-    # term frequencies over the vertical concat of both inputs (non-null)
+
+def _term_freqs(lrec, rrec):
+    """Term frequencies over the vertical concat of both inputs (non-null)."""
     tf = {}
     for col in ("first_name", "city"):
         vals = [r[col] for r in lrec + rrec if r[col] is not None]
@@ -258,6 +271,15 @@ def reference_predict(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         for v in vals:
             freq[v] = freq.get(v, 0) + 1
         tf[col] = {v: n / total for v, n in freq.items()}
+    return tf
+
+
+def reference_predict(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """Pure-Python Splink predict: blocking → gamma → FS posterior → TF."""
+    lrec = left.where(pd.notnull(left), None).to_dict("records")
+    rrec = right.where(pd.notnull(right), None).to_dict("records")
+    pairs = _block_pairs(lrec, rrec)
+    tf = _term_freqs(lrec, rrec)
 
     comps = SETTINGS["comparisons"]
     m = [
@@ -310,6 +332,144 @@ def reference_predict(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# ---- independent EM trainer (the trained-path fixture) -----------------
+#
+# Re-implements, from the documented spec only, the categorical
+# Fellegi–Sunter EM the engine trains when the settings dict carries no
+# per-level m/u (ref splinklinker.py:177-257 trains the same model through
+# real Splink): gamma patterns are the sufficient statistics; null levels
+# (gamma = -1) carry no evidence and are excluded from both the E- and
+# M-steps; the documented deterministic init is geometric over non-null
+# level ranks (m decays 0.3 from the strongest level down, u decays 0.15
+# reversed so non-matches concentrate on ELSE); λ starts at 0.1; m/u clamp
+# to [1e-6, 1-1e-6]; convergence is total L1 parameter change < 1e-6,
+# max 60 iterations. Shares no code with operators/probabilistic.py.
+
+N_LEVELS = [4, 4, 3]
+NULL_MASKS = [
+    [True, False, False, False],
+    [True, False, False, False],
+    [True, False, False],
+]
+
+
+def _init_dist(n: int, mask: list[bool], decay: float, reverse: bool):
+    ranks = [lvl for lvl in range(n) if not mask[lvl]]
+    raw = {}
+    for r, lvl in enumerate(ranks):
+        exponent = (len(ranks) - 1 - r) if reverse else r
+        raw[lvl] = decay**exponent
+    z = sum(raw.values())
+    return [raw.get(lvl, 1e-6) / z for lvl in range(n)]
+
+
+def reference_em(
+    counts: list[tuple[tuple[int, ...], int]],
+    init_lambda: float = 0.1,
+    max_iter: int = 60,
+    tol: float = 1e-6,
+):
+    """Categorical EM over gamma-pattern counts → (λ, m, u)."""
+    k = len(N_LEVELS)
+    lam = init_lambda
+    m = [_init_dist(n, msk, 0.3, False) for n, msk in zip(N_LEVELS, NULL_MASKS)]
+    u = [_init_dist(n, msk, 0.15, True) for n, msk in zip(N_LEVELS, NULL_MASKS)]
+    total = sum(c for _, c in counts)
+    for _ in range(max_iter):
+        post = []
+        for g, c in counts:
+            pm, pu = lam, 1.0 - lam
+            for i in range(k):
+                if g[i] >= 0:
+                    pm *= m[i][g[i]]
+                    pu *= u[i][g[i]]
+            post.append(pm / (pm + pu) if pm + pu > 0 else 0.0)
+        new_lam = sum(w * c for w, (_, c) in zip(post, counts)) / total
+        new_m, new_u = [], []
+        for i in range(k):
+            dm = sum(w * c for w, (g, c) in zip(post, counts) if g[i] >= 0)
+            du = sum(
+                (1 - w) * c for w, (g, c) in zip(post, counts) if g[i] >= 0
+            )
+            mi, ui = [], []
+            for lvl in range(N_LEVELS[i]):
+                nm = sum(w * c for w, (g, c) in zip(post, counts) if g[i] == lvl)
+                nu = sum(
+                    (1 - w) * c for w, (g, c) in zip(post, counts) if g[i] == lvl
+                )
+                mi.append(min(max(nm / dm if dm else 0.5, 1e-6), 1 - 1e-6))
+                ui.append(min(max(nu / du if du else 0.5, 1e-6), 1 - 1e-6))
+            new_m.append(mi)
+            new_u.append(ui)
+        delta = abs(new_lam - lam) + sum(
+            abs(a - b)
+            for i in range(k)
+            for a, b in zip(new_m[i] + new_u[i], m[i] + u[i])
+        )
+        lam, m, u = new_lam, new_m, new_u
+        if delta < tol:
+            break
+    return lam, m, u
+
+
+def reference_predict_em(left: pd.DataFrame, right: pd.DataFrame):
+    """Trained-path predict: blocking → gamma counts → EM → score + TF.
+
+    Returns (scores DataFrame, params dict). TF adjustment uses the
+    TRAINED u for the level's collision rate — same formula as the
+    pre-trained path, different parameter source.
+    """
+    lrec = left.where(pd.notnull(left), None).to_dict("records")
+    rrec = right.where(pd.notnull(right), None).to_dict("records")
+    pairs = _block_pairs(lrec, rrec)
+    tf = _term_freqs(lrec, rrec)
+
+    gam = {key: _gamma(lr, rr) for key, (lr, rr) in pairs.items()}
+    count_map: dict[tuple, int] = {}
+    for g in gam.values():
+        count_map[g] = count_map.get(g, 0) + 1
+    counts = sorted(count_map.items())
+    lam, m, u = reference_em(counts)
+
+    comps = SETTINGS["comparisons"]
+    tf_conf = [
+        [
+            (lvl.get("tf_adjustment_column"), lvl.get("tf_adjustment_weight", 1.0))
+            for lvl in c["comparison_levels"]
+        ]
+        for c in comps
+    ]
+    rows = []
+    for (lid, rid), (lr, rr) in sorted(pairs.items()):
+        g = gam[(lid, rid)]
+        pm, pu = lam, 1.0 - lam
+        for i, gi in enumerate(g):
+            if gi >= 0:
+                pm *= m[i][gi]
+                pu *= u[i][gi]
+        score = pm / (pm + pu)
+        p = min(max(score, 1e-15), 1 - 1e-15)
+        logodds = math.log(p / (1 - p))
+        for i, gi in enumerate(g):
+            if gi < 0:
+                continue
+            tf_col, w = tf_conf[i][gi]
+            if not tf_col:
+                continue
+            tl = tf[tf_col].get(lr[tf_col])
+            tr = tf[tf_col].get(rr[tf_col])
+            vals = [v for v in (tl, tr) if v is not None]
+            if not vals:
+                continue
+            logodds += w * (math.log(u[i][gi]) - math.log(max(vals)))
+        adjusted = 1.0 / (1.0 + math.exp(-logodds))
+        rows.append((lid, rid, adjusted, *g))
+    scores = pd.DataFrame(
+        rows, columns=["left_id", "right_id", "score", "g0", "g1", "g2"]
+    )
+    return scores, {"lambda": lam, "m": m, "u": u}
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     left, right = make_records()
@@ -332,6 +492,31 @@ def main():
     }
     print(json.dumps(cov, indent=2))
     assert all(v > 0 for v in cov.values()), "fixture misses a branch"
+
+    # EM-trained fixture: same records, m/u stripped so the engine trains
+    em_scores, em_params = reference_predict_em(left, right)
+    em_scores.to_parquet(
+        os.path.join(OUT, "splink_em_scores.parquet"), index=False
+    )
+    with open(os.path.join(OUT, "splink_em_settings.json"), "w") as f:
+        json.dump(strip_trained(SETTINGS), f, indent=2)
+    with open(os.path.join(OUT, "splink_em_params.json"), "w") as f:
+        json.dump(em_params, f, indent=2)
+    print(
+        json.dumps(
+            {
+                "em_pairs": len(em_scores),
+                "em_lambda": em_params["lambda"],
+                "em_score_spread": float(
+                    em_scores.score.max() - em_scores.score.min()
+                ),
+            },
+            indent=2,
+        )
+    )
+    # the trained model must actually separate: λ in (0,1) and scores split
+    assert 0.0 < em_params["lambda"] < 1.0
+    assert (em_scores.score > 0.9).any() and (em_scores.score < 0.1).any()
 
 
 if __name__ == "__main__":

@@ -30,6 +30,7 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
     "streaming": (["4", "5000"], []),                # batches, rows/batch
     "streaming_resolve": (["6", "100", "10"], []),   # batches, groups, rows
     "clustering": (["20000", "8", "3"], []),         # vectors, k, iters
+    "large_k": (["20000", "4096", "32"], ["1000000", "4096", "64"]),  # n, k, dim
 }
 
 
