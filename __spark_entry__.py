@@ -2572,6 +2572,136 @@ def v2b_ivf_recall(spark, sf):
     )
 
 
+_V6_QNORM = "sqrt(list_dot_product(qq.qv, qq.qv))"
+_V6_GCOS = (
+    "ROUND(CASE WHEN sqrt(list_dot_product({a}, {a})) * "
+    "sqrt(list_dot_product({b}, {b})) > 0 "
+    "THEN list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) "
+    "ELSE 0.0 END, 6)"
+)
+
+
+@_q(
+    "v6_ivf_pq",
+    f"""WITH corpus AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       ),
+       q AS (SELECT vec_id AS query, v AS qv FROM corpus
+             WHERE vec_id % 20 = 0),
+       piv AS (
+         SELECT ROW_NUMBER() OVER (
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pr, v
+         FROM (SELECT * FROM corpus
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+       ),
+       cent AS (SELECT CAST(pr AS INT) AS list_id, v FROM piv WHERE pr <= 8),
+       cb AS (
+         SELECT CAST(pr - 9 AS INT) AS c, ms.m,
+                list_slice(piv.v, ms.m * 16 + 1, ms.m * 16 + 16) AS cw
+         FROM piv CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS m) ms
+         WHERE pr > 8
+       ),
+       asg AS (
+         SELECT vec_id, v, list_id,
+                ROUND(sqrt(list_dot_product(v, v)), 6) AS cnorm
+         FROM (
+           SELECT c.vec_id, c.v, ct.list_id,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+               ORDER BY {_V6_GCOS.format(a="c.v", b="ct.v")} DESC,
+                        ct.list_id) AS rn
+           FROM corpus c CROSS JOIN cent ct) WHERE rn = 1
+       ),
+       enc AS (
+         SELECT vec_id, m, c FROM (
+           SELECT a.vec_id, k.m, k.c,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id, k.m
+               ORDER BY ROUND(
+                 (list_dot_product(list_slice(a.v, k.m*16+1, k.m*16+16),
+                                   list_slice(a.v, k.m*16+1, k.m*16+16))
+                  - 2.0 * list_dot_product(
+                      list_slice(a.v, k.m*16+1, k.m*16+16), k.cw))
+                 + list_dot_product(k.cw, k.cw), 6) ASC, k.c) AS rn
+           FROM corpus a CROSS JOIN cb k) WHERE rn = 1
+       ),
+       probe AS (
+         SELECT query, qv, list_id,
+                ROUND({_V6_QNORM}, 6) AS qnorm
+         FROM (
+           SELECT qq.query, qq.qv, ct.list_id,
+             ROW_NUMBER() OVER (PARTITION BY qq.query
+               ORDER BY {_V6_GCOS.format(a="qq.qv", b="ct.v")} DESC,
+                        ct.list_id) AS rn
+           FROM q qq CROSS JOIN cent ct) qq WHERE rn <= 3
+       ),
+       tbl AS (
+         SELECT qq.query, k.m, k.c,
+           ROUND(list_dot_product(
+             list_slice(qq.qv, k.m*16+1, k.m*16+16), k.cw), 6) AS ip
+         FROM q qq CROSS JOIN cb k
+       ),
+       adc AS (
+         SELECT p.query, a.vec_id AS neighbor, a.cnorm, p.qnorm,
+                MAX(CASE WHEN e.m = 0 THEN t.ip END) AS i0,
+                MAX(CASE WHEN e.m = 1 THEN t.ip END) AS i1,
+                MAX(CASE WHEN e.m = 2 THEN t.ip END) AS i2,
+                MAX(CASE WHEN e.m = 3 THEN t.ip END) AS i3
+         FROM probe p
+         JOIN asg a USING (list_id)
+         JOIN enc e ON e.vec_id = a.vec_id
+         JOIN tbl t ON t.query = p.query AND t.m = e.m AND t.c = e.c
+         WHERE a.vec_id <> p.query
+         GROUP BY p.query, a.vec_id, a.cnorm, p.qnorm
+       ),
+       scored AS (
+         SELECT query, neighbor,
+           ROUND(CASE WHEN qnorm * cnorm > 0
+                 THEN ROUND(((i0 + i1) + i2) + i3, 6) / (qnorm * cnorm)
+                 ELSE 0.0 END, 6) AS approx
+         FROM adc
+       ),
+       short AS (
+         SELECT query, neighbor FROM (
+           SELECT query, neighbor,
+             ROW_NUMBER() OVER (PARTITION BY query
+               ORDER BY approx DESC, neighbor) AS sr
+           FROM scored) WHERE sr <= 25
+       ),
+       rr AS (
+         SELECT s.query, s.neighbor,
+                {_V6_GCOS.format(a="qq.qv", b="cv.v")} AS cosine
+         FROM short s
+         JOIN corpus cv ON cv.vec_id = s.neighbor
+         JOIN q qq ON qq.query = s.query
+       )
+       SELECT query, neighbor, cosine, rank FROM (
+         SELECT query, neighbor, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query
+             ORDER BY cosine DESC, neighbor) AS rank
+         FROM rr) WHERE rank <= 10""",
+)
+def v6_ivf_pq(spark, sf):
+    """IVF-PQ with ADC + exact re-rank (operators.similarity.ivf_pq_topk):
+    8 hash-pivot coarse lists (3 probed), 4 sub-quantisers of 8 codewords
+    each (the NEXT 8 rows in md5 order), ADC shortlist of 25 per query,
+    exact round-6 cosine re-rank to top-10 — the memory-bounded vector
+    path (codes carry m ints + a norm through the inverted lists; wide
+    vectors touch only shortlist rows). The DuckDB oracle replays the
+    ENTIRE pipeline — pivot selection, coarse assignment, per-subspace
+    encode argmin (dot-expansion L2), ADC tables, the left-assoc lookup
+    sum, shortlist, and re-rank — so the product-quantisation path itself
+    is hash-verified. KMeans-trained codebooks (train_codebooks=True) are
+    recall-pinned in tests/test_text_dedup.py instead."""
+    from matchbox_spark.operators.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") % 20 == 0)
+    return ivf_pq_topk(
+        emb, q, k=10, n_lists=8, n_probe=3, m_subspaces=4, n_codes=8,
+        rerank=25,
+    )
+
+
 @_q(
     "st1_incremental_index",
     """SELECT CAST(doc_id AS VARCHAR) AS key,

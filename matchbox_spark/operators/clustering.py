@@ -282,12 +282,35 @@ def kmeans_lloyd(
     clusters keep their previous centroid. The per-iteration driver state
     is k·dim doubles; everything else is one aggregate per iteration.
     """
+    centroids = lloyd_centroids(df, k, iters, id_col, vec_col, assign_method)
+    assigned = assign_to_centroids(df, centroids, id_col, vec_col, assign_method)
+    return assigned.select(
+        "id",
+        "cluster",
+        F.round(F.col("dist").cast("double"), 6).alias("sqdist"),
+    )
+
+
+def lloyd_centroids(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_method: str = "auto",
+) -> dict[int, list[float]]:
+    """The trained centroid set after ``iters − 1`` Lloyd updates — exactly
+    the centroids :func:`kmeans_lloyd`'s final assignment uses. Exposed so
+    other operators (e.g. IVF-PQ sub-quantiser codebooks) can reuse the
+    deterministic decimal training without re-deriving the recipe.
+    """
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
     centroids = _seed_centroids(df, k, id_col, vec_col)
-    assigned = assign_to_centroids(df, centroids, id_col, vec_col, assign_method)
     for _ in range(iters - 1):
-        # one update then one fresh assignment
+        assigned = assign_to_centroids(
+            df, centroids, id_col, vec_col, assign_method
+        )
         exploded = (
             df.select(
                 F.col(id_col).alias("id"),
@@ -324,12 +347,7 @@ def kmeans_lloyd(
             )
             for cid, prev in centroids.items()
         }
-        assigned = assign_to_centroids(df, centroids, id_col, vec_col, assign_method)
-    return assigned.select(
-        "id",
-        "cluster",
-        F.round(F.col("dist").cast("double"), 6).alias("sqdist"),
-    )
+    return centroids
 
 
 def semdedup(

@@ -307,3 +307,238 @@ def ann_topk(
         .where(F.col("rank") <= k)
         .select("query", "neighbor", "cosine", "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    m_subspaces: int = 4,
+    n_codes: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    exclude_self: bool = True,
+    rerank: int | None = None,
+    train_codebooks: bool = False,
+) -> DataFrame:
+    """IVF-PQ: product-quantised inverted-file search (Jégou et al. 2011),
+    deterministic-pivot variant — the memory-bounded 100 TB vector path.
+
+    ``rerank``: when set, ADC ranks a per-query SHORTLIST of that size and
+    the final top-k comes from an exact round-6 cosine over the shortlist
+    only — the standard IVF-PQ serving shape (codes prune, originals
+    re-rank); vectors are fetched narrowly by neighbor id, so the wide
+    data touches only ``rerank`` rows per query. ``train_codebooks``: run
+    the deterministic decimal Lloyd k-means (``kmeans_lloyd``, 2 iters)
+    per subspace instead of raw hash-pivot subvectors — better codebooks,
+    still deterministic, but the oracle replay cost moves from one CTE to
+    m unrolled k-means, so the registry entry keeps it off (recall gain
+    pinned in pytest instead).
+
+    The vector splits into ``m_subspaces`` contiguous subspaces; each
+    subspace has an ``n_codes``-word codebook, so a corpus vector is
+    carried through the inverted lists as **m small ints + one rounded
+    norm** instead of ``dim`` floats — the PQ memory win (64 doubles →
+    4 bytes + 4 at these defaults). Scoring is **ADC** (asymmetric
+    distance computation): each query precomputes one inner-product table
+    per subspace against the codebook (m·n_codes rounded dots), and every
+    candidate costs m table lookups instead of a dim-wide dot product.
+
+    Determinism (the ``ivf_topk_hashed`` trick): coarse centroids are the
+    corpus rows with the smallest ``md5(id)`` (ranks 1..n_lists), PQ
+    codebook pivots are the NEXT ``n_codes`` rows in the same order, every
+    similarity/distance is rounded to 6 dp before any rank/argmin, and all
+    ties break on ids/codes — so list assignment, PQ codes, ADC scores,
+    and the final top-k are pure relational algebra an independent SQL
+    engine replays row-for-row (the ``v6_ivf_pq`` oracle does).
+
+    Plan shape: pivots + centroids are one driver-side TakeOrdered
+    (metadata: (n_lists+n_codes)·dim doubles) inlined as codegen literals;
+    encode is a zero-shuffle projection; the only corpus exchange is the
+    inverted-list build, and probed candidates shuffle as (query,
+    neighbor, codes) — never vectors. A production encode at extreme dim
+    would swap the literal argmin for an Arrow matmul (the
+    ``assign_to_centroids`` ``method="arrow"`` pattern); at PQ-typical
+    sub-dims the codegen path holds.
+    """
+    spark = corpus.sparkSession
+    c = corpus.select(
+        F.col(corpus_id).cast("long").alias("neighbor"),
+        F.col(corpus_vec).cast("array<double>").alias("_cv"),
+    )
+    n_pivots = n_lists + n_codes
+    pivot_rows = (
+        c.withColumn("_h", F.md5(F.col("neighbor").cast("string")))
+        .orderBy("_h", "neighbor")
+        .limit(n_pivots)
+        .collect()
+    )
+    if len(pivot_rows) < n_pivots:
+        raise ValueError(
+            f"corpus has {len(pivot_rows)} rows < n_lists+n_codes={n_pivots}"
+        )
+    dim = len(pivot_rows[0]["_cv"])
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    sub = dim // m_subspaces
+    centroids = spark.createDataFrame(
+        [(i + 1, list(r["_cv"])) for i, r in enumerate(pivot_rows[:n_lists])],
+        "list_id int, centroid array<double>",
+    )
+    if train_codebooks:
+        # decimal Lloyd per subspace (deterministic: seed = lowest ids)
+        from matchbox_spark.operators.clustering import lloyd_centroids
+
+        codebook = []
+        for mi in range(m_subspaces):
+            sub_df = c.select(
+                F.col("neighbor").alias("vec_id"),
+                F.slice(F.col("_cv"), mi * sub + 1, sub).alias("embedding"),
+            )
+            trained = lloyd_centroids(sub_df, k=n_codes, iters=2)
+            codebook.append([list(trained[ci]) for ci in sorted(trained)])
+    else:
+        # codebook[m][c] = subvector m of pivot row (n_lists + c)
+        codebook = [
+            [
+                [float(x) for x in pivot_rows[n_lists + ci]["_cv"][mi * sub : (mi + 1) * sub]]
+                for ci in range(n_codes)
+            ]
+            for mi in range(m_subspaces)
+        ]
+
+    def _lit_vec(vals):
+        return F.array(*[F.lit(v) for v in vals])
+
+    def _sub(col, mi):
+        return F.slice(col, mi * sub + 1, sub)
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _l2sq(a, b):
+        # expansion form ‖a‖² − 2a·b + ‖b‖², term order fixed — built from
+        # the dot product both engines evaluate identically (the v1/v2b
+        # precedent), so the oracle replays the encode argmin exactly
+        return (_dot(a, a) - F.lit(2.0) * _dot(a, b)) + _dot(b, b)
+
+    # encode: per subspace, argmin over codeword L2² (round-6, tie → low
+    # code). Codewords are literals — zero-shuffle codegen projection.
+    def _code(col, mi):
+        cands = [
+            F.struct(
+                F.round(_l2sq(_sub(col, mi), _lit_vec(codebook[mi][ci])), 6).alias("d"),
+                F.lit(ci).alias("c"),
+            )
+            for ci in range(n_codes)
+        ]
+        return (cands[0] if n_codes == 1 else F.least(*cands))["c"]
+
+    sim_c = F.round(cosine_expr(F.col("_cv"), F.col("centroid")), 6)
+    assigned = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "_arank",
+            F.row_number().over(
+                Window.partitionBy("neighbor").orderBy(
+                    sim_c.desc(), F.asc("list_id")
+                )
+            ),
+        )
+        .where(F.col("_arank") == 1)
+        .select(
+            "neighbor",
+            "list_id",
+            F.round(F.sqrt(_dot(F.col("_cv"), F.col("_cv"))), 6).alias("_cnorm"),
+            *[_code(F.col("_cv"), mi).alias(f"_code{mi}") for mi in range(m_subspaces)],
+        )
+    )
+
+    q = queries.select(
+        F.col(query_id).cast("long").alias("query"),
+        F.col(query_vec).cast("array<double>").alias("_qv"),
+    )
+    sim_q = F.round(cosine_expr(F.col("_qv"), F.col("centroid")), 6)
+    q_lists = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "_crank",
+            F.row_number().over(
+                Window.partitionBy("query").orderBy(
+                    sim_q.desc(), F.asc("list_id")
+                )
+            ),
+        )
+        .where(F.col("_crank") <= n_probe)
+        .select("query", "_qv", "list_id")
+    )
+    # ADC tables: per query, one array of round-6 inner products per
+    # subspace (m·n_codes rounded dots — codegen, no shuffle)
+    tbl_cols = [
+        F.array(
+            *[
+                F.round(_dot(_sub(F.col("_qv"), mi), _lit_vec(codebook[mi][ci])), 6)
+                for ci in range(n_codes)
+            ]
+        ).alias(f"_tbl{mi}")
+        for mi in range(m_subspaces)
+    ]
+    q_scored = q_lists.select(
+        "query",
+        "list_id",
+        F.round(F.sqrt(_dot(F.col("_qv"), F.col("_qv"))), 6).alias("_qnorm"),
+        *tbl_cols,
+    )
+    # candidate score: explicit left-assoc sum of the m table lookups, then
+    # one cosine normalisation — both re-playable term-for-term in SQL
+    adc_ip = F.element_at(F.col("_tbl0"), F.col("_code0") + 1)
+    for mi in range(1, m_subspaces):
+        adc_ip = adc_ip + F.element_at(F.col(f"_tbl{mi}"), F.col(f"_code{mi}") + 1)
+    den = F.col("_qnorm") * F.col("_cnorm")
+    approx = F.round(
+        F.when(den > 0, F.round(adc_ip, 6) / den).otherwise(F.lit(0.0)), 6
+    )
+    scored = q_scored.join(assigned, "list_id").select(
+        "query", "neighbor", approx.alias("approx_cosine")
+    )
+    if exclude_self:
+        scored = scored.where(F.col("query") != F.col("neighbor"))
+    w = Window.partitionBy("query").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor")
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query", "neighbor", "approx_cosine", "rank")
+        )
+    # exact re-rank of the ADC shortlist: original vectors join back by id
+    # (narrow fetch — rerank rows per query, never a list's full contents)
+    shortlist = (
+        scored.withColumn("_srank", F.row_number().over(w))
+        .where(F.col("_srank") <= int(rerank))
+        .select("query", "neighbor")
+    )
+    exact = (
+        shortlist.join(c, "neighbor")
+        .join(q, "query")
+        .select(
+            "query",
+            "neighbor",
+            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query", "neighbor", "cosine", "rank")
+    )
