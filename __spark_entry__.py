@@ -3426,19 +3426,27 @@ def m4_resize(spark, sf):
 )
 def m5_real_decode(spark, sf):
     """REAL image decode, hash-verified end to end: each document synthesises
-    an actual 24-bit BMP (solid colour + geometry derived from sha256(text)),
-    which decode_image_stats then decodes FOR REAL — header parse, row
-    padding, BGR order, pixel means — through the Arrow mapInPandas stage.
-    The oracle recomputes the expected geometry and channel means from
-    sha256(text) in SQL, so any decoder bug (wrong stride, channel swap,
-    off-by-one in padding) hash-mismatches. Unlike m1/m3/m4 (plumbing
-    stubs), this entry pins actual pixel decoding."""
+    an actual image — 24-bit BMP, binary PPM, or a COMPRESSED PNG
+    (zlib IDAT, Paeth-filtered scanlines, CRC'd chunks) rotating by doc_id —
+    with solid colour + geometry derived from sha256(text), which
+    decode_image_stats then decodes FOR REAL (header parse / inflate /
+    per-scanline un-filtering / row padding / BGR order / pixel means)
+    through the Arrow mapInPandas stage. The oracle recomputes the expected
+    geometry and channel means from sha256(text) in SQL, so any decoder bug
+    (wrong stride, channel swap, broken un-filter recurrence, off-by-one in
+    padding) hash-mismatches. Unlike m1/m3/m4 (plumbing stubs), this entry
+    pins actual pixel decoding of the container formats real corpora hold."""
     import hashlib as _hl
 
     import numpy as _np
     import pandas as _pd
 
-    from matchbox_spark.operators.multimodal import decode_image_stats, encode_bmp
+    from matchbox_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
 
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 200).select(
         "doc_id", "text"
@@ -3451,7 +3459,14 @@ def m5_real_decode(spark, sf):
                 h = _hl.sha256(str(text).encode("utf-8")).digest()
                 w, ht = 4 + h[3] % 13, 4 + h[4] % 13
                 img = _np.full((ht, w, 3), (h[0], h[1], h[2]), dtype=_np.uint8)
-                rows.append((int(doc_id), encode_bmp(img), "image/bmp"))
+                c = int(doc_id) % 3
+                if c == 0:
+                    payload, mt = encode_bmp(img), "image/bmp"
+                elif c == 1:
+                    payload, mt = encode_ppm(img), "image/x-portable-pixmap"
+                else:
+                    payload, mt = encode_png(img, filter_type=4), "image/png"
+                rows.append((int(doc_id), payload, mt))
             yield _pd.DataFrame(
                 rows, columns=["doc_id", "payload", "media_type"]
             )
@@ -3477,7 +3492,7 @@ def m5_real_decode(spark, sf):
                 CAST('0x' || substr(sha256(text), 9, 2) AS INT) AS b4,
                 CAST('0x' || substr(sha256(text), 11, 2) AS INT) AS b5,
                 octet_length(encode(text)) AS tlen,
-                doc_id % 8 AS c
+                doc_id % 11 AS c
          FROM documents WHERE doc_id < 400
        ), d AS (
          SELECT doc_id, c, tlen,
@@ -3493,6 +3508,9 @@ def m5_real_decode(spark, sf):
                 WHEN 4 THEN 'image/bmp'
                 WHEN 5 THEN 'image/x-portable-pixmap'
                 WHEN 6 THEN 'audio/wav'
+                WHEN 8 THEN 'image/png'
+                WHEN 9 THEN 'image/png'
+                WHEN 10 THEN 'image/png'
                 ELSE 'application/x-unknown' END AS media_type,
          CAST(CASE c
            WHEN 0 THEN 54 + ((3 * w + 3) // 4) * 4 * ht
@@ -3503,20 +3521,28 @@ def m5_real_decode(spark, sf):
            WHEN 4 THEN 34
            WHEN 5 THEN 6
            WHEN 6 THEN 36
+           -- stored-deflate PNG: 57 chunk framing + 2 zlib hdr + 5 block
+           -- hdr (raw < 65535 at these geometries) + raw + 4 adler
+           WHEN 8 THEN 68 + ht * (1 + 3 * w)
+           WHEN 9 THEN 16
+           WHEN 10 THEN 68 + ht * (1 + 3 * w)
            ELSE tlen END AS BIGINT) AS n_bytes,
-         CAST(CASE WHEN c <= 1 THEN w END AS INT) AS width,
-         CAST(CASE WHEN c <= 1 THEN ht END AS INT) AS height,
+         CAST(CASE WHEN c <= 1 OR c = 8 THEN w END AS INT) AS width,
+         CAST(CASE WHEN c <= 1 OR c = 8 THEN ht END AS INT) AS height,
          CAST(CASE WHEN c = 2 THEN ns // 8 END AS BIGINT) AS duration_ms
        FROM d""",
 )
 def m6_malformed_media(spark, sf):
     """Mixed-format corpus with corrupt payloads through the REAL metadata
-    probes: every error branch of the BMP/PPM/WAV decoders
-    (operators/multimodal.py:76-137) is hit by a driver-oracle row — valid
-    BMP/PPM/WAV (header probe succeeds, oracle recomputes geometry/duration
-    from sha256(text)), truncated BMP (< header), wrong magic, truncated
-    PPM header, WAV missing its data chunk, and an unregistered media type.
-    A corrupt object yields null fields, never a task failure — the
+    probes: every error branch of the BMP/PPM/WAV/PNG decoders is hit by a
+    driver-oracle row — valid BMP/PPM/WAV (header probe succeeds, oracle
+    recomputes geometry/duration from sha256(text)), truncated BMP
+    (< header), wrong magic, truncated PPM header, WAV missing its data
+    chunk, an unregistered media type, and the PNG trio: a VALID
+    stored-deflate PNG (signature + CRC-verified IHDR; its byte length is
+    closed-form, so the oracle pins the whole container), a PNG truncated
+    mid-chunk, and a PNG whose IHDR data is corrupted so the chunk CRC
+    fails. A corrupt object yields null fields, never a task failure — the
     contract a 100 TB scan over heterogeneous objects needs."""
     import hashlib as _hl
     import struct as _st
@@ -3526,6 +3552,7 @@ def m6_malformed_media(spark, sf):
 
     from matchbox_spark.operators.multimodal import (
         encode_bmp,
+        encode_png,
         encode_ppm,
         encode_wav,
         extract_media_metadata,
@@ -3540,11 +3567,27 @@ def m6_malformed_media(spark, sf):
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 h = _hl.sha256(str(text).encode("utf-8")).digest()
-                c = int(doc_id) % 8
+                c = int(doc_id) % 11
                 w, ht = 4 + h[3] % 13, 4 + h[4] % 13
                 ns = 8 * (1 + h[5] % 32)
                 solid = _np.full((ht, w, 3), (h[0], h[1], h[2]), _np.uint8)
-                if c == 0:
+                if c == 8:  # valid stored-deflate PNG (closed-form size)
+                    payload, mt = (
+                        encode_png(solid, filter_type=4, compress_level=0),
+                        "image/png",
+                    )
+                elif c == 9:  # truncated mid-chunk (after sig + chunk hdr)
+                    payload, mt = (
+                        encode_png(solid, compress_level=0)[:16],
+                        "image/png",
+                    )
+                elif c == 10:  # IHDR data corrupted → chunk CRC mismatch
+                    buf = bytearray(
+                        encode_png(solid, filter_type=4, compress_level=0)
+                    )
+                    buf[20] ^= 0xFF
+                    payload, mt = bytes(buf), "image/png"
+                elif c == 0:
                     payload, mt = encode_bmp(solid), "image/bmp"
                 elif c == 1:
                     payload, mt = encode_ppm(solid), "image/x-portable-pixmap"
@@ -5567,8 +5610,11 @@ _CHECKED_R5 = {
 #   zero-norm guard (d11, v5)
 # - j6 rebuilt as an oracle-backed pre-trained-path query (was rows-only;
 #   EM path now pinned by the frozen trained fixture)
+# - m5 now rotates BMP/PPM/PNG containers (real zlib+Paeth decode); m6
+#   gained the PNG valid/truncated/bad-CRC trio
 _TOUCHED_R6 = {
     "b2_hybrid_rrf", "d11_semdedup", "v5_kmeans_embed", "j6_splink_compat",
+    "m5_real_image_decode", "m6_malformed_media",
 }
 
 

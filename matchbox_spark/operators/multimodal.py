@@ -137,6 +137,55 @@ def _wav_decoder(payload: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes) -> "Iterator[tuple[bytes, bytes]]":
+    """Walk PNG chunks, verifying each CRC (crc32 over type+data).
+
+    Raises ``ValueError`` on truncation or CRC mismatch — corrupt objects
+    must fail the probe loudly so the scan-level null contract applies.
+    """
+    import zlib
+
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(payload):
+        length = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        data_end = pos + 8 + length
+        if data_end + 4 > len(payload):
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8 : data_end]
+        crc = struct.unpack_from(">I", payload, data_end)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        pos = data_end + 4
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _png_ihdr(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Signature + IHDR parse (CRC-checked) → (w, h, depth, ctype, interlace)."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ctype, data = next(iter(_png_chunks(payload)))
+    if ctype != b"IHDR" or len(data) != 13:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", data
+    )
+    return w, h, depth, color, interlace
+
+
+@register_decoder("image/png")
+def _png_decoder(payload: bytes) -> dict:
+    """Real PNG header probe: signature + CRC-verified IHDR."""
+    w, h, _, _, _ = _png_ihdr(payload)
+    return {"width": w, "height": h, "duration_ms": None}
+
+
 def encode_bmp(pixels) -> bytes:
     """Encode an (H, W, 3) uint8 RGB array as an uncompressed 24-bit BMP
     (bottom-up rows, 4-byte row padding, BGR byte order — the on-disk
@@ -192,6 +241,133 @@ def encode_wav(
     )
 
 
+def encode_png(
+    pixels, filter_type: int = 0, compress_level: int = 6
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a real 8-bit truecolour PNG
+    (zlib IDAT, CRC'd chunks). ``filter_type`` applies one of the five
+    scanline filters (0=None 1=Sub 2=Up 3=Average 4=Paeth) to every row —
+    fixtures use the non-trivial ones to exercise un-filtering.
+    ``compress_level=0`` emits STORED deflate blocks, making the payload
+    length a closed-form function of geometry (what the m6 oracle needs):
+    ``57 + 2 + 5·ceil(raw/65535) + raw + 4`` with ``raw = h·(1+3w)``.
+    """
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    rows = []
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    for r in range(h):
+        cur = px[r].reshape(-1)
+        left = np.concatenate([np.zeros(3, np.uint8), cur[:-3]])
+        ul = np.concatenate([np.zeros(3, np.uint8), prev[:-3]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - ((left.astype(np.uint16) + prev) // 2).astype(np.uint8)
+        elif filter_type == 4:
+            a = left.astype(np.int16)
+            b = prev.astype(np.int16)
+            c = ul.astype(np.int16)
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            ).astype(np.uint8)
+            filt = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter {filter_type}")
+        rows.append(bytes([filter_type]) + filt.tobytes())
+        prev = cur
+    raw = b"".join(rows)
+    idat = zlib.compress(raw, compress_level)
+
+    import zlib as _z
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes):
+    """Decode an 8-bit non-interlaced PNG (grey / RGB / RGBA) to an
+    (H, W, 3) uint8 RGB array: signature + CRC-verified chunk walk, IDAT
+    concat + inflate, then per-scanline UN-filtering (all five filter
+    types; Sub/Average/Paeth run the per-pixel recurrence). Greyscale
+    replicates to three channels; RGBA drops alpha. Interlaced (Adam7),
+    16-bit, and palette PNGs raise — honest scope, matching the codec
+    registry's stub contract for formats beyond it."""
+    import zlib
+
+    import numpy as np
+
+    w, h, depth, color, interlace = _png_ihdr(payload)
+    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} color={color} "
+            f"interlace={interlace}"
+        )
+    nch = {0: 1, 2: 3, 6: 4}[color]
+    idat = b"".join(d for t, d in _png_chunks(payload) if t == b"IDAT")
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ft = raw[r * (1 + stride)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=r * (1 + stride) + 1
+        ).copy()
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = line + prev
+        elif ft in (1, 3, 4):
+            cur = line
+            for i in range(stride):
+                a = int(cur[i - nch]) if i >= nch else 0
+                b = int(prev[i])
+                c = int(prev[i - nch]) if i >= nch else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ft}")
+        out[r] = cur
+        prev = cur
+    px = out.reshape(h, w, nch)
+    if color == 0:
+        return np.repeat(px, 3, axis=2)
+    return px[..., :3]
+
+
 def decode_bmp_pixels(payload: bytes):
     """Decode an uncompressed 24-bit BMP to an (H, W, 3) uint8 RGB array.
 
@@ -233,6 +409,7 @@ def decode_ppm_pixels(payload: bytes):
 _PIXEL_DECODERS = {
     "image/bmp": decode_bmp_pixels,
     "image/x-portable-pixmap": decode_ppm_pixels,
+    "image/png": decode_png_pixels,
 }
 
 

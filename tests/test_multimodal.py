@@ -208,3 +208,139 @@ def test_real_ppm_and_wav_decode(spark):
     assert (meta[1]["width"], meta[1]["height"]) == (3, 2)
     assert meta[2]["duration_ms"] == 1000
     assert meta[3]["duration_ms"] is None
+
+
+class TestPngCodec:
+    """Pure-Python PNG (zlib IDAT, CRC'd chunks, 5 scanline filters)."""
+
+    def _img(self, h=11, w=7, seed=3):
+        import numpy as np
+
+        return np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+
+    def test_round_trip_every_filter(self):
+        from matchbox_spark.operators.multimodal import (
+            decode_png_pixels,
+            encode_png,
+        )
+
+        img = self._img()
+        for ft in range(5):
+            for lvl in (0, 6, 9):
+                back = decode_png_pixels(encode_png(img, ft, lvl))
+                assert (back == img).all(), (ft, lvl)
+
+    def test_stored_deflate_size_closed_form(self):
+        from matchbox_spark.operators.multimodal import encode_png
+
+        img = self._img(h=16, w=16)
+        raw = 16 * (1 + 3 * 16)
+        assert len(encode_png(img, compress_level=0)) == 68 + raw
+
+    def test_header_probe_and_crc(self):
+        import pytest as _pt
+
+        from matchbox_spark.operators.multimodal import (
+            DECODERS,
+            decode_png_pixels,
+            encode_png,
+        )
+
+        img = self._img(h=5, w=9)
+        p = encode_png(img)
+        meta = DECODERS["image/png"](p)
+        assert (meta["width"], meta["height"]) == (9, 5)
+        with _pt.raises(ValueError):
+            DECODERS["image/png"](p[:16])  # truncated mid-chunk
+        bad = bytearray(p)
+        bad[20] ^= 0xFF  # IHDR data
+        with _pt.raises(ValueError):
+            DECODERS["image/png"](bytes(bad))
+        bad2 = bytearray(p)
+        bad2[50] ^= 0xFF  # inside IDAT
+        with _pt.raises(ValueError):
+            decode_png_pixels(bytes(bad2))
+
+    def test_gray_and_rgba_variants(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from matchbox_spark.operators.multimodal import decode_png_pixels
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        g = np.array([[3, 200], [99, 0]], dtype=np.uint8)
+        raw = b"".join(b"\x00" + g[r].tobytes() for r in range(2))
+        pg = (
+            sig
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        out = decode_png_pixels(pg)
+        assert out.shape == (2, 2, 3) and (out[..., 1] == g).all()
+
+        rgba = self._img(h=3, w=2, seed=9)
+        rgba4 = np.dstack([rgba, np.full((3, 2), 128, np.uint8)])
+        rawa = b"".join(b"\x00" + rgba4[r].tobytes() for r in range(3))
+        pa = (
+            sig
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 3, 8, 6, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(rawa))
+            + chunk(b"IEND", b"")
+        )
+        assert (decode_png_pixels(pa) == rgba).all()
+
+    def test_unsupported_variants_raise(self):
+        import struct
+        import zlib
+
+        import pytest as _pt
+
+        from matchbox_spark.operators.multimodal import decode_png_pixels
+
+        def chunk(t, d):
+            return (
+                struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+            )
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        for depth, color, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+            p = (
+                sig
+                + chunk(
+                    b"IHDR",
+                    struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace),
+                )
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+                + chunk(b"IEND", b"")
+            )
+            with _pt.raises(ValueError):
+                decode_png_pixels(p)
+
+    def test_png_through_decode_image_stats(self, spark):
+        import numpy as np
+
+        from matchbox_spark.operators.multimodal import (
+            decode_image_stats,
+            encode_png,
+        )
+
+        img = np.full((6, 4, 3), (10, 20, 30), dtype=np.uint8)
+        rows = [(1, encode_png(img, filter_type=4), "image/png")]
+        df = spark.createDataFrame(
+            rows, "doc_id long, payload binary, media_type string"
+        )
+        out = decode_image_stats(df).collect()[0]
+        assert (out["width"], out["height"]) == (4, 6)
+        assert (out["mean_r"], out["mean_g"], out["mean_b"]) == (10.0, 20.0, 30.0)
