@@ -4682,7 +4682,7 @@ def _pr_iter_sql(prev: str, out: str) -> str:
                                    ORDER BY s_suppkey) AS rn
          FROM supplier
        ),
-       e0 AS (
+       e0 AS MATERIALIZED (
          SELECT l.id AS a, r.id AS b
          FROM ranked l JOIN ranked r
            ON l.nk = r.nk AND r.rn = l.rn + 1
@@ -5224,7 +5224,7 @@ def _lpa_iter_sql(prev: str, out: str) -> str:
                                    ORDER BY s_suppkey) AS rn
          FROM supplier
        ),
-       e0 AS (
+       e0 AS MATERIALIZED (
          SELECT l.id AS a, r.id AS b
          FROM ranked l JOIN ranked r
            ON l.nk = r.nk AND r.rn > l.rn AND r.rn - l.rn <= 2
@@ -5504,6 +5504,91 @@ def b2_hybrid(spark, sf):
         .select(F.col("neighbor").alias("doc"), "rank")
     )
     return rrf_fuse({"lex": lex, "vec": vec}, k=60, top_n=50)
+
+
+def _g8_oracle(rounds: int = 6, k: int = 2) -> str:
+    """Unrolled-CTE k-core oracle: `rounds` peel rounds over the bounded-
+    depth supplier rank graph (path segments of ≤10 + chords at segment
+    heads — peel depth ≤ 5 by construction at ANY scale factor)."""
+    parts = [
+        """WITH ranked AS (
+         SELECT s_nationkey AS nk, s_suppkey AS id,
+                row_number() OVER (PARTITION BY s_nationkey
+                                   ORDER BY s_suppkey) AS rn
+         FROM supplier
+       ),
+       e0 AS MATERIALIZED (
+         SELECT l.id AS a, r.id AS b
+         FROM ranked l JOIN ranked r ON l.nk = r.nk AND (
+           (r.rn = l.rn + 1 AND l.rn % 10 <> 0) OR
+           (r.rn = l.rn + 2 AND l.rn % 10 IN (1, 2, 3)))
+       )"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+       d{i} AS MATERIALIZED (
+         SELECT v, COUNT(*) AS c FROM (
+           SELECT a AS v FROM e{i} UNION ALL SELECT b FROM e{i})
+         GROUP BY v
+       ),
+       k{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE c >= {k}),
+       e{i + 1} AS MATERIALIZED (
+         SELECT e.a, e.b FROM e{i} e
+         JOIN k{i} ka ON e.a = ka.v
+         JOIN k{i} kb ON e.b = kb.v
+       )"""
+        )
+    parts.append(
+        f"""
+       SELECT v AS node, c AS degree FROM (
+         SELECT v, COUNT(*) AS c FROM (
+           SELECT a AS v FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+         GROUP BY v)
+       WHERE c >= {k}"""
+    )
+    return "".join(parts)
+
+
+@_q("g8_k_core", _g8_oracle())
+def g8_k_core(spark, sf):
+    """G8: k-core decomposition (operators.graph.k_core) — iterative peel
+    of nodes with degree < 2 over a bounded-depth supplier graph (path
+    segments between rank multiples of 10, chord edges at segment heads).
+    Six fixed rounds: the construction bounds the peel depth at 5
+    regardless of scale factor, so the fixed-round plan IS the fixpoint
+    (pinned by tests/test_graph.py::test_k_core_converged) and the
+    unrolled-CTE DuckDB oracle replays every round exactly — the
+    g6_pagerank recipe applied to subgraph peeling. Each round is one
+    map-side-combinable degree aggregate + two semi-joins; localCheckpoint
+    cuts the iterative lineage."""
+    from pyspark.sql import Window
+
+    from matchbox_spark.operators.graph import k_core
+
+    s = _t(spark, sf, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_suppkey")
+    ranked = s.select(
+        F.col("s_nationkey").alias("nk"),
+        F.col("s_suppkey").alias("id"),
+        F.row_number().over(w).alias("rn"),
+    )
+    l, r = ranked.alias("l"), ranked.alias("r")
+    edges = l.join(
+        r,
+        (F.col("l.nk") == F.col("r.nk"))
+        & (
+            (
+                (F.col("r.rn") == F.col("l.rn") + 1)
+                & (F.col("l.rn") % 10 != 0)
+            )
+            | (
+                (F.col("r.rn") == F.col("l.rn") + 2)
+                & (F.col("l.rn") % 10).isin(1, 2, 3)
+            )
+        ),
+    ).select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    return k_core(edges, k=2, rounds=6)
 
 
 # Correctness-rotation bookkeeping. The driver's gate samples a ~50-query

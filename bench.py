@@ -45,20 +45,37 @@ def main() -> None:
     # warm the JVM + parquet footers outside timing
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # best of two runs per query: single-machine timings vary ±2-3× under
-    # concurrent load; the minimum is the honest capability number. The
-    # flagship's DAG cache is cleared per run so j7 always measures the FULL
-    # pipeline (index → dedupe → resolve → query), never a cached catalog.
+    def run(name: str) -> float:
+        # the flagship's DAG cache is cleared per run so j7 always measures
+        # the FULL pipeline (index → dedupe → resolve → query), never a
+        # cached catalog
+        getattr(entrymod, "_FLAGSHIP_CACHE", {}).clear()
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # one UNTIMED warm-up (plan compilation, codegen, page cache) then
+    # best-of-3: single-machine timings swing ±20-50% on scheduler noise
+    # (the r5 j7 delta); the minimum of three warm runs is the honest
+    # capability number and keeps the driver-recorded total within ~1 s of
+    # a same-session close run.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = qs[name]
-        best = float("inf")
-        for _ in range(2):
-            getattr(entrymod, "_FLAGSHIP_CACHE", {}).clear()
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        run(name)
+        timings[name] = round(min(run(name) for _ in range(3)), 3)
+
+    try:
+        load1, load5, _ = os.getloadavg()
+        with open("/proc/uptime") as f:
+            uptime = float(f.read().split()[0])
+        session = {
+            "load1": round(load1, 2),
+            "load5": round(load5, 2),
+            "uptime_s": round(uptime),
+            "cpus": int(cpus),
+        }
+    except OSError:
+        session = {"cpus": int(cpus)}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -69,6 +86,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "session": session,
             }
         )
     )

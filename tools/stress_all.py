@@ -31,13 +31,17 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
     "streaming_resolve": (["6", "100", "10"], []),   # batches, groups, rows
     "clustering": (["20000", "8", "3"], []),         # vectors, k, iters
     "large_k": (["20000", "4096", "32"], ["1000000", "4096", "64"]),  # n, k, dim
+    "plan_gate": (["--check"], ["--check"]),         # audit vs PLANS.md
 }
+
+# harnesses that are not tools/stress_<name>.py
+SCRIPTS = {"plan_gate": "tools/plan_report.py"}
 
 
 def run_one(name: str, args: list[str]) -> tuple[str, int, float]:
     t0 = time.monotonic()
     proc = subprocess.run(
-        [sys.executable, f"tools/stress_{name}.py", *args],
+        [sys.executable, SCRIPTS.get(name, f"tools/stress_{name}.py"), *args],
         capture_output=True,
         text=True,
         timeout=1800,
