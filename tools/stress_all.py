@@ -32,6 +32,7 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
     "clustering": (["20000", "8", "3"], []),         # vectors, k, iters
     "large_k": (["20000", "4096", "32"], ["1000000", "4096", "64"]),  # n, k, dim
     "plan_gate": (["--check"], ["--check"]),         # audit vs PLANS.md
+    "serving": (["6", "50", "10"], ["24", "100", "10"]),  # batches, groups, rows
 }
 
 # harnesses that are not tools/stress_<name>.py
