@@ -5506,6 +5506,96 @@ def b2_hybrid(spark, sf):
     return rrf_fuse({"lex": lex, "vec": vec}, k=60, top_n=50)
 
 
+def _t12_oracle(n_merges: int = 3, top_words: int = 200) -> str:
+    """Unrolled BPE trainer: per merge, pair counting (adjacent self-join,
+    SUM(freq)), argmax (count DESC, pair ASC LIMIT 1), then the greedy
+    left-to-right rewrite as gaps-and-islands (islands of consecutive
+    matches; merges start at odd in-island ranks; consumed positions drop).
+    MATERIALIZED throughout — each round references the previous several
+    times (the g8 lesson: inlined CTEs expand exponentially)."""
+    parts = [
+        rf"""WITH wd0 AS MATERIALIZED (
+         SELECT word, freq, regexp_extract_all(word, '.') AS syms FROM (
+           SELECT word, COUNT(*) AS freq FROM (
+             SELECT UNNEST(list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+             FROM documents)
+           GROUP BY word ORDER BY freq DESC, word LIMIT {top_words})
+       )"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f""",
+       pos{i} AS MATERIALIZED (
+         SELECT word, freq, syms[t.i] AS sym, t.i - 1 AS p
+         FROM wd{i}, UNNEST(generate_series(1, len(syms))) AS t(i)
+       ),
+       pair{i} AS MATERIALIZED (
+         SELECT l.word, l.p, l.sym AS x, r.sym AS y, l.freq
+         FROM pos{i} l JOIN pos{i} r
+           ON l.word = r.word AND r.p = l.p + 1
+       ),
+       best{i} AS MATERIALIZED (
+         SELECT x AS a, y AS b, SUM(freq) AS c
+         FROM pair{i} GROUP BY x, y
+         ORDER BY c DESC, a, b LIMIT 1
+       ),
+       isl{i} AS (
+         SELECT word, p,
+                p - ROW_NUMBER() OVER (PARTITION BY word ORDER BY p) AS grp
+         FROM pair{i} p, best{i} b WHERE p.x = b.a AND p.y = b.b
+       ),
+       start{i} AS MATERIALIZED (
+         SELECT word, p FROM (
+           SELECT word, p,
+                  ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY p) AS r
+           FROM isl{i}) WHERE r % 2 = 1
+       ),
+       wd{i + 1} AS MATERIALIZED (
+         SELECT q.word, q.freq,
+                list(CASE WHEN s.p IS NOT NULL THEN b.a || b.b
+                     ELSE q.sym END ORDER BY q.p) AS syms
+         FROM pos{i} q
+         CROSS JOIN best{i} b
+         LEFT JOIN start{i} s ON s.word = q.word AND s.p = q.p
+         LEFT JOIN start{i} t ON t.word = q.word AND t.p = q.p - 1
+         WHERE t.p IS NULL
+         GROUP BY q.word, q.freq
+       )"""
+        )
+    unions = "\n         UNION ALL ".join(
+        f"SELECT {i} AS it, a AS lhs, b AS rhs, CAST(c AS BIGINT) AS pair_freq "
+        f"FROM best{i}"
+        for i in range(n_merges)
+    )
+    parts.append(
+        f"""
+       SELECT * FROM (
+         SELECT -1 AS it, '__symbols__' AS lhs, '' AS rhs,
+                CAST(SUM(len(syms) * freq) AS BIGINT) AS pair_freq
+         FROM wd{n_merges}
+         UNION ALL {unions})
+       ORDER BY it"""
+    )
+    return "".join(parts)
+
+
+@_q("t12_bpe_train", _t12_oracle())
+def t12_bpe_train(spark, sf):
+    """T12: BPE merge training (operators.tokenize.bpe_train, Sennrich
+    2016) — 3 merges over the 200 most frequent document words. Per merge:
+    one map-side-combinable pair-count aggregate over the DISTINCT-word
+    table (the O(vocab)-per-merge trick), a driver-collected argmax
+    (count DESC, pair ASC), and the greedy left-to-right rewrite as
+    gaps-and-islands joins + windows — no per-row Python, no sequential
+    state. The final it=-1 row pins Σ len(syms)·freq after all merges, so
+    the oracle hash-checks the re-segmentation itself, not just which
+    pairs won."""
+    from matchbox_spark.operators.tokenize import bpe_train
+
+    return bpe_train(_t(spark, sf, "documents"), n_merges=3, top_words=200)
+
+
 def _g8_oracle(rounds: int = 6, k: int = 2) -> str:
     """Unrolled-CTE k-core oracle: `rounds` peel rounds over the bounded-
     depth supplier rank graph (path segments of ≤10 + chords at segment

@@ -126,6 +126,35 @@ def _read_table(spark: SparkSession, location: str, options: dict) -> DataFrame:
     return spark.read.table(location)
 
 
+@register_location_reader("text")
+def _read_text(spark: SparkSession, location: str, options: dict) -> DataFrame:
+    """Line-oriented corpus ingestion: one string column ``value`` per line
+    (``wholetext=true`` in options flips to one row per FILE). The raw-text
+    on-ramp for the dedup/quality/tokenise family — pair with an ET like
+    ``SELECT monotonically_increasing_id() AS doc_id, value AS text …`` to
+    conform to the documents shape."""
+    opts = dict(options)
+    # Spark 4's python .text() honours wholetext only as a kwarg
+    wholetext = str(opts.pop("wholetext", "false")).lower() == "true"
+    return spark.read.options(**opts).text(location, wholetext=wholetext)
+
+
+@register_location_reader("binaryfile")
+def _read_binaryfile(
+    spark: SparkSession, location: str, options: dict
+) -> DataFrame:
+    """Object-store ingestion of opaque media: Spark's built-in
+    ``binaryFile`` source yields (path, modificationTime, length, content)
+    per object — the scan that feeds the multimodal codec stages
+    (operators/multimodal.py) without any decode on the scan path.
+    ``pathGlobFilter`` in options prunes by extension server-side (e.g.
+    ``"*.png"``); partition discovery and predicate pushdown on path/length
+    come free from the DataSource V2 file framework. At 100 TB this is the
+    layout story: objects stay in place, only matched paths are listed, and
+    content bytes stream straight into Arrow batches."""
+    return spark.read.format("binaryFile").options(**options).load(location)
+
+
 def _infer_scalar_type(value):
     """Type of a probed non-null value (S4): Python natives map directly;
     strings are parsed as int → float → bool → ISO timestamp/date, falling

@@ -163,3 +163,95 @@ def test_orc_source_roundtrip(spark, tmp_path):
     )
     assert src.read(spark).count() == 2
     assert src.index(spark).count() == 2
+
+
+def test_text_location_reader(spark, tmp_path):
+    """Line-oriented ingestion through the source registry, ET-conformed
+    to the documents shape."""
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.txt").write_text("first line\nsecond line\n")
+    cfg = SourceConfig(
+        name="txt",
+        location=str(p),
+        key_field="doc_id",
+        index_fields=["text"],
+        format="text",
+        extract_transform=(
+            "SELECT row_number() OVER (ORDER BY value) AS doc_id, "
+            "value AS text FROM $THIS"
+        ),
+    )
+    rows = {r["text"] for r in cfg.read(spark).collect()}
+    assert rows == {"first line", "second line"}
+    # wholetext: one row per file
+    whole = SourceConfig(
+        name="txtw",
+        location=str(p),
+        key_field="doc_id",
+        index_fields=["text"],
+        format="text",
+        options={"wholetext": "true"},
+        extract_transform=(
+            "SELECT 1 AS doc_id, value AS text FROM $THIS"
+        ),
+    )
+    out = whole.read(spark).collect()
+    assert len(out) == 1 and "second line" in out[0]["text"]
+
+
+def test_binaryfile_location_reader_feeds_codecs(spark, tmp_path):
+    """binaryFile scan → real PNG/BMP decode: the object-storage on-ramp
+    for the multimodal stages, with extension pruning via pathGlobFilter."""
+    import numpy as np
+
+    from matchbox_spark.operators.multimodal import (
+        decode_image_stats,
+        encode_bmp,
+        encode_png,
+    )
+
+    p = tmp_path / "objects"
+    p.mkdir()
+    img = np.full((3, 5, 3), (9, 8, 7), dtype=np.uint8)
+    (p / "one.png").write_bytes(encode_png(img, filter_type=2))
+    (p / "two.bmp").write_bytes(encode_bmp(img))
+    (p / "junk.txt").write_bytes(b"not an image")
+
+    cfg = SourceConfig(
+        name="objs",
+        location=str(p),
+        key_field="path",
+        index_fields=["content"],
+        format="binaryfile",
+    )
+    df = cfg.read(spark)
+    assert {"path", "content", "length"} <= set(df.columns)
+    assert df.count() == 3
+
+    pngs = SourceConfig(
+        name="pngs",
+        location=str(p),
+        key_field="path",
+        index_fields=["content"],
+        format="binaryfile",
+        options={"pathGlobFilter": "*.png"},
+    )
+    assert pngs.read(spark).count() == 1  # pruned at listing time
+
+    from pyspark.sql import functions as F
+
+    media = df.where(F.col("path").rlike(r"\.(png|bmp)$")).select(
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("path")
+        ).alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.when(F.col("path").endswith(".png"), "image/png")
+        .otherwise("image/bmp")
+        .alias("media_type"),
+    )
+    stats = {
+        (r["width"], r["height"], r["mean_r"])
+        for r in decode_image_stats(media).collect()
+    }
+    assert stats == {(5, 3, 9.0)}

@@ -30,7 +30,7 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
     "streaming": (["4", "5000"], []),                # batches, rows/batch
     "streaming_resolve": (["6", "100", "10"], []),   # batches, groups, rows
     "clustering": (["20000", "8", "3"], []),         # vectors, k, iters
-    "large_k": (["20000", "4096", "32"], ["1000000", "4096", "64"]),  # n, k, dim
+    "large_k": (["10000", "2048", "16"], ["1000000", "4096", "64"]),  # n, k, dim
     "plan_gate": (["--check"], ["--check"]),         # audit vs PLANS.md
     "serving": (["6", "50", "10"], ["24", "100", "10"]),  # batches, groups, rows
 }
