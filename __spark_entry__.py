@@ -5506,6 +5506,58 @@ def b2_hybrid(spark, sf):
     return rrf_fuse({"lex": lex, "vec": vec}, k=60, top_n=50)
 
 
+@_q(
+    "o9_dsir_selection",
+    r"""WITH toks AS (
+         SELECT doc_id AS doc, lang = 'en' AS tgt,
+                list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '') AS t
+         FROM documents
+       ),
+       grams AS MATERIALIZED (
+         SELECT doc, tgt,
+                CAST(('0x' || substr(md5(t[i.i] || ' ' || t[i.i + 1]), 1, 8))
+                     AS BIGINT) % 1024 AS bucket
+         FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS i(i)
+       ),
+       raw AS (SELECT bucket, COUNT(*) AS cr FROM grams GROUP BY bucket),
+       tgtc AS (SELECT bucket, COUNT(*) AS ct FROM grams WHERE tgt
+                GROUP BY bucket),
+       tots AS (SELECT (SELECT COUNT(*) FROM grams) AS tot,
+                       (SELECT COUNT(*) FROM grams WHERE tgt) AS tott),
+       ratios AS (
+         SELECT bucket,
+           CAST(ROUND(ln((COALESCE(ct, 0) + 1.0) / (tott + 1024.0))
+                    - ln((cr + 1.0) / (tot + 1024.0)), 6)
+                AS DECIMAL(18,6)) AS r
+         FROM raw LEFT JOIN tgtc USING (bucket) CROSS JOIN tots
+       )
+       SELECT doc, n_feats, logw FROM (
+         SELECT doc, COUNT(*) AS n_feats,
+                ROUND(CAST(SUM(r) AS DOUBLE), 6) AS logw
+         FROM grams JOIN ratios USING (bucket)
+         GROUP BY doc)
+       ORDER BY logw DESC, doc LIMIT 200""",
+)
+def o9_dsir(spark, sf):
+    """O9: DSIR data selection (operators.curation.dsir_logweights, Xie
+    2023) — hashed word-bigram importance log-weights of every document
+    against the English subset as target domain, top-200 by weight. Two
+    map-side-combinable bucket-count aggregates, a ≤1024-row broadcast
+    log-ratio table, one corpus shuffle on doc; per-feature ratios round-6
+    + decimal-sum (the t8 recipe) keep weights bit-stable cross-engine.
+    The oracle replays hashing (md5-prefix buckets), add-1 smoothing, and
+    the occurrence-weighted sum exactly."""
+    from matchbox_spark.operators.curation import dsir_logweights
+
+    return dsir_logweights(
+        _t(spark, sf, "documents"),
+        F.col("lang") == "en",
+        n_buckets=1024,
+        top_k=200,
+    )
+
+
 def _t12_oracle(n_merges: int = 3, top_words: int = 200) -> str:
     """Unrolled BPE trainer: per merge, pair counting (adjacent self-join,
     SUM(freq)), argmax (count DESC, pair ASC LIMIT 1), then the greedy

@@ -250,3 +250,92 @@ def chunk_documents(
         F.array_join("_c", " ").alias("chunk_text"),
         F.size("_c").alias("n_tokens"),
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_cond,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    top_k: int | None = None,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): per-document
+    hashed-n-gram importance log-weights against a target domain.
+
+    ``target_cond`` is a boolean Column selecting the target subset (e.g.
+    ``F.col("lang") == "en"``); the raw distribution is the whole input.
+    Features are word BIGRAMS hashed into ``n_buckets`` via the first 8 hex
+    chars of md5 (cross-engine reproducible, unlike xxhash64); per-bucket
+    add-1-smoothed probabilities give ``r(b) = ln p_target(b) − ln p_raw(b)``
+    and a document's log importance weight is the sum of ``r`` over its
+    feature OCCURRENCES (counts, not distincts — the DSIR estimator).
+
+    Plan shape: two vocabulary-sized bucket-count aggregates (map-side
+    combinable), a broadcast-sized log-ratio table (≤ n_buckets rows)
+    joined into one bigram explode, then one groupBy(doc). The corpus
+    shuffles once on doc id. Cross-engine: per-feature ratios round to
+    6 dp and sum as DECIMAL(18,6) (the t8 recipe), so weights are
+    bit-stable. Returns ``(doc, n_feats, logw)``; ``top_k`` orders by
+    (logw DESC, doc) — the selection DSIR feeds a sampler with.
+    """
+    from matchbox_spark.functions.text import tokens_expr
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        target_cond.alias("_tgt"),
+        tokens_expr(text_col).alias("_t"),
+    )
+    grams = toks.select(
+        "doc",
+        "_tgt",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                F.slice(F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("gram"),
+    ).select(
+        "doc",
+        "_tgt",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    raw = grams.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt = grams.where("_tgt").groupBy("bucket").agg(F.count("*").alias("ct"))
+    tot = grams.count()
+    tot_t = grams.where("_tgt").count()
+    ratios = (
+        raw.join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / F.lit(float(tot_t + n_buckets))
+                )
+                - F.log(
+                    (F.col("cr") + 1.0) / F.lit(float(tot + n_buckets))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("r"),
+        )
+    )
+    out = (
+        grams.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("r").cast("double"), 6).alias("logw"),
+        )
+    )
+    if top_k is not None:
+        out = out.orderBy(F.desc("logw"), F.asc("doc")).limit(int(top_k))
+    return out

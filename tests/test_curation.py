@@ -120,3 +120,47 @@ def test_quota_rebalance_subset_of_stratified(docs):
     assert sorted(map(tuple, uniform.collect())) == sorted(
         map(tuple, strat.collect())
     )
+
+
+def test_dsir_logweights_favours_target_like_docs(spark):
+    """Documents sharing the target subset's bigrams score higher than
+    off-domain documents; weights are finite and deterministic."""
+    from pyspark.sql import functions as F
+
+    from matchbox_spark.operators.curation import dsir_logweights
+
+    rows = []
+    for i in range(20):
+        rows.append((i, "the quick brown fox jumps over dogs", "en"))
+    for i in range(20, 40):
+        rows.append((i, "der schnelle braune fuchs springt hoch", "de"))
+    # raw-only docs: two resembling the target, two off-domain
+    rows += [
+        (100, "the quick brown fox runs", "xx"),
+        (101, "quick brown fox jumps again", "xx"),
+        (102, "der schnelle braune fuchs ist da", "xx"),
+        (103, "ein ganz anderes thema heute", "xx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc"]: r["logw"]
+        for r in dsir_logweights(docs, F.col("lang") == "en").collect()
+    }
+    assert out[100] > out[102] and out[101] > out[103]
+    run2 = {
+        r["doc"]: r["logw"]
+        for r in dsir_logweights(docs, F.col("lang") == "en").collect()
+    }
+    assert out == run2  # deterministic
+
+
+def test_dsir_validation(spark):
+    from pyspark.sql import functions as F
+
+    from matchbox_spark.operators.curation import dsir_logweights
+
+    docs = spark.createDataFrame([(1, "a b", "en")], "doc_id long, text string, lang string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dsir_logweights(docs, F.col("lang") == "en", n_buckets=1)
