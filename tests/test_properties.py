@@ -371,3 +371,104 @@ def test_chunked_deduper_equals_plain(spark, rows, chunk, cap):
     assert p == c
     for left, right in p:
         assert left is not None and left < right
+
+
+def _py_k_core(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """Reference peel: independent pure-Python fixpoint iteration."""
+    es = {tuple(e) for e in edges}
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {v for v, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        es = {(a, b) for a, b in es if a not in drop and b not in drop}
+
+
+def test_k_core_matches_python_fixpoint_seeded(spark):
+    """Fixed-round k_core equals the true fixpoint an independent
+    pure-Python peel computes — node set AND in-core degrees — across
+    seeded random graphs and k in {2, 3}. Seeded examples, not
+    hypothesis: each case runs ~10 Spark rounds of joins."""
+    import random
+
+    from matchbox_spark.operators.graph import k_core
+
+    for seed, k in ((1, 2), (2, 3), (3, 2)):
+        rng = random.Random(seed)
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randint(0, 14), rng.randint(0, 14)) for _ in range(30)
+                )
+                if a != b
+            }
+        )
+        expected = _py_k_core(edges, k)
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r["node"]: r["degree"]
+            for r in k_core(df, k=k, rounds=8).collect()
+        }
+        assert got == expected, (seed, k)
+
+
+def test_bpe_matches_python_reference_seeded(spark):
+    """bpe_train's merge choices and final symbol total equal an
+    independent pure-Python BPE (greedy left-to-right rewrite) on seeded
+    random corpora."""
+    import random
+    from collections import Counter
+
+    from matchbox_spark.operators.tokenize import bpe_train
+
+    def py_bpe(words: list[str], n_merges: int):
+        freq = Counter(words)
+        syms = {w: list(w) for w in freq}
+        merges = []
+        for it in range(n_merges):
+            counts: Counter = Counter()
+            for w, s in syms.items():
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] += freq[w]
+            if not counts:
+                raise ValueError("exhausted")
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), c = best
+            merges.append((it, a, b, c))
+            for w, s in syms.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        total = sum(len(s) * freq[w] for w, s in syms.items())
+        return merges, total
+
+    for seed in (5, 11):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(2, 6)))
+            for _ in range(10)
+        ]
+        df = spark.createDataFrame([(" ".join(words),)], "text string")
+        try:
+            expected_merges, expected_total = py_bpe(words, 2)
+        except ValueError:
+            continue
+        out = bpe_train(df, n_merges=2, top_words=50).collect()
+        got_merges = [
+            (r["it"], r["lhs"], r["rhs"], r["pair_freq"])
+            for r in out
+            if r["it"] >= 0
+        ]
+        got_total = [r["pair_freq"] for r in out if r["it"] == -1][0]
+        assert got_merges == expected_merges, seed
+        assert got_total == expected_total, seed
