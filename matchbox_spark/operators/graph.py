@@ -45,6 +45,13 @@ def k_core(
     self-loops; (a,b) stored once in either orientation). Rounds past the
     fixpoint are no-ops, so callers pick ``rounds`` from a bound on the
     peel depth of their graph family, not from the data.
+
+    ``checkpoint=False`` is for composing into an outer plan that manages
+    its own materialisation — WARNING: without the per-round
+    localCheckpoint the iterative lineage branches ~3× per round
+    (degree agg + two semi-joins each re-reference the edge plan), so
+    analysis cost grows exponentially and stalls past ~6 rounds. Keep the
+    default unless rounds is small.
     """
     if k < 1 or rounds < 1:
         raise ValueError("k and rounds must be >= 1")

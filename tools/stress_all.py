@@ -33,6 +33,7 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
     "large_k": (["10000", "2048", "16"], ["1000000", "4096", "64"]),  # n, k, dim
     "plan_gate": (["--check"], ["--check"]),         # audit vs PLANS.md
     "serving": (["6", "50", "10"], ["24", "100", "10"]),  # batches, groups, rows
+    "bpe": (["20000", "3"], ["100000", "6"]),        # vocab words, merges
 }
 
 # harnesses that are not tools/stress_<name>.py
