@@ -281,6 +281,13 @@ def kmeans_lloyd(
     the last assignment is returned without a trailing update. Empty
     clusters keep their previous centroid. The per-iteration driver state
     is k·dim doubles; everything else is one aggregate per iteration.
+
+    Scale bound (documented, not silent): centroids are DRIVER-resident
+    between iterations — k·dim doubles collected per update — so the
+    design holds to k·dim ≈ 1e7 (e.g. 65k clusters × 128-dim ≈ 64 MB)
+    and the assignment itself scales past that via the arrow path. Beyond
+    driver memory the update would need DataFrame-resident centroids
+    (join-based update, no collect); no current caller approaches that.
     """
     centroids = lloyd_centroids(df, k, iters, id_col, vec_col, assign_method)
     assigned = assign_to_centroids(df, centroids, id_col, vec_col, assign_method)

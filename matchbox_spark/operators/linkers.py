@@ -199,41 +199,59 @@ class WeightedDeterministicLinker(Linker):
         # (per-rule pair-dedupe, then a score-sum aggregate,
         # weighteddeterministic.py:85-145) shuffles the SAME (left, right)
         # key once per rule plus once to merge. Tagging each raw join row
-        # with its rule index and collecting the DISTINCT rule set per pair
-        # in a single aggregate is set-equivalent: duplicate (pair, rule)
-        # rows (non-unique ids joining many-to-many) collapse in the set,
-        # and the weight sum folds over the ≤|rules| set against a literal
-        # weight array driver-side. collect_set partials combine map-side,
-        # so the exchange carries at most |rules| ints per pair.
+        # with its rule's BIT and bit_or-folding per pair is set-equivalent
+        # to collecting the distinct rule set: duplicate (pair, rule) rows
+        # (non-unique ids joining many-to-many) collapse in the mask, the
+        # bit_or partials combine map-side so the exchange carries one
+        # long per pair per map task, and the whole aggregate + score
+        # stays primitive whole-stage codegen (r6: replaced collect_set +
+        # HOF fold — object sets and interpreted lambdas on 10^5-10^6
+        # pairs). ≥ 63 rules would overflow the mask; fall back to the
+        # set-based fold there.
+        use_mask = len(s.weighted_comparisons) < 63
         tagged: list[DataFrame] = []
         for i, wc in enumerate(s.weighted_comparisons):
             validate_comparison(wc.comparison)
+            tag = (
+                F.lit(1 << i).cast("long") if use_mask else F.lit(i)
+            ).alias("_rule")
             tagged.append(
                 _join_one_condition(
                     left, right, wc.comparison, s.left_id, s.right_id
-                ).select("left_id", "right_id", F.lit(i).alias("_rule"))
+                ).select("left_id", "right_id", tag)
             )
         unioned = tagged[0]
         for other in tagged[1:]:
             unioned = unioned.union(other)
 
-        weights = F.array(
-            *[F.lit(float(wc.weight)) for wc in s.weighted_comparisons]
-        )
+        if use_mask:
+            score_num = None
+            for i, wc in enumerate(s.weighted_comparisons):
+                term = F.when(
+                    F.col("_mask").bitwiseAND(F.lit(1 << i)) != 0,
+                    F.lit(float(wc.weight)),
+                ).otherwise(F.lit(0.0))
+                score_num = term if score_num is None else score_num + term
+            grouped = unioned.groupBy("left_id", "right_id").agg(
+                F.bit_or("_rule").alias("_mask")
+            )
+        else:
+            weights = F.array(
+                *[F.lit(float(wc.weight)) for wc in s.weighted_comparisons]
+            )
+            score_num = F.aggregate(
+                "_rules",
+                F.lit(0.0),
+                lambda acc, r: acc + F.element_at(weights, r + 1),
+            )
+            grouped = unioned.groupBy("left_id", "right_id").agg(
+                F.collect_set("_rule").alias("_rules")
+            )
         out = (
-            unioned.groupBy("left_id", "right_id")
-            .agg(F.collect_set("_rule").alias("_rules"))
-            .select(
+            grouped.select(
                 "left_id",
                 "right_id",
-                (
-                    F.aggregate(
-                        "_rules",
-                        F.lit(0.0),
-                        lambda acc, r: acc + F.element_at(weights, r + 1),
-                    )
-                    / F.lit(float(total))
-                ).alias("score"),
+                (score_num / F.lit(float(total))).alias("score"),
             )
             .where(F.col("score") >= F.lit(float(s.threshold)))
         )
