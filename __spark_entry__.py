@@ -5839,9 +5839,13 @@ _CHECKED_R5 = {
 #   EM path now pinned by the frozen trained fixture)
 # - m5 now rotates BMP/PPM/PNG containers (real zlib+Paeth decode); m6
 #   gained the PNG valid/truncated/bad-CRC trio
+# - j5: bit_or rule-mask aggregate replaced the collect_set fold
+# - st7: incremental_resolve_stream gained the serving_matcher hook
+#   (default None — behaviour unchanged, but the code path moved)
 _TOUCHED_R6 = {
     "b2_hybrid_rrf", "d11_semdedup", "v5_kmeans_embed", "j6_splink_compat",
-    "m5_real_image_decode", "m6_malformed_media",
+    "m5_real_image_decode", "m6_malformed_media", "j5_weighted_link",
+    "st7_incremental_resolve",
 }
 
 
