@@ -2282,6 +2282,261 @@ def j6_splink_compat(spark, sf):
     )
 
 
+_J6B_DIST_SQL = (
+    "2 * 6371 * asin(sqrt("
+    "pow(sin(radians(ra - la) / 2), 2) "
+    "+ cos(radians(la)) * cos(radians(ra)) "
+    "* pow(sin(radians(ro - lo) / 2), 2)))"
+)
+
+
+@_q(
+    "j6b_splink_exotic",
+    """WITH base AS (
+         SELECT c_custkey AS uid,
+                CASE WHEN c_custkey % 13 = 0 THEN NULL
+                     ELSE ['e' || CAST(c_custkey % 97 AS VARCHAR),
+                           'f' || CAST(c_custkey % 89 AS VARCHAR),
+                           'g' || CAST(c_custkey % 83 AS VARCHAR)] END AS emails,
+                CASE WHEN c_custkey % 17 = 0 THEN CAST(NULL AS DOUBLE)
+                     ELSE 51.0 + CAST(c_custkey % 200 AS DOUBLE)
+                          * CAST(0.01 AS DOUBLE) END AS lat,
+                CASE WHEN c_custkey % 17 = 0 THEN CAST(NULL AS DOUBLE)
+                     ELSE -1.0 + CAST(c_custkey % 140 AS DOUBLE)
+                          * CAST(0.02 AS DOUBLE) END AS lon,
+                c_nationkey AS region
+         FROM customer WHERE c_nationkey < 3
+       ),
+       rgt AS (
+         SELECT uid + 1000000 AS uid,
+                CASE WHEN uid % 5 = 3 THEN NULL
+                     WHEN uid % 5 = 0 THEN emails
+                     WHEN uid % 5 = 4 THEN
+                       ['e' || CAST(uid % 97 AS VARCHAR),
+                        'f' || CAST(uid % 89 AS VARCHAR),
+                        'x' || CAST(uid AS VARCHAR)]
+                     WHEN uid % 5 = 1 THEN
+                       ['e' || CAST(uid % 97 AS VARCHAR),
+                        'p' || CAST(uid AS VARCHAR),
+                        'q' || CAST(uid AS VARCHAR)]
+                     ELSE ['p' || CAST(uid AS VARCHAR),
+                           'q' || CAST(uid AS VARCHAR)] END AS emails,
+                CASE WHEN uid % 7 = 3 THEN CAST(NULL AS DOUBLE)
+                     WHEN uid % 7 = 0 THEN lat + CAST(0.02 AS DOUBLE)
+                     WHEN uid % 7 = 1 THEN lat + CAST(0.5 AS DOUBLE)
+                     WHEN uid % 7 = 2 THEN lat + CAST(3.0 AS DOUBLE)
+                     ELSE lat END AS lat,
+                CASE WHEN uid % 7 = 3 THEN CAST(NULL AS DOUBLE)
+                     ELSE lon END AS lon,
+                region
+         FROM base
+       ),
+       cand AS (
+         SELECT l.uid AS lid, r.uid AS rid,
+                l.emails AS le, r.emails AS re,
+                l.lat AS la, l.lon AS lo, r.lat AS ra, r.lon AS ro
+         FROM base l JOIN rgt r ON l.region = r.region
+       ),
+       g AS (
+         SELECT lid, rid,
+                CASE WHEN le IS NULL OR re IS NULL THEN -1
+                     WHEN len(list_intersect(le, re)) >= 2 THEN 1
+                     WHEN len(list_intersect(le, re)) >= 1 THEN 2
+                     ELSE 3 END AS g0,
+                CASE WHEN la IS NULL OR ra IS NULL
+                          OR lo IS NULL OR ro IS NULL THEN -1
+                     WHEN __DIST__ <= 10 THEN 1
+                     WHEN __DIST__ <= 100 THEN 2
+                     ELSE 3 END AS g1
+         FROM cand
+       ),
+       s AS (
+         SELECT lid, rid,
+                (0.02 * (CASE g0 WHEN 1 THEN 0.85 WHEN 2 THEN 0.60
+                                 WHEN 3 THEN 0.05 ELSE 1.0 END)
+                      * (CASE g1 WHEN 1 THEN 0.88 WHEN 2 THEN 0.70
+                                 WHEN 3 THEN 0.04 ELSE 1.0 END))
+                /
+                ((0.02 * (CASE g0 WHEN 1 THEN 0.85 WHEN 2 THEN 0.60
+                                  WHEN 3 THEN 0.05 ELSE 1.0 END)
+                       * (CASE g1 WHEN 1 THEN 0.88 WHEN 2 THEN 0.70
+                                  WHEN 3 THEN 0.04 ELSE 1.0 END))
+                 +
+                 (0.98 * (CASE g0 WHEN 1 THEN 0.005 WHEN 2 THEN 0.06
+                                  WHEN 3 THEN 0.935 ELSE 1.0 END)
+                       * (CASE g1 WHEN 1 THEN 0.04 WHEN 2 THEN 0.20
+                                  WHEN 3 THEN 0.76 ELSE 1.0 END))
+                ) AS score_d
+         FROM g
+       )
+       SELECT lid AS left_id, rid AS right_id,
+              ROUND(CAST(CAST(score_d AS REAL) AS DOUBLE), 6) AS score
+       FROM s
+       ORDER BY left_id, right_id""".replace("__DIST__", _J6B_DIST_SQL),
+)
+def j6b_splink_exotic(spark, sf):
+    """J6b: Splink's EXOTIC comparison templates through the settings-dict
+    surface — ArrayIntersectAtSizes (DuckDB
+    ``array_length(list_intersect(l.col, r.col)) >= n``, transpiled to
+    Spark ``size(array_intersect(...))``) and distance_in_km (a haversine
+    SQL level over lat/lon; sin/cos/asin/radians share names across
+    engines). Records are synthesized deterministically from ``customer``
+    with identical expressions in both engines: a 3-element email array
+    keyed on custkey moduli (overlap classes 3/2/1/0/null) and a
+    coordinate pair jittered ~2 km / ~55 km / ~330 km / null. The driver
+    hash-checks the whole path: blocking join, first-match-wins gamma CASE
+    over ARRAY and TRIG expressions, null-level no-evidence handling, the
+    FS posterior, and the float32 score emit. Frozen-fixture parity for
+    the same templates: tests/test_splink_fixture.py::
+    test_splink_exotic_templates_match_frozen_scores. Scale shape: the
+    gamma CASE is one codegen projection on the blocked pairs — array
+    intersection and haversine never shuffle; only the blocking join does
+    (ref splinklinker.py:56-175 delegates these levels to Splink's SQL
+    backend the same way)."""
+    from matchbox_spark.operators.probabilistic import SplinkCompatLinker
+
+    cust = _t(spark, sf, "customer").where(F.col("c_nationkey") < 3)
+    k = F.col("c_custkey")
+    e0 = F.concat(F.lit("e"), (k % 97).cast("string"))
+    e1 = F.concat(F.lit("f"), (k % 89).cast("string"))
+    e2 = F.concat(F.lit("g"), (k % 83).cast("string"))
+    lat = F.lit(51.0) + (k % 200).cast("double") * F.lit(0.01)
+    lon = F.lit(-1.0) + (k % 140).cast("double") * F.lit(0.02)
+    nulld = F.lit(None).cast("double")
+    left = cust.select(
+        k.alias("uid"),
+        F.when(k % 13 == 0, F.lit(None).cast("array<string>"))
+        .otherwise(F.array(e0, e1, e2))
+        .alias("emails"),
+        F.when(k % 17 == 0, nulld).otherwise(lat).alias("lat"),
+        F.when(k % 17 == 0, nulld).otherwise(lon).alias("lon"),
+        F.col("c_nationkey").alias("region"),
+    )
+    u = F.col("uid")
+    ustr = u.cast("string")
+    right = left.select(
+        (u + 1_000_000).alias("uid"),
+        F.when(u % 5 == 3, F.lit(None).cast("array<string>"))
+        .when(u % 5 == 0, F.col("emails"))
+        .when(
+            u % 5 == 4,
+            F.array(
+                F.concat(F.lit("e"), (u % 97).cast("string")),
+                F.concat(F.lit("f"), (u % 89).cast("string")),
+                F.concat(F.lit("x"), ustr),
+            ),
+        )
+        .when(
+            u % 5 == 1,
+            F.array(
+                F.concat(F.lit("e"), (u % 97).cast("string")),
+                F.concat(F.lit("p"), ustr),
+                F.concat(F.lit("q"), ustr),
+            ),
+        )
+        .otherwise(
+            F.array(F.concat(F.lit("p"), ustr), F.concat(F.lit("q"), ustr))
+        )
+        .alias("emails"),
+        F.when(u % 7 == 3, nulld)
+        .when(u % 7 == 0, F.col("lat") + F.lit(0.02))
+        .when(u % 7 == 1, F.col("lat") + F.lit(0.5))
+        .when(u % 7 == 2, F.col("lat") + F.lit(3.0))
+        .otherwise(F.col("lat"))
+        .alias("lat"),
+        F.when(u % 7 == 3, nulld).otherwise(F.col("lon")).alias("lon"),
+        "region",
+    )
+    dist = (
+        '2 * 6371 * asin(sqrt('
+        'pow(sin(radians(r."lat" - l."lat") / 2), 2) '
+        '+ cos(radians(l."lat")) * cos(radians(r."lat")) '
+        '* pow(sin(radians(r."lon" - l."lon") / 2), 2)))'
+    )
+    linker = SplinkCompatLinker(
+        left_id="uid",
+        right_id="uid",
+        linker_settings={
+            "link_type": "link_only",
+            "probability_two_random_records_match": 0.02,
+            "blocking_rules_to_generate_predictions": [
+                'l."region" = r."region"'
+            ],
+            "comparisons": [
+                {
+                    "output_column_name": "emails",
+                    "comparison_levels": [
+                        {
+                            "sql_condition": (
+                                'l."emails" IS NULL OR r."emails" IS NULL'
+                            ),
+                            "is_null_level": True,
+                        },
+                        {
+                            "sql_condition": (
+                                'array_length(list_intersect('
+                                'l."emails", r."emails")) >= 2'
+                            ),
+                            "m_probability": 0.85,
+                            "u_probability": 0.005,
+                        },
+                        {
+                            "sql_condition": (
+                                'array_length(list_intersect('
+                                'l."emails", r."emails")) >= 1'
+                            ),
+                            "m_probability": 0.60,
+                            "u_probability": 0.06,
+                        },
+                        {
+                            "sql_condition": "ELSE",
+                            "m_probability": 0.05,
+                            "u_probability": 0.935,
+                        },
+                    ],
+                },
+                {
+                    "output_column_name": "location",
+                    "comparison_levels": [
+                        {
+                            "sql_condition": (
+                                'l."lat" IS NULL OR r."lat" IS NULL '
+                                'OR l."lon" IS NULL OR r."lon" IS NULL'
+                            ),
+                            "is_null_level": True,
+                        },
+                        {
+                            "sql_condition": dist + " <= 10",
+                            "m_probability": 0.88,
+                            "u_probability": 0.04,
+                        },
+                        {
+                            "sql_condition": dist + " <= 100",
+                            "m_probability": 0.70,
+                            "u_probability": 0.20,
+                        },
+                        {
+                            "sql_condition": "ELSE",
+                            "m_probability": 0.04,
+                            "u_probability": 0.76,
+                        },
+                    ],
+                },
+            ],
+        },
+        threshold=0.0,
+    )
+    return (
+        linker.link(left, right)
+        .select(
+            "left_id",
+            "right_id",
+            F.round(F.col("score").cast("double"), 6).alias("score"),
+        )
+        .orderBy("left_id", "right_id")
+    )
+
+
 _COLLECTION_CACHE: dict[tuple, object] = {}
 
 

@@ -204,16 +204,33 @@ _UNSUPPORTED_FUNCS = (
     "jaro_similarity",
     "jaccard",
     "damerau_levenshtein",
-    "array_intersect",
 )
+
+# DuckDB spellings Splink emits that Spark knows under a different name —
+# covers the ArrayIntersectAtSizes comparison template (DuckDB
+# ``array_length(list_intersect(l.col, r.col)) >= n``) which in Spark is
+# ``size(array_intersect(...)) >= n``. Renames apply on word boundaries
+# before identifier re-quoting.
+_DUCKDB_TO_SPARK_FUNCS = {
+    "list_intersect": "array_intersect",
+    "array_length": "size",
+    "len": "size",
+    "list_contains": "array_contains",
+    "list_has": "array_contains",
+}
 
 
 def splink_sql_to_spark(sql: str) -> str:
     """Transpile a Splink/DuckDB condition to Spark SQL.
 
     Handles the l./r. alias style with double-quoted identifiers
-    (``l."company_name" = r."company_name"``) and validates function names
-    against the supported subset.
+    (``l."company_name" = r."company_name"``), renames DuckDB list
+    functions to their Spark builtins (``list_intersect`` →
+    ``array_intersect``, ``array_length``/``len`` → ``size``,
+    ``list_contains`` → ``array_contains``), and validates function names
+    against the supported subset. Math builtins (``sin``/``cos``/``asin``/
+    ``acos``/``radians``/``sqrt``/``pow`` — the distance_in_km template)
+    share names across engines and pass through untouched.
     """
     import re as _re
 
@@ -224,8 +241,13 @@ def splink_sql_to_spark(sql: str) -> str:
                 "equivalent here; rewrite the level with levenshtein/soundex "
                 "or precompute the similarity as a column"
             )
+    out = sql
+    for duck, spark_name in _DUCKDB_TO_SPARK_FUNCS.items():
+        out = _re.sub(
+            rf"\b{duck}\s*\(", f"{spark_name}(", out, flags=_re.IGNORECASE
+        )
     # l."col" / r."col" → l.`col` (Spark identifier quoting)
-    out = _re.sub(r'([lr])\."([^"]+)"', r"\1.`\2`", sql)
+    out = _re.sub(r'([lr])\."([^"]+)"', r"\1.`\2`", out)
     # bare double-quoted identifiers
     out = _re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"', r"`\1`", out)
     return out

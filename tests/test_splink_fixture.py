@@ -156,6 +156,124 @@ def test_em_fixture_regenerates_identically():
         assert params == json.load(f)
 
 
+@pytest.fixture(scope="module")
+def exotic_fixture():
+    with open(os.path.join(FIXDIR, "splink_exotic_settings.json")) as f:
+        settings = json.load(f)
+    return {
+        "settings": settings,
+        "left": pd.read_parquet(
+            os.path.join(FIXDIR, "splink_exotic_left.parquet")
+        ),
+        "right": pd.read_parquet(
+            os.path.join(FIXDIR, "splink_exotic_right.parquet")
+        ),
+        "scores": pd.read_parquet(
+            os.path.join(FIXDIR, "splink_exotic_scores.parquet")
+        ),
+    }
+
+
+def _exotic_spark_frames(spark, fixture):
+    """Arrays come back from parquet as numpy arrays with NaN floats for
+    null coordinates — normalise to Python lists / None before
+    createDataFrame so the Spark schema is array<string> + double."""
+    import math as _math
+
+    def conv(df):
+        recs = []
+        for r in df.to_dict("records"):
+            em = r["emails"]
+            if em is not None and not isinstance(em, list):
+                em = list(em)
+            lat = r["lat"]
+            lon = r["lon"]
+            if isinstance(lat, float) and _math.isnan(lat):
+                lat = None
+            if isinstance(lon, float) and _math.isnan(lon):
+                lon = None
+            recs.append((int(r["id"]), em, lat, lon, r["region"]))
+        return spark.createDataFrame(
+            recs,
+            "id long, emails array<string>, lat double, lon double, region string",
+        )
+
+    return conv(fixture["left"]), conv(fixture["right"])
+
+
+def test_splink_exotic_templates_match_frozen_scores(spark, exotic_fixture):
+    """Exotic comparison templates (ref splinklinker.py settings-dict
+    surface): ArrayIntersectAtSizes — DuckDB
+    ``array_length(list_intersect(...)) >= n``, transpiled to Spark
+    ``size(array_intersect(...))`` — and distance_in_km (haversine SQL
+    level). Frozen scores come from an independent pure-Python
+    implementation (set intersection + math.asin haversine); the engine
+    must reproduce every score through Catalyst expression evaluation of
+    the transpiled conditions."""
+    from matchbox_spark.operators.probabilistic import SplinkCompatLinker
+
+    left, right = _exotic_spark_frames(spark, exotic_fixture)
+    linker = SplinkCompatLinker(
+        linker_settings=exotic_fixture["settings"], threshold=0.0
+    )
+    assert linker._fixed_params is not None  # pre-trained path
+
+    got = {
+        (r["left_id"], r["right_id"]): r["score"]
+        for r in linker.link(left, right).collect()
+    }
+    expected = {
+        (int(r.left_id), int(r.right_id)): float(r.score)
+        for r in exotic_fixture["scores"].itertuples()
+    }
+    assert set(got) == set(expected), (
+        f"pair sets differ: {len(got)} vs {len(expected)}"
+    )
+    worst = max(abs(got[k] - expected[k]) for k in expected)
+    assert worst < 5e-6, f"worst exotic-score divergence {worst}"
+
+
+def test_exotic_fixture_exercises_every_branch(exotic_fixture):
+    s = exotic_fixture["scores"]
+    for col, levels in (("g0", (1, 2, 3, -1)), ("g1", (1, 2, 3, -1))):
+        for lvl in levels:
+            assert (s[col] == lvl).any(), f"no {col}=={lvl} pair"
+
+
+def test_exotic_fixture_regenerates_identically():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "mkfix",
+        os.path.join(
+            os.path.dirname(__file__), "..", "tools", "make_splink_fixture.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    left, right = mod.make_exotic_records()
+    scores = mod.reference_predict_exotic(left, right)
+    frozen = pd.read_parquet(
+        os.path.join(FIXDIR, "splink_exotic_scores.parquet")
+    )
+    pd.testing.assert_frame_equal(
+        scores.reset_index(drop=True), frozen.reset_index(drop=True)
+    )
+
+
+def test_duckdb_list_functions_transpile():
+    """The DuckDB spellings Splink emits land on Spark builtins."""
+    from matchbox_spark.operators.probabilistic import splink_sql_to_spark
+
+    out = splink_sql_to_spark(
+        'array_length(list_intersect(l."emails", r."emails")) >= 2'
+    )
+    assert out == "size(array_intersect(l.`emails`, r.`emails`)) >= 2"
+    # still rejects similarity funcs with no Spark builtin
+    with pytest.raises(ValueError, match="jaro_winkler"):
+        splink_sql_to_spark('jaro_winkler_similarity(l."a", r."a") > 0.9')
+
+
 def test_fixture_regenerates_identically():
     """The generator is deterministic — the committed fixture IS its output
     (guards against silent drift between fixture and generator)."""

@@ -470,6 +470,243 @@ def reference_predict_em(left: pd.DataFrame, right: pd.DataFrame):
     return scores, {"lambda": lam, "m": m, "u": u}
 
 
+# ---- exotic comparison templates: array-intersect + distance-in-km -----
+#
+# Splink's ArrayIntersectAtSizes template emits DuckDB
+# ``array_length(list_intersect(l.col, r.col)) >= n``; the distance_in_km
+# template thresholds a great-circle distance. Both are pure SQL over the
+# pair — the engine transpiles the list functions to Spark's
+# array_intersect/size and passes the trig through — so the parity fixture
+# pins the settings-dict surface on its two non-scalar level families.
+# Scores use the PRE-TRAINED path (array/geo semantics are orthogonal to
+# EM, which the em fixture already covers).
+
+EXOTIC_PRIOR = 0.02
+
+# haversine great-circle distance in km — identical function names in
+# DuckDB and Spark SQL, so the level condition runs verbatim in both
+_DIST_KM_SQL = (
+    '2 * 6371 * asin(sqrt('
+    'pow(sin(radians(r."lat" - l."lat") / 2), 2) '
+    '+ cos(radians(l."lat")) * cos(radians(r."lat")) '
+    '* pow(sin(radians(r."lon" - l."lon") / 2), 2)))'
+)
+
+EXOTIC_SETTINGS = {
+    "link_type": "link_only",
+    "probability_two_random_records_match": EXOTIC_PRIOR,
+    "blocking_rules_to_generate_predictions": [
+        'l."region" = r."region"',
+    ],
+    "comparisons": [
+        {
+            "output_column_name": "emails",
+            "comparison_levels": [
+                {
+                    "sql_condition": (
+                        'l."emails" IS NULL OR r."emails" IS NULL'
+                    ),
+                    "is_null_level": True,
+                },
+                {
+                    "sql_condition": (
+                        'array_length(list_intersect(l."emails", r."emails")) >= 2'
+                    ),
+                    "m_probability": 0.85,
+                    "u_probability": 0.005,
+                },
+                {
+                    "sql_condition": (
+                        'array_length(list_intersect(l."emails", r."emails")) >= 1'
+                    ),
+                    "m_probability": 0.60,
+                    "u_probability": 0.06,
+                },
+                {
+                    "sql_condition": "ELSE",
+                    "m_probability": 0.05,
+                    "u_probability": 0.935,
+                },
+            ],
+        },
+        {
+            "output_column_name": "location",
+            "comparison_levels": [
+                {
+                    "sql_condition": (
+                        'l."lat" IS NULL OR r."lat" IS NULL '
+                        'OR l."lon" IS NULL OR r."lon" IS NULL'
+                    ),
+                    "is_null_level": True,
+                },
+                {
+                    "sql_condition": _DIST_KM_SQL + " <= 10",
+                    "m_probability": 0.88,
+                    "u_probability": 0.04,
+                },
+                {
+                    "sql_condition": _DIST_KM_SQL + " <= 100",
+                    "m_probability": 0.70,
+                    "u_probability": 0.20,
+                },
+                {
+                    "sql_condition": "ELSE",
+                    "m_probability": 0.04,
+                    "u_probability": 0.76,
+                },
+            ],
+        },
+    ],
+}
+
+
+def make_exotic_records() -> tuple[pd.DataFrame, pd.DataFrame]:
+    """40×40 records with an email ARRAY column and lat/lon coordinates.
+
+    ~half the right records are perturbations of a left record inside the
+    same blocking region: email lists share 2+/1/0 addresses, coordinates
+    jitter within 10 km / 100 km / far, with nulls planted on both
+    comparison families.
+    """
+    rng = random.Random(2026)
+    domains = ["a.com", "b.org", "c.net"]
+    regions = ["north", "south", "east"]
+
+    def emails(rng, uid):
+        return sorted(
+            f"u{uid}x{j}@{rng.choice(domains)}"
+            for j in range(rng.randint(1, 4))
+        )
+
+    left_rows, right_rows = [], []
+    for i in range(40):
+        uid = i + 1
+        em = emails(rng, uid)
+        # UK-ish coordinate box; degrees → km is ~111/lat, ~70/lon here
+        lat = round(51.0 + rng.random() * 2.0, 6)
+        lon = round(-1.0 + rng.random() * 2.0, 6)
+        reg = rng.choice(regions)
+        left_rows.append((uid, em if rng.random() > 0.08 else None, lat, lon, reg))
+        if rng.random() < 0.5:
+            # perturbed copy: overlap 2+ / 1 / 0 emails, jitter coords
+            roll = rng.random()
+            if roll < 0.4 and len(em) >= 2:
+                em2 = em[:2] + [f"extra{uid}@{rng.choice(domains)}"]
+            elif roll < 0.7:
+                em2 = [em[0], f"other{uid}@{rng.choice(domains)}"]
+            elif roll < 0.85:
+                em2 = [f"new{uid}a@{rng.choice(domains)}", f"new{uid}b@{rng.choice(domains)}"]
+            else:
+                em2 = None
+            jro = rng.random()
+            if jro < 0.4:
+                # within ~10 km
+                lat2 = round(lat + rng.uniform(-0.04, 0.04), 6)
+                lon2 = round(lon + rng.uniform(-0.04, 0.04), 6)
+            elif jro < 0.7:
+                # within ~100 km but beyond 10
+                lat2 = round(lat + rng.choice([-1, 1]) * rng.uniform(0.2, 0.6), 6)
+                lon2 = round(lon + rng.uniform(-0.3, 0.3), 6)
+            elif jro < 0.85:
+                lat2 = round(lat + rng.choice([-1, 1]) * rng.uniform(3.0, 5.0), 6)
+                lon2 = round(lon + rng.uniform(-0.3, 0.3), 6)
+            else:
+                lat2, lon2 = None, None
+            right_rows.append((1000 + uid, sorted(em2) if em2 else None, lat2, lon2, reg))
+        else:
+            right_rows.append(
+                (
+                    1000 + uid,
+                    emails(rng, 500 + uid) if rng.random() > 0.08 else None,
+                    round(51.0 + rng.random() * 2.0, 6),
+                    round(-1.0 + rng.random() * 2.0, 6),
+                    rng.choice(regions),
+                )
+            )
+    cols = ["id", "emails", "lat", "lon", "region"]
+    return (
+        pd.DataFrame(left_rows, columns=cols),
+        pd.DataFrame(right_rows, columns=cols),
+    )
+
+
+def _haversine_km(lat1, lon1, lat2, lon2) -> float:
+    """Great-circle distance — the same haversine formula the SQL level
+    evaluates (R = 6371 km), computed independently in Python math."""
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dphi = math.radians(lat2 - lat1)
+    dlam = math.radians(lon2 - lon1)
+    a = (
+        math.sin(dphi / 2.0) ** 2
+        + math.cos(p1) * math.cos(p2) * math.sin(dlam / 2.0) ** 2
+    )
+    return 2.0 * 6371.0 * math.asin(math.sqrt(a))
+
+
+def _gamma_exotic(lrow, rrow):
+    le, re_ = lrow["emails"], rrow["emails"]
+    if le is None or re_ is None:
+        g0 = -1
+    else:
+        n = len(set(le) & set(re_))
+        g0 = 1 if n >= 2 else (2 if n >= 1 else 3)
+    if (
+        lrow["lat"] is None
+        or rrow["lat"] is None
+        or lrow["lon"] is None
+        or rrow["lon"] is None
+    ):
+        g1 = -1
+    else:
+        d = _haversine_km(lrow["lat"], lrow["lon"], rrow["lat"], rrow["lon"])
+        g1 = 1 if d <= 10 else (2 if d <= 100 else 3)
+    return (g0, g1)
+
+
+def reference_predict_exotic(
+    left: pd.DataFrame, right: pd.DataFrame
+) -> pd.DataFrame:
+    """Pure-Python predict over the exotic settings (pre-trained path)."""
+    lrec = left.where(pd.notnull(left), None).to_dict("records")
+    rrec = right.where(pd.notnull(right), None).to_dict("records")
+    # numpy arrays from parquet round-trips -> plain lists / None
+    for rec in lrec + rrec:
+        if rec["emails"] is not None and not isinstance(rec["emails"], list):
+            rec["emails"] = list(rec["emails"])
+        if isinstance(rec["lat"], float) and math.isnan(rec["lat"]):
+            rec["lat"] = None
+        if isinstance(rec["lon"], float) and math.isnan(rec["lon"]):
+            rec["lon"] = None
+    pairs = {}
+    for lr in lrec:
+        for rr in rrec:
+            if lr["region"] is not None and lr["region"] == rr["region"]:
+                pairs[(lr["id"], rr["id"])] = (lr, rr)
+
+    comps = EXOTIC_SETTINGS["comparisons"]
+    m = [
+        [lvl.get("m_probability", 1.0) for lvl in c["comparison_levels"]]
+        for c in comps
+    ]
+    u = [
+        [lvl.get("u_probability", 1.0) for lvl in c["comparison_levels"]]
+        for c in comps
+    ]
+    rows = []
+    for (lid, rid), (lr, rr) in sorted(pairs.items()):
+        g = _gamma_exotic(lr, rr)
+        pm, pu = EXOTIC_PRIOR, 1 - EXOTIC_PRIOR
+        for i, gi in enumerate(g):
+            if gi < 0:
+                continue
+            pm *= m[i][gi]
+            pu *= u[i][gi]
+        rows.append((lid, rid, pm / (pm + pu), *g))
+    return pd.DataFrame(
+        rows, columns=["left_id", "right_id", "score", "g0", "g1"]
+    )
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     left, right = make_records()
@@ -517,6 +754,32 @@ def main():
     # the trained model must actually separate: λ in (0,1) and scores split
     assert 0.0 < em_params["lambda"] < 1.0
     assert (em_scores.score > 0.9).any() and (em_scores.score < 0.1).any()
+
+    # exotic-template fixture: array-intersect sizes + distance-in-km
+    eleft, eright = make_exotic_records()
+    escores = reference_predict_exotic(eleft, eright)
+    eleft.to_parquet(os.path.join(OUT, "splink_exotic_left.parquet"), index=False)
+    eright.to_parquet(
+        os.path.join(OUT, "splink_exotic_right.parquet"), index=False
+    )
+    escores.to_parquet(
+        os.path.join(OUT, "splink_exotic_scores.parquet"), index=False
+    )
+    with open(os.path.join(OUT, "splink_exotic_settings.json"), "w") as f:
+        json.dump(EXOTIC_SETTINGS, f, indent=2)
+    ecov = {
+        "exotic_pairs": len(escores),
+        "emails_2plus": int((escores.g0 == 1).sum()),
+        "emails_1": int((escores.g0 == 2).sum()),
+        "emails_else": int((escores.g0 == 3).sum()),
+        "emails_null": int((escores.g0 == -1).sum()),
+        "dist_10km": int((escores.g1 == 1).sum()),
+        "dist_100km": int((escores.g1 == 2).sum()),
+        "dist_else": int((escores.g1 == 3).sum()),
+        "dist_null": int((escores.g1 == -1).sum()),
+    }
+    print(json.dumps(ecov, indent=2))
+    assert all(v > 0 for v in ecov.values()), "exotic fixture misses a branch"
 
 
 if __name__ == "__main__":
