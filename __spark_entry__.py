@@ -4544,6 +4544,66 @@ def e2_moments(spark, sf):
 
 
 @_q(
+    "e3_kmv_distinct",
+    """WITH u AS (
+         SELECT DISTINCT o_orderpriority AS priority,
+                (CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13))
+                      AS BIGINT) + 0.5) / 4503599627370496.0 AS u
+         FROM orders
+       ),
+       sk AS (
+         SELECT priority, u,
+                ROW_NUMBER() OVER (PARTITION BY priority ORDER BY u) AS rk
+         FROM u
+       ),
+       est AS (
+         SELECT priority, COUNT(*) AS n_sketch,
+                CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                     ELSE 255.0 / MAX(u) END AS est_d
+         FROM sk WHERE rk <= 256 GROUP BY priority
+       ),
+       ex AS (
+         SELECT o_orderpriority AS priority,
+                COUNT(DISTINCT o_custkey) AS n_exact
+         FROM orders GROUP BY priority
+       )
+       SELECT e.priority, x.n_exact, e.n_sketch,
+              ROUND(est_d, 6) AS est_distinct
+       FROM est e JOIN ex x USING (priority)
+       ORDER BY priority""",
+)
+def e3_kmv_distinct(spark, sf):
+    """E3: K-Minimum-Values distinct-count sketch (Bar-Yossef 2002) —
+    distinct customers per order priority estimated from the k=256 smallest
+    md5-uniforms, joined against the exact count for calibration. The
+    sketch state is k doubles per group: mergeable across partitions /
+    batches / days (pytest pins sketch(A)⊎sketch(B) == sketch(A∪B)
+    row-identical), engine-portable (the estimate hash-matches DuckDB
+    exactly — HLL++ states don't), and the row_number ≤ k filter compiles
+    to WindowGroupLimit so each task pre-prunes to its local top-k before
+    the exchange: the shuffle carries O(k·groups), never the value stream.
+    The exact COUNT(DISTINCT) column is the calibration baseline this
+    query exists to replace at 100 TB."""
+    from matchbox_spark.operators.sketches import kmv_distinct
+
+    o = _t(spark, sf, "orders")
+    est = kmv_distinct(o, ["o_orderpriority"], "o_custkey", k=256)
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return (
+        est.join(exact, "o_orderpriority")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            "n_exact",
+            "n_sketch",
+            "est_distinct",
+        )
+        .orderBy("priority")
+    )
+
+
+@_q(
     "t8_unigram_logprob",
     r"""WITH toks AS (
           SELECT doc_id AS doc, s.term

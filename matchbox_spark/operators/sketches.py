@@ -1,0 +1,136 @@
+"""Mergeable cardinality sketches: K-Minimum-Values distinct counting.
+
+The 100 TB distinct-count problem: ``COUNT(DISTINCT x)`` shuffles every
+distinct value; a KMV sketch (Bar-Yossef et al. 2002) keeps only the k
+smallest hash values per group — a bounded, mergeable summary — and
+estimates the cardinality as ``(k-1) / u_k`` where ``u_k`` is the k-th
+smallest uniform. Merging two sketches is "union then keep the k
+smallest", so partial sketches combine associatively across partitions,
+batches, or days.
+
+Spark plan shape: one map-side-combinable distinct on (group, u), then a
+``row_number() <= k`` filter that Catalyst rewrites to WindowGroupLimit —
+each task pre-prunes its partition to its local top-k BEFORE the exchange,
+so the shuffle carries at most k rows per group per task, never the value
+stream. The final per-group aggregate is two scalars (count, max).
+
+Cross-engine exactness: the uniform is the md5-prefix recipe every
+deterministic-sampling op here uses (13 hex chars → 52-bit integer,
+``(v + 0.5) / 2^52``) — bit-identical in Spark and DuckDB, so estimates
+hash-match an SQL oracle exactly. Spark's native approx_count_distinct
+(HLL++) is the interoperability-free alternative; this sketch exists
+because its state is engine-portable and its math is oracle-checkable.
+
+Reference parity: the reference has no sketches (its counts run in
+Postgres); this extends the curation/report family (``c7_report``
+documents exactly this swap-in point for corpus-scale distinct counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TWO_52 = 4503599627370496.0  # 2^52
+
+
+def md5_uniform(col: F.Column) -> F.Column:
+    """Deterministic uniform in (0, 1): 13 hex chars of md5 → 52-bit int,
+    ``(v + 0.5) / 2^52`` — the shared engine/oracle recipe (same as
+    o8_weighted_sample). Input must already be a string."""
+    v = F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+    return (v.cast("double") + F.lit(0.5)) / F.lit(_TWO_52)
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest md5-uniforms of the distinct
+    values. Returns ``(*group_cols, u)`` rows — at most k per group —
+    plus nothing else, so a sketch is itself a tiny DataFrame that can be
+    stored, shipped, or merged (union two sketches and re-apply
+    :func:`kmv_sketch`'s rank filter to merge).
+
+    Distinct hash values stand in for distinct raw values: two distinct
+    inputs collide with probability ~n²/2⁵³ (negligible, and identical in
+    any engine sharing the hash), which is the standard KMV trade.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (the estimator divides by k-1)")
+    u = md5_uniform(F.col(value_col).cast("string")).alias("u")
+    distinct_u = df.select(*group_cols, u).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("u")
+    return (
+        distinct_u.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group distinct-count estimate from a KMV sketch:
+    ``(*group_cols, n_sketch, est_distinct)``.
+
+    When a group holds fewer than k distinct values the sketch IS the
+    value set and the estimate is exact (``n_sketch``); otherwise the
+    classic unbiased estimator ``(k-1) / u_k`` applies, with u_k the k-th
+    smallest uniform. ``est_distinct`` rounds to 6 dp (pure double
+    arithmetic on identical inputs — oracle-exact).
+    """
+    sketch = kmv_sketch(df, group_cols, value_col, k)
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("n_sketch"),
+        F.max("u").alias("_uk"),
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("_uk"))
+    return agg.select(
+        *group_cols,
+        "n_sketch",
+        F.round(est, 6).alias("est_distinct"),
+    )
+
+
+def kmv_merge(
+    sketches: list[DataFrame], group_cols: list[str], k: int = 64
+) -> DataFrame:
+    """Merge KMV sketches (outputs of :func:`kmv_sketch` over the same
+    hash): union all, drop duplicate uniforms, keep each group's k
+    smallest. The result is a valid sketch of the UNION of the underlying
+    value sets — the property that lets per-day / per-source sketches
+    roll up without touching raw data."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    merged = merged.distinct()
+    w = Window.partitionBy(*group_cols).orderBy("u")
+    return (
+        merged.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Estimate per-group distinct counts from an existing sketch (same
+    math as :func:`kmv_distinct`, split out so merged sketches can be
+    estimated without re-scanning data)."""
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count("*").alias("n_sketch"),
+        F.max("u").alias("_uk"),
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("_uk"))
+    return agg.select(
+        *group_cols, "n_sketch", F.round(est, 6).alias("est_distinct")
+    )

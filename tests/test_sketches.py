@@ -1,0 +1,76 @@
+"""KMV distinct-count sketch: exactness, accuracy, mergeability, plan."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from matchbox_spark.operators.sketches import (
+    kmv_distinct,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # two groups: 'small' holds 40 distinct values (< k → exact),
+    # 'big' holds 5000 distinct values (> k → estimated)
+    rows = [("small", f"s{i}") for i in range(40) for _ in range(3)] + [
+        ("big", f"b{i}") for i in range(5000)
+    ]
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+def test_small_group_is_exact(spark, values):
+    out = {
+        r["g"]: r
+        for r in kmv_distinct(values, ["g"], "v", k=64).collect()
+    }
+    assert out["small"]["n_sketch"] == 40
+    assert out["small"]["est_distinct"] == 40.0
+
+
+def test_big_group_estimate_within_kmv_error(spark, values):
+    out = {
+        r["g"]: r
+        for r in kmv_distinct(values, ["g"], "v", k=256).collect()
+    }
+    big = out["big"]
+    assert big["n_sketch"] == 256
+    # KMV standard error is ~1/sqrt(k-2) ≈ 6.3% at k=256; allow 4 sigma
+    assert abs(big["est_distinct"] - 5000) / 5000 < 0.25
+
+
+def test_merge_equals_sketch_of_union(spark, values):
+    """sketch(A) ⊎ sketch(B) == sketch(A ∪ B), row-identical — the
+    property that lets per-source sketches roll up without raw data."""
+    a = values.where(F.col("v") < "b3")  # lexicographic split
+    b = values.where(~(F.col("v") < "b3"))
+    merged = kmv_merge(
+        [kmv_sketch(a, ["g"], "v", k=64), kmv_sketch(b, ["g"], "v", k=64)],
+        ["g"],
+        k=64,
+    )
+    direct = kmv_sketch(values, ["g"], "v", k=64)
+    m = sorted(map(tuple, merged.collect()))
+    d = sorted(map(tuple, direct.collect()))
+    assert m == d
+    # and the merged sketch estimates identically
+    em = sorted(map(tuple, kmv_estimate(merged, ["g"], k=64).collect()))
+    ed = sorted(map(tuple, kmv_distinct(values, ["g"], "v", k=64).collect()))
+    assert em == ed
+
+
+def test_rank_filter_compiles_to_window_group_limit(spark, values):
+    """The row_number <= k filter must hit Catalyst's WindowGroupLimit
+    rewrite — each task pre-prunes to its local top-k before the exchange,
+    which is what makes the sketch shuffle O(k·groups), not O(values)."""
+    plan = kmv_sketch(values, ["g"], "v", k=64)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_k_validation():
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        kmv_sketch(None, ["g"], "v", k=1)
