@@ -5880,6 +5880,23 @@ def _t12_oracle(n_merges: int = 3, top_words: int = 200) -> str:
     matches; merges start at odd in-island ranks; consumed positions drop).
     MATERIALIZED throughout — each round references the previous several
     times (the g8 lesson: inlined CTEs expand exponentially)."""
+    return _bpe_ctes(n_merges, top_words) + f"""
+       SELECT * FROM (
+         SELECT -1 AS it, '__symbols__' AS lhs, '' AS rhs,
+                CAST(SUM(len(syms) * freq) AS BIGINT) AS pair_freq
+         FROM wd{n_merges}
+         UNION ALL """ + "\n         UNION ALL ".join(
+        f"SELECT {i} AS it, a AS lhs, b AS rhs, CAST(c AS BIGINT) AS pair_freq "
+        f"FROM best{i}"
+        for i in range(n_merges)
+    ) + ")\n       ORDER BY it"
+
+
+def _bpe_ctes(n_merges: int = 3, top_words: int = 200) -> str:
+    """The shared unrolled-BPE CTE chain: wd0 (top-words char split) plus
+    per-merge pos/pair/best/isl/start/wd CTEs; callers append their own
+    final SELECT (t12 reads the best rows, t13 reads wd{n} — the encoded
+    vocabulary)."""
     parts = [
         rf"""WITH wd0 AS MATERIALIZED (
          SELECT word, freq, regexp_extract_all(word, '.') AS syms FROM (
@@ -5930,20 +5947,6 @@ def _t12_oracle(n_merges: int = 3, top_words: int = 200) -> str:
          GROUP BY q.word, q.freq
        )"""
         )
-    unions = "\n         UNION ALL ".join(
-        f"SELECT {i} AS it, a AS lhs, b AS rhs, CAST(c AS BIGINT) AS pair_freq "
-        f"FROM best{i}"
-        for i in range(n_merges)
-    )
-    parts.append(
-        f"""
-       SELECT * FROM (
-         SELECT -1 AS it, '__symbols__' AS lhs, '' AS rhs,
-                CAST(SUM(len(syms) * freq) AS BIGINT) AS pair_freq
-         FROM wd{n_merges}
-         UNION ALL {unions})
-       ORDER BY it"""
-    )
     return "".join(parts)
 
 
@@ -5961,6 +5964,45 @@ def t12_bpe_train(spark, sf):
     from matchbox_spark.operators.tokenize import bpe_train
 
     return bpe_train(_t(spark, sf, "documents"), n_merges=3, top_words=200)
+
+
+@_q(
+    "t13_bpe_encode",
+    _bpe_ctes(3, 200)
+    + """
+       SELECT word, freq, array_to_string(syms, ' ') AS encoded,
+              len(syms) AS n_syms
+       FROM wd3
+       ORDER BY freq DESC, word""",
+)
+def t13_bpe_encode(spark, sf):
+    """T13: BPE encode — apply the trained merge table back to the corpus
+    vocabulary (operators.tokenize.bpe_encode). Trains 3 merges via
+    ``bpe_train``, collects the (lhs, rhs) table (driver-side literals —
+    the merge table is vocabulary metadata, like centroids), then replays
+    each merge as ONE gaps-and-islands rewrite over the distinct-word
+    table. The oracle re-derives the merges AND the final segmentation in
+    one unrolled CTE chain (shared with t12), so the driver hash-checks
+    the encoded vocabulary itself: every word's surviving symbol sequence,
+    space-joined. Scale: each word is encoded once regardless of corpus
+    frequency (the distinct-vocab trick); vocab-scale merge tables (30k+)
+    take the ``bpe_encode_arrow`` Arrow path, pinned row-identical in
+    pytest."""
+    from matchbox_spark.operators.tokenize import bpe_encode, bpe_train
+
+    d = _t(spark, sf, "documents")
+    trained = bpe_train(d, n_merges=3, top_words=200)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in trained.where(F.col("it") >= 0).orderBy("it").collect()
+    ]
+    enc = bpe_encode(d, merges, top_words=200)
+    return enc.select(
+        "word",
+        "freq",
+        F.array_join("syms", " ").alias("encoded"),
+        F.size("syms").alias("n_syms"),
+    ).orderBy(F.desc("freq"), F.asc("word"))
 
 
 def _g8_oracle(rounds: int = 6, k: int = 2) -> str:

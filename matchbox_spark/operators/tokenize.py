@@ -32,6 +32,67 @@ from pyspark.sql import functions as F
 from matchbox_spark.functions.text import tokens_expr
 
 
+def _pos_pairs(wd: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Working vocab → (positions, adjacent pairs). ``pos`` is one row per
+    (word, p, sym); ``pairs`` the adjacent self-join on (word, p+1)."""
+    pos = wd.select("word", "freq", F.posexplode("syms").alias("p", "sym"))
+    left, right = pos.alias("l"), pos.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.word") == F.col("r.word"))
+        & (F.col("r.p") == F.col("l.p") + 1),
+    ).select(
+        F.col("l.word").alias("word"),
+        F.col("l.p").alias("p"),
+        F.col("l.sym").alias("x"),
+        F.col("r.sym").alias("y"),
+        F.col("l.freq").alias("freq"),
+    )
+    return pos, pairs
+
+
+def _apply_merge(
+    pos: DataFrame, pairs: DataFrame, a: str, b: str
+) -> DataFrame:
+    """Greedy left-to-right rewrite of every adjacent (a, b) into ``a+b``:
+    consecutive match positions form islands (overlap only when a == b),
+    merges start at ODD in-island ranks, consumed positions drop, and the
+    survivors re-assemble ordered by position. Returns the next
+    ``(word, freq, syms)`` vocab."""
+    match = pairs.where(
+        (F.col("x") == F.lit(a)) & (F.col("y") == F.lit(b))
+    ).select("word", "p")
+    w_isl = Window.partitionBy("word").orderBy("p")
+    islands = match.withColumn("grp", F.col("p") - F.row_number().over(w_isl))
+    w_rank = Window.partitionBy("word", "grp").orderBy("p")
+    starts = (
+        islands.withColumn("r", F.row_number().over(w_rank))
+        .where(F.col("r") % 2 == 1)
+        .select("word", "p")
+    )
+    consumed = starts.select("word", (F.col("p") + 1).alias("p"))
+    return (
+        pos.join(starts.withColumn("_s", F.lit(True)), ["word", "p"], "left")
+        .join(consumed.withColumn("_c", F.lit(True)), ["word", "p"], "left")
+        .where(F.col("_c").isNull())
+        .select(
+            "word",
+            "freq",
+            "p",
+            F.when(F.col("_s").isNotNull(), F.lit(a + b))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+        .groupBy("word", "freq")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "sym"))),
+                lambda s: s["sym"],
+            ).alias("syms")
+        )
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
@@ -66,21 +127,7 @@ def bpe_train(
 
     merges: list[tuple[int, str, str, int]] = []
     for it in range(n_merges):
-        pos = wd.select(
-            "word", "freq", F.posexplode("syms").alias("p", "sym")
-        )
-        left, right = pos.alias("l"), pos.alias("r")
-        pairs = left.join(
-            right,
-            (F.col("l.word") == F.col("r.word"))
-            & (F.col("r.p") == F.col("l.p") + 1),
-        ).select(
-            F.col("l.word").alias("word"),
-            F.col("l.p").alias("p"),
-            F.col("l.sym").alias("x"),
-            F.col("r.sym").alias("y"),
-            F.col("l.freq").alias("freq"),
-        )
+        pos, pairs = _pos_pairs(wd)
         best_rows = (
             pairs.groupBy("x", "y")
             .agg(F.sum("freq").alias("c"))
@@ -92,46 +139,7 @@ def bpe_train(
             raise ValueError(f"no adjacent pairs left at merge {it}")
         a, b, c = best_rows[0]["x"], best_rows[0]["y"], int(best_rows[0]["c"])
         merges.append((it, a, b, c))
-
-        match = pairs.where(
-            (F.col("x") == F.lit(a)) & (F.col("y") == F.lit(b))
-        ).select("word", "p")
-        w_isl = Window.partitionBy("word").orderBy("p")
-        islands = match.withColumn(
-            "grp", F.col("p") - F.row_number().over(w_isl)
-        )
-        w_rank = Window.partitionBy("word", "grp").orderBy("p")
-        starts = (
-            islands.withColumn("r", F.row_number().over(w_rank))
-            .where(F.col("r") % 2 == 1)
-            .select("word", "p")
-        )
-        consumed = starts.select("word", (F.col("p") + 1).alias("p"))
-        wd = (
-            pos.join(
-                starts.withColumn("_s", F.lit(True)), ["word", "p"], "left"
-            )
-            .join(
-                consumed.withColumn("_c", F.lit(True)), ["word", "p"], "left"
-            )
-            .where(F.col("_c").isNull())
-            .select(
-                "word",
-                "freq",
-                "p",
-                F.when(F.col("_s").isNotNull(), F.lit(a + b))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            )
-            .groupBy("word", "freq")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "sym"))),
-                    lambda s: s["sym"],
-                ).alias("syms")
-            )
-            .localCheckpoint(eager=True)
-        )
+        wd = _apply_merge(pos, pairs, a, b).localCheckpoint(eager=True)
 
     total = wd.agg(
         F.sum(F.size("syms") * F.col("freq")).cast("long").alias("n")
@@ -140,3 +148,115 @@ def bpe_train(
     return spark.createDataFrame(
         out, "it int, lhs string, rhs string, pair_freq long"
     ).orderBy("it")
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    top_words: int = 200,
+) -> DataFrame:
+    """Apply a trained merge table to the corpus vocabulary: each of the
+    ``top_words`` most frequent words is segmented by applying every merge
+    ONCE, in rank order, greedy left-to-right — exactly the rewrite the
+    trainer performs on its working vocabulary, so encoding the training
+    corpus with the training merges reproduces the trainer's final
+    segmentation verbatim (pinned in pytest against ``bpe_train``'s
+    ``it = -1`` surviving-symbol count). Returns
+    ``(word, freq, syms array<string>)``.
+
+    Note the deliberate semantics: rank-ordered single passes, not the
+    iterative lowest-rank-present loop HF tokenizers run at encode time.
+    The two differ only when a merge output forms a LOWER-ranked pair with
+    a neighbour — impossible for pairs the trainer itself produced on this
+    corpus (a lower-ranked pair present after merge r would have out-counted
+    it during training), and the single-pass form is what an unrolled SQL
+    oracle can replay. One rewrite per merge is the right plan at the
+    hundreds-of-merges scale; for vocab-scale merge tables (30k+) use
+    :func:`bpe_encode_arrow`, which loops per word in one Arrow pass.
+    """
+    vocab = (
+        docs.select(F.explode(tokens_expr(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(int(top_words))
+    )
+    wd = vocab.select(
+        "word",
+        "freq",
+        F.expr("regexp_extract_all(word, '.', 0)").alias("syms"),
+    ).localCheckpoint(eager=True)
+    for a, b in merges:
+        pos, pairs = _pos_pairs(wd)
+        wd = _apply_merge(pos, pairs, str(a), str(b)).localCheckpoint(
+            eager=True
+        )
+    return wd
+
+
+def bpe_encode_arrow(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    top_words: int = 200,
+) -> DataFrame:
+    """Vocab-scale BPE encode: the merge table ships in the task closure
+    (30k merges ≈ a few hundred KB — broadcast once per executor) and each
+    word is rewritten in a Python loop over one Arrow batch — the 100 TB
+    path, because a 30k-merge relational unroll would need 30k plan nodes.
+    SAME single-pass rank-order semantics as :func:`bpe_encode` (pinned
+    row-identical in pytest); words are encoded once each (the distinct-
+    vocab trick), so per-batch cost is O(vocab · merges present), not
+    corpus-sized."""
+    import pandas as pd
+
+    merge_list = [(str(a), str(b)) for a, b in merges]
+
+    def encode(batches):
+        cache: dict[str, list[str]] = {}
+
+        def enc(word: str) -> list[str]:
+            got = cache.get(word)
+            if got is not None:
+                return got
+            syms = list(word)
+            for a, b in merge_list:
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[word] = syms
+            return syms
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "freq": pdf["freq"],
+                    "syms": [enc(w) for w in pdf["word"]],
+                }
+            )
+
+    vocab = (
+        docs.select(F.explode(tokens_expr(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(int(top_words))
+    )
+    return vocab.mapInPandas(
+        encode, "word string, freq long, syms array<string>"
+    )
