@@ -57,6 +57,13 @@ def kmv_sketch(
     Distinct hash values stand in for distinct raw values: two distinct
     inputs collide with probability ~n²/2⁵³ (negligible, and identical in
     any engine sharing the hash), which is the standard KMV trade.
+
+    Plan caveat (measured, tools/stress_sketches.py): Catalyst's
+    WindowGroupLimit rewrite only fires when k ≤
+    ``spark.sql.window.group.limit.threshold`` (default 1000). Above that
+    the rank filter still runs but WITHOUT per-task pre-pruning — the full
+    distinct-u stream shuffles. k beyond 1000 buys < 3.2% standard error;
+    if you need it, raise the threshold conf alongside k.
     """
     if k < 2:
         raise ValueError("k must be >= 2 (the estimator divides by k-1)")

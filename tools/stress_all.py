@@ -34,6 +34,7 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
     "plan_gate": (["--check"], ["--check"]),         # audit vs PLANS.md
     "serving": (["6", "50", "10"], ["24", "100", "10"]),  # batches, groups, rows
     "bpe": (["20000", "3"], ["100000", "6"]),        # vocab words, merges
+    "sketches": (["1000000", "256"], ["10000000", "512"]),  # rows, k
 }
 
 # harnesses that are not tools/stress_<name>.py
