@@ -3059,6 +3059,43 @@ def st3_streaming_dedupe(spark, sf):
 
 
 @_q(
+    "st8_streaming_kmv",
+    """WITH u AS (
+         SELECT DISTINCT event_type,
+                (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                      AS BIGINT) + 0.5) / 4503599627370496.0 AS u
+         FROM events
+       ),
+       sk AS (
+         SELECT event_type, u,
+                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY u) AS rk
+         FROM u
+       )
+       SELECT event_type, COUNT(*) AS n_sketch,
+              ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                         ELSE 63.0 / MAX(u) END, 6) AS est_distinct
+       FROM sk WHERE rk <= 64 GROUP BY event_type
+       ORDER BY event_type""",
+)
+def st8_streaming_kmv(spark, sf):
+    """ST8: KMV distinct-count maintenance under streaming ingest
+    (streaming.sketches.KmvAccumulator): each micro-batch folds a bounded
+    per-group sketch (k=64 smallest md5-uniforms) into the running state
+    via kmv_merge — state stays ≤ k rows per group regardless of stream
+    length, lineage stays flat (localCheckpoint per batch). By the KMV
+    merge property the accumulated sketch EQUALS the whole-data sketch, so
+    the terminal estimate hash-matches the batch SQL oracle exactly — an
+    approximate-counting operator pinned exactly through its algebraic
+    structure. Distinct users per event type over the events stream."""
+    from matchbox_spark.operators.sketches import kmv_estimate
+    from matchbox_spark.streaming.sketches import streaming_kmv_distinct
+
+    stream = _events_stream(spark, sf)
+    sketch = streaming_kmv_distinct(stream, ["event_type"], "user_id", k=64)
+    return kmv_estimate(sketch, ["event_type"], k=64).orderBy("event_type")
+
+
+@_q(
     "st5_stream_stream_join",
     """SELECT c.event_id AS click_id, p.event_id AS purchase_id
        FROM events c JOIN events p

@@ -71,6 +71,25 @@ def test_rank_filter_compiles_to_window_group_limit(spark, values):
     assert "WindowGroupLimit" in plan, plan[:2000]
 
 
+def test_kmv_accumulator_multi_batch_equals_whole(spark, values):
+    """Feeding the accumulator N batches lands on exactly the whole-data
+    sketch — the invariant st8's streaming oracle relies on (and the
+    availableNow drain can't demonstrate on a single parquet file)."""
+    from matchbox_spark.streaming.sketches import KmvAccumulator
+
+    acc = KmvAccumulator(["g"], "v", k=64)
+    # 6 uneven batches, one empty
+    batches = [
+        values.where(F.crc32(F.col("v")) % 5 == i) for i in range(5)
+    ] + [values.where(F.lit(False))]
+    for i, b in enumerate(batches):
+        acc.process_batch(b, i)
+    assert acc.n_batches == 6
+    got = sorted(map(tuple, kmv_estimate(acc.sketch, ["g"], k=64).collect()))
+    want = sorted(map(tuple, kmv_distinct(values, ["g"], "v", k=64).collect()))
+    assert got == want
+
+
 def test_k_validation():
     with pytest.raises(ValueError, match="k must be >= 2"):
         kmv_sketch(None, ["g"], "v", k=1)
