@@ -6240,6 +6240,9 @@ _TOUCHED_R6 = {
     "b2_hybrid_rrf", "d11_semdedup", "v5_kmeans_embed", "j6_splink_compat",
     "m5_real_image_decode", "m6_malformed_media", "j5_weighted_link",
     "st7_incremental_resolve",
+    # late-r6 code-path changes: t12 rides the _pos_pairs/_apply_merge
+    # refactor shared with the new bpe_encode
+    "t12_bpe_train",
 }
 
 
