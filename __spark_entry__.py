@@ -4641,6 +4641,67 @@ def e3_kmv_distinct(spark, sf):
 
 
 @_q(
+    "e4_histogram_quantiles",
+    """WITH b AS (
+         SELECT l_returnflag AS flag,
+                LEAST(999, GREATEST(0, CAST(FLOOR(
+                  (CAST(l_extendedprice AS DOUBLE) - 900.0)
+                  / 104100.0 * 1000.0) AS INT))) AS bin
+         FROM lineitem
+       ),
+       h AS (SELECT flag, bin, COUNT(*) AS n FROM b GROUP BY flag, bin),
+       c AS (
+         SELECT flag, bin, n,
+                SUM(n) OVER (PARTITION BY flag ORDER BY bin) AS cum
+         FROM h
+       ),
+       tt AS (SELECT flag, MAX(cum) AS total FROM c GROUP BY flag),
+       qq AS (SELECT UNNEST([0.25, 0.5, 0.9, 0.99]) AS q),
+       hit AS (
+         SELECT c.flag, qq.q, c.bin, c.n, c.cum, t.total
+         FROM c JOIN tt t USING (flag) CROSS JOIN qq
+         WHERE CAST(c.cum AS DOUBLE) >= qq.q * CAST(t.total AS DOUBLE)
+           AND CAST(c.cum - c.n AS DOUBLE) < qq.q * CAST(t.total AS DOUBLE)
+       )
+       SELECT flag, q,
+              ROUND(900.0 + CAST(bin AS DOUBLE) * (104100.0 / 1000.0)
+                    + (q * CAST(total AS DOUBLE)
+                       - CAST(cum - n AS DOUBLE)) / CAST(n AS DOUBLE)
+                      * (104100.0 / 1000.0), 6) AS est
+       FROM hit ORDER BY flag, q""",
+)
+def e4_histogram_quantiles(spark, sf):
+    """E4: fixed-boundary histogram sketch → interpolated quantiles
+    (operators.sketches.histogram_sketch/histogram_quantiles) — the
+    single-pass mergeable alternative to an exact percentile sort:
+    l_extendedprice binned into 1000 buckets over [900, 105000) in ONE
+    map-side-combinable aggregate (n_bins·groups counters; disjoint
+    sketches merge by adding counts), then p25/p50/p90/p99 per return
+    flag by linear interpolation inside the hit bin — error bounded by
+    one bin width (~104), no sampling, no randomized compaction (the
+    t-digest trade refused so the estimate is deterministic and the
+    DuckDB oracle pins it exactly). The cumulative window runs over
+    ≤ n_bins rows per group — metadata-sized; the value stream never
+    shuffles. e1_value_percentiles is the exact-sort baseline this
+    replaces at 100 TB."""
+    from matchbox_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    sk = histogram_sketch(
+        li, "l_extendedprice", 900.0, 105000.0, 1000, ["l_returnflag"]
+    )
+    qs = histogram_quantiles(
+        sk, [0.25, 0.5, 0.9, 0.99], 900.0, 105000.0, 1000, ["l_returnflag"]
+    )
+    return qs.select(
+        F.col("l_returnflag").alias("flag"), "q", "est"
+    ).orderBy("flag", "q")
+
+
+@_q(
     "t8_unigram_logprob",
     r"""WITH toks AS (
           SELECT doc_id AS doc, s.term

@@ -141,3 +141,80 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataF
     return agg.select(
         *group_cols, "n_sketch", F.round(est, 6).alias("est_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-boundary histogram sketch → interpolated quantiles
+# ---------------------------------------------------------------------------
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 1000,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group fixed-boundary histogram: ``(*group_cols, bin, n)``.
+
+    ``bin = clamp(floor((v − lo) / (hi − lo) · n_bins), 0, n_bins−1)`` —
+    out-of-range values clamp to the edge bins. The sketch is ONE
+    map-side-combinable aggregate (n_bins·groups counters, merged by
+    summing), the single-pass alternative to an exact percentile sort at
+    corpus scale; two sketches over disjoint data merge by adding counts.
+    Deterministic: the bin index is pure double arithmetic + floor,
+    identical in any IEEE engine — no sampling, no randomized compaction
+    (the t-digest/KLL trade this sketch refuses so oracles stay exact)."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if not (hi > lo):
+        raise ValueError("hi must be > lo")
+    groups = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(n_bins)))
+    b = F.least(
+        F.lit(n_bins - 1), F.greatest(F.lit(0), raw.cast("int"))
+    ).alias("bin")
+    return (
+        df.select(*groups, b)
+        .groupBy(*groups, "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 1000,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Interpolated quantile estimates from a :func:`histogram_sketch`:
+    ``(*group_cols, q, est)``. For each q: the first bin whose cumulative
+    count reaches ``q · total``, linearly interpolated inside the bin —
+    error is bounded by one bin width. The quantile list broadcasts (a few
+    literals); cumulative counts are one window per group over ≤ n_bins
+    rows — metadata-sized by construction."""
+    if any(not (0.0 < q <= 1.0) for q in quantiles):
+        raise ValueError("quantiles must lie in (0, 1]")
+    groups = list(group_cols or [])
+    width = float(hi - lo) / float(n_bins)
+    w = Window.partitionBy(*groups).orderBy("bin") if groups else Window.orderBy("bin")
+    cum = sketch.withColumn("cum", F.sum("n").over(w))
+    tot = cum.groupBy(*groups).agg(F.max("cum").alias("total"))
+    cum = cum.join(tot, groups) if groups else cum.crossJoin(tot)
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    j = cum.crossJoin(F.broadcast(qdf))
+    t = F.col("q") * F.col("total").cast("double")
+    hit = j.where((F.col("cum").cast("double") >= t) & ((F.col("cum") - F.col("n")).cast("double") < t))
+    est = (
+        F.lit(float(lo))
+        + F.col("bin").cast("double") * F.lit(width)
+        + (t - (F.col("cum") - F.col("n")).cast("double"))
+        / F.col("n").cast("double")
+        * F.lit(width)
+    )
+    return hit.select(*groups, "q", F.round(est, 6).alias("est"))

@@ -93,3 +93,74 @@ def test_kmv_accumulator_multi_batch_equals_whole(spark, values):
 def test_k_validation():
     with pytest.raises(ValueError, match="k must be >= 2"):
         kmv_sketch(None, ["g"], "v", k=1)
+
+
+def test_histogram_quantiles_close_to_exact(spark):
+    from matchbox_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    # 10k uniform values in [0, 1000): p50 ≈ 500, p90 ≈ 900
+    df = spark.range(10_000).select(
+        F.lit("a").alias("g"), (F.col("id") % 1000).cast("double").alias("v")
+    )
+    sk = histogram_sketch(df, "v", 0.0, 1000.0, 100, ["g"])
+    out = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(
+            sk, [0.5, 0.9], 0.0, 1000.0, 100, ["g"]
+        ).collect()
+    }
+    # error bound: one bin width (10)
+    assert abs(out[0.5] - 500.0) <= 10.0
+    assert abs(out[0.9] - 900.0) <= 10.0
+
+
+def test_histogram_sketch_merges_by_summing(spark):
+    from matchbox_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    df = spark.range(10_000).select(
+        F.lit("a").alias("g"), (F.col("id") % 997).cast("double").alias("v")
+    )
+    a = df.where(F.col("id") % 2 == 0)
+    b = df.where(F.col("id") % 2 == 1)
+    merged = (
+        histogram_sketch(a, "v", 0.0, 1000.0, 50, ["g"])
+        .unionByName(histogram_sketch(b, "v", 0.0, 1000.0, 50, ["g"]))
+        .groupBy("g", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    direct = histogram_sketch(df, "v", 0.0, 1000.0, 50, ["g"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    em = histogram_quantiles(merged, [0.5], 0.0, 1000.0, 50, ["g"]).collect()
+    ed = histogram_quantiles(direct, [0.5], 0.0, 1000.0, 50, ["g"]).collect()
+    assert [tuple(r) for r in em] == [tuple(r) for r in ed]
+
+
+def test_histogram_out_of_range_clamps_and_validates(spark):
+    from matchbox_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", 99.0), ("a", 250.0)], "g string, v double"
+    )
+    sk = {
+        (r["g"], r["bin"]): r["n"]
+        for r in histogram_sketch(df, "v", 0.0, 100.0, 10, ["g"]).collect()
+    }
+    assert sk[("a", 0)] == 2  # -5 clamps into bin 0 alongside 0.0
+    assert sk[("a", 9)] == 2  # 99 lands in bin 9; 250 clamps to bin 9
+    with pytest.raises(ValueError, match="n_bins"):
+        histogram_sketch(df, "v", 0.0, 100.0, 0)
+    with pytest.raises(ValueError, match="hi must be > lo"):
+        histogram_sketch(df, "v", 5.0, 5.0, 10)
+    with pytest.raises(ValueError, match="quantiles"):
+        histogram_quantiles(df, [0.0], 0.0, 100.0, 10, ["g"])
