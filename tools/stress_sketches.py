@@ -103,6 +103,35 @@ def main() -> None:
         print(f"plan: k={k} > 1000 threshold, WindowGroupLimit absent as documented")
     for flag in ("CartesianProduct", "BatchEvalPython"):
         assert flag not in plan, f"red flag {flag} in sketch plan"
+
+    # histogram sketch: one-pass quantiles on a known distribution — the
+    # value column is uniform on [0, n_distinct), so pⁿ truth is q·n_distinct
+    # and the interpolated estimate must land within one bin width
+    from matchbox_spark.operators.sketches import (  # noqa: E402
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    t0 = time.monotonic()
+    n_bins = 1000
+    hs = histogram_sketch(
+        df, "v", 0.0, float(n_distinct), n_bins, ["g"]
+    )
+    qs = histogram_quantiles(
+        hs, [0.5, 0.9, 0.99], 0.0, float(n_distinct), n_bins, ["g"]
+    ).collect()
+    width = n_distinct / n_bins
+    assert len(qs) == 3 * n_groups
+    for r in qs:
+        truth = r["q"] * n_distinct
+        assert abs(r["est"] - truth) <= width + 1e-6, (
+            f"g={r[0]} q={r['q']}: est {r['est']} vs truth {truth} "
+            f"(bound {width})"
+        )
+    print(
+        f"histogram: {n:,} rows, {n_bins} bins, p50/p90/p99 within one "
+        f"bin width ({width:g}) in {time.monotonic() - t0:.1f}s"
+    )
     spark.stop()
 
 
