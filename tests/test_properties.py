@@ -472,3 +472,88 @@ def test_bpe_matches_python_reference_seeded(spark):
         got_total = [r["pair_freq"] for r in out if r["it"] == -1][0]
         assert got_merges == expected_merges, seed
         assert got_total == expected_total, seed
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 2)),
+        min_size=3,
+        max_size=80,
+    ),
+)
+@settings(**_SETTINGS)
+def test_kmv_merge_order_free(spark, rows):
+    """KMV sketches form a commutative, associative fold: any merge tree
+    over any partition of the data equals the direct sketch of the whole —
+    the algebra st8's streaming accumulation (and any per-source rollup)
+    relies on. ``rows`` are (group, value, split-label) triples."""
+    from matchbox_spark.operators.sketches import kmv_merge, kmv_sketch
+
+    df = spark.createDataFrame(rows, "g int, v int, s int")
+    parts = [df.where(f"s = {i}").select("g", "v") for i in range(3)]
+    sketches = [kmv_sketch(p, ["g"], "v", k=8) for p in parts]
+    direct = kmv_sketch(df.select("g", "v"), ["g"], "v", k=8)
+    left_assoc = kmv_merge(
+        [kmv_merge(sketches[:2], ["g"], k=8), sketches[2]], ["g"], k=8
+    )
+    reversed_order = kmv_merge(list(reversed(sketches)), ["g"], k=8)
+    want = sorted(map(tuple, direct.collect()))
+    assert sorted(map(tuple, left_assoc.collect())) == want
+    assert sorted(map(tuple, reversed_order.collect())) == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 999), min_size=5, max_size=60),
+)
+@settings(**_SETTINGS)
+def test_histogram_quantiles_monotone_and_bounded(spark, vals):
+    """Interpolated quantile estimates are monotone in q, bounded by the
+    histogram range, and the sketch loses no rows (Σn == row count)."""
+    from matchbox_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = histogram_sketch(df, "v", 0.0, 1000.0, 20)
+    assert sum(r["n"] for r in sk.collect()) == len(vals)
+    qs = [0.1, 0.5, 0.9, 1.0]
+    out = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(sk, qs, 0.0, 1000.0, 20).collect()
+    }
+    assert set(out) == set(qs)
+    ests = [out[q] for q in qs]
+    assert ests == sorted(ests), "quantile estimates must be monotone in q"
+    assert all(0.0 <= e <= 1000.0 for e in ests)
+    # q=1 lands inside the last occupied bin: ≥ its lower edge
+    top_bin = max(r["bin"] for r in sk.collect())
+    assert out[1.0] >= top_bin * 50.0
+
+
+def test_bpe_encode_paths_agree_on_random_corpora(spark):
+    """Relational and Arrow BPE encode agree on seeded random corpora with
+    random merge tables (including merges whose output feeds later merges
+    and pairs absent from the corpus)."""
+    import random
+
+    from matchbox_spark.operators.tokenize import bpe_encode, bpe_encode_arrow
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 7)))
+            for _ in range(12)
+        ]
+        merges = [("a", "a"), ("a", "b"), ("aa", "ab"), ("b", "b")]
+        rng.shuffle(merges)
+        df = spark.createDataFrame([(" ".join(words),)], "text string")
+        rel = sorted(
+            (r["word"], tuple(r["syms"]))
+            for r in bpe_encode(df, merges, top_words=50).collect()
+        )
+        arr = sorted(
+            (r["word"], tuple(r["syms"]))
+            for r in bpe_encode_arrow(df, merges, top_words=50).collect()
+        )
+        assert rel == arr, (seed, merges)
