@@ -67,8 +67,15 @@ def kmv_sketch(
     """
     if k < 2:
         raise ValueError("k must be >= 2 (the estimator divides by k-1)")
+    # NULL values are excluded (COUNT(DISTINCT) semantics). Left in, they
+    # would produce a NULL uniform that Spark's window orders NULLS FIRST
+    # but DuckDB orders NULLS LAST — a silent cross-engine divergence.
     u = md5_uniform(F.col(value_col).cast("string")).alias("u")
-    distinct_u = df.select(*group_cols, u).distinct()
+    distinct_u = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, u)
+        .distinct()
+    )
     w = Window.partitionBy(*group_cols).orderBy("u")
     return (
         distinct_u.withColumn("_rk", F.row_number().over(w))
@@ -176,8 +183,12 @@ def histogram_sketch(
     b = F.least(
         F.lit(n_bins - 1), F.greatest(F.lit(0), raw.cast("int"))
     ).alias("bin")
+    # NULLs (and NaN, whose bin arithmetic is NULL-like garbage) excluded —
+    # aggregate semantics, and a NULL bin row would corrupt the cumulative
+    # quantile walk
     return (
-        df.select(*groups, b)
+        df.where(v.isNotNull() & ~F.isnan(v))
+        .select(*groups, b)
         .groupBy(*groups, "bin")
         .agg(F.count("*").alias("n"))
     )

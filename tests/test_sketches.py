@@ -143,6 +143,33 @@ def test_histogram_sketch_merges_by_summing(spark):
     assert [tuple(r) for r in em] == [tuple(r) for r in ed]
 
 
+def test_null_values_excluded_like_count_distinct(spark):
+    """NULL values contribute to neither sketch — COUNT(DISTINCT)
+    semantics, and a NULL uniform would order NULLS FIRST in Spark but
+    NULLS LAST in DuckDB (silent cross-engine divergence); a NaN bin cast
+    would raise under ANSI."""
+    from matchbox_spark.operators.sketches import (
+        histogram_sketch,
+        kmv_distinct,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("a", "y"), ("a", None)],
+        "g string, v string",
+    )
+    out = kmv_distinct(df, ["g"], "v", k=8).collect()
+    assert [(r["g"], r["n_sketch"], r["est_distinct"]) for r in out] == [
+        ("a", 2, 2.0)
+    ]
+
+    dfn = spark.createDataFrame(
+        [("a", 5.0), ("a", None), ("a", float("nan")), ("a", 7.0)],
+        "g string, v double",
+    )
+    sk = histogram_sketch(dfn, "v", 0.0, 10.0, 10, ["g"])
+    assert sum(r["n"] for r in sk.collect()) == 2
+
+
 def test_histogram_out_of_range_clamps_and_validates(spark):
     from matchbox_spark.operators.sketches import (
         histogram_quantiles,
