@@ -35,7 +35,7 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
     "serving": (["6", "50", "10"], ["24", "100", "10"]),  # batches, groups, rows
     "bpe": (["20000", "3"], ["100000", "6"]),        # vocab words, merges
     "sketches": (["1000000", "256"], ["10000000", "512"]),  # rows, k
-    "probabilistic": (["50000", "10"], ["200000", "10"]),   # records, block
+    "probabilistic": (["50000", "10"], ["1000000", "10"]),  # records, block
 }
 
 # harnesses that are not tools/stress_<name>.py
