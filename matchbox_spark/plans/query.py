@@ -174,6 +174,132 @@ def query_data(
     return raw
 
 
+class ResolverMatches:
+    """Resolved-matches facade over one resolver's clustering — the
+    reference's user-level results object (``client/results.py:69-220``:
+    ``as_lookup`` / ``as_dump`` / ``as_leaf_sets`` / ``view_cluster`` /
+    ``merge``), re-expressed so every verb returns a DataFrame plan
+    instead of a driver-materialised Polars frame.
+
+    The underlying state is ONE projection — ``unified_query`` at key
+    level, ``(id, leaf_id, key, source)`` — computed lazily and shared by
+    every verb; nothing collects until the caller acts. Pass
+    ``materialized=True`` to checkpoint it once for interactive use (the
+    ``DAG.matcher`` serving pattern).
+    """
+
+    def __init__(
+        self,
+        spark,
+        catalog: Catalog,
+        resolvers: list[str],
+        sources: list,
+        materialized: bool = False,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.resolvers = list(resolvers)
+        self.sources = list(sources)
+        dump = unified_query(
+            catalog, self.resolvers, [s.name for s in self.sources], level="key"
+        )
+        self._dump = (
+            dump.localCheckpoint(eager=True) if materialized else dump
+        )
+
+    def as_dump(self) -> DataFrame:
+        """Full root↔leaf↔key↔source mapping (ref ``as_dump``)."""
+        return self._dump.select("id", "leaf_id", "key", "source")
+
+    def as_lookup(self) -> DataFrame:
+        """Wide per-source key arrays per entity (ref ``as_lookup``; the
+        J8 full-outer shape): ``(id, {source}_key array<string>, ...)``."""
+        from matchbox_spark.operators.results import as_lookup as _lookup
+
+        per_source = {
+            s.name: self._dump.where(F.col("source") == s.name).select(
+                "id", "key"
+            )
+            for s in self.sources
+        }
+        return _lookup(per_source)
+
+    def as_leaf_sets(self) -> DataFrame:
+        """``(id, leaves array<long>)`` — sorted distinct leaf ids per root
+        (ref ``as_leaf_sets``, which returns Python lists; collect this
+        DataFrame to get the same)."""
+        return self._dump.groupBy("id").agg(
+            F.array_sort(F.collect_set("leaf_id")).alias("leaves")
+        )
+
+    def view_cluster(
+        self, cluster_id: int, merge_fields: bool = False
+    ) -> DataFrame:
+        """Source rows for every record in one cluster (ref
+        ``view_cluster``): per source, the cluster's keys filter the
+        source read (the S2 IN-list pushdown), columns qualify as
+        ``{source}_{field}`` unless ``merge_fields`` (keys stay qualified
+        either way), and sources concat diagonally with key columns
+        first. Raises ``KeyError`` when the cluster has no rows."""
+        parts: list[DataFrame] = []
+        key_cols: list[str] = []
+        for src in self.sources:
+            keys = [
+                r["key"]
+                for r in self._dump.where(
+                    (F.col("id") == int(cluster_id))
+                    & (F.col("source") == src.name)
+                )
+                .select("key")
+                .distinct()
+                .collect()
+            ]
+            if not keys:
+                continue
+            key_cols.append(src.qualified_key)
+            rows = src.read(self.spark, keys=keys)
+            renames = {src.key_field: src.qualified_key}
+            if not merge_fields:
+                renames.update(
+                    {f: f"{src.name}_{f}" for f in src.index_fields}
+                )
+            rows = rows.select(
+                *[
+                    F.col(c).alias(renames.get(c, c))
+                    for c in rows.columns
+                    if c == src.key_field or c in src.index_fields
+                ]
+            )
+            parts.append(rows)
+        if not parts:
+            raise KeyError(f"Cluster {cluster_id} not available")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        rest = [c for c in out.columns if c not in key_cols]
+        return out.select(*key_cols, *rest)
+
+    def merge(self, other: "ResolverMatches") -> DataFrame:
+        """Union two clusterings over the same sources into one combined
+        clustering (ref ``merge``: ids lose backend association — here
+        they become fresh dense ids from ``merge_clusterings``'s
+        connected-components relabel). Returns ``(parent_id, child_id)``
+        where ``child_id`` is the leaf id."""
+        if [s.name for s in other.sources] != [s.name for s in self.sources]:
+            raise ValueError(
+                "Cannot merge resolved matches for different sources"
+            )
+        from matchbox_spark.operators.results import merge_clusterings
+
+        a = self._dump.select(
+            F.col("id").alias("parent_id"), F.col("leaf_id").alias("child_id")
+        ).distinct()
+        b = other._dump.select(
+            F.col("id").alias("parent_id"), F.col("leaf_id").alias("child_id")
+        ).distinct()
+        return merge_clusterings(a, b)
+
+
 @dataclass
 class Match:
     """Result of a key lookup: the cluster and per-source key sets."""

@@ -161,3 +161,79 @@ def test_combine_types_and_cleaning(built):
 
     exploded = dag.query([crn], resolver="resolve_crn", combine_type="explode")
     assert exploded.select("id").distinct().count() == 6
+
+
+def test_resolver_matches_facade(built, spark):
+    """ResolverMatches mirrors the reference's results verbs
+    (client/results.py:69-220): as_dump / as_lookup / as_leaf_sets /
+    view_cluster / merge, all as DataFrame plans."""
+    from matchbox_spark.plans.query import ResolverMatches
+
+    dag, kit, crn, cdms = built
+    rm = ResolverMatches(
+        spark,
+        dag.catalog,
+        dag.resolver_lineage("resolve_linked"),
+        [crn, cdms],
+        materialized=True,
+    )
+
+    dump = rm.as_dump()
+    assert set(dump.columns) == {"id", "leaf_id", "key", "source"}
+    # every crn+cdms key appears exactly once per (key, source)
+    n_keys = sum(
+        len(kit.sources[s].key_to_entity) for s in ("crn", "cdms")
+    )
+    assert dump.select("key", "source").distinct().count() == n_keys
+
+    lookup = rm.as_lookup()
+    assert {"id", "crn_key", "cdms_key"} == set(lookup.columns)
+    # linked entities: ids with both a crn and a cdms key exist
+    assert (
+        lookup.where(
+            F.col("crn_key").isNotNull() & F.col("cdms_key").isNotNull()
+        ).count()
+        > 0
+    )
+
+    leaf_sets = {r["id"]: list(r["leaves"]) for r in rm.as_leaf_sets().collect()}
+    for leaves in leaf_sets.values():
+        assert leaves == sorted(set(leaves))  # sorted, distinct
+
+    # view_cluster: pick an entity with keys in both sources
+    both = (
+        dump.groupBy("id")
+        .agg(F.collect_set("source").alias("srcs"))
+        .where(F.size("srcs") == 2)
+        .select("id")
+        .first()
+    )
+    view = rm.view_cluster(int(both["id"]))
+    assert view.columns[:2] == ["crn_key", "cdms_key"]
+    assert "crn_company_name" in view.columns  # qualified index field
+    assert view.count() > 0
+    merged_fields = rm.view_cluster(int(both["id"]), merge_fields=True)
+    # shared index field 'crn' collapses to ONE unqualified column
+    assert "crn" in merged_fields.columns
+    assert "crn_crn" not in merged_fields.columns
+
+    with pytest.raises(KeyError):
+        rm.view_cluster(-12345)
+
+    # merge with itself is a no-op clustering-wise: same leaf partition
+    merged = rm.merge(rm)
+    groups_merged = {
+        tuple(r["ls"])
+        for r in merged.groupBy("parent_id")
+        .agg(F.array_sort(F.collect_set("child_id")).alias("ls"))
+        .collect()
+    }
+    groups_orig = {tuple(sorted(set(v))) for v in leaf_sets.values()}
+    assert groups_merged == groups_orig
+
+    # different sources refuse to merge
+    rm_crn = ResolverMatches(
+        spark, dag.catalog, dag.resolver_lineage("resolve_crn"), [crn]
+    )
+    with pytest.raises(ValueError, match="different sources"):
+        rm.merge(rm_crn)
