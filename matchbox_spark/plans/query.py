@@ -207,6 +207,25 @@ class ResolverMatches:
             dump.localCheckpoint(eager=True) if materialized else dump
         )
 
+    @classmethod
+    def from_dump(
+        cls, spark, dump: DataFrame, sources: list
+    ) -> "ResolverMatches":
+        """Rebuild a facade from a saved ``as_dump`` DataFrame (ref
+        ``from_dump``): the round-trip lets resolved matches be persisted
+        as a plain table and served later without the catalog."""
+        expected = {"id", "leaf_id", "key", "source"}
+        missing = expected - set(dump.columns)
+        if missing:
+            raise ValueError(f"dump is missing columns {sorted(missing)}")
+        self = cls.__new__(cls)
+        self.spark = spark
+        self.catalog = None
+        self.resolvers = []
+        self.sources = list(sources)
+        self._dump = dump.select("id", "leaf_id", "key", "source")
+        return self
+
     def as_dump(self) -> DataFrame:
         """Full root↔leaf↔key↔source mapping (ref ``as_dump``)."""
         return self._dump.select("id", "leaf_id", "key", "source")

@@ -237,3 +237,12 @@ def test_resolver_matches_facade(built, spark):
     )
     with pytest.raises(ValueError, match="different sources"):
         rm.merge(rm_crn)
+
+    # dump → from_dump round-trip serves the same verbs without a catalog
+    rt = ResolverMatches.from_dump(spark, rm.as_dump(), [crn, cdms])
+    assert rt.catalog is None
+    assert sorted(map(tuple, rt.as_lookup().collect())) == sorted(
+        map(tuple, lookup.collect())
+    )
+    with pytest.raises(ValueError, match="missing columns"):
+        ResolverMatches.from_dump(spark, rm.as_dump().drop("key"), [crn])
