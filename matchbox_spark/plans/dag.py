@@ -172,6 +172,74 @@ class DAG:
     def sequence(self) -> list[str]:
         return toposort(self.graph())
 
+    def final_steps(self) -> list[str]:
+        """Apex step names — steps no other step depends on (ref
+        ``dags.py:final_steps``). Empty DAG → empty list."""
+        all_deps: set[str] = set()
+        for step in self.steps.values():
+            all_deps.update(step.deps)
+        return [name for name in self.steps if name not in all_deps]
+
+    @property
+    def default_resolver(self) -> str:
+        """The unique apex resolver (ref ``dags.py:default_resolver``):
+        errors when the DAG has no apex, the apex set holds no resolver,
+        or more than one — the ambiguity the reference refuses too."""
+        apex = self.final_steps()
+        if not apex:
+            raise ValueError("No final step found, DAG might be empty")
+        resolvers = [
+            n for n in apex if isinstance(self.steps[n], ResolverStep)
+        ]
+        if not resolvers:
+            raise ValueError("The only final step is not a resolver")
+        if len(resolvers) > 1:
+            raise ValueError("Default resolver is ambiguous")
+        return resolvers[0]
+
+    def upstream_sources(self, resolver: str) -> list[SourceConfig]:
+        """Source configs reachable below a resolver, in declaration
+        order — the source set ``get_matches`` serves by default."""
+        if not isinstance(self.steps.get(resolver), ResolverStep):
+            raise ValueError(f"unknown resolver step {resolver!r}")
+        closure = transitive_closure(self.graph())
+        below = {anc for anc, node, _ in closure if node == resolver}
+        return [
+            step.config
+            for name, step in self.steps.items()
+            if name in below and isinstance(step, SourceStep)
+        ]
+
+    def get_matches(
+        self,
+        resolver: str | None = None,
+        source_filter: list[str] | None = None,
+        location_filter: list[str] | None = None,
+        materialized: bool = False,
+    ):
+        """Resolved matches for a resolver as a :class:`ResolverMatches`
+        facade (ref ``dags.py:get_matches``): resolver defaults to the
+        DAG's unique apex resolver; sources default to everything in its
+        lineage, optionally narrowed by step name or by location. Raises
+        when the filters leave no compatible source."""
+        from matchbox_spark.plans.query import ResolverMatches
+
+        name = resolver if resolver is not None else self.default_resolver
+        sources = self.upstream_sources(name)
+        if source_filter is not None:
+            sources = [s for s in sources if s.name in source_filter]
+        if location_filter is not None:
+            sources = [s for s in sources if s.location in location_filter]
+        if not sources:
+            raise ValueError("No compatible source was found")
+        return ResolverMatches(
+            self.spark,
+            self.catalog,
+            self.resolver_lineage(name),
+            sources,
+            materialized=materialized,
+        )
+
     def resolver_lineage(self, resolver: str) -> list[str]:
         """Resolvers at/below ``resolver`` ordered by closure level then name.
 

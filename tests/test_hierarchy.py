@@ -246,3 +246,26 @@ def test_resolver_matches_facade(built, spark):
     )
     with pytest.raises(ValueError, match="missing columns"):
         ResolverMatches.from_dump(spark, rm.as_dump().drop("key"), [crn])
+
+
+def test_dag_apex_and_get_matches(built, spark):
+    """final_steps / default_resolver / get_matches (ref dags.py:222-257,
+    744-797): the apex resolver is found automatically, its lineage's
+    sources serve by default, and filters narrow or refuse."""
+    dag, kit, crn, cdms = built
+
+    assert dag.final_steps() == ["resolve_linked"]
+    assert dag.default_resolver == "resolve_linked"
+
+    rm = dag.get_matches()  # resolver + sources both defaulted
+    assert sorted(s.name for s in rm.sources) == ["cdms", "crn"]
+    assert set(rm.as_dump().columns) == {"id", "leaf_id", "key", "source"}
+
+    only_crn = dag.get_matches(source_filter=["crn"])
+    assert [s.name for s in only_crn.sources] == ["crn"]
+    by_loc = dag.get_matches(location_filter=[crn.location])
+    assert [s.name for s in by_loc.sources] == ["crn"]
+    with pytest.raises(ValueError, match="No compatible source"):
+        dag.get_matches(source_filter=["nope"])
+    with pytest.raises(ValueError, match="unknown resolver"):
+        dag.get_matches(resolver="dedupe_crn")
