@@ -4702,6 +4702,109 @@ def e4_histogram_quantiles(spark, sf):
 
 
 @_q(
+    "e5_bloom_semijoin",
+    """WITH members AS (
+         SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+         FROM customer WHERE c_mktsegment = 'BUILDING'
+       ),
+       pos AS (
+         SELECT CAST(('0x' || substr(md5(t.i || ':' || k), 1, 13))
+                     AS BIGINT) % 4096 AS pos
+         FROM members, UNNEST(['0', '1', '2']) AS t(i)
+       ),
+       words AS (
+         SELECT CAST(pos // 63 AS INT) AS word_idx,
+                BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word
+         FROM pos GROUP BY 1
+       ),
+       probe AS (
+         SELECT o_orderkey, o_orderpriority AS priority, o_custkey,
+                CAST(o_custkey AS VARCHAR) AS k
+         FROM orders
+       ),
+       ppos AS (
+         SELECT o_orderkey, priority, k,
+                CAST(('0x' || substr(md5(t.i || ':' || k), 1, 13))
+                     AS BIGINT) % 4096 AS pos
+         FROM probe, UNNEST(['0', '1', '2']) AS t(i)
+       ),
+       verdict AS (
+         SELECT o_orderkey, priority,
+                COUNT(*) = SUM(CASE WHEN
+                  (w.word & (CAST(1 AS BIGINT)
+                             << CAST(p.pos % 63 AS INT))) != 0
+                  THEN 1 ELSE 0 END) AS pass
+         FROM ppos p
+         LEFT JOIN words w ON w.word_idx = CAST(p.pos // 63 AS INT)
+         GROUP BY 1, 2
+       ),
+       truth AS (
+         SELECT o_orderkey FROM orders o
+         WHERE EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = o.o_custkey
+                         AND c.c_mktsegment = 'BUILDING')
+       )
+       SELECT v.priority,
+              CAST(COUNT(*) AS BIGINT) AS n_probe,
+              CAST(SUM(CASE WHEN v.pass THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_pass,
+              CAST(SUM(CASE WHEN t.o_orderkey IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+              CAST(SUM(CASE WHEN v.pass AND t.o_orderkey IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+       FROM verdict v
+       LEFT JOIN truth t USING (o_orderkey)
+       GROUP BY 1 ORDER BY 1""",
+)
+def e5_bloom_semijoin(spark, sf):
+    """E5: portable Bloom-filter semi-join reduction
+    (operators.sketches.bloom_build/bloom_contains) — the runtime-filter
+    pattern as an explicit, engine-portable operator: a 4096-position / 3-hash (63-bit-word)
+    filter built over BUILDING-segment customers in one map-side-
+    combinable bit_or aggregate (66 long words), broadcast, and every
+    order probed BEFORE any real join would ship data. Output per order
+    priority: probe count, Bloom passes, exact semi-join truth, and false
+    positives — so the driver hash-checks the full bitset construction
+    (md5 positions, shifted masks), the all-k-bits membership test, no
+    false negatives (n_pass ≥ n_true is structural), AND the exact
+    false-positive set — deterministic md5 makes even the errors
+    engine-identical. Merge = OR of word tables (`bloom_merge`,
+    pytest-pinned vs direct build). At 100 TB the word table is the thing
+    you persist next to a snapshot so other jobs and engines prune scans
+    without touching the dimension."""
+    from matchbox_spark.operators.sketches import bloom_build, bloom_contains
+
+    cust = _t(spark, sf, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    bloom = bloom_build(cust, "c_custkey", m_bits=4096, k_hashes=3)
+    orders = _t(spark, sf, "orders")
+    tagged = bloom_contains(
+        orders, bloom, "o_custkey", m_bits=4096, k_hashes=3
+    )
+    truth = cust.select(F.col("c_custkey").alias("o_custkey")).distinct()
+    flagged = tagged.join(
+        truth.withColumn("_member", F.lit(True)), "o_custkey", "left"
+    )
+    return (
+        flagged.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_probe"),
+            F.sum(F.col("bloom_pass").cast("int")).cast("long").alias("n_pass"),
+            F.sum(F.col("_member").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_true"),
+            F.sum(
+                (F.col("bloom_pass") & F.col("_member").isNull()).cast("int")
+            )
+            .cast("long")
+            .alias("n_false_pos"),
+        )
+        .orderBy("priority")
+    )
+
+
+@_q(
     "t8_unigram_logprob",
     r"""WITH toks AS (
           SELECT doc_id AS doc, s.term

@@ -151,6 +151,140 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataF
 
 
 # ---------------------------------------------------------------------------
+# Portable Bloom filter → semi-join reduction
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(key: F.Column, m_bits: int, k_hashes: int) -> F.Column:
+    """k md5-derived bit positions for a (string) key: hash i is the first
+    13 hex chars of ``md5(i || ':' || key)`` mod m — independent per i,
+    identical in any engine sharing md5."""
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 13
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(int(m_bits))
+            )
+            for i in range(k_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Build a Bloom filter over a key column as ``(word_idx int,
+    word long)`` rows — ⌈m/63⌉ longs (63 payload bits per word; the sign
+    bit stays clear so checked engines accept every shift), the
+    engine-portable bitset.
+
+    The 100 TB use is semi-join reduction (the runtime-filter pattern):
+    build on the selective side in one map-side-combinable ``bit_or``
+    aggregate, broadcast the ≤ m/64-row word table, and pre-filter the
+    probe side before the real join ships any data. Unlike Spark's
+    internal runtime bloom filters the bitset here is DATA — it can be
+    persisted, shipped across jobs/engines, and merged (OR the words,
+    :func:`bloom_merge`). NULL keys are excluded (SQL semi-join
+    semantics). Deterministic md5 hashing keeps membership — and
+    therefore false-positive sets — bit-identical cross-engine."""
+    if m_bits < 63:
+        raise ValueError("m_bits must be >= 63")
+    if k_hashes < 1:
+        raise ValueError("k_hashes must be >= 1")
+    key = F.col(key_col).cast("string")
+    pos = (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            F.explode(_bloom_positions(key, m_bits, k_hashes)).alias("pos")
+        )
+    )
+    # 63 payload bits per long: the sign bit stays clear because a checked
+    # engine (DuckDB) refuses `1 << 63` — the portable format trades one
+    # bit per word for running verbatim everywhere. Floor-division via
+    # `div` (NOT a double divide + int cast: DuckDB's CAST rounds while
+    # Spark's truncates — `//`/`div` agree everywhere).
+    return (
+        pos.select(
+            F.expr("pos div 63").cast("int").alias("word_idx"),
+            # shiftleft with a COLUMN bit count needs expr (the F.shiftleft
+            # wrapper only takes a literal count)
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_merge(blooms: list[DataFrame]) -> DataFrame:
+    """OR Bloom word tables together — the union filter (parameters must
+    match; membership in any input implies membership in the merge)."""
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_contains(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+    flag_col: str = "bloom_pass",
+) -> DataFrame:
+    """Tag probe rows with Bloom membership of ``key_col`` (same m/k as
+    the build). Plan shape: the probe's k (row, word_idx, bit) lookups
+    join the BROADCAST word table, then one group-all check per row —
+    the probe stream is touched once, no shuffle on probe data beyond the
+    row-key regroup; at scale, filter on the flag BEFORE the expensive
+    join. NULL keys get ``false`` (no NULL ever enters the build)."""
+    key = F.col(key_col).cast("string")
+    tagged = probe.withColumn(
+        "_bpos", _bloom_positions(key, m_bits, k_hashes)
+    ).withColumn("_bid", F.monotonically_increasing_id())
+    lookups = tagged.select(
+        "_bid", F.explode("_bpos").alias("pos")
+    ).select(
+        "_bid",
+        F.expr("pos div 63").cast("int").alias("word_idx"),
+        (F.col("pos") % 63).cast("int").alias("bit"),
+    )
+    # sign-safe membership: AND against the shifted mask (a plain >> is
+    # arithmetic vs logical depending on engine; & is not)
+    mask = F.expr("shiftleft(cast(1 as bigint), bit)")
+    hit = lookups.join(F.broadcast(bloom), "word_idx", "left").select(
+        "_bid",
+        F.coalesce(
+            F.col("word").bitwiseAND(mask) != 0, F.lit(False)
+        ).alias("_set"),
+    )
+    verdict = hit.groupBy("_bid").agg(
+        (F.count("*") == F.sum(F.col("_set").cast("int"))).alias(flag_col)
+    )
+    return (
+        tagged.join(verdict, "_bid", "left")
+        .withColumn(
+            flag_col,
+            F.when(key.isNull(), F.lit(False)).otherwise(
+                F.coalesce(F.col(flag_col), F.lit(False))
+            ),
+        )
+        .drop("_bpos", "_bid")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Fixed-boundary histogram sketch → interpolated quantiles
 # ---------------------------------------------------------------------------
 

@@ -170,6 +170,69 @@ def test_null_values_excluded_like_count_distinct(spark):
     assert sum(r["n"] for r in sk.collect()) == 2
 
 
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Every built key passes (no false negatives — the Bloom guarantee);
+    false positives on disjoint probes stay near the analytic rate."""
+    from matchbox_spark.operators.sketches import bloom_build, bloom_contains
+
+    keys = spark.range(300).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("k")
+    )
+    bloom = bloom_build(keys, "k", m_bits=4096, k_hashes=3)
+    # members: all pass
+    members = bloom_contains(keys, bloom, "k", m_bits=4096, k_hashes=3)
+    assert members.where(~F.col("bloom_pass")).count() == 0
+    # non-members: fp rate ≈ (1 - e^{-kn/m})^k ≈ 0.8%; allow 5×
+    others = spark.range(5000).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("k")
+    )
+    fp = (
+        bloom_contains(others, bloom, "k", m_bits=4096, k_hashes=3)
+        .where(F.col("bloom_pass"))
+        .count()
+    )
+    assert fp / 5000 < 0.04, fp
+
+
+def test_bloom_merge_is_union_and_null_is_false(spark):
+    from matchbox_spark.operators.sketches import (
+        bloom_build,
+        bloom_contains,
+        bloom_merge,
+    )
+
+    a = spark.createDataFrame([("a1",), ("a2",)], "k string")
+    b = spark.createDataFrame([("b1",), (None,)], "k string")
+    merged = bloom_merge(
+        [bloom_build(a, "k", 256, 2), bloom_build(b, "k", 256, 2)]
+    )
+    direct = bloom_build(
+        a.unionByName(b), "k", 256, 2
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    probe = spark.createDataFrame(
+        [("a1",), ("b1",), (None,)], "k string"
+    )
+    out = {
+        r["k"]: r["bloom_pass"]
+        for r in bloom_contains(probe, merged, "k", 256, 2).collect()
+    }
+    assert out["a1"] and out["b1"]
+    assert out[None] is False  # NULL never matches (semi-join semantics)
+
+
+def test_bloom_validation(spark):
+    from matchbox_spark.operators.sketches import bloom_build
+
+    df = None
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_build(df, "k", m_bits=10)
+    with pytest.raises(ValueError, match="k_hashes"):
+        bloom_build(df, "k", m_bits=63, k_hashes=0)
+
+
 def test_histogram_out_of_range_clamps_and_validates(spark):
     from matchbox_spark.operators.sketches import (
         histogram_quantiles,
