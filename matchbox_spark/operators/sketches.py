@@ -150,6 +150,46 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataF
     )
 
 
+def kmv_jaccard(
+    a_sketch: DataFrame,
+    b_sketch: DataFrame,
+    group_cols: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Set-operation estimates from two same-recipe KMV sketches — the
+    theta-sketch trick: the union's k smallest uniforms are an unbiased
+    sample of A ∪ B, so the fraction also present in BOTH sketches
+    estimates Jaccard, and ``jaccard × |A ∪ B|`` estimates the
+    intersection — "how many users appear in both datasets" without ever
+    joining raw data. Returns ``(*group_cols, jaccard, est_union,
+    est_intersection)`` (round-6 doubles; EXACT when the union fits the
+    sketch). Groups missing from one side read as disjoint (jaccard 0)."""
+    u = kmv_merge([a_sketch, b_sketch], group_cols, k)
+    a_m = a_sketch.withColumn("_ina", F.lit(True))
+    b_m = b_sketch.withColumn("_inb", F.lit(True))
+    keys = [*group_cols, "u"]
+    marked = u.join(a_m, keys, "left").join(b_m, keys, "left")
+    agg = marked.groupBy(*group_cols).agg(
+        F.count("*").alias("_n"),
+        F.sum(
+            (F.col("_ina").isNotNull() & F.col("_inb").isNotNull()).cast(
+                "int"
+            )
+        ).alias("_both"),
+        F.max("u").alias("_uk"),
+    )
+    union_est = F.when(
+        F.col("_n") < k, F.col("_n").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("_uk"))
+    jac = F.col("_both").cast("double") / F.col("_n").cast("double")
+    return agg.select(
+        *group_cols,
+        F.round(jac, 6).alias("jaccard"),
+        F.round(union_est, 6).alias("est_union"),
+        F.round(jac * union_est, 6).alias("est_intersection"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Portable Bloom filter → semi-join reduction
 # ---------------------------------------------------------------------------

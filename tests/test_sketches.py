@@ -170,6 +170,53 @@ def test_null_values_excluded_like_count_distinct(spark):
     assert sum(r["n"] for r in sk.collect()) == 2
 
 
+def test_kmv_jaccard_exact_below_k_and_estimates_above(spark):
+    """Intersection/Jaccard from two sketches: exact when the union fits
+    the sketch; within KMV error above it; disjoint groups read 0."""
+    from matchbox_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    # small: A = {0..29}, B = {20..49} → |∩| = 10, |∪| = 50, J = 0.2
+    a_small = spark.range(30).select(F.lit("s").alias("g"), F.col("id").alias("v"))
+    b_small = spark.range(20, 50).select(F.lit("s").alias("g"), F.col("id").alias("v"))
+    out = kmv_jaccard(
+        kmv_sketch(a_small, ["g"], "v", k=64),
+        kmv_sketch(b_small, ["g"], "v", k=64),
+        ["g"],
+        k=64,
+    ).collect()[0]
+    assert out["jaccard"] == 0.2
+    assert out["est_union"] == 50.0
+    assert out["est_intersection"] == 10.0
+
+    # large: A = {0..5999}, B = {3000..8999} → J = 1/3, |∩| = 3000
+    a_big = spark.range(6000).select(F.lit("b").alias("g"), F.col("id").alias("v"))
+    b_big = spark.range(3000, 9000).select(F.lit("b").alias("g"), F.col("id").alias("v"))
+    est = kmv_jaccard(
+        kmv_sketch(a_big, ["g"], "v", k=512),
+        kmv_sketch(b_big, ["g"], "v", k=512),
+        ["g"],
+        k=512,
+    ).collect()[0]
+    assert abs(est["jaccard"] - 1 / 3) < 0.1
+    assert abs(est["est_intersection"] - 3000) / 3000 < 0.3
+
+    # disjoint
+    dis = kmv_jaccard(
+        kmv_sketch(a_small, ["g"], "v", k=64),
+        kmv_sketch(
+            spark.range(100, 130).select(
+                F.lit("s").alias("g"), F.col("id").alias("v")
+            ),
+            ["g"],
+            "v",
+            k=64,
+        ),
+        ["g"],
+        k=64,
+    ).collect()[0]
+    assert dis["jaccard"] == 0.0 and dis["est_intersection"] == 0.0
+
+
 def test_bloom_no_false_negatives_and_bounded_fp(spark):
     """Every built key passes (no false negatives — the Bloom guarantee);
     false positives on disjoint probes stay near the analytic rate."""
