@@ -4805,6 +4805,90 @@ def e5_bloom_semijoin(spark, sf):
 
 
 @_q(
+    "e6_cms_frequency",
+    """WITH keys AS (
+         SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+       ),
+       cells AS (
+         SELECT t.r AS row,
+                CAST(CAST(('0x' || substr(md5(t.r || ':' || k), 1, 13))
+                          AS BIGINT) % 512 AS INT) AS col
+         FROM keys, UNNEST(['0', '1', '2']) AS t(r)
+       ),
+       cms AS (
+         SELECT row, col, CAST(COUNT(*) AS BIGINT) AS n
+         FROM cells GROUP BY 1, 2
+       ),
+       probe AS (
+         SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS k
+         FROM customer WHERE c_custkey <= 20
+       ),
+       plook AS (
+         SELECT c_custkey, t.r AS row,
+                CAST(CAST(('0x' || substr(md5(t.r || ':' || k), 1, 13))
+                          AS BIGINT) % 512 AS INT) AS col
+         FROM probe, UNNEST(['0', '1', '2']) AS t(r)
+       ),
+       est AS (
+         SELECT c_custkey, MIN(COALESCE(n, 0)) AS est_count
+         FROM plook LEFT JOIN cms USING (row, col) GROUP BY 1
+       ),
+       ex AS (
+         SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_exact
+         FROM orders GROUP BY 1
+       )
+       SELECT e.c_custkey AS custkey,
+              COALESCE(x.n_exact, 0) AS n_exact,
+              est_count,
+              est_count - COALESCE(x.n_exact, 0) AS overcount
+       FROM est e LEFT JOIN ex x USING (c_custkey)
+       ORDER BY custkey""",
+)
+def e6_cms_frequency(spark, sf):
+    """E6: Count-Min frequency sketch (Cormode 2005;
+    operators.sketches.cms_build/cms_estimate) — order counts per customer
+    estimated from a 512×3 counter table built in ONE map-side-combinable
+    aggregate, probed by broadcast lookup + min-across-rows, joined to the
+    exact GROUP BY for calibration. The one-sided guarantee is structural
+    (collisions only ADD, so ``overcount ≥ 0`` on every row — the
+    property that makes CMS safe as a heavy-hitter pre-pass at 100 TB:
+    every key with true count ≥ T survives the sketch filter). Merge =
+    adding counter tables (pytest-pinned vs direct build, incl. weighted
+    mass). Deterministic md5 makes every counter AND every overcount
+    engine-identical, so the driver hash-checks the error itself.
+    Completes the sketch family: distinct = KMV (e3/st8), membership =
+    Bloom (e5), quantiles = histogram (e4), frequency = CMS."""
+    from matchbox_spark.operators.sketches import cms_build, cms_estimate
+
+    orders = _t(spark, sf, "orders")
+    cms = cms_build(orders, "o_custkey", width=512, depth=3)
+    probe = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_custkey") <= 20)
+        .select("c_custkey")
+    )
+    est = cms_estimate(probe, cms, "c_custkey", width=512, depth=3)
+    exact = orders.groupBy(
+        F.col("o_custkey").alias("c_custkey")
+    ).agg(F.count("*").alias("n_exact"))
+    return (
+        est.join(exact, "c_custkey", "left")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.coalesce(F.col("n_exact"), F.lit(0).cast("long")).alias(
+                "n_exact"
+            ),
+            "est_count",
+            (
+                F.col("est_count")
+                - F.coalesce(F.col("n_exact"), F.lit(0).cast("long"))
+            ).alias("overcount"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@_q(
     "t8_unigram_logprob",
     r"""WITH toks AS (
           SELECT doc_id AS doc, s.term

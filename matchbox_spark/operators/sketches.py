@@ -325,6 +325,131 @@ def bloom_contains(
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch → frequency estimation
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over a key column:
+    ``(row int, col int, n long)`` — depth·width counters, the mergeable
+    frequency summary. Row r hashes a key to column ``md5(r:key) % width``
+    (the Bloom position recipe, one independent hash per row); the counter
+    update is ONE map-side-combinable sum, and two sketches over disjoint
+    data merge by adding counters (:func:`cms_merge`).
+
+    Estimates overcount, never undercount: collisions only ADD — the
+    one-sided guarantee that makes CMS safe for threshold pre-passes
+    ("every key with true count ≥ T passes") the way Bloom is safe for
+    membership. Error bound: ε ≈ e/width of the total mass, with
+    probability 1−e^−depth. ``weight_col`` (optional, long) counts weighted
+    mass instead of rows. NULL keys are excluded. Deterministic md5 keeps
+    every counter — and therefore every estimate — engine-identical."""
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be >= 1")
+    key = F.col(key_col).cast("string")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    rows = df.where(F.col(key_col).isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"{r}:"), key)),
+                                    1,
+                                    13,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % F.lit(int(width))
+                        )
+                        .cast("int")
+                        .alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+        w.alias("_w"),
+    )
+    return (
+        rows.select("rc.row", "rc.col", "_w")
+        .groupBy("row", "col")
+        .agg(F.sum("_w").alias("n"))
+    )
+
+
+def cms_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Add counter tables together — the union sketch (same width/depth)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    probe: DataFrame,
+    cms: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    est_col: str = "est_count",
+) -> DataFrame:
+    """Tag probe rows with the CMS frequency estimate of ``key_col``: the
+    MINIMUM counter across the depth rows (absent counters read 0). The
+    counter table broadcasts (depth·width rows); per probe row the lookup
+    is depth broadcast-join hits and one min — the probe stream shuffles
+    only on its own row key, never on data volume."""
+    key = F.col(key_col).cast("string")
+    tagged = probe.withColumn("_cid", F.monotonically_increasing_id())
+    lookups = tagged.select(
+        "_cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(F.concat(F.lit(f"{r}:"), key)),
+                                    1,
+                                    13,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % F.lit(int(width))
+                        )
+                        .cast("int")
+                        .alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("_cid", "rc.row", "rc.col")
+    hit = lookups.join(F.broadcast(cms), ["row", "col"], "left").select(
+        "_cid", F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("_n")
+    )
+    verdict = hit.groupBy("_cid").agg(F.min("_n").alias(est_col))
+    return tagged.join(verdict, "_cid", "left").drop("_cid")
+
+
+# ---------------------------------------------------------------------------
 # Fixed-boundary histogram sketch → interpolated quantiles
 # ---------------------------------------------------------------------------
 

@@ -280,6 +280,73 @@ def test_bloom_validation(spark):
         bloom_build(df, "k", m_bits=63, k_hashes=0)
 
 
+def test_cms_never_undercounts_and_is_exact_when_sparse(spark):
+    """CMS estimates ≥ truth always (one-sided), and equal truth when the
+    key space is far below the counter space."""
+    from matchbox_spark.operators.sketches import cms_build, cms_estimate
+
+    # 20 keys with known counts k_i = i+1
+    rows = [(f"k{i}",) for i in range(20) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "k string")
+    cms = cms_build(df, "k", width=1024, depth=4)
+    probe = spark.createDataFrame([(f"k{i}",) for i in range(20)], "k string")
+    out = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(probe, cms, "k", 1024, 4).collect()
+    }
+    for i in range(20):
+        assert out[f"k{i}"] == i + 1  # sparse → exact
+    # unseen key reads 0 (collision-free at this sparsity)
+    ghost = spark.createDataFrame([("nope",)], "k string")
+    g = cms_estimate(ghost, cms, "k", 1024, 4).collect()[0]["est_count"]
+    assert g >= 0  # and never negative
+
+
+def test_cms_overcount_bounded_under_load(spark):
+    """At heavy load the estimate overcounts by at most ~e/width of the
+    total mass (allow 4× the bound for the deterministic draw)."""
+    from matchbox_spark.operators.sketches import cms_build, cms_estimate
+
+    n = 50_000
+    df = spark.range(n).select(
+        F.concat(F.lit("u"), (F.col("id") % 5000).cast("string")).alias("k")
+    )  # 5000 keys × 10 each
+    cms = cms_build(df, "k", width=256, depth=4)
+    probe = spark.createDataFrame([("u0",), ("u4999",)], "k string")
+    for r in cms_estimate(probe, cms, "k", 256, 4).collect():
+        assert r["est_count"] >= 10  # never undercounts
+        assert r["est_count"] <= 10 + 4 * (2.72 * n / 256)
+
+
+def test_cms_merge_adds_and_weighted_mass(spark):
+    from matchbox_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    a = spark.createDataFrame([("x", 3), ("y", 5)], "k string, w long")
+    b = spark.createDataFrame([("x", 7), (None, 100)], "k string, w long")
+    merged = cms_merge(
+        [
+            cms_build(a, "k", 64, 3, weight_col="w"),
+            cms_build(b, "k", 64, 3, weight_col="w"),
+        ]
+    )
+    direct = cms_build(
+        a.unionByName(b), "k", 64, 3, weight_col="w"
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    probe = spark.createDataFrame([("x",), ("y",)], "k string")
+    out = {
+        r["k"]: r["est_count"]
+        for r in cms_estimate(probe, merged, "k", 64, 3).collect()
+    }
+    assert out["x"] >= 10 and out["y"] >= 5  # weighted, null excluded
+
+
 def test_histogram_out_of_range_clamps_and_validates(spark):
     from matchbox_spark.operators.sketches import (
         histogram_quantiles,
