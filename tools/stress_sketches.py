@@ -132,6 +132,59 @@ def main() -> None:
         f"histogram: {n:,} rows, {n_bins} bins, p50/p90/p99 within one "
         f"bin width ({width:g}) in {time.monotonic() - t0:.1f}s"
     )
+
+    # Bloom: filter built over the EVEN value ids, probed by the full
+    # stream — no even value may fail (no false negatives), and the odd
+    # pass rate is the false-positive rate, bounded analytically
+    from matchbox_spark.operators.sketches import (  # noqa: E402
+        bloom_build,
+        bloom_contains,
+    )
+
+    t0 = time.monotonic()
+    m_bits, k_h = 4 * n_distinct, 3
+    evens = df.where(F.col("v") % 2 == 0).select("v").distinct()
+    bloom = bloom_build(evens, "v", m_bits=m_bits, k_hashes=k_h).localCheckpoint(
+        eager=True
+    )
+    probe = df.select("v").distinct()
+    tagged = bloom_contains(probe, bloom, "v", m_bits=m_bits, k_hashes=k_h)
+    miss = tagged.where((F.col("v") % 2 == 0) & ~F.col("bloom_pass")).count()
+    assert miss == 0, f"{miss} false negatives"
+    n_odd = probe.where(F.col("v") % 2 == 1).count()
+    fp = tagged.where((F.col("v") % 2 == 1) & F.col("bloom_pass")).count()
+    # load n/2 keys into 4n bits, k=3 → fp ≈ (1−e^{−3/8})³ ≈ 3.1%; allow 2×
+    assert fp / max(1, n_odd) < 0.062, fp
+    print(
+        f"bloom: {n_distinct:,} distinct probed vs {m_bits:,}-bit filter: "
+        f"0 false negatives, fp {fp / max(1, n_odd):.2%} in "
+        f"{time.monotonic() - t0:.1f}s"
+    )
+
+    # CMS: per-value frequency is n/n_distinct exactly (by construction);
+    # the estimate must never undercount and overcount within the e/width
+    # mass bound
+    from matchbox_spark.operators.sketches import (  # noqa: E402
+        cms_build,
+        cms_estimate,
+    )
+
+    t0 = time.monotonic()
+    cw, cd = 8192, 4
+    cms = cms_build(df, "v", width=cw, depth=cd).localCheckpoint(eager=True)
+    true_f = n // n_distinct
+    sample = probe.where(F.col("v") % 997 == 0)
+    ests = cms_estimate(sample, cms, "v", width=cw, depth=cd).collect()
+    bound = int(2.72 * n / cw) * 2
+    for r in ests:
+        assert true_f <= r["est_count"] <= true_f + bound, (
+            r["v"],
+            r["est_count"],
+        )
+    print(
+        f"cms: {len(ests)} probes at true freq {true_f}: one-sided, "
+        f"overcount ≤ {bound} in {time.monotonic() - t0:.1f}s"
+    )
     spark.stop()
 
 
