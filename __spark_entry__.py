@@ -4889,6 +4889,63 @@ def e6_cms_frequency(spark, sf):
 
 
 @_q(
+    "o10_token_budget_mix",
+    r"""WITH toks AS (
+         SELECT doc_id, source,
+                CAST(len(list_filter(
+                  string_split_regex(lower(text), '\s+'), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+         FROM documents
+       ),
+       targets AS (
+         SELECT * FROM (VALUES
+           ('src0', CAST(3000 * 0.5 AS BIGINT)),
+           ('src1', CAST(3000 * 0.3 AS BIGINT)),
+           ('src2', CAST(3000 * 0.2 AS BIGINT))
+         ) AS t(source, target)
+       ),
+       ordered AS (
+         SELECT t.doc_id, t.source, t.n_tokens, g.target,
+                SUM(t.n_tokens) OVER (
+                  PARTITION BY t.source
+                  ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
+                ) AS cum_tokens
+         FROM toks t JOIN targets g USING (source)
+       )
+       SELECT doc_id AS id, source, n_tokens, cum_tokens
+       FROM ordered WHERE cum_tokens <= target
+       ORDER BY source, cum_tokens""",
+)
+def o10_token_budget_mix(spark, sf):
+    """O10: token-budget mixture construction
+    (operators.curation.mixture_sample) — the step that assembles a
+    training mix to a budget with per-source proportions: 3,000 tokens
+    split 50/30/20 across three sources; per source, documents admit in
+    md5-of-id order (the o5/o8 seedless permutation) while the running
+    token total stays within floor(budget·w). Deterministic, so the
+    driver hash-checks the EXACT document set, per-doc token counts, and
+    running totals. Plan: broadcast weight table, one shuffle on source,
+    per-source cumulative window. The greedy stop under-fills by at most
+    one document — the determinism-for-exactness trade documented on the
+    operator."""
+    from matchbox_spark.functions.text import tokens_expr
+    from matchbox_spark.operators.curation import mixture_sample
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "source", F.size(tokens_expr("text")).alias("n_tokens")
+    )
+    out = mixture_sample(
+        d,
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        token_budget=3000,
+        source_col="source",
+        id_col="doc_id",
+        tokens_col="n_tokens",
+    )
+    return out.orderBy("source", "cum_tokens")
+
+
+@_q(
     "t8_unigram_logprob",
     r"""WITH toks AS (
           SELECT doc_id AS doc, s.term

@@ -137,6 +137,60 @@ def quota_rebalance(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Token-budget mixture construction — the training-mix step: per
+    source s, a target of ``floor(token_budget · w_s)`` tokens; documents
+    admit in md5-of-id order while the RUNNING token total stays within
+    target (a document whose tokens would cross the line is refused, as
+    are all behind it). Returns admitted rows as ``(id, source, n_tokens,
+    cum_tokens)``.
+
+    Deterministic and seedless (the md5 order is a fixed pseudo-random
+    permutation — the o5/o8 recipe), so re-running over grown data keeps
+    earlier picks stable within each source. Sources absent from
+    ``weights`` are dropped. Plan shape: the weight table broadcasts
+    (config-sized); one shuffle on the source column; the cumulative
+    window orders each source's partition once. The greedy
+    cross-the-line-stop can under-fill a target by at most one document —
+    the determinism-for-exactness trade this operator makes deliberately
+    (a best-fit repack would be order-dependent)."""
+    if token_budget < 0:
+        raise ValueError("token_budget must be >= 0")
+    bad = [k for k, v in weights.items() if v < 0]
+    if bad:
+        raise ValueError(f"negative weights for {bad}")
+    spark = df.sparkSession
+    tdf = spark.createDataFrame(
+        [
+            (k, int(float(v) * token_budget))
+            for k, v in weights.items()
+        ],
+        f"{source_col} string, _target long",
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w)
+    return (
+        df.join(F.broadcast(tdf), source_col)
+        .withColumn("_cum", cum)
+        .where(F.col("_cum") <= F.col("_target"))
+        .select(
+            F.col(id_col).alias("id"),
+            source_col,
+            F.col(tokens_col).cast("long").alias("n_tokens"),
+            F.col("_cum").cast("long").alias("cum_tokens"),
+        )
+    )
+
+
 def dedupe_lines(
     df: DataFrame,
     id_col: str,

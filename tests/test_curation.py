@@ -164,3 +164,47 @@ def test_dsir_validation(spark):
 
     with _pt.raises(ValueError):
         dsir_logweights(docs, F.col("lang") == "en", n_buckets=1)
+
+
+def test_mixture_sample_budget_and_determinism(spark):
+    """Per-source token targets respected (inclusive-prefix semantics),
+    sources absent from weights dropped, stable under re-run."""
+    import pyspark.sql.functions as F
+
+    from matchbox_spark.operators.curation import mixture_sample
+
+    rows = [(i, "a" if i < 50 else "b", 10) for i in range(100)] + [
+        (200 + i, "c", 10) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    out = mixture_sample(
+        df, {"a": 0.6, "b": 0.4}, token_budget=100,
+        source_col="source", id_col="doc_id", tokens_col="n_tokens",
+    )
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    # a: target 60 → 6 docs of 10; b: target 40 → 4 docs; c dropped
+    assert len(by_src["a"]) == 6 and len(by_src["b"]) == 4
+    assert "c" not in by_src
+    assert max(r["cum_tokens"] for r in by_src["a"]) == 60
+    # deterministic: same picks on re-run
+    again = sorted(map(tuple, out.collect()))
+    assert sorted(map(tuple, got)) == again
+    # refusal point: a doc crossing the target line excludes the tail
+    big = spark.createDataFrame(
+        [(1, "a", 70), (2, "a", 70), (3, "a", 10)],
+        "doc_id long, source string, n_tokens long",
+    )
+    kept = mixture_sample(
+        big, {"a": 1.0}, token_budget=100,
+        source_col="source", id_col="doc_id", tokens_col="n_tokens",
+    ).count()
+    assert kept == 1  # first 70 fits; second crosses; tail refused
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="token_budget"):
+        mixture_sample(df, {"a": 1.0}, -1)
+    with _pytest.raises(ValueError, match="negative"):
+        mixture_sample(df, {"a": -0.5}, 100)
