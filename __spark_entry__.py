@@ -4899,17 +4899,17 @@ def e6_cms_frequency(spark, sf):
        ),
        targets AS (
          SELECT * FROM (VALUES
-           ('src0', CAST(3000 * 0.5 AS BIGINT)),
-           ('src1', CAST(3000 * 0.3 AS BIGINT)),
-           ('src2', CAST(3000 * 0.2 AS BIGINT))
+           ('src0', CAST(1500 AS BIGINT)),
+           ('src1', CAST(900 AS BIGINT)),
+           ('src2', CAST(600 AS BIGINT))
          ) AS t(source, target)
        ),
        ordered AS (
          SELECT t.doc_id, t.source, t.n_tokens, g.target,
-                SUM(t.n_tokens) OVER (
+                CAST(SUM(t.n_tokens) OVER (
                   PARTITION BY t.source
                   ORDER BY md5(CAST(t.doc_id AS VARCHAR)), t.doc_id
-                ) AS cum_tokens
+                ) AS BIGINT) AS cum_tokens
          FROM toks t JOIN targets g USING (source)
        )
        SELECT doc_id AS id, source, n_tokens, cum_tokens
@@ -6189,12 +6189,16 @@ def b2_hybrid(spark, sf):
                 AS DECIMAL(18,6)) AS r
          FROM raw LEFT JOIN tgtc USING (bucket) CROSS JOIN tots
        )
-       SELECT doc, n_feats, logw FROM (
+       SELECT t.doc,
+              COALESCE(a.n_feats, 0) AS n_feats,
+              COALESCE(a.logw, 0.0) AS logw
+       FROM (SELECT doc FROM toks) t
+       LEFT JOIN (
          SELECT doc, COUNT(*) AS n_feats,
                 ROUND(CAST(SUM(r) AS DOUBLE), 6) AS logw
          FROM grams JOIN ratios USING (bucket)
-         GROUP BY doc)
-       ORDER BY logw DESC, doc LIMIT 200""",
+         GROUP BY doc) a USING (doc)
+       ORDER BY logw DESC, t.doc LIMIT 200""",
 )
 def o9_dsir(spark, sf):
     """O9: DSIR data selection (operators.curation.dsir_logweights, Xie

@@ -167,9 +167,16 @@ def mixture_sample(
     if bad:
         raise ValueError(f"negative weights for {bad}")
     spark = df.sparkSession
+    # Exact decimal arithmetic for the targets: int(float(0.29) * 100)
+    # truncates the binary-float product to 28, while the documented
+    # floor(budget·w) — and a SQL engine's DECIMAL arithmetic — gives 29.
+    # Decimal(str(w)) reproduces the literal the user wrote, so engine and
+    # oracle agree for ALL weights, not just dyadic ones (ADVICE r6).
+    from decimal import Decimal
+
     tdf = spark.createDataFrame(
         [
-            (k, int(float(v) * token_budget))
+            (k, int(Decimal(str(v)) * token_budget))
             for k, v in weights.items()
         ],
         f"{source_col} string, _target long",
@@ -382,13 +389,21 @@ def dsir_logweights(
             .alias("r"),
         )
     )
-    out = (
+    agg = (
         grams.join(F.broadcast(ratios), "bucket")
         .groupBy("doc")
         .agg(
             F.count("*").alias("n_feats"),
             F.round(F.sum("r").cast("double"), 6).alias("logw"),
         )
+    )
+    # Documents with < 2 tokens have no bigrams and would vanish after the
+    # explode; emit them with (n_feats=0, logw=0.0) so every input doc gets
+    # a row and top_k selection can still reach them (ADVICE r6).
+    out = toks.select("doc").join(agg, "doc", "left").select(
+        "doc",
+        F.coalesce(F.col("n_feats"), F.lit(0).cast("long")).alias("n_feats"),
+        F.coalesce(F.col("logw"), F.lit(0.0)).alias("logw"),
     )
     if top_k is not None:
         out = out.orderBy(F.desc("logw"), F.asc("doc")).limit(int(top_k))

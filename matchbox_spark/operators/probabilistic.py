@@ -214,9 +214,21 @@ _UNSUPPORTED_FUNCS = (
 _DUCKDB_TO_SPARK_FUNCS = {
     "list_intersect": "array_intersect",
     "array_length": "size",
-    "len": "size",
     "list_contains": "array_contains",
     "list_has": "array_contains",
+}
+
+# DuckDB's bare ``len()`` is overloaded: string length AND list length.
+# Spark's ``size()`` accepts only arrays/maps, so a blanket rename would
+# turn ``len(l."name") > 3`` into an analysis error (or a silent -1 under
+# legacy sizeOfNull). The transpiler can't see argument types, so it
+# REJECTS bare ``len(`` with a pointer at the unambiguous spellings
+# (ADVICE r6).
+_AMBIGUOUS_FUNCS = {
+    "len": (
+        "DuckDB len() is ambiguous (string vs list length); spell it "
+        "length(...) for strings or array_length(...) for lists"
+    ),
 }
 
 
@@ -226,9 +238,10 @@ def splink_sql_to_spark(sql: str) -> str:
     Handles the l./r. alias style with double-quoted identifiers
     (``l."company_name" = r."company_name"``), renames DuckDB list
     functions to their Spark builtins (``list_intersect`` →
-    ``array_intersect``, ``array_length``/``len`` → ``size``,
-    ``list_contains`` → ``array_contains``), and validates function names
-    against the supported subset. Math builtins (``sin``/``cos``/``asin``/
+    ``array_intersect``, ``array_length`` → ``size``, ``list_contains``
+    → ``array_contains``), rejects the type-ambiguous bare ``len()``
+    (string vs list length in DuckDB) with a pointer at the unambiguous
+    spellings, and validates function names against the supported subset. Math builtins (``sin``/``cos``/``asin``/
     ``acos``/``radians``/``sqrt``/``pow`` — the distance_in_km template)
     share names across engines and pass through untouched.
     """
@@ -241,6 +254,9 @@ def splink_sql_to_spark(sql: str) -> str:
                 "equivalent here; rewrite the level with levenshtein/soundex "
                 "or precompute the similarity as a column"
             )
+    for fn, hint in _AMBIGUOUS_FUNCS.items():
+        if _re.search(rf"\b{fn}\s*\(", sql, _re.IGNORECASE):
+            raise ValueError(f"Splink condition uses {fn}(): {hint}")
     out = sql
     for duck, spark_name in _DUCKDB_TO_SPARK_FUNCS.items():
         out = _re.sub(

@@ -284,19 +284,28 @@ def bloom_contains(
     flag_col: str = "bloom_pass",
 ) -> DataFrame:
     """Tag probe rows with Bloom membership of ``key_col`` (same m/k as
-    the build). Plan shape: the probe's k (row, word_idx, bit) lookups
-    join the BROADCAST word table, then one group-all check per row —
-    the probe stream is touched once, no shuffle on probe data beyond the
-    row-key regroup; at scale, filter on the flag BEFORE the expensive
-    join. NULL keys get ``false`` (no NULL ever enters the build)."""
+    the build). Plan shape: DISTINCT probe keys fan out to k (key,
+    word_idx, bit) lookups, join the BROADCAST word table, fold to one
+    verdict per key, and join back to the probe ON THE KEY — membership
+    is a pure function of the key, so no synthetic row id is needed
+    (monotonically_increasing_id is nondeterministic across task retries
+    and would let verdicts attach to the wrong rows; see ADVICE r6).
+    Deduping keys first is also cheaper when keys repeat. At scale,
+    filter on the flag BEFORE the expensive join. NULL keys get
+    ``false`` (no NULL ever enters the build)."""
     key = F.col(key_col).cast("string")
-    tagged = probe.withColumn(
-        "_bpos", _bloom_positions(key, m_bits, k_hashes)
-    ).withColumn("_bid", F.monotonically_increasing_id())
-    lookups = tagged.select(
-        "_bid", F.explode("_bpos").alias("pos")
+    keys = (
+        probe.where(F.col(key_col).isNotNull())
+        .select(key.alias("_bkey"))
+        .distinct()
+    )
+    lookups = keys.select(
+        "_bkey",
+        F.explode(
+            _bloom_positions(F.col("_bkey"), m_bits, k_hashes)
+        ).alias("pos"),
     ).select(
-        "_bid",
+        "_bkey",
         F.expr("pos div 63").cast("int").alias("word_idx"),
         (F.col("pos") % 63).cast("int").alias("bit"),
     )
@@ -304,23 +313,23 @@ def bloom_contains(
     # arithmetic vs logical depending on engine; & is not)
     mask = F.expr("shiftleft(cast(1 as bigint), bit)")
     hit = lookups.join(F.broadcast(bloom), "word_idx", "left").select(
-        "_bid",
+        "_bkey",
         F.coalesce(
             F.col("word").bitwiseAND(mask) != 0, F.lit(False)
         ).alias("_set"),
     )
-    verdict = hit.groupBy("_bid").agg(
+    verdict = hit.groupBy("_bkey").agg(
         (F.count("*") == F.sum(F.col("_set").cast("int"))).alias(flag_col)
     )
     return (
-        tagged.join(verdict, "_bid", "left")
+        probe.join(verdict, key == F.col("_bkey"), "left")
         .withColumn(
             flag_col,
             F.when(key.isNull(), F.lit(False)).otherwise(
                 F.coalesce(F.col(flag_col), F.lit(False))
             ),
         )
-        .drop("_bpos", "_bid")
+        .drop("_bkey")
     )
 
 
@@ -410,13 +419,20 @@ def cms_estimate(
 ) -> DataFrame:
     """Tag probe rows with the CMS frequency estimate of ``key_col``: the
     MINIMUM counter across the depth rows (absent counters read 0). The
-    counter table broadcasts (depth·width rows); per probe row the lookup
-    is depth broadcast-join hits and one min — the probe stream shuffles
-    only on its own row key, never on data volume."""
+    counter table broadcasts (depth·width rows); the lookup runs over
+    DISTINCT probe keys — the estimate is a pure function of the key, so
+    the verdict joins back ON THE KEY rather than a synthetic row id
+    (monotonically_increasing_id is nondeterministic across task retries;
+    see ADVICE r6) — depth broadcast-join hits and one min per distinct
+    key, never a shuffle on probe data volume."""
     key = F.col(key_col).cast("string")
-    tagged = probe.withColumn("_cid", F.monotonically_increasing_id())
-    lookups = tagged.select(
-        "_cid",
+    keys = (
+        probe.where(F.col(key_col).isNotNull())
+        .select(key.alias("_ckey"))
+        .distinct()
+    )
+    lookups = keys.select(
+        "_ckey",
         F.explode(
             F.array(
                 *[
@@ -425,7 +441,11 @@ def cms_estimate(
                         (
                             F.conv(
                                 F.substring(
-                                    F.md5(F.concat(F.lit(f"{r}:"), key)),
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"{r}:"), F.col("_ckey")
+                                        )
+                                    ),
                                     1,
                                     13,
                                 ),
@@ -441,12 +461,19 @@ def cms_estimate(
                 ]
             )
         ).alias("rc"),
-    ).select("_cid", "rc.row", "rc.col")
+    ).select("_ckey", "rc.row", "rc.col")
     hit = lookups.join(F.broadcast(cms), ["row", "col"], "left").select(
-        "_cid", F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("_n")
+        "_ckey", F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("_n")
     )
-    verdict = hit.groupBy("_cid").agg(F.min("_n").alias(est_col))
-    return tagged.join(verdict, "_cid", "left").drop("_cid")
+    verdict = hit.groupBy("_ckey").agg(F.min("_n").alias(est_col))
+    return (
+        probe.join(verdict, key == F.col("_ckey"), "left")
+        # NULL keys never enter the sketch: estimate 0, as before
+        .withColumn(
+            est_col, F.coalesce(F.col(est_col), F.lit(0).cast("long"))
+        )
+        .drop("_ckey")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -61,7 +61,16 @@ def streaming_kmv_distinct(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    # awaitTermination(timeout) returns False on timeout — returning the
+    # accumulator then would hand back a MID-STREAM sketch as terminal,
+    # silently breaking the "accumulated == whole-data" guarantee
+    # (ADVICE r6). Stop the query and fail loudly instead.
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain did not finish within {timeout}s "
+            f"({acc.n_batches} batches accumulated); partial sketch refused"
+        )
     if acc.sketch is None:
         raise RuntimeError("stream produced no batches")
     return acc.sketch

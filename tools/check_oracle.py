@@ -38,12 +38,46 @@ def _normalise(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _family(series: pd.Series) -> str:
+    """Dtype family after normalisation: 'int' | 'float' | 'bool' | 'object'.
+
+    Datetime columns are already stringified by ``_normalise`` so they land
+    in 'object'.
+    """
+    kind = series.dtype.kind
+    if kind in "iu":
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    return "object"
+
+
+# Dtype pairings the driver's value hash tolerates. Spark DECIMAL crosses as
+# python Decimal objects ('object') while DuckDB DECIMAL crosses as float64;
+# the driver stringifies both to the same text, so that pair is allowed. An
+# int64-vs-float64 pairing is NOT: DuckDB types SUM(BIGINT) as HUGEINT which
+# lands as float64, and the driver hash then diverges from Spark's long even
+# when values are equal (the o10 round-6 red row). Strict mode catches that
+# class before the driver does.
+_ALLOWED_FAMILY_PAIRS = {frozenset({"float", "object"})}
+
+
 def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str | None:
     if len(spark_df) != len(oracle_df):
         return f"row count {len(spark_df)} vs {len(oracle_df)}"
     a, b = _normalise(spark_df), _normalise(oracle_df)
     if list(a.columns) != list(b.columns):
         return f"columns {list(a.columns)} vs {list(b.columns)}"
+    for c in a.columns:
+        fa, fb = _family(a[c]), _family(b[c])
+        if fa != fb and frozenset({fa, fb}) not in _ALLOWED_FAMILY_PAIRS:
+            return (
+                f"col {c} dtype family: spark={fa} ({a[c].dtype}) vs "
+                f"oracle={fb} ({b[c].dtype}) — value-equal results with "
+                f"mismatched physical types still hash-FAIL in the driver"
+            )
     for c in a.columns:
         av, bv = a[c].tolist(), b[c].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
