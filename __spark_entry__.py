@@ -3718,21 +3718,27 @@ def m4_resize(spark, sf):
 )
 def m5_real_decode(spark, sf):
     """REAL image decode, hash-verified end to end: each document synthesises
-    an actual image — 24-bit BMP, binary PPM, or a COMPRESSED PNG
-    (zlib IDAT, Paeth-filtered scanlines, CRC'd chunks) rotating by doc_id —
-    with solid colour + geometry derived from sha256(text), which
-    decode_image_stats then decodes FOR REAL (header parse / inflate /
-    per-scanline un-filtering / row padding / BGR order / pixel means)
-    through the Arrow mapInPandas stage. The oracle recomputes the expected
-    geometry and channel means from sha256(text) in SQL, so any decoder bug
-    (wrong stride, channel swap, broken un-filter recurrence, off-by-one in
-    padding) hash-mismatches. Unlike m1/m3/m4 (plumbing stubs), this entry
-    pins actual pixel decoding of the container formats real corpora hold."""
+    an actual image — 24-bit BMP, binary PPM, a COMPRESSED PNG (zlib IDAT,
+    Paeth-filtered scanlines, CRC'd chunks), or a baseline sequential JPEG
+    (standard Huffman tables, restart markers, full entropy decode + IDCT)
+    rotating by doc_id — with solid colour + geometry derived from
+    sha256(text), which decode_image_stats then decodes FOR REAL (header
+    parse / inflate / un-filtering / Huffman + dequant + IDCT / row padding
+    / BGR order / pixel means) through the Arrow mapInPandas stage. The
+    oracle recomputes the expected geometry and channel means from
+    sha256(text) in SQL, so any decoder bug (wrong stride, channel swap,
+    broken un-filter recurrence, bad DC prediction, off-by-one in padding)
+    hash-mismatches. The JPEG branch encodes at quality=100 / 4:4:4, where
+    all-ones quant tables make solid-colour reconstruction bit-exact
+    (pinned in tests/test_jpeg.py), so one oracle covers all four formats.
+    Unlike m1/m3/m4 (plumbing stubs), this entry pins actual pixel decoding
+    of the container formats real corpora hold."""
     import hashlib as _hl
 
     import numpy as _np
     import pandas as _pd
 
+    from matchbox_spark.operators.jpeg import encode_jpeg
     from matchbox_spark.operators.multimodal import (
         decode_image_stats,
         encode_bmp,
@@ -3751,13 +3757,23 @@ def m5_real_decode(spark, sf):
                 h = _hl.sha256(str(text).encode("utf-8")).digest()
                 w, ht = 4 + h[3] % 13, 4 + h[4] % 13
                 img = _np.full((ht, w, 3), (h[0], h[1], h[2]), dtype=_np.uint8)
-                c = int(doc_id) % 3
+                c = int(doc_id) % 4
                 if c == 0:
                     payload, mt = encode_bmp(img), "image/bmp"
                 elif c == 1:
                     payload, mt = encode_ppm(img), "image/x-portable-pixmap"
-                else:
+                elif c == 2:
                     payload, mt = encode_png(img, filter_type=4), "image/png"
+                else:  # q=100 4:4:4 -> solid colour roundtrips bit-exactly
+                    payload, mt = (
+                        encode_jpeg(
+                            img,
+                            quality=100,
+                            subsampling="4:4:4",
+                            restart_interval=2,
+                        ),
+                        "image/jpeg",
+                    )
                 rows.append((int(doc_id), payload, mt))
             yield _pd.DataFrame(
                 rows, columns=["doc_id", "payload", "media_type"]
@@ -3784,7 +3800,7 @@ def m5_real_decode(spark, sf):
                 CAST('0x' || substr(sha256(text), 9, 2) AS INT) AS b4,
                 CAST('0x' || substr(sha256(text), 11, 2) AS INT) AS b5,
                 octet_length(encode(text)) AS tlen,
-                doc_id % 11 AS c
+                doc_id % 14 AS c
          FROM documents WHERE doc_id < 400
        ), d AS (
          SELECT doc_id, c, tlen,
@@ -3803,6 +3819,9 @@ def m5_real_decode(spark, sf):
                 WHEN 8 THEN 'image/png'
                 WHEN 9 THEN 'image/png'
                 WHEN 10 THEN 'image/png'
+                WHEN 11 THEN 'image/jpeg'
+                WHEN 12 THEN 'image/jpeg'
+                WHEN 13 THEN 'image/jpeg'
                 ELSE 'application/x-unknown' END AS media_type,
          CAST(CASE c
            WHEN 0 THEN 54 + ((3 * w + 3) // 4) * 4 * ht
@@ -3818,9 +3837,14 @@ def m5_real_decode(spark, sf):
            WHEN 8 THEN 68 + ht * (1 + 3 * w)
            WHEN 9 THEN 16
            WHEN 10 THEN 68 + ht * (1 + 3 * w)
+           -- JPEG container padded to a constant size via a COM segment
+           -- (Huffman output length is data-dependent)
+           WHEN 11 THEN 1024
+           WHEN 12 THEN 10
+           WHEN 13 THEN 1024
            ELSE tlen END AS BIGINT) AS n_bytes,
-         CAST(CASE WHEN c <= 1 OR c = 8 THEN w END AS INT) AS width,
-         CAST(CASE WHEN c <= 1 OR c = 8 THEN ht END AS INT) AS height,
+         CAST(CASE WHEN c <= 1 OR c = 8 OR c = 11 THEN w END AS INT) AS width,
+         CAST(CASE WHEN c <= 1 OR c = 8 OR c = 11 THEN ht END AS INT) AS height,
          CAST(CASE WHEN c = 2 THEN ns // 8 END AS BIGINT) AS duration_ms
        FROM d""",
 )
@@ -3833,15 +3857,21 @@ def m6_malformed_media(spark, sf):
     chunk, an unregistered media type, and the PNG trio: a VALID
     stored-deflate PNG (signature + CRC-verified IHDR; its byte length is
     closed-form, so the oracle pins the whole container), a PNG truncated
-    mid-chunk, and a PNG whose IHDR data is corrupted so the chunk CRC
-    fails. A corrupt object yields null fields, never a task failure — the
-    contract a 100 TB scan over heterogeneous objects needs."""
+    mid-chunk, a PNG whose IHDR data is corrupted so the chunk CRC fails,
+    and the JPEG trio: a VALID baseline JPEG padded to a constant
+    1024-byte container via a COM segment (marker walk to SOF0 succeeds —
+    geometry pinned; padding is needed because Huffman output length is
+    data-dependent), a JPEG truncated to 10 bytes, and a progressive
+    (SOF2) JPEG the baseline decoder rejects loudly. A corrupt object
+    yields null fields, never a task failure — the contract a 100 TB scan
+    over heterogeneous objects needs."""
     import hashlib as _hl
     import struct as _st
 
     import numpy as _np
     import pandas as _pd
 
+    from matchbox_spark.operators.jpeg import encode_jpeg
     from matchbox_spark.operators.multimodal import (
         encode_bmp,
         encode_png,
@@ -3859,11 +3889,27 @@ def m6_malformed_media(spark, sf):
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 h = _hl.sha256(str(text).encode("utf-8")).digest()
-                c = int(doc_id) % 11
+                c = int(doc_id) % 14
                 w, ht = 4 + h[3] % 13, 4 + h[4] % 13
                 ns = 8 * (1 + h[5] % 32)
                 solid = _np.full((ht, w, 3), (h[0], h[1], h[2]), _np.uint8)
-                if c == 8:  # valid stored-deflate PNG (closed-form size)
+                if c == 11:  # valid baseline JPEG, COM-padded to 1024 bytes
+                    payload, mt = (
+                        encode_jpeg(solid, quality=100, pad_to=1024),
+                        "image/jpeg",
+                    )
+                elif c == 12:  # truncated below the frame header
+                    payload, mt = (
+                        encode_jpeg(solid, quality=100)[:10],
+                        "image/jpeg",
+                    )
+                elif c == 13:  # progressive (SOF2) — out of baseline scope
+                    buf = bytearray(
+                        encode_jpeg(solid, quality=100, pad_to=1024)
+                    )
+                    buf[buf.find(b"\xff\xc0") + 1] = 0xC2
+                    payload, mt = bytes(buf), "image/jpeg"
+                elif c == 8:  # valid stored-deflate PNG (closed-form size)
                     payload, mt = (
                         encode_png(solid, filter_type=4, compress_level=0),
                         "image/png",

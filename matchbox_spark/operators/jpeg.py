@@ -1,0 +1,675 @@
+"""Pure-Python baseline JPEG (JFIF) codec — no external libraries.
+
+Fills the last honest gap in the multimodal codec registry (real corpora
+are JPEG-dominated): a baseline sequential encoder/decoder pair good for
+fixture-scale payloads, exercising the full container — markers, DQT/DHT
+tables, SOF0 geometry, Huffman-coded entropy data with byte stuffing and
+restart markers, dequantisation, 2-D IDCT, chroma upsampling, and
+YCbCr→RGB conversion. Production swaps the registry entry for
+libjpeg-turbo (PIL/pyav); the signature is unchanged.
+
+Scope (honest): baseline sequential DCT, 8-bit, 1 or 3 components,
+sampling factors 1–2 (covers 4:4:4, 4:2:2, 4:2:0). Progressive (SOF2),
+arithmetic coding, 12-bit, and hierarchical modes raise ``ValueError`` —
+the scan-level null contract applies, exactly like the PNG/BMP probes.
+
+Rounding contract (what the m5 oracle replays in SQL): quantisation is
+``floor(coef/q + 0.5)``, sample reconstruction is
+``clamp(floor(x + 0.5), 0, 255)`` — half-up everywhere, never banker's
+rounding, so DuckDB's ``floor(x + 0.5)`` reproduces it bit-for-bit.
+
+Reference parity: the reference treats media as opaque blobs with typed
+metadata (see SURVEY §2 multimodal row); this codec exists so the
+Spark-side decode path is REAL, not stubbed.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ITU-T T.81 Annex K.1 — standard quantisation tables (natural order).
+_STD_LUMA_Q = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+_STD_CHROMA_Q = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+# Annex K.3 — standard Huffman table specs: (BITS counts per code length
+# 1..16, HUFFVAL symbol list).
+_DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# Zig-zag order: _ZIGZAG[k] = flat index into the 8×8 block of the k-th
+# coefficient in transmission order.
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Orthonormal 8-point DCT-II matrix: F = M @ B @ M.T, B = M.T @ F @ M.
+_DCT_M = np.array(
+    [
+        [
+            (np.sqrt(0.125) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _canonical_codes(spec: tuple[list[int], list[int]]) -> dict[int, tuple[int, int]]:
+    """Annex C canonical Huffman codes: symbol → (code, length)."""
+    bits, vals = spec
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(spec: tuple[list[int], list[int]]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, for the bit-at-a-time decoder."""
+    return {(ln, code): sym for sym, (code, ln) in _canonical_codes(spec).items()}
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K tables (1..100)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    luma = np.clip((_STD_LUMA_Q * scale + 50) // 100, 1, 255).astype(np.int32)
+    chroma = np.clip((_STD_CHROMA_Q * scale + 50) // 100, 1, 255).astype(
+        np.int32
+    )
+    return luma, chroma
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    """JFIF full-range RGB → YCbCr (float64, NOT yet rounded)."""
+    r = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    b = px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+class _BitWriter:
+    """MSB-first bit packer with 0xFF byte stuffing (F.1.2.3)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def align(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per F.1.2.3
+
+    def raw(self, b: bytes) -> None:
+        """Append marker bytes verbatim (caller must be byte-aligned)."""
+        self.buf += b
+
+    def flush(self) -> bytes:
+        self.align()
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    """DC/AC magnitude category = bit length of |v| (0 for v == 0)."""
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg(
+    pixels,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    pad_to: int | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a baseline sequential JFIF
+    JPEG: standard Annex-K quantisation (IJG quality-scaled) and Huffman
+    tables, interleaved single scan. ``subsampling`` is ``"4:4:4"``
+    (chroma at full resolution) or ``"4:2:0"`` (chroma halved both ways
+    via 2×2 mean). ``restart_interval`` > 0 emits a DRI segment and an
+    RSTn marker (byte-aligned, predictors reset) every that many MCUs —
+    the resync structure real encoders emit for error resilience.
+    ``pad_to`` appends a zero-filled COM segment so the finished payload
+    is EXACTLY that many bytes — what the m6 oracle's closed-form
+    byte-length check needs (Huffman output length is data-dependent, so
+    a constant container size has to be engineered).
+    """
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_jpeg expects an (H, W, 3) uint8 array")
+    h, w, _ = px.shape
+    if subsampling == "4:4:4":
+        samp = [(1, 1), (1, 1), (1, 1)]
+    elif subsampling == "4:2:0":
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    luma_q, chroma_q = _quality_tables(quality)
+
+    ycc = _rgb_to_ycbcr(px)
+    planes = []
+    for ci, (hs, vs) in enumerate(samp):
+        plane = ycc[..., ci]
+        if (hs, vs) != (hmax, vmax):
+            # downsample by block mean (pad odd edges by replication first)
+            fy, fx = vmax // vs, hmax // hs
+            ph = -h % fy
+            pw = -w % fx
+            plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+            plane = plane.reshape(
+                plane.shape[0] // fy, fy, plane.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+        planes.append(plane)
+
+    # per-component block grids padded to the MCU lattice
+    comp_blocks = []
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for ci, (hs, vs) in enumerate(samp):
+        plane = planes[ci]
+        bw, bh = mcus_x * hs * 8, mcus_y * vs * 8
+        plane = np.pad(
+            plane,
+            ((0, bh - plane.shape[0]), (0, bw - plane.shape[1])),
+            mode="edge",
+        )
+        q = luma_q if ci == 0 else chroma_q
+        nby, nbx = bh // 8, bw // 8
+        blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+        coefs = np.einsum("ux,ryxc,cv->ryuv", _DCT_M, blocks, _DCT_M.T)
+        # half-up quantisation — the rounding contract the oracle replays
+        quant = np.floor(coefs / q + 0.5).astype(np.int32)
+        comp_blocks.append((quant, nbx, hs, vs))
+
+    # Huffman-encode the interleaved scan
+    enc_dc = [_canonical_codes(_DC_LUMA_SPEC)] + [
+        _canonical_codes(_DC_CHROMA_SPEC)
+    ] * 2
+    enc_ac = [_canonical_codes(_AC_LUMA_SPEC)] + [
+        _canonical_codes(_AC_CHROMA_SPEC)
+    ] * 2
+    bw_ = _BitWriter()
+    pred = [0, 0, 0]
+    zz = _ZIGZAG
+    mcu_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                bw_.align()
+                bw_.raw(
+                    bytes(
+                        [0xFF, 0xD0 + (mcu_idx // restart_interval - 1) % 8]
+                    )
+                )
+                pred = [0, 0, 0]
+            mcu_idx += 1
+            for ci, (quant, nbx, hs, vs) in enumerate(comp_blocks):
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = quant[my * vs + by, mx * hs + bx].reshape(64)[zz]
+                        dc = int(blk[0])
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        cat = _category(diff)
+                        code, ln = enc_dc[ci][cat]
+                        bw_.write(code, ln)
+                        if cat:
+                            bits = diff if diff > 0 else diff + (1 << cat) - 1
+                            bw_.write(bits, cat)
+                        run = 0
+                        nz = np.nonzero(blk[1:])[0]
+                        last = nz[-1] + 1 if len(nz) else 0
+                        for k in range(1, last + 1):
+                            v = int(blk[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                code, ln = enc_ac[ci][0xF0]  # ZRL
+                                bw_.write(code, ln)
+                                run -= 16
+                            cat = _category(v)
+                            code, ln = enc_ac[ci][(run << 4) | cat]
+                            bw_.write(code, ln)
+                            bits = v if v > 0 else v + (1 << cat) - 1
+                            bw_.write(bits, cat)
+                            run = 0
+                        if last < 63:
+                            code, ln = enc_ac[ci][0x00]  # EOB
+                            bw_.write(code, ln)
+    entropy = bw_.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        return seg(
+            0xFFDB, bytes([tid]) + bytes(int(x) for x in table.reshape(64)[zz])
+        )
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof_comps = b"".join(
+        bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1])
+        for ci in range(3)
+    )
+    sos_comps = b"".join(
+        bytes([ci + 1, (0 << 4) | 0 if ci == 0 else 0x11]) for ci in range(3)
+    )
+    out = (
+        b"\xff\xd8"  # SOI
+        + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + dqt(0, luma_q)
+        + dqt(1, chroma_q)
+        + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
+        + dht(0, 0, _DC_LUMA_SPEC)
+        + dht(1, 0, _AC_LUMA_SPEC)
+        + dht(0, 1, _DC_CHROMA_SPEC)
+        + dht(1, 1, _AC_CHROMA_SPEC)
+        + (
+            seg(0xFFDD, struct.pack(">H", restart_interval))
+            if restart_interval
+            else b""
+        )
+        + seg(0xFFDA, b"\x03" + sos_comps + b"\x00\x3f\x00")
+        + entropy
+        + b"\xff\xd9"  # EOI
+    )
+    if pad_to is not None:
+        need = pad_to - len(out) - 4  # COM marker + length field
+        if need < 0:
+            raise ValueError(
+                f"pad_to={pad_to} smaller than payload {len(out) + 4}"
+            )
+        out = out[:-2] + seg(0xFFFE, b"\x00" * need) + b"\xff\xd9"
+    return out
+
+
+def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
+    """Marker walk → (width, height) from the SOF0/SOF1 frame header.
+
+    Raises ``ValueError`` on bad magic, truncation, progressive (SOF2) or
+    arithmetic-coded frames — the same loud-probe contract as the PNG/BMP
+    decoders, so corrupt objects null out at scan level."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / RSTn
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any frame header
+            break
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        if pos + 2 + ln > len(payload):
+            raise ValueError("truncated JPEG segment")
+        if marker in (0xC0, 0xC1):  # baseline / extended sequential
+            _prec, h, w = struct.unpack_from(">BHH", payload, pos + 4)
+            return w, h
+        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG frame type SOF{marker - 0xC0} "
+                "(only baseline sequential is decoded here)"
+            )
+        pos += 2 + ln
+        if marker == 0xDA:  # scan without a frame header first
+            break
+    raise ValueError("JPEG missing SOF frame header")
+
+
+class _BitReader:
+    """MSB-first bit reader over destuffed entropy data."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, cat: int) -> int:
+    """F.2.2.1 sign extension of a received magnitude."""
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 17:
+        code = (code << 1) | reader.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
+    """Decode a baseline sequential JPEG to an (H, W, 3) uint8 RGB array.
+
+    Full pipeline: marker walk (DQT/DHT/SOF0/DRI/SOS), canonical Huffman
+    decode with byte destuffing and restart-marker handling, DC prediction,
+    dequantisation, batched 2-D IDCT (one einsum per component), nearest-
+    neighbour chroma upsampling, YCbCr→RGB with half-up rounding and
+    clamping. Greyscale (1-component) replicates to RGB. Raises
+    ``ValueError`` on anything outside baseline scope."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart_interval = 0
+    pos = 2
+    scan_comps: list[dict] = []
+    entropy_start = -1
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT — may hold several tables
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(
+                    body[bp + 1 : bp + 65], np.uint8
+                ).astype(np.int32)
+                qtables[tq] = tbl.reshape(8, 8)
+                bp += 65
+        elif marker == 0xC4:  # DHT — may hold several tables
+            bp = 0
+            while bp < len(body):
+                cls, tid = body[bp] >> 4, body[bp] & 0x0F
+                bits = list(body[bp + 1 : bp + 17])
+                nv = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + nv])
+                htables[(cls, tid)] = _decode_table((bits, vals))
+                bp += 17 + nv
+        elif marker in (0xC0, 0xC1):
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + i * 3], body[7 + i * 3], body[8 + i * 3]
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise ValueError("sampling factors beyond 1-2 unsupported")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG frame type SOF{marker - 0xC0}"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tds = body[1 + i * 2], body[2 + i * 2]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan_comps.append(
+                    {**comp, "td": tds >> 4, "ta": tds & 0x0F}
+                )
+            entropy_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if not comps or entropy_start < 0:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    # destuff entropy data, record restart-marker byte positions
+    data = bytearray()
+    restarts: set[int] = set()
+    ep = entropy_start
+    while ep < len(payload):
+        b = payload[ep]
+        if b == 0xFF:
+            nxt = payload[ep + 1] if ep + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                data.append(0xFF)
+                ep += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                restarts.add(len(data))
+                ep += 2
+                continue
+            break  # EOI or next marker
+        data.append(b)
+        ep += 1
+
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    reader = _BitReader(bytes(data))
+    pred = {c["id"]: 0 for c in scan_comps}
+    coef: dict[int, np.ndarray] = {
+        c["id"]: np.zeros(
+            (mcus_y * c["v"], mcus_x * c["h"], 8, 8), np.float64
+        )
+        for c in scan_comps
+    }
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                # byte-align and cross the restart marker
+                reader.n = 0
+                if reader.pos not in restarts:
+                    raise ValueError("JPEG restart marker out of place")
+                pred = {c["id"]: 0 for c in scan_comps}
+            for c in scan_comps:
+                dct = htables.get((0, c["td"]))
+                act = htables.get((1, c["ta"]))
+                if dct is None or act is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                q = qtables.get(c["tq"])
+                if q is None:
+                    raise ValueError("JPEG scan references missing DQT")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, np.float64)
+                        cat = _decode_huff(reader, dct)
+                        diff = _extend(reader.receive(cat), cat) if cat else 0
+                        pred[c["id"]] += diff
+                        blk[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_huff(reader, act)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, sz = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            blk[k] = _extend(reader.receive(sz), sz)
+                            k += 1
+                        deq = np.zeros((8, 8))
+                        deq.reshape(64)[_ZIGZAG] = blk
+                        coef[c["id"]][
+                            my * c["v"] + by, mx * c["h"] + bx
+                        ] = deq * q
+            mcu_count += 1
+
+    planes: list[np.ndarray] = []
+    for c in scan_comps:
+        blocks = coef[c["id"]]
+        spatial = (
+            np.einsum("xu,ryuv,vc->ryxc", _DCT_M.T, blocks, _DCT_M) + 128.0
+        )
+        nby, nbx = blocks.shape[:2]
+        plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(np.floor(planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return np.repeat(y[..., None], 3, axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)

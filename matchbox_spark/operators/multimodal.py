@@ -6,13 +6,17 @@ Decode / feature-extraction / resize / frame-sample run as Arrow-batched
 
 Formats that need no external library decode FOR REAL, pure Python/NumPy:
 uncompressed 24-bit **BMP** and binary **PPM (P6)** images (header probe +
-full pixel decode via :func:`decode_image_stats`), and PCM **WAV** audio
-(header probe → duration). Matching encoders (:func:`encode_bmp`,
-:func:`encode_ppm`, :func:`encode_wav`) generate real payloads for tests
-and fixtures. Compressed codecs (JPEG/MP3/H.264 …) stay behind the
-``DECODERS`` registry for production to fill with PIL / torchaudio / pyav —
-signature unchanged; the deterministic ``*/stub`` entries remain for
-plumbing tests.
+full pixel decode via :func:`decode_image_stats`), compressed **PNG**
+(zlib IDAT, all five scanline filters) and baseline sequential **JPEG**
+(Huffman entropy decode, dequant, IDCT, chroma upsampling — see
+:mod:`matchbox_spark.operators.jpeg`), and PCM **WAV** audio (header
+probe → duration). Matching encoders (:func:`encode_bmp`,
+:func:`encode_ppm`, :func:`encode_png`, :func:`encode_wav`,
+:func:`~matchbox_spark.operators.jpeg.encode_jpeg`) generate real
+payloads for tests and fixtures. Codecs still out of pure-Python scope
+(MP3/H.264 …) stay behind the ``DECODERS`` registry for production to
+fill with torchaudio / pyav — signature unchanged; the deterministic
+``*/stub`` entries remain for plumbing tests.
 """
 
 from __future__ import annotations
@@ -406,10 +410,30 @@ def decode_ppm_pixels(payload: bytes):
     )
 
 
+@register_decoder("image/jpeg")
+def _jpeg_decoder(payload: bytes) -> dict:
+    """Real JPEG probe: marker walk to the SOF0/SOF1 frame header."""
+    from matchbox_spark.operators.jpeg import jpeg_dimensions
+
+    w, h = jpeg_dimensions(payload)
+    return {"width": w, "height": h, "duration_ms": None}
+
+
+def decode_jpeg_pixels(payload: bytes):
+    """Baseline sequential JPEG → (H, W, 3) uint8 RGB (full entropy decode).
+
+    Thin re-export of :func:`matchbox_spark.operators.jpeg.decode_jpeg_pixels`
+    so the pixel-decoder registry lives in one place."""
+    from matchbox_spark.operators.jpeg import decode_jpeg_pixels as _dec
+
+    return _dec(payload)
+
+
 _PIXEL_DECODERS = {
     "image/bmp": decode_bmp_pixels,
     "image/x-portable-pixmap": decode_ppm_pixels,
     "image/png": decode_png_pixels,
+    "image/jpeg": decode_jpeg_pixels,
 }
 
 

@@ -1,0 +1,154 @@
+"""Pure-Python baseline JPEG codec tests.
+
+Pins the contracts the m5/m6 oracles rely on:
+
+- q=100 / 4:4:4 solid-colour images roundtrip BIT-EXACTLY (all-ones quant
+  tables; DC-only blocks; per-channel reconstruction error < 0.5 before
+  the half-up round), so the m5 oracle's sha256-derived channel means hold
+  for the JPEG rotation branch just as for BMP/PPM/PNG.
+- ``pad_to`` produces an exact container byte length (COM padding), the
+  closed form the m6 oracle checks.
+- Error branches (bad magic, truncation, progressive SOF2, marker desync)
+  raise ``ValueError`` — the scan-level null contract.
+
+Reference parity: the reference treats media as opaque blobs with typed
+metadata (SURVEY §2 multimodal row); this codec makes the Spark-side
+decode path real rather than stubbed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from matchbox_spark.operators.jpeg import (
+    decode_jpeg_pixels,
+    encode_jpeg,
+    jpeg_dimensions,
+)
+
+
+class TestJpegCodec:
+    def test_solid_colour_q100_bit_exact(self):
+        rng = np.random.default_rng(7)
+        for _ in range(25):
+            c = rng.integers(0, 256, 3)
+            w, h = int(rng.integers(4, 17)), int(rng.integers(4, 17))
+            img = np.full((h, w, 3), c, dtype=np.uint8)
+            p = encode_jpeg(img, quality=100, subsampling="4:4:4")
+            assert jpeg_dimensions(p) == (w, h)
+            assert np.array_equal(decode_jpeg_pixels(p), img)
+
+    def test_lossy_roundtrip_close(self):
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+        back = decode_jpeg_pixels(encode_jpeg(img, quality=85))
+        assert back.shape == img.shape and back.dtype == np.uint8
+        mae = np.abs(back.astype(int) - img.astype(int)).mean()
+        assert mae < 16  # random noise is the worst case for DCT coding
+
+    def test_smooth_gradient_high_fidelity(self):
+        x = np.linspace(0, 255, 32)
+        grad = np.stack(
+            np.meshgrid(x, x) + [np.tile(x, (32, 1))], axis=-1
+        ).astype(np.uint8)
+        back = decode_jpeg_pixels(encode_jpeg(grad, quality=95))
+        mae = np.abs(back.astype(int) - grad.astype(int)).mean()
+        assert mae < 3
+
+    def test_420_subsampling_roundtrip(self):
+        x = np.linspace(0, 255, 32)
+        grad = np.stack(
+            np.meshgrid(x, x) + [np.tile(x, (32, 1))], axis=-1
+        ).astype(np.uint8)
+        p = encode_jpeg(grad, quality=90, subsampling="4:2:0")
+        assert jpeg_dimensions(p) == (32, 32)
+        back = decode_jpeg_pixels(p)
+        mae = np.abs(back.astype(int) - grad.astype(int)).mean()
+        assert mae < 6  # chroma halved both ways, luma untouched
+
+    def test_odd_dimensions_mcu_padding(self):
+        # dims not multiples of 8 (nor of 16 under 4:2:0) exercise the
+        # edge-replication padding and the crop on decode
+        rng = np.random.default_rng(5)
+        for sub in ("4:4:4", "4:2:0"):
+            img = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+            p = encode_jpeg(img, quality=90, subsampling=sub)
+            assert jpeg_dimensions(p) == (21, 13)
+            assert decode_jpeg_pixels(p).shape == (13, 21, 3)
+
+    def test_restart_markers_pixel_identical(self):
+        # DRI/RSTn change the entropy framing, never the decoded pixels
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+        for sub, ri in (("4:4:4", 2), ("4:2:0", 1)):
+            p0 = encode_jpeg(img, quality=92, subsampling=sub)
+            p1 = encode_jpeg(
+                img, quality=92, subsampling=sub, restart_interval=ri
+            )
+            assert b"\xff\xdd" in p1 and b"\xff\xdd" not in p0
+            assert np.array_equal(decode_jpeg_pixels(p0), decode_jpeg_pixels(p1))
+
+    def test_pad_to_exact_container_length(self):
+        img = np.full((8, 8, 3), 77, dtype=np.uint8)
+        p = encode_jpeg(img, quality=100, pad_to=1024)
+        assert len(p) == 1024
+        assert p[-2:] == b"\xff\xd9"
+        assert np.array_equal(decode_jpeg_pixels(p), img)
+        with pytest.raises(ValueError, match="pad_to"):
+            encode_jpeg(img, quality=100, pad_to=10)
+
+    def test_error_branches(self):
+        img = np.full((8, 8, 3), 50, dtype=np.uint8)
+        p = encode_jpeg(img, quality=90)
+        with pytest.raises(ValueError, match="not a JPEG"):
+            jpeg_dimensions(b"nope")
+        with pytest.raises(ValueError, match="truncated"):
+            decode_jpeg_pixels(p[:10])
+        bad = bytearray(p)
+        i = bad.find(b"\xff\xc0")
+        bad[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with pytest.raises(ValueError, match="SOF2"):
+            decode_jpeg_pixels(bytes(bad))
+        with pytest.raises(ValueError, match="SOF2"):
+            jpeg_dimensions(bytes(bad))
+        desync = bytearray(p)
+        i = desync.find(b"\xff\xdb")
+        desync[i] = 0x00  # first DQT marker byte corrupted
+        with pytest.raises(ValueError, match="desync"):
+            decode_jpeg_pixels(bytes(desync))
+
+    def test_bad_subsampling_and_shape(self):
+        img = np.full((8, 8, 3), 1, dtype=np.uint8)
+        with pytest.raises(ValueError, match="subsampling"):
+            encode_jpeg(img, subsampling="4:1:1")
+        with pytest.raises(ValueError, match="uint8"):
+            encode_jpeg(np.zeros((8, 8)), quality=90)
+
+    def test_jpeg_through_decode_image_stats(self, spark):
+        # end-to-end through the Arrow stage with the registry entry
+        from matchbox_spark.operators.multimodal import (
+            decode_image_stats,
+            extract_media_metadata,
+        )
+
+        img = np.full((9, 12, 3), (10, 200, 99), dtype=np.uint8)
+        p = encode_jpeg(img, quality=100, subsampling="4:4:4")
+        rows = [
+            (1, bytearray(p), "image/jpeg"),
+            (2, bytearray(p[:10]), "image/jpeg"),  # truncated -> nulls
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, payload binary, media_type string"
+        )
+        stats = {r["doc_id"]: r.asDict() for r in decode_image_stats(df).collect()}
+        assert stats[1]["width"] == 12 and stats[1]["height"] == 9
+        assert stats[1]["mean_r"] == 10.0
+        assert stats[1]["mean_g"] == 200.0
+        assert stats[1]["mean_b"] == 99.0
+        assert stats[2]["width"] is None and stats[2]["mean_r"] is None
+        meta = {
+            r["doc_id"]: r.asDict() for r in extract_media_metadata(df).collect()
+        }
+        assert meta[1]["width"] == 12 and meta[1]["height"] == 9
+        assert meta[2]["width"] is None
