@@ -5712,6 +5712,69 @@ def q30_sql(spark, sf):
     )
 
 
+def _zsql(a: str, b: str, bits: int) -> str:
+    """DuckDB Morton interleave: disjoint bit terms, so + == bitwise OR."""
+    terms = [
+        t
+        for i in range(bits)
+        for t in (
+            f"(({a} >> {i}) & 1) * {1 << (2 * i)}",
+            f"(({b} >> {i}) & 1) * {1 << (2 * i + 1)}",
+        )
+    ]
+    return " + ".join(terms)
+
+
+@_q(
+    "q31_zorder_layout",
+    f"""WITH pts AS (
+         SELECT o_custkey % 1024 AS a,
+                DATE_DIFF('day', DATE '1992-01-01', o_orderdate) % 1024 AS b
+         FROM orders
+       ), z AS (
+         SELECT a, b, {_zsql('a', 'b', 10)} AS zval FROM pts
+       )
+       SELECT zval // 16384 AS bucket,
+              COUNT(*) AS n_rows,
+              MIN(a) AS min_a, MAX(a) AS max_a,
+              MIN(b) AS min_b, MAX(b) AS max_b,
+              CAST(SUM(zval) AS BIGINT) AS z_sum
+       FROM z GROUP BY zval // 16384""",
+)
+def q31_zorder(spark, sf):
+    """Z-order layout certification (functions/layout.py:23): Morton-
+    interleave (o_custkey % 1024, days-since-epoch % 1024) at 10 bits per
+    axis — the pure-codegen shift/mask expression zorder_layout feeds to
+    repartitionByRange — then group rows into fixed Z-ranges (z // 16384,
+    a deterministic stand-in for sampled range boundaries) and report each
+    range's row count, (a, b) bounding box, and exact Z-sum. The oracle
+    recomputes the interleave arithmetically in DuckDB (disjoint bit terms
+    sum), so any bit-placement error in zvalue_expr hash-mismatches; the
+    per-bucket min/max columns ARE the bounding-box stats a parquet writer
+    would persist and a scan would prune on — certifying the layout claim,
+    not just the curve math. Ref parity: the reference has no layout
+    optimiser (server-side Postgres); this is a scale-path addition."""
+    from matchbox_spark.functions.layout import zvalue_expr
+
+    o = _t(spark, sf, "orders").select(
+        (F.col("o_custkey") % 1024).alias("a"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 1024
+        ).alias("b"),
+    )
+    z = o.withColumn("zval", zvalue_expr("a", "b", bits=10))
+    return z.groupBy(
+        F.floor(F.col("zval") / 16384).alias("bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("a").alias("min_a"),
+        F.max("a").alias("max_a"),
+        F.min("b").alias("min_b"),
+        F.max("b").alias("max_b"),
+        F.sum("zval").cast("long").alias("z_sum"),
+    )
+
+
 @_q(
     "ev9_gap_fill",
     """WITH hourly AS (
