@@ -5040,6 +5040,75 @@ def t8_unigram_logprob(spark, sf):
 
 
 @_q(
+    "t14_kn_perplexity",
+    r"""WITH toks AS (
+          SELECT doc_id AS doc,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents
+        ), tri AS (
+          SELECT doc, t[i] AS g0, t[i+1] AS g1, t[i+2] AS g2
+          FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t) - 1)
+                                 ELSE [] END) AS s(i)
+        ), c3 AS (
+          SELECT g0, g1, g2, COUNT(*) AS c FROM tri GROUP BY g0, g1, g2
+        ), ctx3 AS (
+          SELECT g0, g1, SUM(c) AS cctx, COUNT(*) AS n3 FROM c3
+          GROUP BY g0, g1
+        ), mid AS (
+          SELECT g1, g2, COUNT(*) AS n1vw FROM c3 GROUP BY g1, g2
+        ), ctx2 AS (
+          SELECT g1, SUM(n1vw) AS nv, COUNT(*) AS tv FROM mid GROUP BY g1
+        ), uni AS (
+          SELECT g2, COUNT(*) AS n1w FROM c3 GROUP BY g2
+        ), tot AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM c3
+        ), ptab AS (
+          SELECT c3.g0, c3.g1, c3.g2,
+                 (c3.c - 0.75) / ctx3.cctx
+                 + ((0.75 * ctx3.n3) / ctx3.cctx)
+                   * ((mid.n1vw - 0.75) / ctx2.nv
+                      + ((0.75 * ctx2.tv) / ctx2.nv) * (uni.n1w / tot.nt))
+                 AS p
+          FROM c3
+          JOIN ctx3 USING (g0, g1)
+          JOIN mid USING (g1, g2)
+          JOIN ctx2 USING (g1)
+          JOIN uni USING (g2)
+          CROSS JOIN tot
+        ), per_doc AS (
+          SELECT tri.doc, COUNT(*) AS n_grams,
+                 ROUND(CAST(SUM(CAST(ROUND(ln(p.p), 6) AS DECIMAL(18,6)))
+                            AS DOUBLE) / COUNT(*), 6) AS mean_logprob
+          FROM tri JOIN ptab p USING (g0, g1, g2)
+          GROUP BY tri.doc
+        )
+        SELECT d.doc_id AS doc,
+               CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+               pd.mean_logprob
+        FROM documents d LEFT JOIN per_doc pd ON pd.doc = d.doc_id""",
+)
+def t14_kn_perplexity(spark, sf):
+    """Interpolated Kneser–Ney TRIGRAM log-probability per document
+    (operators/lm.py) — the real CCNet quality-bucketing signal, upgrading
+    the t8 unigram proxy: discounted trigram level backs off to a
+    continuation-count bigram level and a continuation unigram, every
+    level derived relationally from the ONE distinct-trigram table (so
+    both engines share a single self-consistent definition). The DuckDB
+    oracle unrolls the identical count tables and the identically
+    parenthesised double expression; per-gram ln() rounds to 6 dp and
+    decimal-sums per doc (the t8/g6/v5 recipe), so the result is
+    hash-exact. Scoring joins the corpus stream against per-TYPE
+    probabilities — |types|-sized state, one shuffle per count table, no
+    UDFs; short docs emit (0, NULL) instead of vanishing."""
+    from matchbox_spark.operators.lm import kn_doc_logprob
+
+    return kn_doc_logprob(
+        _t(spark, sf, "documents"), order=3, discount=0.75
+    )
+
+
+@_q(
     "d8_canonical_doc",
     r"""WITH corpus AS (
           SELECT doc_id, text, n_chars FROM documents

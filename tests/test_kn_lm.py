@@ -1,0 +1,129 @@
+"""Interpolated Kneser–Ney LM tests: hand-computed pins + contracts.
+
+The bigram and trigram examples below are worked by hand from the Chen &
+Goodman formulas (module docstring of operators/lm.py), so a regression in
+any count table, discount placement, or interpolation weight shifts a
+pinned probability.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from matchbox_spark.operators.lm import (
+    kn_doc_logprob,
+    kn_perplexity,
+    kn_prob_table,
+    _gram_stream,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestKnBigram:
+    # corpus: doc1 = "a b a b c", doc2 = "b c"
+    # bigram stream: (a,b)x2, (b,a), (b,c)x2
+    # c2: (a,b)=2 (b,a)=1 (b,c)=2 ; ctx a: c=2,types=1 ; ctx b: c=3,types=2
+    # continuation unigrams (distinct left-extensions): a=1, b=1, c=1 ; nt=3
+    # D=0.75:
+    #   P(b|a) = (2-.75)/2 + (.75*1/2)*(1/3) = 0.75
+    #   P(a|b) = (1-.75)/3 + (.75*2/3)*(1/3) = 0.25
+    #   P(c|b) = (2-.75)/3 + (.75*2/3)*(1/3) = 0.5833333...
+    ROWS = [(1, "a b a b c"), (2, "b c")]
+
+    def test_hand_computed_probabilities(self, spark):
+        grams = _gram_stream(_docs(spark, self.ROWS), 2, "doc_id", "text")
+        p = {
+            (r["g0"], r["g1"]): r["p"]
+            for r in kn_prob_table(grams, 2, 0.75).collect()
+        }
+        assert p[("a", "b")] == pytest.approx(0.75, abs=1e-12)
+        assert p[("b", "a")] == pytest.approx(0.25, abs=1e-12)
+        assert p[("b", "c")] == pytest.approx(7 / 12, abs=1e-12)
+
+    def test_doc_means(self, spark):
+        out = {
+            r["doc"]: r.asDict()
+            for r in kn_doc_logprob(
+                _docs(spark, self.ROWS), order=2
+            ).collect()
+        }
+        assert out[1]["n_grams"] == 4
+        terms1 = [0.75, 0.25, 0.75, 7 / 12]
+        exp1 = sum(round(math.log(x), 6) for x in terms1) / 4
+        assert out[1]["mean_logprob"] == pytest.approx(exp1, abs=2e-6)
+        assert out[2]["n_grams"] == 1
+        assert out[2]["mean_logprob"] == pytest.approx(
+            round(math.log(7 / 12), 6), abs=2e-6
+        )
+
+
+class TestKnTrigram:
+    # corpus: one doc "a b a b a" -> trigrams (a,b,a)x2, (b,a,b)
+    # c3: (a,b,a)=2 (b,a,b)=1 ; ctx3 (a,b): c=2,n3=1 ; (b,a): c=1,n3=1
+    # mid N1+(.vw): (b,a)=1, (a,b)=1 ; ctx2 a: nv=1,tv=1 ; b: nv=1,tv=1
+    # uni N1+(..w): a=1, b=1 ; nt=2
+    #   P2(a|b) = (1-.75)/1 + (.75*1/1)*(1/2) = 0.625   (= P2(b|a))
+    #   P(a|a,b) = (2-.75)/2 + (.75*1/2)*0.625 = 0.859375
+    #   P(b|b,a) = (1-.75)/1 + (.75*1/1)*0.625 = 0.71875
+    ROWS = [(1, "a b a b a")]
+
+    def test_hand_computed_probabilities(self, spark):
+        grams = _gram_stream(_docs(spark, self.ROWS), 3, "doc_id", "text")
+        p = {
+            (r["g0"], r["g1"], r["g2"]): r["p"]
+            for r in kn_prob_table(grams, 3, 0.75).collect()
+        }
+        assert p[("a", "b", "a")] == pytest.approx(0.859375, abs=1e-12)
+        assert p[("b", "a", "b")] == pytest.approx(0.71875, abs=1e-12)
+
+    def test_doc_mean_and_short_doc(self, spark):
+        rows = self.ROWS + [(2, "too short")]  # 2 tokens < order 3
+        out = {
+            r["doc"]: r.asDict()
+            for r in kn_doc_logprob(_docs(spark, rows), order=3).collect()
+        }
+        assert out[1]["n_grams"] == 3
+        terms = [0.859375, 0.71875, 0.859375]
+        exp = sum(round(math.log(x), 6) for x in terms) / 3
+        assert out[1]["mean_logprob"] == pytest.approx(exp, abs=2e-6)
+        assert out[2]["n_grams"] == 0 and out[2]["mean_logprob"] is None
+
+    def test_perplexity_monotone(self, spark):
+        # repetitive doc scores lower perplexity than a one-shot doc
+        rows = [
+            (1, "x y x y x y x y x y x y"),
+            (2, "q w e r t u i o p s d f"),
+        ]
+        out = {
+            r["doc"]: r["perplexity"]
+            for r in kn_perplexity(_docs(spark, rows), order=3).collect()
+        }
+        assert out[1] < out[2]
+
+    def test_probabilities_in_unit_interval(self, spark):
+        rows = [
+            (i, " ".join("abcdefg"[(i * 7 + j * 3) % 7] for j in range(12)))
+            for i in range(8)
+        ]
+        for order in (2, 3):
+            grams = _gram_stream(_docs(spark, rows), order, "doc_id", "text")
+            bad = (
+                kn_prob_table(grams, order, 0.75)
+                .where((F.col("p") <= 0) | (F.col("p") > 1))
+                .count()
+            )
+            assert bad == 0
+
+    def test_invalid_args(self, spark):
+        d = _docs(spark, self.ROWS)
+        g = _gram_stream(d, 2, "doc_id", "text")
+        with pytest.raises(ValueError, match="order"):
+            kn_prob_table(g, 4, 0.75)
+        with pytest.raises(ValueError, match="discount"):
+            kn_prob_table(g, 2, 1.5)
