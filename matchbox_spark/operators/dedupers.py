@@ -73,6 +73,15 @@ class NaiveDeduper(Deduper):
 
     settings_class = NaiveSettings
 
+    def delta_blocking_fields(self) -> list[str]:
+        """Streaming delta-link contract: an edge exists iff two rows agree
+        on ALL unique fields, so every edge lives inside a per-field value
+        block — ``incremental_resolve_stream`` may prune accumulated state
+        to the blocks a micro-batch touches (the OR-superset over these
+        fields) without changing terminal clusters, and auto-routes full
+        mode through that flat delta path."""
+        return list(self.settings.unique_fields)
+
     def dedupe(self, data: DataFrame) -> DataFrame:
         s = self.settings
         if not s.unique_fields:

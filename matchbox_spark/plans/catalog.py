@@ -94,6 +94,12 @@ class Catalog:
             "model_edges": set(),
             "resolver_clusters": set(),
         }
+        # retired resolver claims (step, cluster_id): an overlay the
+        # resolver_clusters view anti-joins out, so streaming merges retire
+        # a recomputed root in O(touched) appends instead of an O(total
+        # claims) rewrite per micro-batch; folded into the base table every
+        # _COMPACT_WIDTH retirements
+        self._rc_tombstones: list[DataFrame] = []
         self._loaded_from_disk = False
         if path and os.path.exists(os.path.join(path, "steps.json")):
             self._load()
@@ -127,7 +133,25 @@ class Catalog:
 
     @property
     def resolver_clusters(self) -> DataFrame:
-        return self._table("resolver_clusters")
+        base = self._table("resolver_clusters")
+        if not self._rc_tombstones:
+            return base
+        tomb = self._rc_tombstones[0]
+        for t in self._rc_tombstones[1:]:
+            tomb = tomb.unionByName(t)
+        # tombstones are O(touched roots per batch × compaction width) —
+        # always broadcast-small next to the claim table
+        return base.join(
+            F.broadcast(tomb.select("step", "cluster_id")),
+            ["step", "cluster_id"],
+            "left_anti",
+        )
+
+    def _commit_resolver_clusters(self, df: DataFrame) -> None:
+        """Rewrite the claim table from a tombstone-applied view, then drop
+        the (now folded-in) tombstone overlay."""
+        self._commit("resolver_clusters", df)
+        self._rc_tombstones = []
 
     # -- persistence --------------------------------------------------------
 
@@ -367,8 +391,8 @@ class Catalog:
         self._commit(
             "model_edges", self.model_edges.where(F.col("step") != step)
         )
-        self._commit(
-            "resolver_clusters", self.resolver_clusters.where(F.col("step") != step)
+        self._commit_resolver_clusters(
+            self.resolver_clusters.where(F.col("step") != step)
         )
         self._step_rows["model_edges"].discard(step)
         self._step_rows["resolver_clusters"].discard(step)
@@ -671,6 +695,35 @@ class Catalog:
             assignments.unpersist()
             return
 
+        batch_contains = self._hierarchy_insert(assignments)
+        rc = batch_contains.select(
+            F.lit(step).alias("step"), F.col("root").alias("cluster_id")
+        ).dropDuplicates()
+        if self._step_has_rows("resolver_clusters", "step", step):
+            self._commit_resolver_clusters(
+                self.resolver_clusters.where(F.col("step") != step).unionByName(rc)
+            )
+        else:
+            self._append("resolver_clusters", rc)
+        self._step_rows["resolver_clusters"].add(step)
+        self.steps[step] = {
+            "type": "resolver",
+            "fingerprint": hash_to_base64(fingerprint),
+        }
+
+    def _hierarchy_insert(self, assignments: DataFrame) -> DataFrame:
+        """Content-address one batch of ``(parent_id, child_id)`` assignments.
+
+        The shared core of :meth:`insert_resolver_clusters` and
+        :meth:`merge_resolver_clusters_delta`: G4-expand children, H5-hash
+        member sets, insert-if-absent new parent clusters, append ``contains``
+        rows for the newly-assigned roots. Returns the batch's ``(root,
+        leaf)`` hierarchy rows (eagerly checkpointed). Cost is O(assignment
+        members) plus read-only anti-joins against accumulated state — the
+        caller controls how much of the total state ``assignments`` covers.
+        Takes ownership of the caller-persisted ``assignments`` (unpersists
+        it once the hierarchy rows materialise).
+        """
         # G4: expand children that are themselves roots to their leaves.
         # Cached once — member hashing and the contains rows both reuse it.
         # First hierarchy insert: contains is empty, every child is already a
@@ -773,20 +826,73 @@ class Catalog:
             )
         self._append("contains", new_contains)
         self._contains_empty = False
+        return batch_contains
+
+    def merge_resolver_clusters_delta(
+        self,
+        step: str,
+        assignments: DataFrame,
+        candidate_roots: DataFrame | None = None,
+    ) -> None:
+        """Streaming partial resolver refresh: O(touched), never O(state).
+
+        ``assignments`` covers ONLY the components a micro-batch could have
+        changed (recomputed from the batch's blocks plus prior-component
+        star edges); ``candidate_roots`` — a single ``root_id`` column — is
+        the step's prior root ids whose components were recomputed. Parents
+        are content-addressed exactly like :meth:`insert_resolver_clusters`;
+        the step's claim set then moves by DELTA: new roots append, and
+        candidate roots that did not re-form (their members merged under a
+        bigger parent) retire via an O(touched) tombstone append that the
+        ``resolver_clusters`` view anti-joins out — never an O(total
+        claims) rewrite. Tombstones fold into the base table every
+        ``_COMPACT_WIDTH`` retirements (amortised, same policy as delta
+        appends).
+
+        Safety of permanent tombstones: member sets only ever grow along a
+        containment chain (streaming edges are append-only), so a merged-
+        away root's exact member set — hence its content-addressed id — can
+        never re-form as a claim. Idempotent under batch replay: re-derived
+        claims anti-join to nothing and re-derived tombstones are
+        duplicates the anti-join ignores.
+        """
+        assignments = assignments.persist()
+        batch_contains = self._hierarchy_insert(assignments)
         rc = batch_contains.select(
             F.lit(step).alias("step"), F.col("root").alias("cluster_id")
         ).dropDuplicates()
         if self._step_has_rows("resolver_clusters", "step", step):
-            self._commit(
-                "resolver_clusters",
-                self.resolver_clusters.where(F.col("step") != step).unionByName(rc),
+            rc = rc.join(
+                self.resolver_clusters.where(F.col("step") == step).select(
+                    "step", "cluster_id"
+                ),
+                ["step", "cluster_id"],
+                "left_anti",
             )
-        else:
-            self._append("resolver_clusters", rc)
+        rc = self._ckpt(rc, eager=True)
+        self._append("resolver_clusters", rc, materialised=True)
         self._step_rows["resolver_clusters"].add(step)
+        if candidate_roots is not None:
+            retired = self._ckpt(
+                candidate_roots.select(
+                    F.lit(step).alias("step"),
+                    F.col("root_id").alias("cluster_id"),
+                ).join(
+                    batch_contains.select(
+                        F.col("root").alias("cluster_id")
+                    ).distinct(),
+                    "cluster_id",
+                    "left_anti",
+                ),
+                eager=True,
+            )
+            self._rc_tombstones.append(retired)
+            if len(self._rc_tombstones) > _COMPACT_WIDTH:
+                self._commit_resolver_clusters(self.resolver_clusters)
         self.steps[step] = {
             "type": "resolver",
-            "fingerprint": hash_to_base64(fingerprint),
+            "fingerprint": hash_to_base64(b"streaming"),
+            "streaming": True,
         }
 
     # -- admin ---------------------------------------------------------------

@@ -111,22 +111,37 @@ def incremental_index_stream(
     return writer.start()
 
 
-def _prior_star_edges(catalog: Catalog, resolver_step: str) -> DataFrame | None:
-    """Compress the step's current components into star edges.
+def _touched_star_edges(
+    catalog: Catalog, resolver_step: str, batch_leaves: DataFrame
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """Star edges for ONLY the prior components a batch can change.
 
-    One ``(min_leaf, leaf)`` edge per member — O(resolved entities) rows
-    regardless of how many model edges ever produced them. Unioned with a
-    batch's fresh edges, connected components over the stars reproduces
-    (and can merge) every earlier cluster without re-reading past edges.
+    ``batch_leaves`` (one ``leaf_id`` column) is the leaf-id set of the
+    batch's blocked superset — the only rows a block-local model can link
+    this batch, hence the only leaves through which an existing component
+    can gain an edge. Components intersecting that set compress to one
+    ``(min_leaf, leaf)`` star edge per member; everything else is untouched
+    and is neither read into the CC nor rewritten. Returns ``(star_edges,
+    touched_root_ids)`` — the roots are eagerly materialised (they are the
+    retirement candidates after the merge) — or ``(None, None)`` before the
+    step first exists. Per-batch cost: one semi-join over the assignment
+    map plus O(touched members) star rows; never O(all resolved entities).
     """
     if resolver_step not in catalog.steps:
-        return None
+        return None, None
     from matchbox_spark.plans.query import resolver_assignments
 
     prev = resolver_assignments(catalog, resolver_step)
-    reps = prev.groupBy("root_id").agg(F.min("leaf_id").alias("_rep"))
-    return (
-        prev.join(reps, "root_id")
+    touched_roots = (
+        prev.join(F.broadcast(batch_leaves), "leaf_id", "left_semi")
+        .select("root_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    members = prev.join(F.broadcast(touched_roots), "root_id", "left_semi")
+    reps = members.groupBy("root_id").agg(F.min("leaf_id").alias("_rep"))
+    stars = (
+        members.join(reps, "root_id")
         .where(F.col("leaf_id") != F.col("_rep"))
         .select(
             F.col("_rep").alias("left_id"),
@@ -134,6 +149,7 @@ def _prior_star_edges(catalog: Catalog, resolver_step: str) -> DataFrame | None:
             F.lit(1.0).cast("float").alias("score"),
         )
     )
+    return stars, touched_roots
 
 
 def incremental_resolve_stream(
@@ -148,6 +164,7 @@ def incremental_resolve_stream(
     source_location: str | None = None,
     blocking_fields: list[str] | None = None,
     serving_matcher=None,
+    auto_delta: bool = True,
 ) -> StreamingQuery:
     """Streaming entity resolution: every micro-batch ingests new rows and
     refreshes the model + resolver state.
@@ -175,14 +192,26 @@ def incremental_resolve_stream(
     deterministic model whose edges depend only on rows within a block
     (true for blocking-style dedupers/linkers).
 
-    **Full mode** (default): the model re-runs over ALL indexed data and the
+    **Full mode**: the model re-runs over ALL indexed data and the
     model/resolver steps are dropped and re-inserted — O(accumulated state)
     per batch by design, the general-correct path for models whose scores
     change as data accumulates (e.g. EM-trained).
 
-    The only per-batch rewrite in delta mode is the resolver step's
-    membership rows (O(resolved entities)); ``clusters``/``contains``/
-    ``cluster_keys``/``model_edges`` all move append-only.
+    **Auto-routing** (``auto_delta=True``, the default): a model that
+    declares block-locality — a ``delta_blocking_fields()`` method
+    returning queried-space field names, e.g. ``NaiveDeduper`` — is routed
+    through delta-link automatically when the caller passes no
+    ``blocking_fields``, because for such models the two modes provably
+    produce the same terminal clusters and only delta-link stays flat as
+    state accumulates. Pass ``auto_delta=False`` to force the full
+    recompute anyway (e.g. to exercise the general path).
+
+    In delta mode every per-batch state mutation is an O(touched) APPEND:
+    ``clusters``/``contains``/``cluster_keys``/``model_edges`` move
+    append-only, new resolver claims append, and claims for merged-away
+    roots retire via the catalog's tombstone overlay
+    (:meth:`~matchbox_spark.plans.catalog.Catalog.merge_resolver_clusters_delta`)
+    — nothing is rewritten per batch; tombstones fold in amortised.
     """
     from matchbox_spark.plans.query import (
         QueryConfig,
@@ -193,6 +222,11 @@ def incremental_resolve_stream(
 
     model_step = f"{source_step}_model"
     resolver_step = f"{source_step}_resolve"
+
+    if blocking_fields is None and auto_delta:
+        probe = getattr(model, "delta_blocking_fields", None)
+        if callable(probe):
+            blocking_fields = probe()
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -232,9 +266,22 @@ def incremental_resolve_stream(
                 data = data.dropDuplicates()
             new_edges = model.dedupe(data).localCheckpoint(eager=True)
             catalog.insert_model_edges_delta(model_step, new_edges)
-            stars = _prior_star_edges(catalog, resolver_step)
+            # only components holding a leaf the model could touch this
+            # batch are starred, recomputed, and (if merged away) retired —
+            # per-batch resolver work is O(batch blocks + touched members),
+            # not O(all resolved entities)
+            batch_leaves = data.select(F.col("id").alias("leaf_id")).distinct()
+            stars, touched_roots = _touched_star_edges(
+                catalog, resolver_step, batch_leaves
+            )
             cc_edges = (
                 new_edges if stars is None else new_edges.unionByName(stars)
+            )
+            assignments = resolver_method.compute_clusters(
+                {model_step: cc_edges}
+            )
+            catalog.merge_resolver_clusters_delta(
+                resolver_step, assignments, candidate_roots=touched_roots
             )
         else:
             edges = model.dedupe(data).localCheckpoint(eager=True)
@@ -245,12 +292,13 @@ def incremental_resolve_stream(
             cc_edges = catalog.model_edges.where(
                 F.col("step") == model_step
             ).select("left_id", "right_id", "score")
-
-        assignments = resolver_method.compute_clusters({model_step: cc_edges})
-        catalog.steps.pop(resolver_step, None)
-        catalog.insert_resolver_clusters(
-            resolver_step, assignments, fingerprint=f"b{batch_id}".encode()
-        )
+            assignments = resolver_method.compute_clusters(
+                {model_step: cc_edges}
+            )
+            catalog.steps.pop(resolver_step, None)
+            catalog.insert_resolver_clusters(
+                resolver_step, assignments, fingerprint=f"b{batch_id}".encode()
+            )
 
         if serving_matcher is not None:
             # keep the interactive lookup warm: patch the matcher's cached

@@ -1,0 +1,228 @@
+"""Pins for the flat streaming resolver path (round 7).
+
+The per-batch resolver refresh in delta-link mode is O(touched), never
+O(accumulated state): only components sharing a block with the batch are
+starred and recomputed (streaming/incremental._touched_star_edges), new
+claims APPEND, and merged-away roots retire through the catalog's
+tombstone overlay (Catalog.merge_resolver_clusters_delta) instead of an
+O(total claims) rewrite. Full mode auto-routes through that path when the
+model declares block-locality (NaiveDeduper.delta_blocking_fields).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from matchbox_spark.operators.dedupers import NaiveDeduper
+from matchbox_spark.plans.catalog import _COMPACT_WIDTH, Catalog
+from matchbox_spark.plans.query import unified_query
+from matchbox_spark.plans.resolvers import Components
+from matchbox_spark.streaming.incremental import incremental_resolve_stream
+
+
+def _run_stream(spark, tmp_path, batches, schema, name, **kwargs):
+    data_dir = tmp_path / f"data_{name}"
+    data_dir.mkdir()
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(data_dir))
+    cat = Catalog(spark)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(data_dir))
+    )
+    q = incremental_resolve_stream(
+        stream,
+        cat,
+        source_step="s",
+        key_field="k",
+        index_fields=[f.split()[0] for f in schema.split(", ")][1:],
+        resolver_method=Components(method="auto"),
+        checkpoint_dir=str(tmp_path / f"ckpt_{name}"),
+        source_location=str(data_dir),
+        **kwargs,
+    )
+    q.awaitTermination(600)
+    return cat
+
+
+def _clusters(cat):
+    ids = unified_query(cat, ["s_resolve", "s_model", "s"], ["s"], level="key")
+    by_id: dict = {}
+    for r in ids.collect():
+        by_id.setdefault(r["id"], set()).add(int(r["key"]))
+    return {frozenset(v) for v in by_id.values()}
+
+
+def test_merge_retires_superseded_roots(spark, tmp_path):
+    """A bridging batch merges two earlier clusters: the two old roots'
+    claims are tombstoned away — exactly one claim per surviving
+    component remains, and untouched components keep their root ids."""
+    batches = [
+        # u is unique per row so every key gets its own leaf cluster
+        [(1, "A1", "u1"), (2, "A1", "u2"), (10, "Z1", "u10"), (11, "Z1", "u11")],
+        [(3, "A2", "u3"), (4, "A2", "u4")],
+        [(5, "A1", "u5"), (6, "A2", "u6")],  # joins {1,2} and {3,4}
+    ]
+    cat = _run_stream(
+        spark, tmp_path, batches, "k long, a string, u string", "retire",
+        model=NaiveDeduper(id="id", unique_fields=["s_a"]),
+    )
+    assert _clusters(cat) == {
+        frozenset({1, 2, 5}),
+        frozenset({3, 4, 6}),
+        frozenset({10, 11}),
+    }
+    claims = cat.resolver_clusters.where(F.col("step") == "s_resolve")
+    rows = claims.collect()
+    # one claim per component, none duplicated, none stale
+    assert len(rows) == 3
+    assert len({r["cluster_id"] for r in rows}) == 3
+    # the untouched {10,11} component was never recomputed: its claim's
+    # root still maps to exactly its two leaves through contains
+    keys = unified_query(cat, ["s_resolve", "s_model", "s"], ["s"], "key")
+    z_root = {
+        r["id"] for r in keys.collect() if int(r["key"]) in (10, 11)
+    }
+    assert len(z_root) == 1 and z_root <= {r["cluster_id"] for r in rows}
+
+
+def test_merge_replay_is_idempotent(spark, tmp_path):
+    """Re-applying a merge with the same assignments + candidates appends
+    no duplicate claims and no harmful tombstones (batch-replay path)."""
+    cat = Catalog(spark)
+    idx = spark.createDataFrame(
+        [(bytes([i]), [str(i)]) for i in range(1, 5)],
+        "hash binary, keys array<string>",
+    )
+    cat.insert_source_index_delta("s", idx)
+    leaf = {
+        r["key"]: r["cluster_id"]
+        for r in cat.cluster_keys.join(cat.clusters, "cluster_id").collect()
+    }
+    assigns = spark.createDataFrame(
+        [(100, leaf["1"]), (100, leaf["2"]), (200, leaf["3"]), (200, leaf["4"])],
+        "parent_id long, child_id long",
+    )
+    cat.merge_resolver_clusters_delta("r", assigns)
+    first = sorted(
+        r["cluster_id"]
+        for r in cat.resolver_clusters.where(F.col("step") == "r").collect()
+    )
+    assert len(first) == 2
+    # replay: same assignments, candidates = the roots just claimed
+    cand = spark.createDataFrame([(c,) for c in first], "root_id long")
+    cat.merge_resolver_clusters_delta("r", assigns, candidate_roots=cand)
+    again = sorted(
+        r["cluster_id"]
+        for r in cat.resolver_clusters.where(F.col("step") == "r").collect()
+    )
+    assert again == first
+
+
+def test_tombstones_fold_after_compaction_width(spark, tmp_path):
+    """More than _COMPACT_WIDTH retire batches fold the overlay into the
+    base table; the view stays correct throughout and ends overlay-free."""
+    cat = Catalog(spark)
+    n = _COMPACT_WIDTH + 2
+    idx = spark.createDataFrame(
+        [(bytes([i, 7]), [str(i)]) for i in range(2 * n + 2)],
+        "hash binary, keys array<string>",
+    )
+    cat.insert_source_index_delta("s", idx)
+    leaf = {
+        int(r["key"]): r["cluster_id"]
+        for r in cat.cluster_keys.join(cat.clusters, "cluster_id").collect()
+    }
+    # chain-grow one component: {0,1}, then {0,1,2}, ... — every step
+    # retires the previous root
+    prev_root = None
+    for i in range(1, n + 1):
+        members = [leaf[j] for j in range(i + 1)]
+        assigns = spark.createDataFrame(
+            [(1, m) for m in members], "parent_id long, child_id long"
+        )
+        cand = (
+            spark.createDataFrame([(prev_root,)], "root_id long")
+            if prev_root is not None
+            else None
+        )
+        cat.merge_resolver_clusters_delta("r", assigns, candidate_roots=cand)
+        claims = cat.resolver_clusters.where(F.col("step") == "r").collect()
+        assert len(claims) == 1, f"step {i}: {claims}"
+        prev_root = claims[0]["cluster_id"]
+    assert cat._rc_tombstones == []  # folded
+    # terminal claim resolves to the full member set
+    leaves = (
+        cat.contains.join(
+            cat.resolver_clusters.where(F.col("step") == "r"),
+            F.col("root") == F.col("cluster_id"),
+        )
+        .select("leaf")
+        .collect()
+    )
+    assert {r["leaf"] for r in leaves} == {leaf[j] for j in range(n + 1)}
+
+
+def test_save_folds_tombstones(spark, tmp_path):
+    """Persistence reads the overlay-applied view: a reloaded catalog has
+    no stale claims even when tombstones were live at save time."""
+    cat = Catalog(spark)
+    idx = spark.createDataFrame(
+        [(bytes([i, 9]), [str(i)]) for i in range(4)],
+        "hash binary, keys array<string>",
+    )
+    cat.insert_source_index_delta("s", idx)
+    leaf = {
+        int(r["key"]): r["cluster_id"]
+        for r in cat.cluster_keys.join(cat.clusters, "cluster_id").collect()
+    }
+    a2 = spark.createDataFrame(
+        [(1, leaf[0]), (1, leaf[1])], "parent_id long, child_id long"
+    )
+    cat.merge_resolver_clusters_delta("r", a2)
+    old_root = cat.resolver_clusters.collect()[0]["cluster_id"]
+    a3 = spark.createDataFrame(
+        [(1, leaf[0]), (1, leaf[1]), (1, leaf[2])],
+        "parent_id long, child_id long",
+    )
+    cat.merge_resolver_clusters_delta(
+        "r", a3, spark.createDataFrame([(old_root,)], "root_id long")
+    )
+    assert cat._rc_tombstones  # overlay live
+    cat.path = str(tmp_path / "cat")
+    cat.save()
+    reloaded = Catalog(spark, path=str(tmp_path / "cat"))
+    rows = reloaded.resolver_clusters.where(F.col("step") == "r").collect()
+    assert len(rows) == 1 and rows[0]["cluster_id"] != old_root
+
+
+def test_full_mode_auto_routes_block_local_model(spark, tmp_path):
+    """NaiveDeduper declares block-locality, so full mode (no
+    blocking_fields) rides the flat delta path — streaming meta on the
+    resolver step proves the route; clusters match the batch pipeline.
+    auto_delta=False forces the general full recompute (fingerprint
+    meta)."""
+    batches = [
+        [(i, f"g{i % 3}", f"u{i}") for i in range(9)],
+        [(i, f"g{i % 3}", f"u{i}") for i in range(9, 18)],
+    ]
+    expected = {
+        frozenset(k for k in range(18) if k % 3 == g) for g in range(3)
+    }
+    routed = _run_stream(
+        spark, tmp_path, batches, "k long, g string, u string", "auto",
+        model=NaiveDeduper(id="id", unique_fields=["s_g"]),
+    )
+    assert _clusters(routed) == expected
+    assert routed.steps["s_resolve"].get("streaming") is True
+
+    forced = _run_stream(
+        spark, tmp_path, batches, "k long, g string, u string", "full",
+        model=NaiveDeduper(id="id", unique_fields=["s_g"]),
+        auto_delta=False,
+    )
+    assert _clusters(forced) == expected
+    assert forced.steps["s_resolve"].get("streaming") is None

@@ -5,16 +5,21 @@ delta-link mode (``blocking_fields`` set) with accumulated state growing
 every batch. Asserts:
 
 1. **Flat per-batch wall time** — batch k's cost is O(batch blocks +
-   resolved entities), never O(accumulated corpus): the tail/head duration
-   ratio must stay under the ramp bound (full mode, which re-runs the model
-   over everything, ramps linearly here by construction). Medians, not
-   means: the catalog's delta compaction (every `_COMPACT_WIDTH` appends)
-   lands its amortised O(total) cost on single batches — observed as
-   isolated ~2× spikes that return to baseline — and a mean over a 3-batch
-   tail can land entirely on one (the 12-batch run did exactly that). The
-   residual median drift is the DISCLOSED O(resolved entities) term
-   (streaming/incremental.py:184): 24 batches, entities 1.6k→9.6k,
-   median ≈9.5→12.9 s.
+   touched members), never O(accumulated corpus): the tail/head duration
+   ratio must stay under the ramp bound (full mode without auto-routing,
+   which re-runs the model over everything, ramps linearly here by
+   construction). Medians, not means: the catalog's delta compaction
+   (every `_COMPACT_WIDTH` appends) lands its amortised O(total) cost on
+   single batches — observed as isolated ~2× spikes that return to
+   baseline — and a mean over a 3-batch tail can land entirely on one
+   (the 12-batch run did exactly that). Round 7 removed the old
+   O(resolved entities) resolver term (all-component star edges + full
+   claim rewrite → touched-component stars + tombstone retirement,
+   streaming/incremental.py / Catalog.merge_resolver_clusters_delta):
+   24 batches, entities 1.6k→9.6k, median 8.9→10.3 s (ramp 1.15×, was
+   9.5→12.9 s = 1.36×); the residual is the accumulated-state READS
+   (insert-if-absent anti-joins + the assignment-map semi-join), which
+   scan-but-never-shuffle the growing tables.
 2. **Bridging merge across old state** — a late batch carries one record
    sharing field ``a`` with a cluster formed in batch 3 and field ``b``
    with a cluster formed in batch 0; the prior-component star edges must
