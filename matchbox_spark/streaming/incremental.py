@@ -152,6 +152,81 @@ def _touched_star_edges(
     return stars, touched_roots
 
 
+def _full_resolve(
+    catalog: Catalog,
+    model_step: str,
+    resolver_step: str,
+    data: DataFrame,
+    model,
+    resolver_method,
+    tag: bytes,
+) -> None:
+    """One full-recompute pass: re-run the model over every accumulated row
+    and rebuild the model + resolver steps — O(state), the general-correct
+    refresh for models whose scores drift as data accumulates."""
+    edges = model.dedupe(data).localCheckpoint(eager=True)
+    catalog.drop_step(model_step)
+    catalog.insert_model_edges(model_step, edges, fingerprint=tag)
+    cc_edges = catalog.model_edges.where(
+        F.col("step") == model_step
+    ).select("left_id", "right_id", "score")
+    assignments = resolver_method.compute_clusters({model_step: cc_edges})
+    catalog.steps.pop(resolver_step, None)
+    catalog.insert_resolver_clusters(resolver_step, assignments, fingerprint=tag)
+
+
+def finalize_resolve(
+    spark,
+    catalog: Catalog,
+    source_step: str,
+    key_field: str,
+    index_fields: list[str],
+    model,
+    resolver_method,
+    source_location: str | None = None,
+    serving_matcher=None,
+) -> None:
+    """Terminal recompute for a cadenced full-mode stream.
+
+    A stream started with ``resolve_cadence=N > 1`` leaves up to N-1
+    trailing batches indexed but not resolved. Calling this once after the
+    stream drains runs the same full model+resolver rebuild a cadence tick
+    runs, so the terminal catalog state is exactly the batch pipeline's —
+    one O(state) pass at close instead of one per batch. Refreshes
+    ``serving_matcher`` fully when given.
+    """
+    from matchbox_spark.plans.query import (
+        QueryConfig,
+        query_data,
+        unified_query,
+    )
+    from matchbox_spark.sources.source import SourceConfig
+
+    model_step = f"{source_step}_model"
+    resolver_step = f"{source_step}_resolve"
+    cfg = SourceConfig(
+        name=source_step,
+        location=source_location,
+        key_field=key_field,
+        index_fields=index_fields,
+    )
+    data = query_data(spark, catalog, QueryConfig(sources=[cfg]))
+    _full_resolve(
+        catalog,
+        model_step,
+        resolver_step,
+        data,
+        model,
+        resolver_method,
+        tag=b"finalize",
+    )
+    if serving_matcher is not None:
+        plan = unified_query(
+            catalog, [resolver_step], [source_step], level="key"
+        )
+        serving_matcher.refresh(plan, None)
+
+
 def incremental_resolve_stream(
     stream: DataFrame,
     catalog: Catalog,
@@ -165,6 +240,7 @@ def incremental_resolve_stream(
     blocking_fields: list[str] | None = None,
     serving_matcher=None,
     auto_delta: bool = True,
+    resolve_cadence: int = 1,
 ) -> StreamingQuery:
     """Streaming entity resolution: every micro-batch ingests new rows and
     refreshes the model + resolver state.
@@ -212,6 +288,15 @@ def incremental_resolve_stream(
     roots retire via the catalog's tombstone overlay
     (:meth:`~matchbox_spark.plans.catalog.Catalog.merge_resolver_clusters_delta`)
     — nothing is rewritten per batch; tombstones fold in amortised.
+
+    **Cadenced full mode** (``resolve_cadence=N`` with N > 1, full mode
+    only): indexing still runs every batch (O(delta)), but the O(state)
+    model+resolver recompute runs only on every Nth batch — the cost lever
+    for genuinely-global models at scale, trading bounded staleness (up to
+    N-1 batches) for an N× cut in amortised recompute. Served clusters
+    between recomputes reflect the last resolve; call
+    :func:`finalize_resolve` after the stream drains to make the terminal
+    state exact. Ignored in delta mode, which is already flat per batch.
     """
     from matchbox_spark.plans.query import (
         QueryConfig,
@@ -228,11 +313,24 @@ def incremental_resolve_stream(
         if callable(probe):
             blocking_fields = probe()
 
+    if resolve_cadence < 1:
+        raise ValueError("resolve_cadence must be >= 1")
+
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         _guard_checkpoint_state(catalog, source_step, batch_id)
         _index_batch(catalog, source_step, batch, key_field, index_fields)
+
+        if (
+            not blocking_fields
+            and resolve_cadence > 1
+            and batch_id % resolve_cadence != 0
+        ):
+            # cadenced full mode: index-only batch — the O(state) recompute
+            # waits for the next cadence tick (or finalize_resolve); the
+            # serving matcher keeps the last resolve's projection
+            return
 
         cfg = SourceConfig(
             name=source_step,
@@ -284,20 +382,14 @@ def incremental_resolve_stream(
                 resolver_step, assignments, candidate_roots=touched_roots
             )
         else:
-            edges = model.dedupe(data).localCheckpoint(eager=True)
-            catalog.drop_step(model_step)
-            catalog.insert_model_edges(
-                model_step, edges, fingerprint=f"b{batch_id}".encode()
-            )
-            cc_edges = catalog.model_edges.where(
-                F.col("step") == model_step
-            ).select("left_id", "right_id", "score")
-            assignments = resolver_method.compute_clusters(
-                {model_step: cc_edges}
-            )
-            catalog.steps.pop(resolver_step, None)
-            catalog.insert_resolver_clusters(
-                resolver_step, assignments, fingerprint=f"b{batch_id}".encode()
+            _full_resolve(
+                catalog,
+                model_step,
+                resolver_step,
+                data,
+                model,
+                resolver_method,
+                tag=f"b{batch_id}".encode(),
             )
 
         if serving_matcher is not None:

@@ -226,3 +226,36 @@ def test_full_mode_auto_routes_block_local_model(spark, tmp_path):
     )
     assert _clusters(forced) == expected
     assert forced.steps["s_resolve"].get("streaming") is None
+
+
+def test_resolve_cadence_with_finalize(spark, tmp_path):
+    """Cadenced full mode: only every Nth batch pays the O(state)
+    recompute; finalize_resolve makes the terminal state exactly the batch
+    pipeline's despite the trailing unresolved batches."""
+    from matchbox_spark.streaming.incremental import finalize_resolve
+
+    batches = [
+        [(i, f"g{i % 4}", f"u{i}") for i in range(b * 8, b * 8 + 8)]
+        for b in range(5)
+    ]
+    expected = {
+        frozenset(k for k in range(40) if k % 4 == g) for g in range(4)
+    }
+    model = NaiveDeduper(id="id", unique_fields=["s_g"])
+    cat = _run_stream(
+        spark, tmp_path, batches, "k long, g string, u string", "cadence",
+        model=model,
+        auto_delta=False,
+        resolve_cadence=3,
+    )
+    # batches 0..4 ran; only 0 and 3 resolved — the served state is stale
+    # (covers keys 0..31) but every batch was indexed (all 40 keys present)
+    assert cat.cluster_keys.where(F.col("source") == "s").count() == 40
+    stale = _clusters(cat)
+    assert stale != expected  # trailing batch 4 not yet resolved
+    finalize_resolve(
+        spark, cat, "s", "k", ["g", "u"], model,
+        Components(method="auto"),
+        source_location=str(tmp_path / "data_cadence"),
+    )
+    assert _clusters(cat) == expected
