@@ -11,6 +11,11 @@ model declares block-locality (NaiveDeduper.delta_blocking_fields).
 
 from __future__ import annotations
 
+import tempfile
+from pathlib import Path
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from matchbox_spark.operators.dedupers import NaiveDeduper
@@ -226,6 +231,72 @@ def test_full_mode_auto_routes_block_local_model(spark, tmp_path):
     )
     assert _clusters(forced) == expected
     assert forced.steps["s_resolve"].get("streaming") is None
+
+
+class _TwoFieldOrDeduper:
+    """OR of two single-field naive passes; block-local per field."""
+
+    def dedupe(self, data):
+        a = NaiveDeduper(id="id", unique_fields=["s_a"]).dedupe(data)
+        b = NaiveDeduper(id="id", unique_fields=["s_b"]).dedupe(data)
+        return a.unionByName(b).dropDuplicates(["left_id", "right_id"])
+
+    def delta_blocking_fields(self):
+        return ["s_a", "s_b"]
+
+
+def _expected_components(labels):
+    """Driver union-find over i~j iff a_i==a_j or b_i==b_j."""
+    parent = list(range(len(labels)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    by_val: dict = {}
+    for i, (a, b) in enumerate(labels):
+        by_val.setdefault(("a", a), []).append(i)
+        by_val.setdefault(("b", b), []).append(i)
+    for members in by_val.values():
+        for m in members[1:]:
+            parent[find(m)] = find(members[0])
+    comps: dict = {}
+    for i in range(len(labels)):
+        comps.setdefault(find(i), set()).add(i)
+    return {frozenset(v) for v in comps.values()}
+
+
+@given(
+    labels=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 4)),
+        min_size=4,
+        max_size=16,
+    ),
+    n_batches=st.integers(1, 4),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_delta_link_stream_equals_batch_union_find(spark, labels, n_batches):
+    """PROPERTY: for any row set and any micro-batch split, the auto-routed
+    delta-link stream's terminal clusters equal a driver union-find over
+    the OR-of-two-fields relation — merges across batches, tombstoned
+    retirements, and touched-only recompute included."""
+    expected = _expected_components(labels)
+    rows = [(k, f"a{a}", f"b{b}", f"u{k}") for k, (a, b) in enumerate(labels)]
+    schema = "k long, a string, b string, u string"
+    tmp = Path(tempfile.mkdtemp(prefix="prop_stream_"))
+    per = max(1, len(rows) // n_batches)
+    batches = [rows[i : i + per] for i in range(0, len(rows), per)]
+    cat = _run_stream(
+        spark, tmp, batches, schema, "prop", model=_TwoFieldOrDeduper()
+    )
+    got = _clusters(cat)
+    assert got == expected, (labels, n_batches)
 
 
 def test_resolve_cadence_with_finalize(spark, tmp_path):
