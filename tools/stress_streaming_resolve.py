@@ -19,7 +19,12 @@ every batch. Asserts:
    24 batches, entities 1.6k→9.6k, median 8.9→10.3 s (ramp 1.15×, was
    9.5→12.9 s = 1.36×); the residual is the accumulated-state READS
    (insert-if-absent anti-joins + the assignment-map semi-join), which
-   scan-but-never-shuffle the growing tables.
+   scan-but-never-shuffle the growing tables. 10× run (24 × 80,000 rows →
+   1.92M rows, 95,999 entities exact incl. the bridged cluster): median
+   19.8→26.6 s, ramp 1.34× — the read-scan term is visible but sub-linear
+   (state grew 24× across the run for a 1.34× wall drift); on a warehouse
+   deployment those scans prune via the catalog's bucketed/partitioned
+   persistence (Catalog.save_as_tables) instead of full-table reads.
 2. **Bridging merge across old state** — a late batch carries one record
    sharing field ``a`` with a cluster formed in batch 3 and field ``b``
    with a cluster formed in batch 0; the prior-component star edges must
