@@ -25,6 +25,13 @@ every batch. Asserts:
    (state grew 24× across the run for a 1.34× wall drift); on a warehouse
    deployment those scans prune via the catalog's bucketed/partitioned
    persistence (Catalog.save_as_tables) instead of full-table reads.
+   Probed and REJECTED (round 7): flipping the insert-if-absent
+   ``left_anti`` joins to scan-plus-broadcast so accumulated state never
+   shuffles — an isolated A/B (760k-row delta) showed the plain anti-join
+   WINNING at every locally testable state size (18M rows: 2.5 s vs
+   3.1 s; 100M rows: 6.8–10.8 s vs 13.1–13.8 s — AQE's sort-merge path
+   beats the double-broadcast's extra stage barriers), and the forced
+   variant doubled the small-state quick tier. Kept the plain joins.
 2. **Bridging merge across old state** — a late batch carries one record
    sharing field ``a`` with a cluster formed in batch 3 and field ``b``
    with a cluster formed in batch 0; the prior-component star edges must
