@@ -558,6 +558,13 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
+            if ns != len(comps):
+                # a non-interleaved (multi-scan) baseline file: decoding
+                # only the first scan would silently return a greyscale
+                # approximation — fail loudly per the probe contract
+                raise ValueError(
+                    "non-interleaved (multi-scan) JPEG unsupported"
+                )
             scan_comps = []
             for i in range(ns):
                 cs, tds = body[1 + i * 2], body[2 + i * 2]

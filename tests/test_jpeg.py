@@ -117,6 +117,13 @@ class TestJpegCodec:
         desync[i] = 0x00  # first DQT marker byte corrupted
         with pytest.raises(ValueError, match="desync"):
             decode_jpeg_pixels(bytes(desync))
+        # non-interleaved: SOS claims 1 component against a 3-comp frame —
+        # decoding only that scan would silently return greyscale
+        multi = bytearray(p)
+        i = multi.find(b"\xff\xda")
+        multi[i + 4] = 1  # Ns
+        with pytest.raises(ValueError, match="non-interleaved"):
+            decode_jpeg_pixels(bytes(multi))
 
     def test_bad_subsampling_and_shape(self):
         img = np.full((8, 8, 3), 1, dtype=np.uint8)
