@@ -502,6 +502,43 @@ def j2b_chunked(spark, sf):
 
 
 @_q(
+    "j13_sorted_neighborhood",
+    """WITH ranked AS (
+         SELECT c_custkey AS id, c_nationkey,
+                ROW_NUMBER() OVER (
+                  ORDER BY c_mktsegment, c_acctbal, c_custkey) AS rnk
+         FROM customer
+       )
+       SELECT LEAST(a.id, b.id) AS left_id,
+              GREATEST(a.id, b.id) AS right_id,
+              CAST(1.0 AS REAL) AS score
+       FROM ranked a JOIN ranked b
+         ON b.rnk > a.rnk AND b.rnk <= a.rnk + 5
+        AND a.c_nationkey = b.c_nationkey""",
+)
+def j13_snm(spark, sf):
+    """Sorted-neighborhood blocking (merge/purge SNM): rank customers by
+    (mktsegment, acctbal), pair each with the 5 that follow in the sort,
+    keep same-nation candidates. The plan is a global total-order rank
+    (range shuffle + broadcast partition offsets — never a one-partition
+    window) and one uniform equi-join on rank; candidate fanout is w−1
+    per record whatever the key skew. Complements j2's equality blocking
+    with the near-sorted-match shape (`operators/blocking.py`)."""
+    from matchbox_spark.operators.blocking import SortedNeighborhoodDeduper
+
+    df = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"), "c_nationkey", "c_mktsegment",
+        "c_acctbal",
+    )
+    return SortedNeighborhoodDeduper(
+        id="id",
+        sort_fields=["c_mktsegment", "c_acctbal"],
+        window=6,
+        compare_fields=["c_nationkey"],
+    ).dedupe(df)
+
+
+@_q(
     "j3_deterministic_link",
     """SELECT DISTINCT c.c_custkey AS left_id, s.s_suppkey AS right_id,
               CAST(1.0 AS REAL) AS score

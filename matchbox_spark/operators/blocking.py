@@ -1,0 +1,185 @@
+"""Sorted-neighborhood blocking (merge/purge candidate generation).
+
+The classic SNM (Hernandez & Stolfo 1995, "The Merge/Purge Problem"):
+sort records by a domain blocking key, slide a fixed window of size ``w``
+down the sorted order, and emit every in-window pair as a match candidate.
+Unlike equality blocking (NaiveDeduper) or LSH, SNM finds NEAR-sorted
+matches — typo'd keys that land adjacent in the sort — with cost linear in
+``n·w`` instead of quadratic per block, and no hot-key blowup: candidate
+fanout per record is exactly ``w − 1`` whatever the key distribution.
+
+Reference parity: the reference ships equality blocking only
+(`client/models/dedupers/naive.py:29-76`); SNM is the standard
+complementary blocker every merge/purge pipeline adds (Splink's
+`blocking_rule_library` covers it via sorted windows). This module extends
+the J2 family with a genuinely different plan shape: a global total-order
+rank, not a group-by.
+
+Spark-first shape (no global Window over the corpus — that is one
+partition at scale):
+
+1. ``repartitionByRange`` on ``(key…, id)`` gives range-contiguous
+   partitions in total order; an eager ``localCheckpoint`` pins partition
+   membership so the partition-id keys are stable across re-reads (the
+   monotonically_increasing_id trap — ADVICE r6 — does not apply: ranks
+   derive from content order, and both the counts job and the rank job
+   read the one materialised copy).
+2. One ≤|partitions| count collect + broadcast offsets + per-partition
+   ``row_number`` = dense global rank (`functions/indexing.py` — the same
+   recipe catalog id assignment and G3 relabelling ride).
+3. Candidates are a bounded explode (each rank emits partners
+   ``rank+1 … rank+w−1``) and ONE equi-join back on rank — uniform join
+   keys (ranks are unique), so no skew, no all-pairs, nothing quadratic.
+
+Cross-engine determinism: rank = ``ROW_NUMBER() OVER (ORDER BY key…, id)``
+with the id tiebreak, so the pair set is a pure function of the data and a
+DuckDB oracle can state it independently. Null keys sort FIRST in Spark
+and LAST under DuckDB defaults — callers with nullable keys should
+coalesce them; the oracle queries use non-null keys.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from matchbox_spark.functions.indexing import dense_index
+from matchbox_spark.operators.dedupers import Deduper, DeduperSettings
+from matchbox_spark.operators.registry import add_model_class
+
+
+def sorted_neighborhood_rank(
+    df: DataFrame, id_col: str, key_cols: list[str]
+) -> DataFrame:
+    """Dense 1-based global rank over ``ORDER BY key_cols…, id_col``.
+
+    Returns ``(id, rank)`` — two narrow columns however wide the input.
+    One range shuffle + one metadata-sized count collect; no single-
+    partition window anywhere.
+    """
+    if not key_cols:
+        raise ValueError("sorted_neighborhood_rank needs at least one key")
+    proj = df.select(F.col(id_col).alias("id"), *key_cols)
+    part = (
+        proj.repartitionByRange(*key_cols, "id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["_n"]
+        for r in part.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    }
+    # struct ordering is lexicographic over (key…, id) — the within-
+    # partition completion of the cross-partition range order
+    ordered = part.withColumn("_ord", F.struct(*key_cols, "id"))
+    indexed, _ = dense_index(ordered, "_pid", "_ord", counts, id_name="rank")
+    return indexed.select("id", "rank")
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_cols: list[str],
+    window: int = 4,
+) -> DataFrame:
+    """All in-window candidate pairs, each unordered pair once.
+
+    Output ``(left_id, right_id)`` with ``left_id < right_id`` (id order,
+    not rank order, so downstream edge consumers see the Deduper pair
+    convention). Every record pairs with the ``window − 1`` records that
+    follow it in the sort — ``n·(w−1)`` candidates total, independent of
+    key skew.
+    """
+    if window < 2:
+        # guard before it reaches sequence(): Spark's sequence(a, b) with
+        # a > b silently generates a DESCENDING range, not an empty one
+        raise ValueError("window must be >= 2 (w-1 partners per record)")
+    ranked = sorted_neighborhood_rank(df, id_col, key_cols)
+    partners = ranked.select(
+        F.col("id").alias("_a"),
+        F.explode(
+            F.sequence(F.col("rank") + 1, F.col("rank") + (window - 1))
+        ).alias("rank"),
+    )
+    return (
+        partners.join(ranked.withColumnRenamed("id", "_b"), "rank")
+        .select(
+            F.least("_a", "_b").alias("left_id"),
+            F.greatest("_a", "_b").alias("right_id"),
+        )
+    )
+
+
+def multipass_sorted_neighborhood(
+    df: DataFrame,
+    id_col: str,
+    passes: list[tuple[list[str], int]],
+) -> DataFrame:
+    """Union-distinct of several SNM passes (the standard multi-pass SNM:
+    one cheap pass per key ordering beats one pass with a giant window).
+    ``passes`` is ``[(key_cols, window), …]``; output is the distinct
+    candidate-pair union."""
+    if not passes:
+        raise ValueError("multipass_sorted_neighborhood needs >= 1 pass")
+    out: DataFrame | None = None
+    for key_cols, window in passes:
+        pairs = sorted_neighborhood_pairs(df, id_col, key_cols, window)
+        out = pairs if out is None else out.union(pairs)
+    return out.dropDuplicates()
+
+
+@dataclass
+class SortedNeighborhoodSettings(DeduperSettings):
+    sort_fields: list[str] = field(default_factory=list)
+    window: int = 4
+    # optional verify rule: candidates survive only if every compare_field
+    # is equal (the merge/purge "rule program" reduced to its relational
+    # core); empty = emit every in-window candidate
+    compare_fields: list[str] = field(default_factory=list)
+
+
+@add_model_class
+class SortedNeighborhoodDeduper(Deduper):
+    """DAG-pluggable SNM deduper: window candidates, optional equality
+    verify, score 1.0 (deterministic blocker — scores are the probabilistic
+    linker's job). Drop-in beside NaiveDeduper in a `dag.model(...)` step.
+    """
+
+    settings_class = SortedNeighborhoodSettings
+
+    def dedupe(self, data: DataFrame) -> DataFrame:
+        s = self.settings
+        if not s.sort_fields:
+            raise ValueError("SortedNeighborhoodDeduper needs sort_fields")
+        cand = sorted_neighborhood_pairs(
+            data, s.id, list(s.sort_fields), s.window
+        )
+        if s.compare_fields:
+            attrs = data.select(
+                F.col(s.id).alias("_k"), *s.compare_fields
+            )
+            left = attrs.select(
+                F.col("_k").alias("left_id"),
+                *[F.col(c).alias(f"_l_{c}") for c in s.compare_fields],
+            )
+            right = attrs.select(
+                F.col("_k").alias("right_id"),
+                *[F.col(c).alias(f"_r_{c}") for c in s.compare_fields],
+            )
+            cond = None
+            for c in s.compare_fields:
+                eq = F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}"))
+                cond = eq if cond is None else cond & eq
+            cand = (
+                cand.join(left, "left_id")
+                .join(right, "right_id")
+                .where(cond)
+                .select("left_id", "right_id")
+            )
+        return cand.select(
+            "left_id",
+            "right_id",
+            F.lit(1.0).cast("float").alias("score"),
+        )
