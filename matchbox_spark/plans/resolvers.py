@@ -421,14 +421,18 @@ class Components(ResolverMethod):
         # distributed zip-with-index (range partition + per-partition row
         # numbers + driver offsets), NOT a global single-partition window:
         # component count scales with the data
-        # cached, materialised by the counts collect below; tiny (one row per
-        # component) so it stays cached until GC reclaims it
+        # eager localCheckpoint (not persist): the counts job and the
+        # consuming join are separate jobs, and a cache-evicted re-run could
+        # re-plan the range shuffle (AQE may coalesce a numPartitions-less
+        # repartitionByRange) and shift the _pid keys the offsets were
+        # collected under; checkpointing materialises one copy both read.
+        # Tiny either way — one row per component.
         distinct_comps = (
             labels.select("component")
             .distinct()
             .repartitionByRange("component")
             .withColumn("_pid", F.spark_partition_id())
-            .persist()
+            .localCheckpoint(eager=True)
         )
         counts = {
             r["_pid"]: r["n"]
