@@ -36,6 +36,7 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
     "bpe": (["20000", "3"], ["100000", "6"]),        # vocab words, merges
     "sketches": (["1000000", "256"], ["10000000", "512"]),  # rows, k
     "probabilistic": (["50000", "10"], ["1000000", "10"]),  # records, block
+    "blocking": (["200000", "5"], ["10000000", "5"]),  # rows, SNM window
 }
 
 # harnesses that are not tools/stress_<name>.py
