@@ -403,6 +403,25 @@ def encode_jpeg(
     return out
 
 
+def _loud_probe(fn):
+    """Boundary guard: the scan-level contract is 'corrupt object →
+    ValueError, task survives' (`decode_image_stats` catches ValueError/
+    struct.error only). The parsers guard the known truncation points
+    explicitly; this converts any RESIDUAL index escape on adversarial
+    bytes into the contractual ValueError instead of killing a Spark task."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(payload: bytes):
+        try:
+            return fn(payload)
+        except (IndexError, StopIteration) as exc:
+            raise ValueError(f"corrupt JPEG structure: {exc!r}") from exc
+
+    return wrapped
+
+
+@_loud_probe
 def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
     """Marker walk → (width, height) from the SOF0/SOF1 frame header.
 
@@ -416,6 +435,9 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2 optional fill bytes before a marker
+            pos += 1
+            continue
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / RSTn
             pos += 2
             continue
@@ -425,6 +447,10 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
         if pos + 2 + ln > len(payload):
             raise ValueError("truncated JPEG segment")
         if marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if ln < 7:  # 2 length bytes + precision + height + width —
+                # unguarded, the unpack would read the NEXT segment's bytes
+                # and return plausible garbage geometry
+                raise ValueError("JPEG SOF segment too short")
             _prec, h, w = struct.unpack_from(">BHH", payload, pos + 4)
             return w, h
         if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
@@ -481,6 +507,7 @@ def _decode_huff(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise ValueError("invalid JPEG Huffman code")
 
 
+@_loud_probe
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     """Decode a baseline sequential JPEG to an (H, W, 3) uint8 RGB array.
 
@@ -504,6 +531,9 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2 optional fill bytes before a marker
+            pos += 1
+            continue
         if marker == 0xD9:
             break
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
@@ -542,6 +572,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit JPEG supported")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported component count {nc}")
+            if len(body) < 6 + nc * 3:
+                raise ValueError("truncated JPEG SOF component list")
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + i * 3], body[7 + i * 3], body[8 + i * 3]
@@ -557,6 +589,8 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
+            if len(body) < 1:
+                raise ValueError("truncated JPEG SOS header")
             ns = body[0]
             if ns != len(comps):
                 # a non-interleaved (multi-scan) baseline file: decoding
@@ -565,13 +599,26 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 raise ValueError(
                     "non-interleaved (multi-scan) JPEG unsupported"
                 )
+            if len(body) < 1 + ns * 2:
+                raise ValueError("truncated JPEG SOS component list")
             scan_comps = []
             for i in range(ns):
                 cs, tds = body[1 + i * 2], body[2 + i * 2]
-                comp = next(c for c in comps if c["id"] == cs)
+                matching = [c for c in comps if c["id"] == cs]
+                if not matching:
+                    raise ValueError(
+                        "JPEG scan selects a component absent from SOF"
+                    )
                 scan_comps.append(
-                    {**comp, "td": tds >> 4, "ta": tds & 0x0F}
+                    {**matching[0], "td": tds >> 4, "ta": tds & 0x0F}
                 )
+            if ns == 1:
+                # T.81 A.2.2: a single-component scan is NON-interleaved —
+                # the MCU is one data unit over a ceil(w/8) grid whatever
+                # sampling factors the frame header declares; decoding it
+                # as an interleaved 2x2 MCU grid would desync the entropy
+                # stream (or scramble pixels) for legal greyscale files
+                scan_comps[0] = {**scan_comps[0], "h": 1, "v": 1}
             entropy_start = pos + 2 + ln
             break
         pos += 2 + ln

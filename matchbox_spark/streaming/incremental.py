@@ -132,13 +132,20 @@ def _touched_star_edges(
     from matchbox_spark.plans.query import resolver_assignments
 
     prev = resolver_assignments(catalog, resolver_step)
+    # no broadcast hints on either semi-join: batch_leaves is the BLOCKED
+    # SUPERSET of the batch (a hot blocking value — boilerplate default —
+    # makes it O(accumulated state)), and touched_roots inherits that
+    # cardinality; a forced broadcast would collect it to the driver every
+    # micro-batch and OOM at scale. Unhinted, the planner shuffles when
+    # big and AQE still converts to broadcast at runtime when the measured
+    # size is small (the common case the hint was chasing).
     touched_roots = (
-        prev.join(F.broadcast(batch_leaves), "leaf_id", "left_semi")
+        prev.join(batch_leaves, "leaf_id", "left_semi")
         .select("root_id")
         .distinct()
         .localCheckpoint(eager=True)
     )
-    members = prev.join(F.broadcast(touched_roots), "root_id", "left_semi")
+    members = prev.join(touched_roots, "root_id", "left_semi")
     reps = members.groupBy("root_id").agg(F.min("leaf_id").alias("_rep"))
     stars = (
         members.join(reps, "root_id")

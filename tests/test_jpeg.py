@@ -159,3 +159,111 @@ class TestJpegCodec:
         }
         assert meta[1]["width"] == 12 and meta[1]["height"] == 9
         assert meta[2]["width"] is None
+
+
+class TestDecoderHardening:
+    """Round-7 review fixes: corrupt structures must raise the contractual
+    ValueError (never StopIteration/IndexError, which escape the
+    scan-level (ValueError, struct.error) catch and kill the task), legal
+    fill bytes must parse, and single-component scans are non-interleaved
+    per T.81 A.2.2 whatever sampling the frame header declares."""
+
+    @staticmethod
+    def _grey_jpeg(v: int, samp_byte: int) -> bytes:
+        """Hand-assemble a one-block 8x8 greyscale baseline JPEG with an
+        arbitrary declared sampling byte (the encoder is RGB-only)."""
+        import struct as st
+
+        from matchbox_spark.operators import jpeg as J
+
+        q = J._quality_tables(90)[0]
+        dcq = round(8 * (v - 128) / int(q[0, 0]))
+        bw = J._BitWriter()
+        dc_codes = J._canonical_codes(J._DC_LUMA_SPEC)
+        ac_codes = J._canonical_codes(J._AC_LUMA_SPEC)
+        cat = J._category(dcq)
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(dcq if dcq >= 0 else dcq + (1 << cat) - 1, cat)
+        eob, eln = ac_codes[0x00]
+        bw.write(eob, eln)
+        entropy = bw.flush()
+
+        def seg(marker: int, payload: bytes) -> bytes:
+            return st.pack(">HH", marker, len(payload) + 2) + payload
+
+        zz = J._ZIGZAG
+        bits_d, vals_d = J._DC_LUMA_SPEC
+        bits_a, vals_a = J._AC_LUMA_SPEC
+        return (
+            b"\xff\xd8"
+            + seg(0xFFDB, bytes([0]) + bytes(int(x) for x in q.reshape(64)[zz]))
+            + seg(0xFFC0, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, samp_byte, 0]))
+            + seg(0xFFC4, bytes([0x00]) + bytes(bits_d) + bytes(vals_d))
+            + seg(0xFFC4, bytes([0x10]) + bytes(bits_a) + bytes(vals_a))
+            + seg(0xFFDA, b"\x01" + bytes([1, 0x00]) + b"\x00\x3f\x00")
+            + entropy
+            + b"\xff\xd9"
+        )
+
+    def test_grey_single_component_scan_ignores_declared_sampling(self):
+        # identical entropy stream under declared 1x1 and 2x2 sampling —
+        # a single-component scan is one data unit per MCU either way
+        a = decode_jpeg_pixels(self._grey_jpeg(178, 0x11))
+        b = decode_jpeg_pixels(self._grey_jpeg(178, 0x22))
+        assert a.shape == (8, 8, 3) and np.array_equal(a, b)
+        assert len(np.unique(a)) == 1  # constant image survives
+        assert abs(int(a[0, 0, 0]) - 178) <= 2
+
+    def test_sos_selecting_absent_component_raises_valueerror(self):
+        p = bytearray(self._grey_jpeg(178, 0x11))
+        i = p.find(b"\xff\xda")
+        p[i + 5] = 9  # component selector no SOF component carries
+        with pytest.raises(ValueError, match="absent from SOF"):
+            decode_jpeg_pixels(bytes(p))
+
+    def test_truncated_sos_component_list_raises_valueerror(self):
+        p = bytearray(self._grey_jpeg(178, 0x11))
+        i = p.find(b"\xff\xda")
+        p[i + 3] = 3  # segment length covers Ns only, not the comp list
+        with pytest.raises(ValueError, match="SOS"):
+            decode_jpeg_pixels(bytes(p))
+
+    def test_short_sof_raises_not_garbage_dimensions(self):
+        import struct as st
+
+        crafted = (
+            b"\xff\xd8"
+            + st.pack(">HH", 0xFFC0, 4)  # ln=4 < 7: no room for geometry
+            + b"\x08\x00"
+            + b"\xff\xd9"
+        )
+        with pytest.raises(ValueError, match="SOF segment too short"):
+            jpeg_dimensions(crafted)
+
+    def test_truncated_sof_component_list_raises_valueerror(self):
+        p = bytearray(self._grey_jpeg(178, 0x11))
+        i = p.find(b"\xff\xc0")
+        # shrink the SOF length to cover geometry but not the component
+        # triple; the next segment's bytes must NOT be read as components
+        p[i + 3] = 9
+        del p[i + 11 : i + 13]  # keep the walk aligned with the new length
+        with pytest.raises(ValueError, match="SOF component list"):
+            decode_jpeg_pixels(bytes(p))
+
+    def test_fill_bytes_before_markers_accepted(self):
+        img = np.full((8, 8, 3), (40, 90, 160), dtype=np.uint8)
+        p = encode_jpeg(img, quality=100, subsampling="4:4:4")
+        padded = p[:2] + b"\xff\xff" + p[2:]  # T.81 B.1.1.2 fill bytes
+        assert jpeg_dimensions(padded) == (8, 8)
+        assert np.array_equal(decode_jpeg_pixels(padded), decode_jpeg_pixels(p))
+
+    def test_residual_index_escapes_surface_as_valueerror(self):
+        # fuzz the DHT/SOS region: whatever breaks must be ValueError
+        base = self._grey_jpeg(178, 0x11)
+        for cut in range(20, len(base), 7):
+            try:
+                decode_jpeg_pixels(base[:cut] + b"\xff\xd9")
+            except ValueError:
+                pass  # the only acceptable failure type
