@@ -6769,16 +6769,60 @@ _TOUCHED_R6 = {
     "t12_bpe_train",
 }
 
+# green (rows+schema+hash) in CORRECTNESS_r06.json — newest-certified tier
+_CHECKED_R6 = {
+    "a11_net_pair_vote", "a3_explode_combine", "a6_root_leaves_agg",
+    "b2_hybrid_rrf", "d11_semdedup", "d1_exact_dup_groups", "d4_simhash",
+    "d4b_simhash_neardups", "e3_kmv_distinct", "e4_histogram_quantiles",
+    "e5_bloom_semijoin", "e6_cms_frequency", "ev3_session_window",
+    "ev4_hopping_window", "g8_k_core", "j5_weighted_link",
+    "j6_splink_compat", "j6b_splink_exotic", "m2_frame_sampling",
+    "m5_real_image_decode", "m6_malformed_media", "o9_dsir_selection",
+    "p1_field_qualification", "p2_cleaning_exprs", "p5_threshold_filter",
+    "q11_brand_value_share", "q12_shipmode_priority",
+    "q13_customer_distribution", "q14_conditional_ratio",
+    "q15_top_supplier", "q16_supplier_count", "q17_small_quantity",
+    "q18_large_orders", "q19_disjunctive_join", "q1_pricing_summary",
+    "q22_idle_customers", "q4_order_priority", "q5_region_revenue",
+    "q6_forecast_revenue", "q7_nation_volume", "s2_key_filter_pushdown",
+    "st7_incremental_resolve", "st8_streaming_kmv", "t12_bpe_train",
+    "t13_bpe_encode", "u5_set_intersection", "v1_cosine_topk",
+    "v5_kmeans_embed", "v6_ivf_pq",
+}
+
+# round-7 code-path changes (new operators, oracle fixes, review fixes) —
+# these lead the driver sample so CORRECTNESS_r07 certifies them first
+_TOUCHED_R7 = {
+    "o10_token_budget_mix",        # oracle CAST fix (r6's one red row)
+    "t14_kn_perplexity",           # new: KN trigram LM
+    "q31_zorder_layout",           # new: Z-order oracle entry
+    "j13_sorted_neighborhood",     # new: SNM blocking
+    "m5_real_image_decode",        # JPEG joined the rotation + decode hardening
+    "m6_malformed_media",          # JPEG malformed rows + loud-probe guards
+    "st7_incremental_resolve",     # touched-component delta resolver rewrite
+    "st1_incremental_index",       # rides the same incremental.py module
+    "j6_splink_compat",            # len() ambiguity rejection in the dialect
+    "o9_dsir_selection",           # bigram-less docs now emit zero-weight rows
+    "e5_bloom_semijoin",           # distinct-key verdict join (id-trap fix)
+    "e6_cms_frequency",            # distinct-key verdict join (id-trap fix)
+    "st8_streaming_kmv",           # awaitTermination timeout now raises
+}
+
 
 def _rotated() -> list[str]:
     def prio(n: str) -> int:
-        if n in _TOUCHED_R6:
+        if n in _TOUCHED_R7:
             return 0
         if not any(
             n in s
-            for s in (_CHECKED_R2, _CHECKED_R3, _CHECKED_R4, _CHECKED_R5)
+            for s in (
+                _CHECKED_R2, _CHECKED_R3, _CHECKED_R4, _CHECKED_R5,
+                _CHECKED_R6,
+            )
         ):
             return 1  # never driver-green in any round
+        if n in _CHECKED_R6:
+            return 6
         if n in _CHECKED_R5:
             return 5
         if n in _CHECKED_R4:
