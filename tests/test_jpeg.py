@@ -267,3 +267,41 @@ class TestDecoderHardening:
                 decode_jpeg_pixels(base[:cut] + b"\xff\xd9")
             except ValueError:
                 pass  # the only acceptable failure type
+
+
+class TestRandomizedRoundtrip:
+    """Seeded randomized roundtrips over awkward geometries: every size
+    1..24 x 1..24 exercises a different MCU padding shape; q=100 4:4:4
+    bounds per-sample error by the DCT float path (≤ 2), and 4:2:0 must
+    reconstruct the luma channel faithfully even on noise (chroma is
+    mean-pooled, so only Y is bounded)."""
+
+    def test_random_images_q100_tight(self):
+        rng = np.random.default_rng(7)
+        for _ in range(12):
+            h, w = int(rng.integers(1, 25)), int(rng.integers(1, 25))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            out = decode_jpeg_pixels(encode_jpeg(img, quality=100))
+            assert out.shape == (h, w, 3)
+            err = np.abs(out.astype(int) - img.astype(int)).max()
+            assert err <= 2, (h, w, err)
+
+    def test_random_images_420_luma_bounded(self):
+        rng = np.random.default_rng(11)
+        for _ in range(8):
+            h, w = int(rng.integers(1, 25)), int(rng.integers(1, 25))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            out = decode_jpeg_pixels(
+                encode_jpeg(img, quality=100, subsampling="4:2:0")
+            )
+            assert out.shape == (h, w, 3)
+            to_y = np.array([0.299, 0.587, 0.114])
+            y_in = img.astype(float) @ to_y
+            y_out = out.astype(float) @ to_y
+            d = np.abs(y_in - y_out)
+            # luma rides the full-resolution channel, but saturated pixels
+            # whose pooled chroma pushes R/G/B past the 0/255 clip shift Y
+            # by up to ~18 codes on pure noise (measured; inherent to
+            # 4:2:0, not a decoder defect) — so pin the MEAN tightly and
+            # the max only as a desync tripwire
+            assert d.mean() <= 1.5 and d.max() <= 32.0, (h, w, d.max())
