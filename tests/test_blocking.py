@@ -168,3 +168,30 @@ class TestDeduper:
     def test_no_compare_fields_keeps_all_candidates(self, spark):
         d = SortedNeighborhoodDeduper(id="id", sort_fields=["age"], window=2)
         assert d.dedupe(_people(spark)).count() == 5
+
+
+class TestLayoutInvariance:
+    def test_pairs_invariant_to_physical_layout(self, spark):
+        # rank is content-defined (ORDER BY key, id), so the pair set must
+        # not move with partition count or row order — the determinism the
+        # localCheckpoint-pinned partition offsets exist to guarantee
+        df = spark.range(500).select(
+            F.col("id"), F.pmod(F.xxhash64("id"), F.lit(37)).alias("k")
+        )
+        base = {
+            (r["left_id"], r["right_id"])
+            for r in sorted_neighborhood_pairs(df, "id", ["k"], 4).collect()
+        }
+        for layout in (
+            df.repartition(1),
+            df.repartition(17, "k"),
+            df.orderBy(F.desc("id")),
+            df.repartitionByRange(5, F.desc("k")),
+        ):
+            got = {
+                (r["left_id"], r["right_id"])
+                for r in sorted_neighborhood_pairs(
+                    layout, "id", ["k"], 4
+                ).collect()
+            }
+            assert got == base
