@@ -9,6 +9,7 @@ from matchbox_spark.operators.linkers import (
 from matchbox_spark.operators.registry import MODEL_CLASSES, add_model_class, get_model_class
 
 # import for registration side-effects so get_model_class sees every model
+from matchbox_spark.operators.blocking import SortedNeighborhoodDeduper  # noqa: E402,F401
 from matchbox_spark.operators.lsh_linkers import EmbeddingLinker, MinHashLinker  # noqa: E402,F401
 from matchbox_spark.operators.probabilistic import FellegiSunterLinker  # noqa: E402,F401
 
