@@ -65,12 +65,20 @@ def main() -> int:
 
     # definitional spot-check: rank(x) == 1 + |{y : (k,id)_y < (k,id)_x}|
     t0 = time.time()
-    sample = ranked.join(df, "id").where(
-        F.pmod(F.col("id"), F.lit(n // 97 or 1)) == 0
+    sample = (
+        ranked.join(df, "id")
+        .where(F.pmod(F.col("id"), F.lit(n // 97 or 1)) == 0)
+        # ~97 rows — materialise and FORCE it as the nested-loop build
+        # side: without the hint the planner may elect to broadcast the
+        # n-row probe side of this non-equi join and die at scale
+        .localCheckpoint(eager=True)
+    )
+    before_cond = (F.col("a.k") < F.col("s.k")) | (
+        (F.col("a.k") == F.col("s.k")) & (F.col("a.id") < F.col("s.id"))
     )
     joined = (
-        sample.alias("s")
-        .join(df.alias("a"), F.expr("struct(a.k, a.id) < struct(s.k, s.id)"))
+        df.alias("a")
+        .join(F.broadcast(sample.alias("s")), before_cond)
         .groupBy("s.id", "s.rank")
         .agg(F.count("*").alias("before"))
     )
