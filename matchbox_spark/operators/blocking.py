@@ -90,7 +90,10 @@ def sorted_neighborhood_pairs(
     not rank order, so downstream edge consumers see the Deduper pair
     convention). Every record pairs with the ``window − 1`` records that
     follow it in the sort — ``n·(w−1)`` candidates total, independent of
-    key skew.
+    key skew. Ids are expected unique (the Deduper contract); duplicate
+    ids never yield self-pairs (filtered), though a pair bridged by a
+    duplicate can then appear once per bridge — dedupe downstream if your
+    ids aren't keys.
     """
     if window < 2:
         # guard before it reaches sequence(): Spark's sequence(a, b) with
@@ -105,6 +108,9 @@ def sorted_neighborhood_pairs(
     )
     return (
         partners.join(ranked.withColumnRenamed("id", "_b"), "rank")
+        # duplicate input ids occupy adjacent ranks and would otherwise
+        # emit a left_id == right_id self-pair, breaking the edge contract
+        .where(F.col("_a") != F.col("_b"))
         .select(
             F.least("_a", "_b").alias("left_id"),
             F.greatest("_a", "_b").alias("right_id"),

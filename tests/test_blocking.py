@@ -195,3 +195,15 @@ class TestLayoutInvariance:
                 ).collect()
             }
             assert got == base
+
+
+class TestDuplicateIds:
+    def test_duplicate_ids_never_self_pair(self, spark):
+        # two physical rows with the same id land on adjacent ranks; the
+        # edge contract forbids left_id == right_id
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (2, "a"), (3, "b")], "id long, k string"
+        )
+        rows = sorted_neighborhood_pairs(df, "id", ["k"], window=2).collect()
+        assert all(r["left_id"] != r["right_id"] for r in rows)
+        assert {(r["left_id"], r["right_id"]) for r in rows} == {(1, 2), (2, 3)}
