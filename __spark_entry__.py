@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from matchbox_spark.functions.hashing import row_hash_expr  # noqa: E402
+from matchbox_spark.functions.numeric import ieee_round6  # noqa: E402
 from matchbox_spark.functions import text as TX  # noqa: E402
 from matchbox_spark.operators import dedup as DD  # noqa: E402
 from matchbox_spark.operators.dedupers import NaiveDeduper  # noqa: E402
@@ -4157,7 +4158,8 @@ def t7_pii(spark, sf):
         corp AS (SELECT DISTINCT doc_id AS doc, g FROM sh WHERE source <> 'src0'),
         bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0')
         SELECT doc, COUNT(*) AS n_shingles, COUNT(b.g) AS n_hit,
-               round(CAST(COUNT(b.g) AS DOUBLE) / COUNT(*), 6) AS contamination
+               FLOOR((CAST(COUNT(b.g) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5)
+                 / 1000000 AS contamination
         FROM corp LEFT JOIN bench b USING (g)
         GROUP BY doc""",
 )
@@ -4540,8 +4542,8 @@ def g5_triangles(spark, sf):
 @_q(
     "v4_label_centroids",
     """SELECT label, i - 1 AS dim,
-              ROUND(CAST(SUM(CAST(ROUND(embedding[i], 6) AS DECIMAL(18,6))) AS DOUBLE)
-                    / COUNT(*), 6) AS centroid,
+              FLOOR((CAST(SUM(CAST(ROUND(embedding[i], 6) AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*)) * 1000000 + 0.5) / 1000000 AS centroid,
               COUNT(*) AS n
        FROM embeddings
        CROSS JOIN LATERAL (
@@ -4560,8 +4562,10 @@ def v4_centroids(spark, sf):
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
         .agg(
-            F.round(
-                F.sum(_dec6(F.col("v"))).cast("double") / F.count("*"), 6
+            # ieee_round6: the mean is off the 6-dp grid; engine ROUNDs
+            # disagree within an ulp of a boundary (hit at sf0.1)
+            ieee_round6(
+                F.sum(_dec6(F.col("v"))).cast("double") / F.count("*")
             ).alias("centroid"),
             F.count("*").alias("n"),
         )
@@ -5040,8 +5044,9 @@ def o10_token_budget_mix(spark, sf):
         freqs AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
         tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM freqs)
         SELECT doc, COUNT(*) AS n_tokens,
-               ROUND(CAST(SUM(CAST(ROUND(ln(c / total), 6) AS DECIMAL(18,6)))
-                          AS DOUBLE) / COUNT(*), 6) AS mean_logprob
+               FLOOR((CAST(SUM(CAST(ROUND(ln(c / total), 6) AS DECIMAL(18,6)))
+                          AS DOUBLE) / COUNT(*)) * 1000000 + 0.5)
+                 / 1000000 AS mean_logprob
         FROM toks JOIN freqs USING (term) CROSS JOIN tot
         GROUP BY doc""",
 )
@@ -5065,12 +5070,12 @@ def t8_unigram_logprob(spark, sf):
         .groupBy("doc")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(
+            # ieee_round6: cross-engine-stable mean (functions/numeric.py)
+            ieee_round6(
                 F.sum(
                     _dec6(F.log(F.col("c") / F.col("total")))
                 ).cast("double")
-                / F.count("*"),
-                6,
+                / F.count("*")
             ).alias("mean_logprob"),
         )
     )
@@ -5115,8 +5120,9 @@ def t8_unigram_logprob(spark, sf):
           CROSS JOIN tot
         ), per_doc AS (
           SELECT tri.doc, COUNT(*) AS n_grams,
-                 ROUND(CAST(SUM(CAST(ROUND(ln(p.p), 6) AS DECIMAL(18,6)))
-                            AS DOUBLE) / COUNT(*), 6) AS mean_logprob
+                 FLOOR((CAST(SUM(CAST(ROUND(ln(p.p), 6) AS DECIMAL(18,6)))
+                            AS DOUBLE) / COUNT(*)) * 1000000 + 0.5)
+                   / 1000000 AS mean_logprob
           FROM tri JOIN ptab p USING (g0, g1, g2)
           GROUP BY tri.doc
         )
@@ -5950,8 +5956,8 @@ def ev9_gap_fill(spark, sf):
                COUNT(*) - COUNT(DISTINCT fp) AS n_exact_dups,
                COUNT(DISTINCT lang) AS n_langs,
                CAST(SUM(len(t)) AS BIGINT) AS n_tokens,
-               ROUND(CAST(SUM(len(t)) AS DOUBLE) / COUNT(*), 6)
-                   AS mean_tokens,
+               FLOOR((CAST(SUM(len(t)) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5)
+                   / 1000000 AS mean_tokens,
                COUNT(CASE WHEN len(list_filter(t, x -> list_contains(
                  ['dup', 'spam', 'slow'], x))) = 0 THEN 1 END) AS n_clean,
                MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
@@ -5980,7 +5986,7 @@ def c7_report(spark, sf):
         (F.count("*") - F.countDistinct("fp")).alias("n_exact_dups"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum("ntok").alias("n_tokens"),
-        F.round(F.sum("ntok") / F.count("*"), 6).alias("mean_tokens"),
+        ieee_round6(F.sum("ntok") / F.count("*")).alias("mean_tokens"),
         F.count(F.when(F.col("nb") == 0, 1)).alias("n_clean"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
@@ -6806,6 +6812,12 @@ _TOUCHED_R7 = {
     "e5_bloom_semijoin",           # distinct-key verdict join (id-trap fix)
     "e6_cms_frequency",            # distinct-key verdict join (id-trap fix)
     "st8_streaming_kmv",           # awaitTermination timeout now raises
+    # ieee_round6 class fix (engine ROUND(double,6) diverges near 6-dp
+    # boundaries — found by the first full sf0.1 sweep; functions/numeric.py)
+    "v4_label_centroids",
+    "t8_unigram_logprob",
+    "d7_contamination",
+    "c7_corpus_report",
 }
 
 

@@ -33,6 +33,7 @@ from matchbox_spark.functions.text import (
     tokens_expr,
     word_shingles_expr,
 )
+from matchbox_spark.functions.numeric import ieee_round6
 from matchbox_spark.functions.vectors import cosine_expr, sign_bucket_expr
 
 # Universal-hash MinHash: 30-bit prime modulus keeps every product within
@@ -192,7 +193,9 @@ def contamination_check(
         )
         .withColumn(
             "contamination",
-            F.round(F.col("n_hit") / F.col("n_shingles").cast("double"), 6),
+            # ieee_round6: the ratio is off the 6-dp grid; engine ROUNDs
+            # can disagree within an ulp of a boundary (functions/numeric)
+            ieee_round6(F.col("n_hit") / F.col("n_shingles").cast("double")),
         )
     )
 

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from matchbox_spark.functions.numeric import ieee_round6
 from matchbox_spark.functions.text import tokens_expr
 
 
@@ -145,8 +146,11 @@ def kn_doc_logprob(
         .groupBy("doc")
         .agg(
             F.count("*").alias("n_grams"),
-            F.round(
-                F.sum(term).cast("double") / F.count("*"), 6
+            # ieee_round6, not F.round: the mean is off the 6-dp grid, and
+            # engine ROUND implementations disagree within an ulp of a
+            # boundary (hit vs DuckDB at sf0.1) — see functions/numeric.py
+            ieee_round6(
+                F.sum(term).cast("double") / F.count("*")
             ).alias("mean_logprob"),
         )
     )
