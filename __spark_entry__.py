@@ -98,8 +98,21 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dec6(col):
-    """round→decimal(18,6): exact cross-engine aggregation of doubles."""
+    """round→decimal(18,6): exact cross-engine aggregation of doubles.
+
+    Fine when the input is already (near) a 6-dp grid point — monetary
+    columns, pre-rounded values — where the round is an identity guard.
+    For off-grid terms (ln(), ratios) use :func:`_idec6` instead: engine
+    ROUND(double, 6) implementations disagree within an ulp of a 6-dp
+    boundary (see functions/numeric.py)."""
     return F.round(col, 6).cast("decimal(18,6)")
+
+
+def _idec6(col):
+    """ieee_round6→decimal(18,6): like _dec6 but boundary-safe for terms
+    whose exact value is off the 6-dp grid; oracle-side twin is
+    CAST(FLOOR(x * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))."""
+    return ieee_round6(col).cast("decimal(18,6)")
 
 
 # ===========================================================================
@@ -5044,7 +5057,8 @@ def o10_token_budget_mix(spark, sf):
         freqs AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
         tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM freqs)
         SELECT doc, COUNT(*) AS n_tokens,
-               FLOOR((CAST(SUM(CAST(ROUND(ln(c / total), 6) AS DECIMAL(18,6)))
+               FLOOR((CAST(SUM(CAST(FLOOR(ln(c / total) * 1000000 + 0.5)
+                               / 1000000 AS DECIMAL(18,6)))
                           AS DOUBLE) / COUNT(*)) * 1000000 + 0.5)
                  / 1000000 AS mean_logprob
         FROM toks JOIN freqs USING (term) CROSS JOIN tot
@@ -5070,10 +5084,11 @@ def t8_unigram_logprob(spark, sf):
         .groupBy("doc")
         .agg(
             F.count("*").alias("n_tokens"),
-            # ieee_round6: cross-engine-stable mean (functions/numeric.py)
+            # _idec6 terms + ieee_round6 mean: ln() values are off the
+            # 6-dp grid, where engine ROUNDs diverge (functions/numeric.py)
             ieee_round6(
                 F.sum(
-                    _dec6(F.log(F.col("c") / F.col("total")))
+                    _idec6(F.log(F.col("c") / F.col("total")))
                 ).cast("double")
                 / F.count("*")
             ).alias("mean_logprob"),
@@ -5120,7 +5135,8 @@ def t8_unigram_logprob(spark, sf):
           CROSS JOIN tot
         ), per_doc AS (
           SELECT tri.doc, COUNT(*) AS n_grams,
-                 FLOOR((CAST(SUM(CAST(ROUND(ln(p.p), 6) AS DECIMAL(18,6)))
+                 FLOOR((CAST(SUM(CAST(FLOOR(ln(p.p) * 1000000 + 0.5)
+                                 / 1000000 AS DECIMAL(18,6)))
                             AS DOUBLE) / COUNT(*)) * 1000000 + 0.5)
                    / 1000000 AS mean_logprob
           FROM tri JOIN ptab p USING (g0, g1, g2)
@@ -6754,26 +6770,6 @@ _CHECKED_R5 = {
     "u6_insert_if_absent", "v5_kmeans_embed", "w1_first_order_per_customer",
 }
 
-# Queries whose underlying operators round 6 modified — their old green
-# rows no longer pin the current code, so they lead the sample:
-# - rrf_fuse explicit top_n ordering + native id types (b2)
-# - centroid-assignment dispatch (literal vs broadcast) + d11 oracle
-#   zero-norm guard (d11, v5)
-# - j6 rebuilt as an oracle-backed pre-trained-path query (was rows-only;
-#   EM path now pinned by the frozen trained fixture)
-# - m5 now rotates BMP/PPM/PNG containers (real zlib+Paeth decode); m6
-#   gained the PNG valid/truncated/bad-CRC trio
-# - j5: bit_or rule-mask aggregate replaced the collect_set fold
-# - st7: incremental_resolve_stream gained the serving_matcher hook
-#   (default None — behaviour unchanged, but the code path moved)
-_TOUCHED_R6 = {
-    "b2_hybrid_rrf", "d11_semdedup", "v5_kmeans_embed", "j6_splink_compat",
-    "m5_real_image_decode", "m6_malformed_media", "j5_weighted_link",
-    "st7_incremental_resolve",
-    # late-r6 code-path changes: t12 rides the _pos_pairs/_apply_merge
-    # refactor shared with the new bpe_encode
-    "t12_bpe_train",
-}
 
 # green (rows+schema+hash) in CORRECTNESS_r06.json — newest-certified tier
 _CHECKED_R6 = {

@@ -371,8 +371,9 @@ def encode_jpeg(
         bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1])
         for ci in range(3)
     )
+    # Td<<4 | Ta per component: luma uses DC/AC tables 0, chroma tables 1
     sos_comps = b"".join(
-        bytes([ci + 1, (0 << 4) | 0 if ci == 0 else 0x11]) for ci in range(3)
+        bytes([ci + 1, 0x00 if ci == 0 else 0x11]) for ci in range(3)
     )
     out = (
         b"\xff\xd8"  # SOI
@@ -649,6 +650,17 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     vmax = max(c["v"] for c in scan_comps)
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    # every coded block consumes >= 1 bit of entropy data (a DC Huffman
+    # code at minimum), so declared dimensions the payload cannot possibly
+    # cover are structural corruption — raise the contractual ValueError
+    # BEFORE the O(w·h) coefficient allocation (an adversarial ~300-byte
+    # stream whose SOF claims 65535×65535 would otherwise demand ~34 GB
+    # and escape the loud-probe contract as a MemoryError)
+    total_blocks = (
+        mcus_x * mcus_y * sum(c["h"] * c["v"] for c in scan_comps)
+    )
+    if total_blocks > max(1, len(data)) * 8:
+        raise ValueError("JPEG dimensions exceed entropy data")
     reader = _BitReader(bytes(data))
     pred = {c["id"]: 0 for c in scan_comps}
     coef: dict[int, np.ndarray] = {

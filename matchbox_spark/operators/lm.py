@@ -140,7 +140,10 @@ def kn_doc_logprob(
     grams = _gram_stream(docs, order, id_col, text_col)
     ptab = kn_prob_table(grams, order, discount)
     names = [f"g{i}" for i in range(order)]
-    term = F.round(F.log(F.col("p")), 6).cast("decimal(18,6)")
+    # per-term ieee_round6, not F.round: ln(p) is off the 6-dp grid for
+    # every gram, so engine ROUND boundary divergence (functions/numeric)
+    # would flip a DECIMAL(18,6) term by 1e-6 and break the doc-sum pin
+    term = ieee_round6(F.log(F.col("p"))).cast("decimal(18,6)")
     scored = (
         grams.join(ptab, names)
         .groupBy("doc")

@@ -80,6 +80,7 @@ class Catalog:
         self.path = path
         # each table = union of delta frames (append-oriented state)
         self._parts: dict[str, list[DataFrame]] = {n: [] for n in _SCHEMAS}
+        self._empty_tables: dict[str, DataFrame] = {}
         self.steps: dict[str, dict] = {}
         self._max_id = 0
         self._last_assigned_n = 0
@@ -109,7 +110,14 @@ class Catalog:
     def _table(self, name: str) -> DataFrame:
         parts = self._parts[name]
         if not parts:
-            return self.spark.createDataFrame([], _SCHEMAS[name])
+            # memoised: a fresh createDataFrame per access would mint new
+            # attribute ids each time, so callers that touch the property
+            # twice (e.g. a join built from two accesses) fail analysis
+            if name not in self._empty_tables:
+                self._empty_tables[name] = self.spark.createDataFrame(
+                    [], _SCHEMAS[name]
+                )
+            return self._empty_tables[name]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -857,6 +865,21 @@ class Catalog:
         duplicates the anti-join ignores.
         """
         assignments = assignments.persist()
+        if assignments.isEmpty():
+            # quiet batch: nothing was recomputed, so there is nothing to
+            # append and nothing can have merged away (member sets only
+            # grow — a candidate root cannot retire without recomputed
+            # membership covering it). One cheap limit-1 job here replaces
+            # the full hierarchy insert + three eager checkpoints of empty
+            # frames and keeps the delta ledgers from growing an empty
+            # entry per idle micro-batch.
+            assignments.unpersist()
+            self.steps[step] = {
+                "type": "resolver",
+                "fingerprint": hash_to_base64(b"streaming"),
+                "streaming": True,
+            }
+            return
         batch_contains = self._hierarchy_insert(assignments)
         rc = batch_contains.select(
             F.lit(step).alias("step"), F.col("root").alias("cluster_id")

@@ -55,9 +55,13 @@ def _transpile(sql: str) -> str:
 def resolver_assignments(catalog: Catalog, resolver_step: str) -> DataFrame:
     """leaf_id → root_id map claimed by one resolver (the J7 subquery)."""
     rc = catalog.resolver_clusters.where(F.col("step") == resolver_step)
+    # bind the property ONCE: each access builds a new DataFrame, and a
+    # join condition mixing attribute instances from two accesses fails
+    # analysis (MISSING_ATTRIBUTES) when the table is empty
+    contains = catalog.contains
     return (
-        catalog.contains.join(
-            rc, catalog.contains["root"] == rc["cluster_id"], "inner"
+        contains.join(
+            rc, contains["root"] == rc["cluster_id"], "inner"
         )
         .select(F.col("leaf").alias("leaf_id"), F.col("root").alias("root_id"))
         .dropDuplicates()

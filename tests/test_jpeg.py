@@ -252,6 +252,20 @@ class TestDecoderHardening:
         with pytest.raises(ValueError, match="SOF component list"):
             decode_jpeg_pixels(bytes(p))
 
+    def test_adversarial_sof_dimensions_raise_before_allocation(self):
+        # a ~300-byte stream whose SOF claims 65535x65535 must raise the
+        # contractual ValueError, not MemoryError out of an O(w*h)
+        # coefficient allocation (the mapInPandas task would die and the
+        # corrupt-object-yields-nulls scan contract would be violated)
+        import struct as st
+
+        img = np.full((8, 8, 3), 50, dtype=np.uint8)
+        p = bytearray(encode_jpeg(img, quality=90))
+        i = p.find(b"\xff\xc0")
+        st.pack_into(">HH", p, i + 5, 65535, 65535)  # height, width
+        with pytest.raises(ValueError, match="exceed entropy data"):
+            decode_jpeg_pixels(bytes(p))
+
     def test_fill_bytes_before_markers_accepted(self):
         img = np.full((8, 8, 3), (40, 90, 160), dtype=np.uint8)
         p = encode_jpeg(img, quality=100, subsampling="4:4:4")

@@ -330,3 +330,22 @@ def test_resolve_cadence_with_finalize(spark, tmp_path):
         source_location=str(tmp_path / "data_cadence"),
     )
     assert _clusters(cat) == expected
+
+
+def test_quiet_delta_batch_is_a_noop(spark):
+    """An empty assignments delta (a micro-batch that recomputed nothing)
+    must append NOTHING — no empty claim/contains parts, no tombstone
+    entries — while still registering the step; and an empty catalog's
+    table views must be stable across accesses (a join built from two
+    property reads of an empty table must analyse)."""
+    cat = Catalog(spark)
+    empty = spark.createDataFrame([], "parent_hash binary, leaf long")
+    parts_before = {k: len(v) for k, v in cat._parts.items()}
+    cat.merge_resolver_clusters_delta("s_resolve", empty)
+    assert {k: len(v) for k, v in cat._parts.items()} == parts_before
+    assert cat._rc_tombstones == []
+    assert cat.steps["s_resolve"]["streaming"] is True
+    # double property access on empty tables joins cleanly (attr-id pin)
+    from matchbox_spark.plans.query import resolver_assignments
+
+    assert resolver_assignments(cat, "s_resolve").count() == 0
