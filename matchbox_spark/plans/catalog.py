@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Iterable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -183,18 +184,53 @@ class Catalog:
     }
 
     def save(self) -> None:
-        """S10: persist all state tables + step metadata under ``path``."""
+        """S10: persist all state tables + step metadata under ``path``.
+
+        Write-to-temp-then-swap: a catalog opened via ``_load`` holds each
+        table as a LAZY scan of ``path/<table>``, so a direct
+        ``mode("overwrite")`` to the same directory either fails analysis
+        ("cannot overwrite a path that is also being read from") or — when
+        a later ``_ckpt`` wrapper hides the file source from that check —
+        deletes the files out from under the still-unmaterialised plan.
+        Writing each table beside its target and swapping directories
+        afterwards makes load → mutate → save safe; parts are then
+        re-pointed at fresh scans (the pre-swap DataFrames hold a file
+        index of names that no longer exist)."""
         if not self.path:
             raise ValueError("catalog has no path")
         os.makedirs(self.path, exist_ok=True)
+        swaps: list[tuple[str, str]] = []
         for name in self._table_names():
+            target = os.path.join(self.path, name)
+            tmp = target + ".saving"
+            shutil.rmtree(tmp, ignore_errors=True)
             writer = getattr(self, name).write.mode("overwrite")
             parts = self._PARTITIONING.get(name)
             if parts:
                 writer = writer.partitionBy(*parts)
-            writer.parquet(os.path.join(self.path, name))
+            writer.parquet(tmp)
+            swaps.append((tmp, target))
+        # every table written successfully — now swap all of them so a
+        # mid-save failure never leaves a half-new snapshot behind
+        for tmp, target in swaps:
+            old = target + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(target):
+                os.rename(target, old)
+            os.rename(tmp, target)
+            shutil.rmtree(old, ignore_errors=True)
         with open(os.path.join(self.path, "steps.json"), "w") as f:
             json.dump(self.steps, f, indent=2, sort_keys=True)
+        for name in self._table_names():
+            target = os.path.join(self.path, name)
+            self.spark.catalog.refreshByPath(target)
+            self._parts[name] = [
+                self.spark.read.schema(_SCHEMAS[name]).parquet(target)
+            ]
+        # the written resolver_clusters view was tombstone-applied, so the
+        # re-pointed scan is already folded — drop the (now no-op) overlay
+        self._rc_tombstones = []
+        self._loaded_from_disk = True
 
     # join-key bucketing for warehouse persistence: the hierarchy joins
     # (resolver_clusters → contains → cluster_keys/clusters) all key on
@@ -217,7 +253,12 @@ class Catalog:
         Step metadata lands in ``database.steps_meta``."""
         loc = f" LOCATION '{location}'" if location else ""
         self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
+        # write-to-temp-then-rename, same reason as save(): a catalog
+        # opened by load_tables reads these very tables lazily, and an
+        # in-place overwrite of a table being read fails (or races)
         for name in self._table_names():
+            staging = f"{database}.{name}__saving"
+            self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
             writer = (
                 getattr(self, name)
                 .write.mode("overwrite")
@@ -226,13 +267,24 @@ class Catalog:
             bucket_col = self._BUCKETING.get(name)
             if bucket_col:
                 writer = writer.bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
-            writer.saveAsTable(f"{database}.{name}")
+            writer.saveAsTable(staging)
+            self.spark.sql(f"DROP TABLE IF EXISTS {database}.{name}")
+            self.spark.sql(
+                f"ALTER TABLE {staging} RENAME TO {database}.{name}"
+            )
         meta = [(s, json.dumps(m, sort_keys=True)) for s, m in self.steps.items()]
         self.spark.createDataFrame(
             meta or [("", "")], "step string, meta string"
         ).where(F.col("step") != "").write.mode("overwrite").saveAsTable(
             f"{database}.steps_meta"
         )
+        # re-point parts at the freshly written tables (the pre-rename
+        # DataFrames hold dropped-table relations when self was opened by
+        # load_tables on this database); written view was tombstone-folded
+        for name in self._table_names():
+            self._parts[name] = [self.spark.table(f"{database}.{name}")]
+        self._rc_tombstones = []
+        self._loaded_from_disk = True
 
     @classmethod
     def load_tables(cls, spark: SparkSession, database: str) -> "Catalog":
@@ -394,7 +446,11 @@ class Catalog:
         )
 
     def drop_step(self, step: str) -> None:
-        """Remove a step's metadata (data rows are retained; content-addressed)."""
+        """Remove a step: its metadata plus its ``model_edges`` and
+        ``resolver_clusters`` rows. The content-addressed tables
+        (``clusters``/``contains``/``cluster_keys``) are retained — other
+        steps may share them, and re-running the step re-claims them
+        without re-insert."""
         self.steps.pop(step, None)
         self._commit(
             "model_edges", self.model_edges.where(F.col("step") != step)

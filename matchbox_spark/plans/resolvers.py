@@ -26,9 +26,10 @@ from collections import defaultdict
 from dataclasses import dataclass, field
 from typing import Hashable, Iterable, Mapping, TypeVar
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from matchbox_spark.functions.indexing import dense_index
 from matchbox_spark.schemas import SCHEMA_CLUSTERS, conform
 
 logger = logging.getLogger(__name__)
@@ -89,10 +90,18 @@ def _materialize(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True)
     except Exception:  # noqa: BLE001
         # parquet round-trip: a different execution path (file write) that
-        # sidesteps the broken checkpoint planning and fully cuts lineage
+        # sidesteps the broken checkpoint planning and fully cuts lineage.
+        # Dirs must outlive the returned DataFrame (it lazily re-reads
+        # them), so they are reaped at process exit rather than per call —
+        # a long-running job that trips the AQE bug repeatedly would
+        # otherwise fill the disk with orphaned mbspark_mat_* copies.
+        import atexit
+        import shutil
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="mbspark_mat_") + "/df.parquet"
+        tmp = tempfile.mkdtemp(prefix="mbspark_mat_")
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+        path = tmp + "/df.parquet"
         df.write.parquet(path)
         return df.sparkSession.read.parquet(path)
 
@@ -323,6 +332,11 @@ class ComponentsSettings:
     driver_edge_limit: int | None = None
 
     def validate_inputs(self, model_names: Iterable[str]) -> None:
+        if self.method not in ("auto", "driver", "distributed"):
+            raise ValueError(
+                f"unknown Components method {self.method!r}: expected "
+                "'auto', 'driver', or 'distributed'"
+            )
         invalid = set(self.thresholds) - set(model_names)
         if invalid:
             raise RuntimeError(f"Unknown models in thresholds: {invalid}")
@@ -440,23 +454,14 @@ class Components(ResolverMethod):
             .agg(F.count("*").alias("n"))
             .collect()
         }
-        offsets, acc = {}, 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        off_df = spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
-            "_pid int, _off long",
+        # shared zip-with-index recipe (offsets fold + broadcast offsets +
+        # per-partition row_number) — same helper the catalog id
+        # assignment and merge_clusterings use
+        indexed, _ = dense_index(
+            distinct_comps, "_pid", "component", counts, id_name="parent_id"
         )
-        wp = Window.partitionBy("_pid").orderBy("component")
-        comp_ids = (
-            distinct_comps.join(F.broadcast(off_df), "_pid")
-            .select(
-                "component",
-                (F.row_number().over(wp) + F.col("_off")).cast("long").alias(
-                    "parent_id"
-                ),
-            )
+        comp_ids = indexed.select(
+            "component", F.col("parent_id").cast("long").alias("parent_id")
         )
         assignments = labels.join(comp_ids, "component").select(
             "parent_id", F.col("id").alias("child_id")

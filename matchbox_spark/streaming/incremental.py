@@ -50,8 +50,17 @@ def _guard_checkpoint_state(catalog: Catalog, step: str, batch_id: int) -> None:
     holds no state for ``step`` while the checkpoint says batches already
     ran, every pre-restart row would silently vanish from the resolved
     output. Fail fast instead.
+
+    Callers invoke this only when the current RUN did not witness batch 0
+    (i.e. the checkpoint genuinely resumed) — a run that starts at batch 0
+    can accumulate any number of empty leading micro-batches (Kafka
+    ``startingOffsets=latest``, an availableNow start before files exist)
+    without tripping the guard. One case stays indistinguishable and still
+    raises: a RESTART whose pre-restart batches were all empty — the
+    checkpoint alone cannot prove no data ran, so use a fresh
+    checkpoint_dir there.
     """
-    if batch_id > 0 and step not in catalog.steps:
+    if step not in catalog.steps:
         raise RuntimeError(
             f"streaming checkpoint resumes at batch {batch_id} but the "
             f"catalog has no state for step {step!r}: earlier micro-batches "
@@ -97,10 +106,15 @@ def incremental_index_stream(
     Per-batch state cost is O(batch); accumulated state is never rewritten.
     """
 
+    run = {"from_start": False}  # did THIS run witness batch 0?
+
     def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch_id == 0:
+            run["from_start"] = True
         if batch.isEmpty():
             return
-        _guard_checkpoint_state(catalog, step, batch_id)
+        if not run["from_start"]:
+            _guard_checkpoint_state(catalog, step, batch_id)
         _index_batch(catalog, step, batch, key_field, index_fields)
 
     writer = stream.writeStream.foreachBatch(_process).option(
@@ -323,10 +337,15 @@ def incremental_resolve_stream(
     if resolve_cadence < 1:
         raise ValueError("resolve_cadence must be >= 1")
 
+    run = {"from_start": False}  # did THIS run witness batch 0?
+
     def _process(batch: DataFrame, batch_id: int) -> None:
+        if batch_id == 0:
+            run["from_start"] = True
         if batch.isEmpty():
             return
-        _guard_checkpoint_state(catalog, source_step, batch_id)
+        if not run["from_start"]:
+            _guard_checkpoint_state(catalog, source_step, batch_id)
         _index_batch(catalog, source_step, batch, key_field, index_fields)
 
         if (
@@ -369,6 +388,11 @@ def incremental_resolve_stream(
                 data = data.unionByName(part)
             if len(touched_parts) > 1:
                 data = data.dropDuplicates()
+            # materialise the superset ONCE: both the model and the
+            # batch_leaves set below consume it, and without the pin each
+            # would re-run the query_data join + per-field semi-joins over
+            # the accumulated index (the dominant per-batch scan)
+            data = data.localCheckpoint(eager=True)
             new_edges = model.dedupe(data).localCheckpoint(eager=True)
             catalog.insert_model_edges_delta(model_step, new_edges)
             # only components holding a leaf the model could touch this

@@ -155,6 +155,38 @@ def test_catalog_save_load_roundtrip(spark, crn_parquet, tmp_path):
     assert reloaded.steps.keys() == dag.catalog.steps.keys()
 
 
+def test_catalog_load_mutate_save_cycle(spark, crn_parquet, tmp_path):
+    """Reopen a persisted catalog, mutate it, and save AGAIN to the same
+    path: the loaded tables are lazy scans of that very path, so a naive
+    in-place overwrite either fails analysis ('cannot overwrite a path
+    that is also being read from') or destroys the files mid-read. save()
+    must write-to-temp-then-swap and leave the new snapshot readable."""
+    dag = _build_dag(spark, crn_parquet)
+    dag.run()
+    path = str(tmp_path / "catalog")
+    dag.catalog.path = path
+    dag.catalog.save()
+
+    cat = Catalog(spark, path)
+    before = cat.counts()
+    edges = spark.createDataFrame(
+        [(1, 2, 0.5)], "left_id long, right_id long, score float"
+    )
+    cat.insert_model_edges("late_model", edges)
+    cat.save()  # was: AnalysisException / data loss
+    # post-save reads (re-pointed parts) and a fresh reopen both see the
+    # mutated snapshot
+    assert cat.model_edges.where("step = 'late_model'").count() == 1
+    reopened = Catalog(spark, path)
+    after = reopened.counts()
+    assert after["model_edges"] == before["model_edges"] + 1
+    assert "late_model" in reopened.steps
+    # second cycle (exercises the .old swap path on every table)
+    reopened.drop_step("late_model")
+    reopened.save()
+    assert Catalog(spark, path).counts()["model_edges"] == before["model_edges"]
+
+
 def test_toposort_orders_and_detects_cycles():
     assert toposort({"a": [], "b": ["a"], "c": ["a", "b"]}) == ["a", "b", "c"]
     with pytest.raises(CycleError):

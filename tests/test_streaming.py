@@ -455,6 +455,39 @@ def test_checkpoint_resume_against_fresh_catalog_raises(spark, tmp_path):
         q.awaitTermination(120)
 
 
+def test_empty_leading_batches_do_not_trip_checkpoint_guard(spark, tmp_path):
+    """A run that witnesses batch 0 may accumulate any number of EMPTY
+    leading micro-batches (Kafka startingOffsets=latest, availableNow
+    before files exist) — the first non-empty batch then has batch_id > 0
+    with a step-less catalog, which must NOT be mistaken for a resumed
+    checkpoint with lost state."""
+    from matchbox_spark.plans.catalog import Catalog
+    from matchbox_spark.streaming import incremental_index_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "key string, name string"
+    # batch 0 exists but is EMPTY (a zero-row parquet file)
+    spark.createDataFrame([], schema).write.parquet(str(src / "b0"))
+    spark.createDataFrame([("k1", "x")], schema).write.parquet(str(src / "b1"))
+    spark.createDataFrame([("k2", "y")], schema).write.parquet(str(src / "b2"))
+
+    cat = Catalog(spark)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = incremental_index_stream(
+        stream, cat, "s", key_field="key", index_fields=["name"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(240)
+    assert q.exception() is None
+    assert cat.cluster_keys.where("source = 's'").count() == 2
+
+
 def test_matcher_refresh_patches_merged_clusters(spark):
     """Matcher.refresh applies a delta: clusters owning a touched key are
     re-read from the plan; everything else stays cached. A merge that
