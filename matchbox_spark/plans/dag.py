@@ -197,12 +197,14 @@ class DAG:
             raise ValueError("Default resolver is ambiguous")
         return resolvers[0]
 
-    def upstream_sources(self, resolver: str) -> list[SourceConfig]:
+    def upstream_sources(
+        self, resolver: str, _closure: list | None = None
+    ) -> list[SourceConfig]:
         """Source configs reachable below a resolver, in declaration
         order — the source set ``get_matches`` serves by default."""
         if not isinstance(self.steps.get(resolver), ResolverStep):
             raise ValueError(f"unknown resolver step {resolver!r}")
-        closure = transitive_closure(self.graph())
+        closure = _closure or transitive_closure(self.graph())
         below = {anc for anc, node, _ in closure if node == resolver}
         return [
             step.config
@@ -225,7 +227,9 @@ class DAG:
         from matchbox_spark.plans.query import ResolverMatches
 
         name = resolver if resolver is not None else self.default_resolver
-        sources = self.upstream_sources(name)
+        # one closure computation serves both lineage derivations
+        closure = transitive_closure(self.graph())
+        sources = self.upstream_sources(name, _closure=closure)
         if source_filter is not None:
             sources = [s for s in sources if s.name in source_filter]
         if location_filter is not None:
@@ -235,19 +239,21 @@ class DAG:
         return ResolverMatches(
             self.spark,
             self.catalog,
-            self.resolver_lineage(name),
+            self.resolver_lineage(name, _closure=closure),
             sources,
             materialized=materialized,
         )
 
-    def resolver_lineage(self, resolver: str) -> list[str]:
+    def resolver_lineage(
+        self, resolver: str, _closure: list | None = None
+    ) -> list[str]:
         """Resolvers at/below ``resolver`` ordered by closure level then name.
 
         Self sits at level 0 → highest priority in the J7 coalesce.
         """
         if not isinstance(self.steps.get(resolver), ResolverStep):
             raise ValueError(f"unknown resolver step {resolver!r}")
-        closure = transitive_closure(self.graph())
+        closure = _closure or transitive_closure(self.graph())
         levels = {
             anc: lvl
             for anc, node, lvl in closure
@@ -293,7 +299,9 @@ class DAG:
         self.last_run_status: dict[str, str] = {}
         for name in self.sequence():
             step = self.steps[name]
-            self.last_run_status[name] = "done"
+            # "doing" until the step completes: a step that raises must not
+            # be reported as done by a later draw()
+            self.last_run_status[name] = "doing"
             if isinstance(step, SourceStep):
                 logger.info("source step %s", name)
                 index = step.config.index(self.spark)
@@ -346,18 +354,27 @@ class DAG:
                 self.catalog.insert_model_edges(name, edges, fingerprint=fp)
             elif isinstance(step, ResolverStep):
                 logger.info("resolver step %s", name)
+                # the model/resolver PARTITION of the deps is part of the
+                # config: moving a dep between model_inputs and
+                # resolver_inputs changes which edges compute_clusters sees
+                # even when the flattened dep set (hashed via deps) is equal
                 fp = self._derived_fingerprint(
                     name,
-                    f"{type(step.method).__name__}:{step.method.settings!r}",
+                    f"{type(step.method).__name__}:{step.method.settings!r}"
+                    f"|M:{sorted(step.model_inputs)!r}"
+                    f"|R:{sorted(step.resolver_inputs)!r}",
                 )
                 if self.catalog.steps.get(name, {}).get("fingerprint") is not None:
                     if self.catalog._fingerprint_gate(name, fp):
                         self.last_run_status[name] = "skipped"
                         continue
+                # F.col comparison, never an interpolated SQL string: a
+                # step name containing a quote would break (or widen) the
+                # filter
                 model_edges = {
-                    m: self.catalog.model_edges.where(f"step = '{m}'").select(
-                        "left_id", "right_id", "score"
-                    )
+                    m: self.catalog.model_edges.where(
+                        F.col("step") == m
+                    ).select("left_id", "right_id", "score")
                     for m in step.model_inputs
                 }
                 assignments = step.method.compute_clusters(model_edges)
@@ -366,6 +383,7 @@ class DAG:
                 )
             else:  # pragma: no cover
                 raise TypeError(f"unknown step type {type(step)}")
+            self.last_run_status[name] = "done"
         return self.catalog
 
     # -- rendering (reference dags.py:384-470) ----------------------------------

@@ -127,6 +127,8 @@ class QueryConfig:
     def __post_init__(self):
         if self.combine_type not in ("concat", "set_agg", "explode"):
             raise ValueError(f"unknown combine_type {self.combine_type!r}")
+        if not self.sources:
+            raise ValueError("QueryConfig requires at least one source")
 
 
 def query_data(
@@ -264,19 +266,21 @@ class ResolverMatches:
         ``{source}_{field}`` unless ``merge_fields`` (keys stay qualified
         either way), and sources concat diagonally with key columns
         first. Raises ``KeyError`` when the cluster has no rows."""
+        # ONE execution of the (possibly lazy) dump plan for all sources —
+        # collecting per source would re-run the full hierarchy projection
+        # once per source when not materialized
+        keys_by_source: dict[str, list] = {}
+        for r in (
+            self._dump.where(F.col("id") == int(cluster_id))
+            .select("source", "key")
+            .distinct()
+            .collect()
+        ):
+            keys_by_source.setdefault(r["source"], []).append(r["key"])
         parts: list[DataFrame] = []
         key_cols: list[str] = []
         for src in self.sources:
-            keys = [
-                r["key"]
-                for r in self._dump.where(
-                    (F.col("id") == int(cluster_id))
-                    & (F.col("source") == src.name)
-                )
-                .select("key")
-                .distinct()
-                .collect()
-            ]
+            keys = keys_by_source.get(src.name, [])
             if not keys:
                 continue
             key_cols.append(src.qualified_key)

@@ -58,10 +58,12 @@ def validate_extract_transform(sql: str) -> None:
     statement, query-only, no DDL/DML. Falls back to a conservative regex scan
     when sqlglot is unavailable.
     """
-    stripped = sql.strip().rstrip(";")
-    if ";" in stripped:
-        raise ExtractTransformError("extract_transform must be a single statement")
+    # strip only a TRUE trailing semicolon (rstrip(";") would corrupt a
+    # statement ending in a literal like SELECT ';')
+    stripped = re.sub(r"[;\s]+$", "", sql.strip())
     if HAS_SQLGLOT:
+        # single-statement detection by parsed-expression count — a ';'
+        # inside a string literal (split(value, ';')) is legitimate
         try:
             parsed = sqlglot.parse(stripped)
         except Exception as e:  # noqa: BLE001
@@ -71,6 +73,14 @@ def validate_extract_transform(sql: str) -> None:
                 "extract_transform must be a single SELECT/UNION statement"
             )
     else:
+        # conservative fallback: scan for ';' with string literals removed
+        # ('' and "" doubled-quote escapes included), so only a real
+        # statement separator trips the gate
+        literal_free = re.sub(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"", "", stripped)
+        if ";" in literal_free:
+            raise ExtractTransformError(
+                "extract_transform must be a single statement"
+            )
         if not re.match(r"(?is)^\s*(select|with)\b", stripped):
             raise ExtractTransformError("extract_transform must start with SELECT/WITH")
         if _FORBIDDEN_ET.search(stripped):
@@ -123,7 +133,7 @@ def _read_jdbc(spark: SparkSession, location: str, options: dict) -> DataFrame:
 
 @register_location_reader("table")
 def _read_table(spark: SparkSession, location: str, options: dict) -> DataFrame:
-    return spark.read.table(location)
+    return spark.read.options(**options).table(location)
 
 
 @register_location_reader("text")
@@ -261,10 +271,17 @@ class SourceConfig:
         df = self.read(spark)
         if not deep:
             return df.schema
+        # the string→int/float/date parsing ladder applies only to formats
+        # whose strings are untyped cells (csv/text); parquet/orc/jdbc/table
+        # string columns are authoritative — re-typing a postcode "12345"
+        # as Long would record false drift in the stored config
+        untyped_strings = self.format in ("csv", "text")
         fields = []
         for f0 in df.schema.fields:
             dtype = f0.dataType
-            if isinstance(dtype, (T.NullType, T.StringType)):
+            if isinstance(dtype, T.NullType) or (
+                untyped_strings and isinstance(dtype, T.StringType)
+            ):
                 row = (
                     df.where(F.col(f0.name).isNotNull())
                     .select(f0.name)
@@ -293,10 +310,16 @@ class SourceConfig:
 
         schema = self.probe_schema(spark, deep=deep)
         by_name = {f.name: f.dataType for f in schema.fields}
+        missing = [c for c in self.index_fields if c not in by_name]
+        if missing:
+            # a silently-omitted field would make the strongest drift
+            # signal — a dropped/renamed warehouse column — undetectable
+            raise ValueError(
+                f"index fields absent from {self.location!r}: {missing}"
+            )
         return {
             c: DataTypes.from_spark(by_name[c]).value
             for c in self.index_fields
-            if c in by_name
         }
 
     def to_dict(self, spark: SparkSession | None = None) -> dict:
