@@ -6814,6 +6814,13 @@ _TOUCHED_R7 = {
     "t8_unigram_logprob",
     "d7_contamination",
     "c7_corpus_report",
+    # late-r7 self-review hardening: operator code paths changed (results
+    # verified identical locally, but the driver should recertify)
+    "e3_kmv_distinct",        # kmv_distinct now composes kmv_estimate
+    "e4_histogram_quantiles",  # out-of-range bin clamp before the int cast
+    "ev5_asof_join",          # deterministic tie-break + NTZ wall-clock epoch
+    "ev7_nearest_asof",       # same asof window changes
+    "h1_row_hash",            # normalize_value null-branch reference parity
 }
 
 

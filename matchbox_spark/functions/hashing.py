@@ -107,11 +107,22 @@ def normalize_value(col: Column, dtype: T.DataType) -> Column:
     else CAST to string. Nulls become "\\x00".
     """
     if isinstance(dtype, T.BinaryType):
-        out = F.lower(F.hex(col))
+        # the reference fills the null BEFORE hex-encoding (hash.py:94
+        # fill_null("\x00").bin.encode("hex")): a NULL binary hashes as
+        # "00" (hex of the one-byte sentinel), not the raw sentinel
+        out = F.coalesce(F.lower(F.hex(col)), F.lit("00"))
     elif isinstance(dtype, T.StructType):
-        out = F.to_json(col)
+        # keep null-valued fields: Spark's to_json default drops them,
+        # polars json_encode (hash.py:99) emits {"a":null,...}
+        out = F.to_json(col, {"ignoreNullFields": "false"})
     elif isinstance(dtype, T.ArrayType):
-        out = F.array_join(col.cast(T.ArrayType(T.StringType())), ",")
+        # a null ELEMENT nulls the whole join in the reference (polars
+        # list.join, hash.py:105) and falls to the sentinel; Spark's
+        # array_join would silently DROP it, colliding ["a", null] with
+        # ["a"]
+        out = F.when(
+            F.exists(col, lambda x: x.isNull()), F.lit(None).cast("string")
+        ).otherwise(F.array_join(col.cast(T.ArrayType(T.StringType())), ","))
     else:
         out = col.cast(T.StringType())
     return F.coalesce(out, F.lit(NULL_SENTINEL))
@@ -219,6 +230,13 @@ def hash_table(
         return EMPTY_TABLE_HASH
 
     if as_sorted_list:
+        # Known collision class, kept deliberately for reference parity
+        # (hash_arrow_table explodes the same way): sorting the id pair
+        # into one array then exploding decouples the pair from itself, so
+        # distinct edge SETS with equal row multisets — e.g.
+        # {(1,2),(3,4)} vs {(1,3),(2,4)} at equal scores — fold to the
+        # same digest. H3 is an idempotence gate, not a security boundary;
+        # a swap that precise also leaves the reference's own hash equal.
         if len(as_sorted_list) < 2:
             raise ValueError(
                 "Lists passed to as_sorted_list must contain at least 2 column names"

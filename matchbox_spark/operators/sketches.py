@@ -99,19 +99,9 @@ def kmv_distinct(
     smallest uniform. ``est_distinct`` rounds to 6 dp (pure double
     arithmetic on identical inputs — oracle-exact).
     """
-    sketch = kmv_sketch(df, group_cols, value_col, k)
-    agg = sketch.groupBy(*group_cols).agg(
-        F.count("*").alias("n_sketch"),
-        F.max("u").alias("_uk"),
-    )
-    est = F.when(
-        F.col("n_sketch") < k, F.col("n_sketch").cast("double")
-    ).otherwise(F.lit(float(k - 1)) / F.col("_uk"))
-    return agg.select(
-        *group_cols,
-        "n_sketch",
-        F.round(est, 6).alias("est_distinct"),
-    )
+    # sketch → estimate composition; the estimator lives ONCE in
+    # kmv_estimate so the two paths can never drift
+    return kmv_estimate(kmv_sketch(df, group_cols, value_col, k), group_cols, k)
 
 
 def kmv_merge(
@@ -195,25 +185,24 @@ def kmv_jaccard(
 # ---------------------------------------------------------------------------
 
 
-def _bloom_positions(key: F.Column, m_bits: int, k_hashes: int) -> F.Column:
-    """k md5-derived bit positions for a (string) key: hash i is the first
-    13 hex chars of ``md5(i || ':' || key)`` mod m — independent per i,
-    identical in any engine sharing md5."""
-    return F.array(
-        *[
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 13
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % F.lit(int(m_bits))
-            )
-            for i in range(k_hashes)
-        ]
+def _md5_position(key: F.Column, i: int, modulo: int) -> F.Column:
+    """Hash ``i`` of a (string) key: first 13 hex chars of
+    ``md5(i || ':' || key)`` mod ``modulo`` — independent per i, identical
+    in any engine sharing md5. The ONE position recipe Bloom build/probe
+    and CMS build/probe all share: a drift between a builder's and a
+    prober's hash would silently return wrong verdicts."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), key)), 1, 13), 16, 10
+        ).cast("long")
+        % F.lit(int(modulo))
     )
+
+
+def _bloom_positions(key: F.Column, m_bits: int, k_hashes: int) -> F.Column:
+    """k md5-derived bit positions for a (string) key (see
+    :func:`_md5_position`)."""
+    return F.array(*[_md5_position(key, i, m_bits) for i in range(k_hashes)])
 
 
 def bloom_build(
@@ -373,20 +362,7 @@ def cms_build(
                 *[
                     F.struct(
                         F.lit(r).alias("row"),
-                        (
-                            F.conv(
-                                F.substring(
-                                    F.md5(F.concat(F.lit(f"{r}:"), key)),
-                                    1,
-                                    13,
-                                ),
-                                16,
-                                10,
-                            ).cast("long")
-                            % F.lit(int(width))
-                        )
-                        .cast("int")
-                        .alias("col"),
+                        _md5_position(key, r, width).cast("int").alias("col"),
                     )
                     for r in range(depth)
                 ]
@@ -438,22 +414,7 @@ def cms_estimate(
                 *[
                     F.struct(
                         F.lit(r).alias("row"),
-                        (
-                            F.conv(
-                                F.substring(
-                                    F.md5(
-                                        F.concat(
-                                            F.lit(f"{r}:"), F.col("_ckey")
-                                        )
-                                    ),
-                                    1,
-                                    13,
-                                ),
-                                16,
-                                10,
-                            ).cast("long")
-                            % F.lit(int(width))
-                        )
+                        _md5_position(F.col("_ckey"), r, width)
                         .cast("int")
                         .alias("col"),
                     )
@@ -505,7 +466,15 @@ def histogram_sketch(
         raise ValueError("hi must be > lo")
     groups = list(group_cols or [])
     v = F.col(value_col).cast("double")
-    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(n_bins)))
+    # clamp in DOUBLE space BEFORE floor/cast: a far-out-of-range value
+    # (or ±Infinity) would otherwise overflow the long→int cast — wrapping
+    # into an arbitrary interior bin (non-ANSI) or failing the job (ANSI) —
+    # instead of clamping to the edge bin as documented. In-range values
+    # are untouched (least/greatest are identities for scaled ∈ [0, n)).
+    scaled = (v - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(n_bins))
+    raw = F.floor(
+        F.least(F.lit(float(n_bins)), F.greatest(F.lit(-1.0), scaled))
+    )
     b = F.least(
         F.lit(n_bins - 1), F.greatest(F.lit(0), raw.cast("int"))
     ).alias("bin")

@@ -91,18 +91,22 @@ def asof_join(
     # strict: right rows at an equal timestamp sort AFTER left rows and are
     # therefore not yet visible; non-strict: right rows sort first.
     order_side = F.col("_side") if not strict else -F.col("_side")
+    # content-derived final tie-break: multiple right rows sharing
+    # (key, ts) would otherwise leave the window order partial and the
+    # carried row shuffle-dependent — nondeterministic output across runs
+    order_tie = F.xxhash64("_rrow")
     if direction == "nearest":
         # pandas merge_asof(direction='nearest'): closer of the backward and
         # forward matches, ties to backward. Both carries share ONE shuffle
         # on the key — same partitioning, two sort orders within it.
         wb = (
             Window.partitionBy("_k")
-            .orderBy(F.col("_ts").asc(), order_side)
+            .orderBy(F.col("_ts").asc(), order_side, order_tie)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         wf = (
             Window.partitionBy("_k")
-            .orderBy(F.col("_ts").desc(), order_side)
+            .orderBy(F.col("_ts").desc(), order_side, order_tie)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = l_tag.unionByName(r_tag).select(
@@ -133,7 +137,7 @@ def asof_join(
     )
     w = (
         Window.partitionBy("_k")
-        .orderBy(ts_order, order_side)
+        .orderBy(ts_order, order_side, order_tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tag.unionByName(r_tag).select(
@@ -163,12 +167,27 @@ def asof_join(
 
 
 def _epoch_us(df: DataFrame, col: str):
-    """Epoch-microseconds expression for a TIMESTAMP or TIMESTAMP_NTZ column
-    (``unix_micros`` rejects NTZ; the cast interprets NTZ wall time in the
-    session tz — offsets cancel in the |l-r| band arithmetic either way)."""
+    """Epoch-microseconds expression for a TIMESTAMP or TIMESTAMP_NTZ column.
+
+    NTZ is computed from the WALL-CLOCK fields (days + time-of-day), never
+    by casting through the session timezone: under a DST-observing session
+    tz a cast maps wall times across spring-forward/fall-back gaps, so two
+    NTZ stamps 80 wall-minutes apart could band-match a 30-minute
+    tolerance. (Identical to the cast under this repo's pinned UTC
+    sessions, where no DST exists.)"""
     c = F.col(col)
     if dict(df.dtypes).get(col) == "timestamp_ntz":
-        c = c.cast("timestamp")
+        return (
+            F.unix_date(F.to_date(c)).cast("long") * F.lit(86_400_000_000)
+            + (
+                F.hour(c).cast("long") * F.lit(3600)
+                + F.minute(c).cast("long") * F.lit(60)
+            )
+            * F.lit(1_000_000)
+            # date_part SECOND is DECIMAL(8,6) incl. the fraction — ×1e6
+            # is exact decimal arithmetic, no float in the path
+            + (F.date_part(F.lit("SECOND"), c) * F.lit(1_000_000)).cast("long")
+        )
     return F.unix_micros(c)
 
 

@@ -32,6 +32,21 @@ from pyspark.sql import functions as F
 from matchbox_spark.functions.text import tokens_expr
 
 
+def _top_vocab(docs: DataFrame, text_col: str, top_words: int) -> DataFrame:
+    """The distinct-word working vocabulary: top ``top_words`` by
+    (freq DESC, word ASC). ONE definition shared by train and both encode
+    paths — encode must reproduce the trainer's vocabulary exactly for the
+    pinned encode(train corpus) ≡ trainer-segmentation property, so a
+    tie-break drift between copies would silently break it."""
+    return (
+        docs.select(F.explode(tokens_expr(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(int(top_words))
+    )
+
+
 def _pos_pairs(wd: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Working vocab → (positions, adjacent pairs). ``pos`` is one row per
     (word, p, sym); ``pairs`` the adjacent self-join on (word, p+1)."""
@@ -112,13 +127,7 @@ def bpe_train(
     if n_merges < 1 or top_words < 1:
         raise ValueError("n_merges and top_words must be >= 1")
     spark = docs.sparkSession
-    vocab = (
-        docs.select(F.explode(tokens_expr(text_col)).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("word"))
-        .limit(int(top_words))
-    )
+    vocab = _top_vocab(docs, text_col, top_words)
     wd = vocab.select(
         "word",
         "freq",
@@ -175,13 +184,7 @@ def bpe_encode(
     hundreds-of-merges scale; for vocab-scale merge tables (30k+) use
     :func:`bpe_encode_arrow`, which loops per word in one Arrow pass.
     """
-    vocab = (
-        docs.select(F.explode(tokens_expr(text_col)).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("word"))
-        .limit(int(top_words))
-    )
+    vocab = _top_vocab(docs, text_col, top_words)
     wd = vocab.select(
         "word",
         "freq",
@@ -250,13 +253,7 @@ def bpe_encode_arrow(
                 }
             )
 
-    vocab = (
-        docs.select(F.explode(tokens_expr(text_col)).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("word"))
-        .limit(int(top_words))
-    )
+    vocab = _top_vocab(docs, text_col, top_words)
     return vocab.mapInPandas(
         encode, "word string, freq long, syms array<string>"
     )

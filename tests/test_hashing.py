@@ -57,6 +57,29 @@ def test_row_hash_binary_and_array_normalisation(spark):
     assert got == _py_row_hash([("b", "dead"), ("arr", "b,a")])
 
 
+def test_row_hash_null_normalisation_matches_reference(spark):
+    """Reference parity for nulls (ref hash.py:93-107): a NULL binary is
+    filled BEFORE hex-encoding ("00", not the raw sentinel); a null
+    ELEMENT nulls the whole array join (sentinel) instead of being
+    silently dropped — ["a", null] must NOT collide with ["a"]; a null
+    struct FIELD stays in the JSON."""
+    df = spark.createDataFrame(
+        [(None, ["a", None], ("x", None)), (bytearray(b"\xde"), ["a"], ("x", 1))],
+        "b binary, arr array<string>, s struct<p: string, q: int>",
+    )
+    rows = df.withColumn(
+        "h", H.row_hash_expr(df.schema, ["b", "arr", "s"])
+    ).collect()
+    assert rows[0]["h"] == _py_row_hash(
+        [("b", "00"), ("arr", "\x00"), ("s", '{"p":"x","q":null}')]
+    )
+    assert rows[1]["h"] == _py_row_hash(
+        [("b", "de"), ("arr", "a"), ("s", '{"p":"x","q":1}')]
+    )
+    # the collision the dropped-null join would create
+    assert rows[0]["h"] != rows[1]["h"]
+
+
 def test_table_hash_row_and_column_order_invariant(spark):
     a = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
     b = spark.createDataFrame([(2, "y"), (1, "x")], "id long, v string").select(
