@@ -553,6 +553,49 @@ def j13_snm(spark, sf):
 
 
 @_q(
+    "j13b_multipass_snm",
+    """WITH r1 AS (
+         SELECT c_custkey AS id,
+                ROW_NUMBER() OVER (
+                  ORDER BY c_mktsegment, c_acctbal, c_custkey) AS rnk
+         FROM customer
+       ),
+       r2 AS (
+         SELECT c_custkey AS id,
+                ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rnk
+         FROM customer
+       )
+       SELECT DISTINCT left_id, right_id FROM (
+         SELECT LEAST(a.id, b.id) AS left_id,
+                GREATEST(a.id, b.id) AS right_id
+         FROM r1 a JOIN r1 b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+         UNION ALL
+         SELECT LEAST(a.id, b.id) AS left_id,
+                GREATEST(a.id, b.id) AS right_id
+         FROM r2 a JOIN r2 b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 2
+       )""",
+)
+def j13b_multipass(spark, sf):
+    """Multi-pass SNM (`operators/blocking.py:multipass_sorted_neighborhood`):
+    the union-distinct of two sorted-window passes over DIFFERENT key
+    orderings — the standard merge/purge recipe (several cheap passes beat
+    one giant window). A new plan shape j13 doesn't pin: two independent
+    range-shuffle ranks feeding one distinct union."""
+    from matchbox_spark.operators.blocking import (
+        multipass_sorted_neighborhood,
+    )
+
+    df = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"), "c_mktsegment", "c_acctbal", "c_name"
+    )
+    return multipass_sorted_neighborhood(
+        df,
+        "id",
+        [(["c_mktsegment", "c_acctbal"], 4), (["c_name"], 3)],
+    )
+
+
+@_q(
     "j3_deterministic_link",
     """SELECT DISTINCT c.c_custkey AS left_id, s.s_suppkey AS right_id,
               CAST(1.0 AS REAL) AS score
@@ -6673,178 +6716,79 @@ def g8_k_core(spark, sf):
     return k_core(edges, k=2, rounds=6)
 
 
-# Correctness-rotation bookkeeping. The driver's gate samples a ~50-query
-# prefix of the registry each round; ordering the registry by how much a
-# fresh check is worth keeps green rows from going stale behind code churn:
-#   0. certification debt (stale/absent driver row despite judge re-check)
-#      and operators CHANGED this round since their last green row
-#   1. never driver-green in ANY round (new queries land here automatically)
-#   2. last green in round 2 (oldest green)
-#   3. last green in round 3
-#   4. green in round 4 (freshest)
-# NOTE (r4 verdict): ev2_sessionize was listed here for two rounds despite
-# never having a green driver row (r1 hash_mismatch, r2 crash) — it is now
-# excluded from this set and pinned at the head via _DEBT_R5.
-_CHECKED_R2 = {
-    "s2_key_filter_pushdown", "p1_field_qualification", "p2_cleaning_exprs",
-    "p5_threshold_filter", "q1_pricing_summary", "q3_top_revenue_orders",
-    "a2_set_agg_combine", "a8_best_pair_dedupe", "w1_first_order_per_customer",
-    "j1_source_id_join", "u1_union_by_name", "u4_anti_join",
-    "u6_insert_if_absent", "o5_deterministic_sample", "h1_row_hash",
-    "a1_hash_index", "h5_leaf_set_hash", "j2_naive_dedupe",
-    "j3_deterministic_link", "j4_sequential_rounds", "j5_weighted_link",
-    "g1_connected_components", "j7_resolved_entities", "j7_set_agg_query",
-    "ev1_hourly_window_agg", "t1_token_stats",
-    "t3_doc_fingerprint", "t5_repetition_stats", "c1_curation_pipeline",
-    "d1_exact_dup_groups", "d2_ngram_jaccard", "v1_cosine_topk",
-    "q5_region_revenue", "q18_large_orders", "a3_explode_combine",
-    "a6_root_leaves_agg", "u5_set_intersection", "a11_net_pair_vote",
-    "d3_minhash_lsh", "d4_simhash", "d4b_simhash_neardups",
-    "m1_media_metadata", "g3_merge_clusterings", "q12_shipmode_priority",
-    "q14_conditional_ratio", "ev3_session_window", "ev4_hopping_window",
-    "m2_frame_sampling", "q4_order_priority",
-}
-
-# CORRECTNESS_r03.json keys — every row green (or disclosed no-oracle).
-_CHECKED_R3 = {
-    "a9_latest_judgement", "c2_pack_documents", "c3_training_mix",
-    "d5_embedding_pairs", "d6_exact_dedupe", "ev5_asof_join",
-    "ev6_range_join", "g4_leaf_expansion", "j11_match_lookup",
-    "j2b_chunked_dedupe", "j6_splink_compat", "j8_lookup_full_outer",
-    "j9_enrich_samples", "m3_media_features", "m4_resize_plumbing",
-    "o6_stratified_sample", "o7_quota_sample", "p1_field_qualification",
-    "p2_cleaning_exprs", "p5_threshold_filter", "p6_recency_filter",
-    "q10_returned_items", "q11_brand_value_share", "q13_customer_distribution",
-    "q15_top_supplier", "q16_supplier_count", "q17_small_quantity",
-    "q19_disjunctive_join", "q1_pricing_summary", "q20_part_promotion",
-    "q21_waiting_supplier", "q22_idle_customers", "q2_min_cost_supplier",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "r1_default_run_query", "s2_key_filter_pushdown",
-    "st1_incremental_index", "st2_streaming_sessions", "st3_streaming_dedupe",
-    "st4_stateful_stats", "st5_stream_stream_join", "st7_incremental_resolve",
-    "t2_quality_score", "t4_lang_id", "t6_winnowing",
-    "v2_ivf_topk", "v3_quantized_cosine"
-}
-
-# CORRECTNESS_r04.json keys — every row green (j6/v2 disclosed no-oracle).
-_CHECKED_R4 = {
-    "b1_bm25_search", "c4_line_dedupe", "c5_chunk_documents",
-    "c7_corpus_report", "d10_near_dup_canonical", "d7_contamination",
-    "d8_canonical_doc", "d9_span_dedupe", "e1_value_percentiles",
-    "e2_moment_stats", "ev7_nearest_asof", "ev8_ema", "ev9_gap_fill",
-    "f1_event_funnel", "g1_connected_components", "g4_leaf_expansion",
-    "g5_triangle_count", "g6_pagerank", "h1_row_hash", "h5_leaf_set_hash",
-    "j11_match_lookup", "j12_fuzzy_link", "j2_naive_dedupe",
-    "j2b_chunked_dedupe", "j6_splink_compat", "j7_resolved_entities",
-    "j7_set_agg_query", "m1_media_metadata", "m5_real_image_decode",
-    "o8_weighted_sample", "q23_rollup_revenue", "q24_cube_counts",
-    "q25_salted_heavy_hitters", "q26_pivot_status_counts",
-    "q27_unpivot_part_metrics", "q28_intersect_except", "q29_grouping_sets",
-    "q30_sql_interface", "r1_default_run_query", "st1_incremental_index",
-    "st6_stream_static_join", "t10_url_extract", "t7_pii_redaction",
-    "t8_unigram_logprob", "t9_blocklist_filter", "u6_insert_if_absent",
-    "v2_ivf_topk", "v2b_ivf_recall", "v4_label_centroids",
-    "w2_running_revenue",
-}
-
-# Round-5 driver sample: all 50 green (rows+schema+hash, zero errors) —
-# the first fully clean driver file; the r4 certification debt is paid.
-_CHECKED_R5 = {
-    "a1_hash_index", "a2_set_agg_combine", "a8_best_pair_dedupe",
-    "b2_hybrid_rrf", "c1_curation_pipeline", "c4_line_dedupe",
-    "c5_chunk_documents", "c8_shard_export", "d10_near_dup_canonical",
-    "d11_semdedup", "d2_ngram_jaccard", "d3_minhash_lsh",
-    "d7_contamination", "ev1_hourly_window_agg", "ev2_sessionize",
-    "g1_connected_components", "g3_merge_clusterings", "g4_leaf_expansion",
-    "g7_label_propagation", "j11_match_lookup", "j1_source_id_join",
-    "j2_naive_dedupe", "j2b_chunked_dedupe", "j3_deterministic_link",
-    "j4_sequential_rounds", "j5_weighted_link", "j7_resolved_entities",
-    "j7_set_agg_query", "m3_media_features", "m4_resize_plumbing",
-    "m6_malformed_media", "m7_decode_stats_malformed",
-    "o5_deterministic_sample", "o7_quota_sample",
-    "q25_salted_heavy_hitters", "q3_top_revenue_orders",
-    "r1_default_run_query", "st1_incremental_index",
-    "st7_incremental_resolve", "t11_vocab_topk", "t1_token_stats",
-    "t3_doc_fingerprint", "t4_lang_id", "t5_repetition_stats",
-    "t6_winnowing", "u1_union_by_name", "u4_anti_join",
-    "u6_insert_if_absent", "v5_kmeans_embed", "w1_first_order_per_customer",
-}
+# Correctness-rotation bookkeeping (round 8: the ledger is GENERATED).
+# The driver's gate samples a ~50-query prefix of the registry each round;
+# ordering the registry by how much a fresh check is worth keeps green rows
+# from going stale behind code churn:
+#   0. operators whose code paths changed this round (_TOUCHED_R8 — the one
+#      hand-maintained set left)
+#   1. never fully-green in ANY driver round (new queries land here
+#      automatically)
+#   2+. by last fully-green driver round, oldest green first
+# Rounds 2-7 kept this ledger by hand (_CHECKED_R2.._R6 + _TOUCHED_R7); an
+# editing mistake there could silently starve a query of recertification
+# (r4 did exactly that to ev2_sessionize). The last-green map now derives
+# from the committed CORRECTNESS_r*.json files themselves at import time;
+# tests/test_rotation_ledger.py pins the green-row predicate and proves the
+# derived map reproduces the retired hand ledgers byte-for-byte
+# (tests/fixtures/hand_ledgers_r7.json).
 
 
-# green (rows+schema+hash) in CORRECTNESS_r06.json — newest-certified tier
-_CHECKED_R6 = {
-    "a11_net_pair_vote", "a3_explode_combine", "a6_root_leaves_agg",
-    "b2_hybrid_rrf", "d11_semdedup", "d1_exact_dup_groups", "d4_simhash",
-    "d4b_simhash_neardups", "e3_kmv_distinct", "e4_histogram_quantiles",
-    "e5_bloom_semijoin", "e6_cms_frequency", "ev3_session_window",
-    "ev4_hopping_window", "g8_k_core", "j5_weighted_link",
-    "j6_splink_compat", "j6b_splink_exotic", "m2_frame_sampling",
-    "m5_real_image_decode", "m6_malformed_media", "o9_dsir_selection",
-    "p1_field_qualification", "p2_cleaning_exprs", "p5_threshold_filter",
-    "q11_brand_value_share", "q12_shipmode_priority",
-    "q13_customer_distribution", "q14_conditional_ratio",
-    "q15_top_supplier", "q16_supplier_count", "q17_small_quantity",
-    "q18_large_orders", "q19_disjunctive_join", "q1_pricing_summary",
-    "q22_idle_customers", "q4_order_priority", "q5_region_revenue",
-    "q6_forecast_revenue", "q7_nation_volume", "s2_key_filter_pushdown",
-    "st7_incremental_resolve", "st8_streaming_kmv", "t12_bpe_train",
-    "t13_bpe_encode", "u5_set_intersection", "v1_cosine_topk",
-    "v5_kmeans_embed", "v6_ivf_pq",
-}
+def _last_green_rounds(here: str | None = None) -> dict[str, int]:
+    """name -> latest driver round whose correctness row was fully green
+    (rows_match, schema_match AND hash_match all True, err None), parsed
+    from the ``CORRECTNESS_r*.json`` files beside this module. Robust to
+    absent or corrupt files — they simply contribute nothing, which only
+    ever moves a query EARLIER in the rotation (fail-safe direction)."""
+    import glob as _glob
+    import json as _json
+    import re as _re
 
-# round-7 code-path changes (new operators, oracle fixes, review fixes) —
-# these lead the driver sample so CORRECTNESS_r07 certifies them first
-_TOUCHED_R7 = {
-    "o10_token_budget_mix",        # oracle CAST fix (r6's one red row)
-    "t14_kn_perplexity",           # new: KN trigram LM
-    "q31_zorder_layout",           # new: Z-order oracle entry
-    "j13_sorted_neighborhood",     # new: SNM blocking
-    "m5_real_image_decode",        # JPEG joined the rotation + decode hardening
-    "m6_malformed_media",          # JPEG malformed rows + loud-probe guards
-    "st7_incremental_resolve",     # touched-component delta resolver rewrite
-    "st1_incremental_index",       # rides the same incremental.py module
-    "j6_splink_compat",            # len() ambiguity rejection in the dialect
-    "o9_dsir_selection",           # bigram-less docs now emit zero-weight rows
-    "e5_bloom_semijoin",           # distinct-key verdict join (id-trap fix)
-    "e6_cms_frequency",            # distinct-key verdict join (id-trap fix)
-    "st8_streaming_kmv",           # awaitTermination timeout now raises
-    # ieee_round6 class fix (engine ROUND(double,6) diverges near 6-dp
-    # boundaries — found by the first full sf0.1 sweep; functions/numeric.py)
-    "v4_label_centroids",
-    "t8_unigram_logprob",
-    "d7_contamination",
-    "c7_corpus_report",
-    # late-r7 self-review hardening: operator code paths changed (results
-    # verified identical locally, but the driver should recertify)
-    "e3_kmv_distinct",        # kmv_distinct now composes kmv_estimate
-    "e4_histogram_quantiles",  # out-of-range bin clamp before the int cast
-    "ev5_asof_join",          # deterministic tie-break + NTZ wall-clock epoch
-    "ev7_nearest_asof",       # same asof window changes
-    "h1_row_hash",            # normalize_value null-branch reference parity
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, int] = {}
+    for path in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") is True
+                and row.get("err") is None
+            ):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+_LAST_GREEN = _last_green_rounds()
+
+# round-8 code-path changes (new operators, review fixes) — these lead the
+# driver sample so CORRECTNESS_r08 certifies them first
+_TOUCHED_R8 = {
+    "st1_incremental_index",       # computed-block-key delta route rides incremental.py
+    "st7_incremental_resolve",     # same module; block_keys catalog table
+    "j13_sorted_neighborhood",     # null-placement guard in the rank recipe
 }
 
 
 def _rotated() -> list[str]:
     def prio(n: str) -> int:
-        if n in _TOUCHED_R7:
+        if n in _TOUCHED_R8:
             return 0
-        if not any(
-            n in s
-            for s in (
-                _CHECKED_R2, _CHECKED_R3, _CHECKED_R4, _CHECKED_R5,
-                _CHECKED_R6,
-            )
-        ):
-            return 1  # never driver-green in any round
-        if n in _CHECKED_R6:
-            return 6
-        if n in _CHECKED_R5:
-            return 5
-        if n in _CHECKED_R4:
-            return 4
-        if n in _CHECKED_R3:
-            return 3
-        return 2  # last green in round 2 — oldest, recheck first
+        # never-green (absent) → tier 1; else 1 + last green round, so the
+        # stalest certification re-checks first
+        return 1 + _LAST_GREEN.get(n, 0)
 
     return sorted(_REGISTRY, key=prio)  # stable: registry order within tiers
 

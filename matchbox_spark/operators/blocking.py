@@ -34,8 +34,11 @@ partition at scale):
 Cross-engine determinism: rank = ``ROW_NUMBER() OVER (ORDER BY key…, id)``
 with the id tiebreak, so the pair set is a pure function of the data and a
 DuckDB oracle can state it independently. Null keys sort FIRST in Spark
-and LAST under DuckDB defaults — callers with nullable keys should
-coalesce them; the oracle queries use non-null keys.
+and LAST under DuckDB defaults — a silently engine-dependent pair set, so
+the operator ENFORCES a decision via ``nulls``: ``"error"`` (default)
+rejects null key values (detected inside the existing per-partition counts
+job — zero extra scans), ``"first"``/``"last"`` pin an explicit placement
+that any oracle can state with ``NULLS FIRST``/``NULLS LAST``.
 """
 
 from __future__ import annotations
@@ -51,29 +54,72 @@ from matchbox_spark.operators.registry import add_model_class
 
 
 def sorted_neighborhood_rank(
-    df: DataFrame, id_col: str, key_cols: list[str]
+    df: DataFrame, id_col: str, key_cols: list[str], nulls: str = "error"
 ) -> DataFrame:
     """Dense 1-based global rank over ``ORDER BY key_cols…, id_col``.
 
     Returns ``(id, rank)`` — two narrow columns however wide the input.
     One range shuffle + one metadata-sized count collect; no single-
     partition window anywhere.
+
+    ``nulls`` decides null-key placement — Spark sorts nulls FIRST, DuckDB
+    LAST, so leaving it implicit would make the pair set engine-dependent:
+
+    - ``"error"`` (default): raise if any key value is null. The check
+      rides the counts job already being collected — no extra scan.
+    - ``"first"``: Spark's native ascending order (oracle must say
+      ``NULLS FIRST``).
+    - ``"last"``: each key wraps as ``(is-null flag, value)`` so nulls
+      land after every non-null value — DuckDB's ascending default —
+      while non-null order and the id tiebreak are unchanged.
     """
     if not key_cols:
         raise ValueError("sorted_neighborhood_rank needs at least one key")
+    if nulls not in ("error", "first", "last"):
+        raise ValueError(f"nulls must be 'error'|'first'|'last': {nulls!r}")
     proj = df.select(F.col(id_col).alias("id"), *key_cols)
+    if nulls == "last":
+        keys = [
+            F.struct(
+                F.col(c).isNull().cast("int").alias("n"),
+                F.col(c).alias("v"),
+            ).alias(f"_k{i}")
+            for i, c in enumerate(key_cols)
+        ]
+        proj = proj.select("id", *keys)
+        key_names = [f"_k{i}" for i in range(len(key_cols))]
+    else:
+        key_names = list(key_cols)
     part = (
-        proj.repartitionByRange(*key_cols, "id")
+        proj.repartitionByRange(*key_names, "id")
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    counts = {
-        r["_pid"]: r["_n"]
-        for r in part.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
-    }
+    any_null = F.lit(False)
+    for c in key_names:
+        # for nulls='last' the wrapped structs are never null themselves;
+        # the probe only matters on the raw-column paths
+        any_null = any_null | F.col(c).isNull()
+    stats = (
+        part.groupBy("_pid")
+        .agg(
+            F.count("*").alias("_n"),
+            F.max(any_null.cast("int")).alias("_hasnull"),
+        )
+        .collect()
+    )
+    if nulls == "error" and any(r["_hasnull"] for r in stats):
+        raise ValueError(
+            "sorted_neighborhood: null value in sort key column(s) "
+            f"{key_cols} — null placement differs across engines (Spark "
+            "sorts nulls first, ANSI/DuckDB default last), so the pair set "
+            "would be engine-dependent. Coalesce the keys, or pass "
+            "nulls='first'|'last' to pin a placement."
+        )
+    counts = {r["_pid"]: r["_n"] for r in stats}
     # struct ordering is lexicographic over (key…, id) — the within-
     # partition completion of the cross-partition range order
-    ordered = part.withColumn("_ord", F.struct(*key_cols, "id"))
+    ordered = part.withColumn("_ord", F.struct(*key_names, "id"))
     indexed, _ = dense_index(ordered, "_pid", "_ord", counts, id_name="rank")
     return indexed.select("id", "rank")
 
@@ -83,6 +129,7 @@ def sorted_neighborhood_pairs(
     id_col: str,
     key_cols: list[str],
     window: int = 4,
+    nulls: str = "error",
 ) -> DataFrame:
     """All in-window candidate pairs, each unordered pair once.
 
@@ -99,7 +146,7 @@ def sorted_neighborhood_pairs(
         # guard before it reaches sequence(): Spark's sequence(a, b) with
         # a > b silently generates a DESCENDING range, not an empty one
         raise ValueError("window must be >= 2 (w-1 partners per record)")
-    ranked = sorted_neighborhood_rank(df, id_col, key_cols)
+    ranked = sorted_neighborhood_rank(df, id_col, key_cols, nulls=nulls)
     partners = ranked.select(
         F.col("id").alias("_a"),
         F.explode(
@@ -122,6 +169,7 @@ def multipass_sorted_neighborhood(
     df: DataFrame,
     id_col: str,
     passes: list[tuple[list[str], int]],
+    nulls: str = "error",
 ) -> DataFrame:
     """Union-distinct of several SNM passes (the standard multi-pass SNM:
     one cheap pass per key ordering beats one pass with a giant window).
@@ -131,7 +179,7 @@ def multipass_sorted_neighborhood(
         raise ValueError("multipass_sorted_neighborhood needs >= 1 pass")
     out: DataFrame | None = None
     for key_cols, window in passes:
-        pairs = sorted_neighborhood_pairs(df, id_col, key_cols, window)
+        pairs = sorted_neighborhood_pairs(df, id_col, key_cols, window, nulls)
         out = pairs if out is None else out.union(pairs)
     return out.dropDuplicates()
 
@@ -144,6 +192,9 @@ class SortedNeighborhoodSettings(DeduperSettings):
     # is equal (the merge/purge "rule program" reduced to its relational
     # core); empty = emit every in-window candidate
     compare_fields: list[str] = field(default_factory=list)
+    # null placement for the sort keys: 'error' (reject null key values),
+    # 'first' (Spark's ascending default), 'last' (ANSI/DuckDB default)
+    nulls: str = "error"
 
 
 @add_model_class
@@ -160,7 +211,7 @@ class SortedNeighborhoodDeduper(Deduper):
         if not s.sort_fields:
             raise ValueError("SortedNeighborhoodDeduper needs sort_fields")
         cand = sorted_neighborhood_pairs(
-            data, s.id, list(s.sort_fields), s.window
+            data, s.id, list(s.sort_fields), s.window, nulls=s.nulls
         )
         if s.compare_fields:
             attrs = data.select(

@@ -1,9 +1,10 @@
-"""Similarity-based linkers: MinHash-LSH (text) and cosine-LSH (embeddings).
+"""Similarity-based linkers and dedupers: MinHash-LSH (text) and
+cosine-LSH (embeddings).
 
 North-star extensions (SURVEY §7 item 11): the dedup-family operators
-packaged as ``Linker`` model classes so similarity joins slot into the same
-DAG → resolver → query pipeline as deterministic rules. Both emit
-SCHEMA_MODEL_EDGES with a genuine similarity as the score.
+packaged as ``Linker``/``Deduper`` model classes so similarity joins slot
+into the same DAG → resolver → query pipeline as deterministic rules. All
+emit SCHEMA_MODEL_EDGES with a genuine similarity as the score.
 """
 
 from __future__ import annotations
@@ -15,9 +16,97 @@ from pyspark.sql import functions as F
 
 from matchbox_spark.functions.text import word_shingles_expr
 from matchbox_spark.functions.vectors import cosine_expr, sign_bucket_expr
+from matchbox_spark.operators.dedupers import Deduper, DeduperSettings
 from matchbox_spark.operators.linkers import Linker, LinkerSettings
 from matchbox_spark.operators.registry import add_model_class
 from matchbox_spark.schemas import SCHEMA_MODEL_EDGES, conform
+
+
+@dataclass
+class MinHashDeduperSettings(DeduperSettings):
+    text_field: str = "text"
+    num_perm: int = 32
+    bands: int = 8
+    shingle_n: int = 3
+    threshold: float = 0.7  # exact Jaccard verification floor
+    max_verify_shingles: int | None = None
+
+
+@add_model_class
+class MinHashDeduper(Deduper):
+    """Intra-source near-duplicate pairs via banded MinHash + exact Jaccard.
+
+    The d3-family plan (``dedup.minhash_dedupe_pairs``) behind the model
+    surface, so LSH near-dup linking runs in the same DAG → resolver →
+    query pipeline as ``NaiveDeduper``. Edges carry the verified Jaccard
+    as score.
+
+    Streaming block-locality: an edge exists only between docs sharing an
+    LSH band key, and a doc's band keys depend solely on its own text —
+    so the model declares :meth:`delta_block_keys` and
+    ``incremental_resolve_stream`` streams it O(touched) per micro-batch
+    (the catalog persists each leaf's band keys; a batch semi-joins that
+    index instead of re-hashing accumulated state).
+    """
+
+    settings_class = MinHashDeduperSettings
+
+    def dedupe(self, data: DataFrame) -> DataFrame:
+        from matchbox_spark.operators.dedup import minhash_dedupe_pairs
+
+        s = self.settings
+        pairs = minhash_dedupe_pairs(
+            data,
+            s.id,
+            s.text_field,
+            num_perm=s.num_perm,
+            bands=s.bands,
+            shingle_n=s.shingle_n,
+            threshold=s.threshold,
+            max_verify_shingles=s.max_verify_shingles,
+        )
+        id_type = data.schema[s.id].dataType
+        return conform(
+            pairs.select(
+                F.col("doc_a").cast(id_type).alias("left_id"),
+                F.col("doc_b").cast(id_type).alias("right_id"),
+                F.col("jaccard").alias("score"),
+            ),
+            SCHEMA_MODEL_EDGES,
+        )
+
+    def delta_block_keys(self, data: DataFrame) -> DataFrame:
+        """``(id, block_key)`` — every LSH band key of every row.
+
+        The streaming delta-link contract for computed blocking: two rows
+        can ever pair iff they share a ``block_key`` (band index + band
+        signature slice, folded to one long), and a row's key set is a
+        pure function of its own text — so per-batch work needs only the
+        batch's keys plus a semi-join against the persisted key index.
+        Uses the exact banding recipe ``dedupe`` candidates join on; 64-bit
+        fold collisions only add spurious block co-residents, which the
+        downstream LSH + Jaccard verify discards.
+        """
+        from matchbox_spark.operators.dedup import minhash_signatures
+
+        s = self.settings
+        if s.num_perm % s.bands != 0:
+            raise ValueError("num_perm must be divisible by bands")
+        rpb = s.num_perm // s.bands
+        sigs = minhash_signatures(
+            data, s.id, s.text_field, s.num_perm, s.shingle_n
+        )
+        return sigs.select(
+            F.col("doc").alias(s.id),
+            F.explode(F.sequence(F.lit(0), F.lit(s.bands - 1))).alias("band"),
+            "sig",
+        ).select(
+            s.id,
+            F.xxhash64(
+                F.col("band"),
+                F.expr(f"slice(sig, band * {rpb} + 1, {rpb})"),
+            ).alias("block_key"),
+        )
 
 
 @dataclass

@@ -54,6 +54,7 @@ _KEYS = "cluster_id long, source string, key string"
 _CONTAINS = "root long, leaf long"
 _EDGES = "step string, left_id long, right_id long, score float"
 _RESOLVER = "step string, cluster_id long"
+_BLOCK_KEYS = "step string, block_key long, leaf_id long"
 
 
 class FingerprintMismatchError(RuntimeError):
@@ -66,6 +67,7 @@ _SCHEMAS = {
     "contains": _CONTAINS,
     "model_edges": _EDGES,
     "resolver_clusters": _RESOLVER,
+    "block_keys": _BLOCK_KEYS,
 }
 
 # Past this many outstanding deltas a table compacts into one checkpoint —
@@ -95,6 +97,7 @@ class Catalog:
             "cluster_keys": set(),
             "model_edges": set(),
             "resolver_clusters": set(),
+            "block_keys": set(),
         }
         # retired resolver claims (step, cluster_id): an overlay the
         # resolver_clusters view anti-joins out, so streaming merges retire
@@ -141,6 +144,18 @@ class Catalog:
         return self._table("model_edges")
 
     @property
+    def block_keys(self) -> DataFrame:
+        """Per-step blocking-key locality index ``(step, block_key, leaf_id)``.
+
+        Streaming delta-link state for models whose blocking values are
+        COMPUTED (LSH band keys) rather than raw fields: each leaf records
+        the block keys under which it can ever form an edge, so a
+        micro-batch finds the accumulated rows it can touch with one
+        semi-join on ``block_key`` instead of recomputing signatures over
+        all state (see ``incremental_resolve_stream``)."""
+        return self._table("block_keys")
+
+    @property
     def resolver_clusters(self) -> DataFrame:
         base = self._table("resolver_clusters")
         if not self._rc_tombstones:
@@ -171,6 +186,7 @@ class Catalog:
             "contains",
             "model_edges",
             "resolver_clusters",
+            "block_keys",
         ]
 
     # partition layout: queries filter cluster_keys by source and the step
@@ -181,6 +197,7 @@ class Catalog:
         "cluster_keys": ["source"],
         "model_edges": ["step"],
         "resolver_clusters": ["step"],
+        "block_keys": ["step"],
     }
 
     def save(self) -> None:
@@ -293,7 +310,10 @@ class Catalog:
         plan shuffle-free on the bucket keys."""
         cat = cls(spark)
         for name in cat._table_names():
-            cat._parts[name] = [spark.table(f"{database}.{name}")]
+            # databases written before a table existed (e.g. block_keys)
+            # simply leave it empty
+            if spark.catalog.tableExists(f"{database}.{name}"):
+                cat._parts[name] = [spark.table(f"{database}.{name}")]
         cat.steps = {
             r["step"]: json.loads(r["meta"])
             for r in spark.table(f"{database}.steps_meta").collect()
@@ -460,6 +480,11 @@ class Catalog:
         )
         self._step_rows["model_edges"].discard(step)
         self._step_rows["resolver_clusters"].discard(step)
+        if self._loaded_from_disk or step in self._step_rows["block_keys"]:
+            self._commit(
+                "block_keys", self.block_keys.where(F.col("step") != step)
+            )
+            self._step_rows["block_keys"].discard(step)
 
     # -- inserts -------------------------------------------------------------
 
@@ -663,6 +688,34 @@ class Catalog:
             "fingerprint": hash_to_base64(b"streaming"),
             "streaming": True,
         }
+
+    def insert_block_keys_delta(self, step: str, keys: DataFrame) -> None:
+        """Streaming insert: append blocking keys for NEW leaves under ``step``.
+
+        ``keys`` has columns ``(leaf_id, block_key)`` — every block key a
+        leaf can ever form an edge under (e.g. its LSH band keys). A leaf's
+        key set is deterministic and complete on first sight (it depends
+        only on the leaf's own content), so the insert is if-absent per
+        LEAF: rows for leaves already recorded for the step anti-join away.
+        O(delta) append, idempotent under batch replay.
+        """
+        tagged = keys.select(
+            F.lit(step).alias("step"),
+            F.col("block_key").cast("long").alias("block_key"),
+            F.col("leaf_id").cast("long").alias("leaf_id"),
+        )
+        if self._step_has_rows("block_keys", "leaf_id", step):
+            tagged = tagged.join(
+                self.block_keys.where(F.col("step") == step)
+                .select("leaf_id")
+                .distinct(),
+                ["leaf_id"],
+                "left_anti",
+            )
+        self._append(
+            "block_keys", self._ckpt(tagged, eager=True), materialised=True
+        )
+        self._step_rows["block_keys"].add(step)
 
     def insert_model_edges(
         self, step: str, edges: DataFrame, fingerprint: bytes | None = None

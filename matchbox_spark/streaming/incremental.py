@@ -294,13 +294,25 @@ def incremental_resolve_stream(
     per batch by design, the general-correct path for models whose scores
     change as data accumulates (e.g. EM-trained).
 
+    **Computed-blocking delta-link** (a model declaring
+    ``delta_block_keys(data) -> (id, block_key)``, e.g. ``MinHashDeduper``
+    — an LSH band key is a blocking value computed from the row's own
+    content, not a raw field): each batch leaf's keys persist once into the
+    catalog's ``block_keys`` index, the batch's keys compute O(batch), and
+    one semi-join on ``block_key`` selects the accumulated leaves the model
+    could touch. Per-batch model work is O(touched blocks); signatures are
+    never recomputed over accumulated state. Correct for models whose edge
+    existence requires a shared block key and whose per-row keys depend
+    only on that row (true for MinHash/SimHash banding).
+
     **Auto-routing** (``auto_delta=True``, the default): a model that
     declares block-locality — a ``delta_blocking_fields()`` method
-    returning queried-space field names, e.g. ``NaiveDeduper`` — is routed
-    through delta-link automatically when the caller passes no
-    ``blocking_fields``, because for such models the two modes provably
-    produce the same terminal clusters and only delta-link stays flat as
-    state accumulates. Pass ``auto_delta=False`` to force the full
+    returning queried-space field names, e.g. ``NaiveDeduper``, or a
+    ``delta_block_keys`` method, e.g. ``MinHashDeduper`` — is routed
+    through the matching delta path automatically when the caller passes no
+    ``blocking_fields``, because for such models delta and full modes
+    provably produce the same terminal clusters and only delta-link stays
+    flat as state accumulates. Pass ``auto_delta=False`` to force the full
     recompute anyway (e.g. to exercise the general path).
 
     In delta mode every per-batch state mutation is an O(touched) APPEND:
@@ -329,10 +341,15 @@ def incremental_resolve_stream(
     model_step = f"{source_step}_model"
     resolver_step = f"{source_step}_resolve"
 
+    use_block_keys = False
     if blocking_fields is None and auto_delta:
         probe = getattr(model, "delta_blocking_fields", None)
         if callable(probe):
             blocking_fields = probe()
+        elif callable(getattr(model, "delta_block_keys", None)):
+            # computed-blocking contract (LSH-family): the model can state,
+            # per row, the block keys under which it can ever form an edge
+            use_block_keys = True
 
     if resolve_cadence < 1:
         raise ValueError("resolve_cadence must be >= 1")
@@ -350,6 +367,7 @@ def incremental_resolve_stream(
 
         if (
             not blocking_fields
+            and not use_block_keys
             and resolve_cadence > 1
             and batch_id % resolve_cadence != 0
         ):
@@ -412,6 +430,66 @@ def incremental_resolve_stream(
             catalog.merge_resolver_clusters_delta(
                 resolver_step, assignments, candidate_roots=touched_roots
             )
+        elif use_block_keys:
+            # computed-blocking delta-link (LSH-family models): the batch's
+            # block keys — O(batch) to compute, a pure function of batch
+            # content, so replay-safe — select the accumulated leaves the
+            # model could touch via one semi-join on the persisted key index
+            id_col = getattr(model.settings, "id", "id")
+            batch_hashes = batch.select(
+                row_hash_expr(batch.schema, sorted(index_fields)).alias(
+                    "cluster_hash"
+                )
+            ).distinct()
+            batch_leaf_ids = (
+                catalog.clusters.join(batch_hashes, "cluster_hash", "left_semi")
+                .select(F.col("cluster_id").alias(id_col))
+                .localCheckpoint(eager=True)
+            )
+            batch_rows = data.join(
+                batch_leaf_ids, id_col, "left_semi"
+            ).localCheckpoint(eager=True)
+            batch_keys = model.delta_block_keys(batch_rows).localCheckpoint(
+                eager=True
+            )
+            # persist the batch leaves' keys FIRST (insert-if-absent per
+            # leaf), so the touched semi-join below sees the batch itself
+            catalog.insert_block_keys_delta(
+                model_step,
+                batch_keys.select(
+                    F.col(id_col).alias("leaf_id"), "block_key"
+                ),
+            )
+            touched_leaves = (
+                catalog.block_keys.where(F.col("step") == model_step)
+                .join(
+                    batch_keys.select("block_key").distinct(),
+                    "block_key",
+                    "left_semi",
+                )
+                .select("leaf_id")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            data = data.join(
+                touched_leaves.select(F.col("leaf_id").alias(id_col)),
+                id_col,
+                "left_semi",
+            ).localCheckpoint(eager=True)
+            new_edges = model.dedupe(data).localCheckpoint(eager=True)
+            catalog.insert_model_edges_delta(model_step, new_edges)
+            stars, touched_roots = _touched_star_edges(
+                catalog, resolver_step, touched_leaves
+            )
+            cc_edges = (
+                new_edges if stars is None else new_edges.unionByName(stars)
+            )
+            assignments = resolver_method.compute_clusters(
+                {model_step: cc_edges}
+            )
+            catalog.merge_resolver_clusters_delta(
+                resolver_step, assignments, candidate_roots=touched_roots
+            )
         else:
             _full_resolve(
                 catalog,
@@ -436,7 +514,7 @@ def incremental_resolve_stream(
                     F.lit(source_step).alias("source"),
                     F.col(key_field).cast("string").alias("key"),
                 ).distinct()
-                if blocking_fields
+                if (blocking_fields or use_block_keys)
                 else None
             )
             serving_matcher.refresh(plan, touched)

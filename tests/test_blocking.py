@@ -207,3 +207,71 @@ class TestDuplicateIds:
         rows = sorted_neighborhood_pairs(df, "id", ["k"], window=2).collect()
         assert all(r["left_id"] != r["right_id"] for r in rows)
         assert {(r["left_id"], r["right_id"]) for r in rows} == {(1, 2), (2, 3)}
+
+
+class TestNullKeys:
+    """Null sort keys are an engine-dependent trap (Spark sorts nulls
+    first, ANSI/DuckDB last): the operator must refuse them by default and
+    honor an explicit placement when asked (round-8 guard)."""
+
+    def _with_null(self, spark):
+        return spark.createDataFrame(
+            [(1, "b"), (2, None), (3, "a"), (4, None)], "id long, k string"
+        )
+
+    def test_default_rejects_null_keys(self, spark):
+        with pytest.raises(ValueError, match="null value in sort key"):
+            sorted_neighborhood_rank(self._with_null(spark), "id", ["k"])
+        with pytest.raises(ValueError, match="null value in sort key"):
+            SortedNeighborhoodDeduper(
+                id="id", sort_fields=["k"], window=2
+            ).dedupe(self._with_null(spark))
+
+    def test_nulls_first_matches_spark_order(self, spark):
+        got = {
+            r["id"]: r["rank"]
+            for r in sorted_neighborhood_rank(
+                self._with_null(spark), "id", ["k"], nulls="first"
+            ).collect()
+        }
+        # nulls (ids 2,4 — id tiebreak) then a(3) then b(1)
+        assert got == {2: 1, 4: 2, 3: 3, 1: 4}
+
+    def test_nulls_last_matches_ansi_order(self, spark):
+        got = {
+            r["id"]: r["rank"]
+            for r in sorted_neighborhood_rank(
+                self._with_null(spark), "id", ["k"], nulls="last"
+            ).collect()
+        }
+        # a(3) then b(1) then nulls (ids 2,4)
+        assert got == {3: 1, 1: 2, 2: 3, 4: 4}
+
+    def test_nulls_last_keeps_nonnull_order(self, spark):
+        # no nulls present: 'last' must reproduce the default ordering
+        base = sorted_neighborhood_rank(_people(spark), "id", ["city", "age"])
+        wrapped = sorted_neighborhood_rank(
+            _people(spark), "id", ["city", "age"], nulls="last"
+        )
+        assert {(r["id"], r["rank"]) for r in base.collect()} == {
+            (r["id"], r["rank"]) for r in wrapped.collect()
+        }
+
+    def test_bad_placement_rejected(self, spark):
+        with pytest.raises(ValueError, match="nulls must be"):
+            sorted_neighborhood_rank(
+                _people(spark), "id", ["city"], nulls="high"
+            )
+
+    def test_multipass_forwards_placement(self, spark):
+        df = self._with_null(spark)
+        with pytest.raises(ValueError, match="null value in sort key"):
+            multipass_sorted_neighborhood(df, "id", [(["k"], 2)])
+        got = {
+            (r["left_id"], r["right_id"])
+            for r in multipass_sorted_neighborhood(
+                df, "id", [(["k"], 2)], nulls="last"
+            ).collect()
+        }
+        # order a(3) b(1) null(2) null(4), window 2 → adjacent pairs
+        assert got == {(1, 3), (1, 2), (2, 4)}

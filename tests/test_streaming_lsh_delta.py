@@ -1,0 +1,155 @@
+"""Pins for computed-blocking streaming delta-link (round 8).
+
+LSH-family models declare ``delta_block_keys`` (a row's band keys are a
+pure function of its own text), so ``incremental_resolve_stream`` streams
+them O(touched) per micro-batch: each leaf's band keys persist once into
+``Catalog.block_keys``, the batch's keys compute O(batch), and one
+semi-join selects the accumulated leaves the model could link — signatures
+are never recomputed over accumulated state. Terminal clusters must equal
+the full-recompute (``auto_delta=False``) stream over identical batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from matchbox_spark.operators.lsh_linkers import MinHashDeduper
+from matchbox_spark.plans.catalog import Catalog
+from matchbox_spark.plans.query import unified_query
+from matchbox_spark.plans.resolvers import Components
+from matchbox_spark.streaming.incremental import incremental_resolve_stream
+
+WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+]
+
+
+def _doc(lo: int, hi: int) -> str:
+    return " ".join(WORDS[lo:hi])
+
+
+# batch 0: A-group near-dups + one loner; batch 1: B-group; batch 2: the
+# bridge C, whose shingle overlap links it to A AND B while A-B stay apart
+BATCHES = [
+    [(1, _doc(0, 10)), (2, _doc(0, 10) + " alpha"), (10, "zulu yankee xray whiskey")],
+    [(3, _doc(4, 14)), (4, _doc(4, 14) + " kilo")],
+    [(5, _doc(2, 12))],
+]
+SCHEMA = "k long, text string"
+
+
+def _model():
+    return MinHashDeduper(
+        id="id",
+        text_field="s_text",
+        num_perm=16,
+        bands=16,
+        shingle_n=2,
+        threshold=0.5,
+    )
+
+
+def _run_stream(spark, tmp_path, name, **kwargs):
+    data_dir = tmp_path / f"data_{name}"
+    data_dir.mkdir()
+    for rows in BATCHES:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(data_dir))
+    cat = Catalog(spark)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(data_dir))
+    )
+    q = incremental_resolve_stream(
+        stream,
+        cat,
+        source_step="s",
+        key_field="k",
+        index_fields=["text"],
+        model=_model(),
+        resolver_method=Components(method="auto"),
+        checkpoint_dir=str(tmp_path / f"ckpt_{name}"),
+        source_location=str(data_dir),
+        **kwargs,
+    )
+    q.awaitTermination(600)
+    return cat
+
+
+def _clusters(cat):
+    ids = unified_query(cat, ["s_resolve", "s_model", "s"], ["s"], level="key")
+    by_id: dict = {}
+    for r in ids.collect():
+        by_id.setdefault(r["id"], set()).add(int(r["key"]))
+    return {frozenset(v) for v in by_id.values()}
+
+
+def test_lsh_delta_matches_full_recompute(spark, tmp_path):
+    """Auto-routed computed-blocking delta-link ends in exactly the clusters
+    the O(state)-per-batch full recompute produces — including the batch-2
+    bridge merging the batch-0 and batch-1 near-dup groups."""
+    delta = _run_stream(spark, tmp_path, "delta")  # auto-routes via keys
+    full = _run_stream(spark, tmp_path, "full", auto_delta=False)
+    got, want = _clusters(delta), _clusters(full)
+    assert got == want
+    # the construction is meaningful: C bridges A- and B-groups into one
+    # component while the loner stays alone
+    assert frozenset({1, 2, 3, 4, 5}) in got
+    assert frozenset({10}) in got
+    # every leaf's band keys persisted exactly once (6 distinct texts ×
+    # 16 bands; the full-mode run never touches the key index)
+    bk = delta.block_keys.where(F.col("step") == "s_model")
+    assert bk.count() == 6 * 16
+    assert bk.select("leaf_id").distinct().count() == 6
+    assert full.block_keys.isEmpty()
+
+
+def test_minhash_deduper_model_surface(spark):
+    """The model wrapper emits conformed (left_id, right_id, score) edges
+    matching the underlying d3-family pair function."""
+    from matchbox_spark.operators.dedup import minhash_dedupe_pairs
+
+    df = spark.createDataFrame(
+        [(i + 1, t) for i, (k, t) in enumerate(
+            [(k, t) for rows in BATCHES for (k, t) in rows]
+        )],
+        "id long, s_text string",
+    )
+    model = _model()
+    got = {
+        (r["left_id"], r["right_id"], round(r["score"], 5))
+        for r in model.dedupe(df).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 5))
+        for r in minhash_dedupe_pairs(
+            df, "id", "s_text", num_perm=16, bands=16,
+            shingle_n=2, threshold=0.5,
+        ).collect()
+    }
+    assert got == want and got  # non-empty: the near-dups really pair
+
+
+def test_insert_block_keys_delta_idempotent(spark):
+    """Replaying a key batch appends nothing (insert-if-absent per leaf),
+    while genuinely new leaves append their full key sets."""
+    cat = Catalog(spark)
+    keys = spark.createDataFrame(
+        [(1, 100), (1, 101), (2, 100)], "leaf_id long, block_key long"
+    )
+    cat.insert_block_keys_delta("m", keys)
+    assert cat.block_keys.count() == 3
+    cat.insert_block_keys_delta("m", keys)  # replay: no-op
+    assert cat.block_keys.count() == 3
+    more = spark.createDataFrame(
+        [(2, 999), (3, 42)], "leaf_id long, block_key long"
+    )
+    cat.insert_block_keys_delta("m", more)  # leaf 2 known → only leaf 3 lands
+    assert cat.block_keys.count() == 4
+    assert cat.block_keys.where(F.col("leaf_id") == 3).count() == 1
+    # steps are isolated
+    cat.insert_block_keys_delta("other", keys)
+    assert cat.block_keys.where(F.col("step") == "other").count() == 3

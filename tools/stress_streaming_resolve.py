@@ -164,7 +164,124 @@ def main(n_batches: int = 24, groups: int = 400, rows_per_group: int = 20) -> in
         spark.stop()
 
 
+def main_lsh(
+    n_batches: int = 12, groups: int = 300, rows_per_group: int = 10
+) -> int:
+    """Computed-blocking (LSH) delta-link flat-ramp stress (round 8).
+
+    ``MinHashDeduper`` declares ``delta_block_keys``; the stream must (a)
+    stay flat per batch — signatures compute O(batch), never over
+    accumulated text — and (b) recover exact entities, including a late
+    near-dup joining a cluster formed in batch 0 purely through the
+    persisted band-key index.
+
+    Layout: per batch, ``groups`` disjoint 20-word vocabularies ×
+    ``rows_per_group`` near-dup variants (pairwise shingle Jaccard ≈ 0.90
+    within a group, 0 across). The last batch adds one bridge doc over
+    batch 0 group 0's vocabulary → that old cluster grows by one.
+    """
+    from matchbox_spark.operators.lsh_linkers import MinHashDeduper
+
+    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="stress_resolve_lsh_")
+    src, ckpt = f"{work}/in", f"{work}/ckpt"
+    rows_per_batch = groups * rows_per_group
+    try:
+        for b in range(n_batches):
+            # doc(g, r) = 20 group-specific words + one variant word
+            base = "concat_ws(' ', transform(sequence(0, 19), " + (
+                f"i -> concat('w{b}_', cast(id div {rows_per_group} as string),"
+                " '_', cast(i as string))))"
+            )
+            batch = spark.range(rows_per_batch).selectExpr(
+                f"id + {b} * {rows_per_batch} as k",
+                f"concat({base}, ' x', cast(id % {rows_per_group} as string))"
+                " as text",
+            )
+            if b == n_batches - 1:
+                words = " ".join(f"w0_0_{i}" for i in range(20))
+                bridge = spark.createDataFrame(
+                    [(10**9, words + " ybridge")], "k long, text string"
+                )
+                batch = batch.unionByName(bridge)
+            batch.coalesce(1).write.mode("append").parquet(src)
+
+        catalog = Catalog(spark)
+        stream = (
+            spark.readStream.schema("k long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = incremental_resolve_stream(
+            stream,
+            catalog,
+            source_step="s",
+            key_field="k",
+            index_fields=["text"],
+            model=MinHashDeduper(
+                id="id", text_field="s_text", num_perm=32, bands=8,
+                shingle_n=2, threshold=0.7,
+            ),
+            resolver_method=Components(method="auto"),
+            checkpoint_dir=ckpt,
+            source_location=src,
+        )
+        q.awaitTermination(3600)
+
+        durs = [
+            p["batchDuration"] / 1000.0
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        ]
+        import statistics
+
+        print(f"[lsh] batches={len(durs)} rows/batch={rows_per_batch}")
+        print("per-batch sec:", " ".join(f"{d:.1f}" for d in durs))
+        k = max(3, min(5, len(durs) // 3))
+        head = statistics.median(durs[1:1 + k])
+        tail = statistics.median(durs[-k:])
+        ramp = tail / head if head else float("inf")
+        print(
+            f"head(median b1-{k})={head:.1f}s "
+            f"tail(median last{k})={tail:.1f}s ramp={ramp:.2f}x"
+        )
+
+        ids = unified_query(
+            catalog, ["s_resolve", "s_model", "s"], ["s"], level="key"
+        )
+        sizes = (
+            ids.groupBy("id").agg(F.count("*").alias("n")).groupBy("n").count()
+        ).collect()
+        by_size = {r["n"]: r["count"] for r in sizes}
+        n_entities = sum(by_size.values())
+        print(
+            f"entities={n_entities} "
+            f"size-histogram={dict(sorted(by_size.items()))}"
+        )
+        exp = n_batches * groups
+        assert n_entities == exp, (n_entities, exp)
+        assert by_size.get(rows_per_group + 1, 0) == 1, "bridge cluster missing"
+        assert by_size.get(rows_per_group, 0) == exp - 1
+        # the key index holds every leaf exactly once (bands per leaf = 8)
+        n_keys = catalog.block_keys.count()
+        exp_keys = (n_batches * rows_per_batch + 1) * 8
+        assert n_keys == exp_keys, (n_keys, exp_keys)
+
+        ok = ramp < 2.0
+        print("FLAT OK" if ok else "RAMP DETECTED")
+        return 0 if ok else 1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
+    if "--lsh" in sys.argv:
+        if "--quick" in sys.argv:
+            raise SystemExit(main_lsh(6, 100, 8))
+        args = [int(a) for a in sys.argv[1:] if a.lstrip("-").isdigit()]
+        raise SystemExit(main_lsh(*args))
     if "--quick" in sys.argv:
         raise SystemExit(main(6, 100, 10))
     args = [int(a) for a in sys.argv[1:4]]
