@@ -3937,9 +3937,17 @@ def m5_real_decode(spark, sf):
            WHEN 12 THEN 10
            WHEN 13 THEN 1024
            ELSE tlen END AS BIGINT) AS n_bytes,
-         CAST(CASE WHEN c <= 1 OR c = 8 OR c = 11 THEN w END AS INT) AS width,
-         CAST(CASE WHEN c <= 1 OR c = 8 OR c = 11 THEN ht END AS INT) AS height,
-         CAST(CASE WHEN c = 2 THEN ns // 8 END AS BIGINT) AS duration_ms
+         -- c = 13 (progressive): all SOFn headers share the geometry
+         -- layout, so the probe reports true size with a distinct status
+         CAST(CASE WHEN c <= 1 OR c = 8 OR c = 11 OR c = 13
+              THEN w END AS INT) AS width,
+         CAST(CASE WHEN c <= 1 OR c = 8 OR c = 11 OR c = 13
+              THEN ht END AS INT) AS height,
+         CAST(CASE WHEN c = 2 THEN ns // 8 END AS BIGINT) AS duration_ms,
+         CASE WHEN c <= 2 OR c = 8 OR c = 11 THEN 'ok'
+              WHEN c = 13 THEN 'unsupported_progressive'
+              WHEN c = 7 THEN 'no_decoder'
+              ELSE 'corrupt' END AS status
        FROM d""",
 )
 def m6_malformed_media(spark, sf):
@@ -3965,7 +3973,10 @@ def m6_malformed_media(spark, sf):
     import numpy as _np
     import pandas as _pd
 
-    from matchbox_spark.operators.jpeg import encode_jpeg
+    from matchbox_spark.operators.jpeg import (
+        encode_jpeg,
+        jpeg_marker_offset,
+    )
     from matchbox_spark.operators.multimodal import (
         encode_bmp,
         encode_png,
@@ -3998,10 +4009,12 @@ def m6_malformed_media(spark, sf):
                         "image/jpeg",
                     )
                 elif c == 13:  # progressive (SOF2) — out of baseline scope
-                    buf = bytearray(
-                        encode_jpeg(solid, quality=100, pad_to=1024)
-                    )
-                    buf[buf.find(b"\xff\xc0") + 1] = 0xC2
+                    raw = encode_jpeg(solid, quality=100, pad_to=1024)
+                    # proper marker walk to SOF0 (a bytes.find probe can hit
+                    # a coincidental FF C0 byte pair inside a DQT body at
+                    # qualities other than 100 — ADVICE r7)
+                    buf = bytearray(raw)
+                    buf[jpeg_marker_offset(raw, 0xC0) + 1] = 0xC2
                     payload, mt = bytes(buf), "image/jpeg"
                 elif c == 8:  # valid stored-deflate PNG (closed-form size)
                     payload, mt = (
@@ -4051,7 +4064,8 @@ def m6_malformed_media(spark, sf):
         _make, "doc_id long, payload binary, media_type string"
     )
     return extract_media_metadata(payloads).select(
-        "doc_id", "media_type", "n_bytes", "width", "height", "duration_ms"
+        "doc_id", "media_type", "n_bytes", "width", "height", "duration_ms",
+        "status",
     )
 
 
@@ -4064,7 +4078,7 @@ def m6_malformed_media(spark, sf):
                 CAST('0x' || substr(sha256(text), 5, 2) AS INT) AS b2,
                 CAST('0x' || substr(sha256(text), 7, 2) AS INT) AS b3,
                 CAST('0x' || substr(sha256(text), 9, 2) AS INT) AS b4,
-                doc_id % 5 AS c
+                doc_id % 6 AS c
          FROM documents WHERE doc_id < 400
        )
        SELECT doc_id,
@@ -4072,21 +4086,32 @@ def m6_malformed_media(spark, sf):
          CAST(CASE WHEN c <= 1 THEN 4 + b4 % 13 END AS INT) AS height,
          CAST(CASE WHEN c <= 1 THEN b0 END AS DOUBLE) AS mean_r,
          CAST(CASE WHEN c <= 1 THEN b1 END AS DOUBLE) AS mean_g,
-         CAST(CASE WHEN c <= 1 THEN b2 END AS DOUBLE) AS mean_b
+         CAST(CASE WHEN c <= 1 THEN b2 END AS DOUBLE) AS mean_b,
+         CASE WHEN c <= 1 THEN 'ok'
+              WHEN c = 4 THEN 'no_decoder'
+              WHEN c = 5 THEN 'unsupported_progressive'
+              ELSE 'corrupt' END AS status
        FROM h""",
 )
 def m7_decode_malformed(spark, sf):
-    """Pixel-decode error branches through the driver oracle: valid BMP and
-    PPM rasters decode FOR REAL (solid colour — channel means equal the
-    digest bytes exactly), while truncated BMP (struct.error), garbage PPM
-    magic (ValueError), and an unregistered pixel type all land as
-    null-stat rows (operators/multimodal.py:267-294) instead of task
-    failures."""
+    """Pixel-decode error branches through the driver oracle, now with a
+    per-row STATUS the corpus report can aggregate: valid BMP and PPM
+    rasters decode FOR REAL (solid colour — channel means equal the digest
+    bytes exactly, status 'ok'); truncated BMP and garbage PPM magic are
+    'corrupt'; an unregistered pixel type is 'no_decoder'; and a
+    progressive (SOF2) JPEG — whose header parses but whose entropy decode
+    this baseline codec declines — is 'unsupported_progressive', the
+    needs-libjpeg bucket a real web corpus must separate from broken
+    files (operators/jpeg.py:UnsupportedJpegError)."""
     import hashlib as _hl
 
     import numpy as _np
     import pandas as _pd
 
+    from matchbox_spark.operators.jpeg import (
+        encode_jpeg,
+        jpeg_marker_offset,
+    )
     from matchbox_spark.operators.multimodal import (
         decode_image_stats,
         encode_bmp,
@@ -4102,7 +4127,7 @@ def m7_decode_malformed(spark, sf):
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 h = _hl.sha256(str(text).encode("utf-8")).digest()
-                c = int(doc_id) % 5
+                c = int(doc_id) % 6
                 w, ht = 4 + h[3] % 13, 4 + h[4] % 13
                 solid = _np.full((ht, w, 3), (h[0], h[1], h[2]), _np.uint8)
                 if c == 0:
@@ -4113,8 +4138,13 @@ def m7_decode_malformed(spark, sf):
                     payload, mt = encode_bmp(solid)[:10], "image/bmp"
                 elif c == 3:  # wrong magic for the declared type
                     payload, mt = b"XX" + h, "image/x-portable-pixmap"
-                else:  # valid raster, but no pixel decoder for the type
-                    payload, mt = encode_bmp(solid), "image/jpeg"
+                elif c == 4:  # valid raster, but no pixel decoder for GIF
+                    payload, mt = encode_bmp(solid), "image/gif"
+                else:  # progressive JPEG: header ok, scan decode declined
+                    raw = encode_jpeg(solid, quality=100)
+                    buf = bytearray(raw)
+                    buf[jpeg_marker_offset(raw, 0xC0) + 1] = 0xC2
+                    payload, mt = bytes(buf), "image/jpeg"
                 rows.append((int(doc_id), payload, mt))
             yield _pd.DataFrame(
                 rows, columns=["doc_id", "payload", "media_type"]
@@ -4130,6 +4160,7 @@ def m7_decode_malformed(spark, sf):
         "mean_r",
         "mean_g",
         "mean_b",
+        "status",
     )
 
 
@@ -6779,6 +6810,10 @@ _TOUCHED_R8 = {
     "st1_incremental_index",       # computed-block-key delta route rides incremental.py
     "st7_incremental_resolve",     # same module; block_keys catalog table
     "j13_sorted_neighborhood",     # null-placement guard in the rank recipe
+    "m6_malformed_media",          # status column + SOF2 classification
+    "m7_decode_stats_malformed",   # status column + progressive class (c%6)
+    "m5_real_image_decode",        # decode_image_stats signature rides along
+    "m1_media_metadata",           # extract_media_metadata signature rides along
 }
 
 

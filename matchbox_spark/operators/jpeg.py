@@ -395,12 +395,27 @@ def encode_jpeg(
         + b"\xff\xd9"  # EOI
     )
     if pad_to is not None:
-        need = pad_to - len(out) - 4  # COM marker + length field
-        if need < 0:
+        # pad with COM segments. Each segment costs 4 bytes of framing and
+        # carries at most 65533 payload bytes (the >H length field counts
+        # itself), so large paddings emit several segments; a remainder of
+        # 1-3 bytes after a full segment is unreachable, so the last-but-one
+        # segment shrinks to leave either 0 or >= 4 bytes.
+        rem = pad_to - len(out)
+        if rem == 0:
+            return out
+        if rem < 4:
             raise ValueError(
-                f"pad_to={pad_to} smaller than payload {len(out) + 4}"
+                f"pad_to={pad_to} needs >= 4 spare bytes for a COM segment "
+                f"(payload is {len(out)})"
             )
-        out = out[:-2] + seg(0xFFFE, b"\x00" * need) + b"\xff\xd9"
+        body = out[:-2]
+        while rem:
+            take = min(rem, 65537)  # 4 framing + 65533 payload
+            if rem - take in (1, 2, 3):
+                take = rem - 4
+            body += seg(0xFFFE, b"\x00" * (take - 4))
+            rem -= take
+        out = body + b"\xff\xd9"
     return out
 
 
@@ -422,13 +437,35 @@ def _loud_probe(fn):
     return wrapped
 
 
-@_loud_probe
-def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
-    """Marker walk → (width, height) from the SOF0/SOF1 frame header.
+class UnsupportedJpegError(ValueError):
+    """A well-formed JPEG whose frame type this baseline decoder declines
+    (progressive SOF2, lossless, arithmetic-coded…) — as opposed to a
+    corrupt stream. Subclasses ``ValueError`` so every existing
+    corrupt-object catch still nulls the row; carries ``sof`` so corpus
+    reports can split "needs libjpeg" (a real fraction of web images is
+    progressive) from "broken file"."""
 
-    Raises ``ValueError`` on bad magic, truncation, progressive (SOF2) or
-    arithmetic-coded frames — the same loud-probe contract as the PNG/BMP
-    decoders, so corrupt objects null out at scan level."""
+    def __init__(self, sof: int, msg: str):
+        super().__init__(msg)
+        self.sof = sof
+
+
+# every SOFn frame-header marker (C4=DHT, C8=JPG, CC=DAC are not frames)
+_SOF_MARKERS = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+     0xCD, 0xCE, 0xCF}
+)
+
+
+@_loud_probe
+def jpeg_frame_info(payload: bytes) -> tuple[int, int, int]:
+    """Marker walk → ``(sof, width, height)`` from ANY SOFn frame header.
+
+    Geometry is parseable for every frame type (all SOFn share the T.81
+    B.2.2 header layout), so metadata probes can report the size of a
+    progressive file they cannot entropy-decode. Raises ``ValueError`` on
+    bad magic, truncation or marker desync — corruption, not capability.
+    """
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -447,23 +484,65 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
         ln = struct.unpack_from(">H", payload, pos + 2)[0]
         if pos + 2 + ln > len(payload):
             raise ValueError("truncated JPEG segment")
-        if marker in (0xC0, 0xC1):  # baseline / extended sequential
+        if marker in _SOF_MARKERS:
             if ln < 7:  # 2 length bytes + precision + height + width —
                 # unguarded, the unpack would read the NEXT segment's bytes
                 # and return plausible garbage geometry
                 raise ValueError("JPEG SOF segment too short")
             _prec, h, w = struct.unpack_from(">BHH", payload, pos + 4)
-            return w, h
-        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                      0xCD, 0xCE, 0xCF):
-            raise ValueError(
-                f"unsupported JPEG frame type SOF{marker - 0xC0} "
-                "(only baseline sequential is decoded here)"
-            )
+            return marker - 0xC0, w, h
         pos += 2 + ln
         if marker == 0xDA:  # scan without a frame header first
             break
     raise ValueError("JPEG missing SOF frame header")
+
+
+def jpeg_marker_offset(payload: bytes, marker: int) -> int:
+    """Offset of the first ``FF <marker>`` SEGMENT (a real marker reached
+    by the walk, not a coincidental byte pair inside a DQT/entropy body —
+    the trap a bytes.find() probe falls into). Raises ``ValueError`` if
+    the walk ends without meeting it."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        m = payload[pos + 1]
+        if m == 0xFF:
+            pos += 1
+            continue
+        if m == marker:
+            return pos
+        if m == 0xD8 or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        if m in (0xD9, 0xDA):  # EOI, or entropy data follows the SOS header
+            break
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        if pos + 2 + ln > len(payload):
+            raise ValueError("truncated JPEG segment")
+        pos += 2 + ln
+    raise ValueError(f"JPEG marker 0x{marker:02X} not found")
+
+
+@_loud_probe
+def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
+    """Marker walk → (width, height) from the SOF0/SOF1 frame header.
+
+    Raises ``ValueError`` on bad magic or truncation, and the typed
+    :class:`UnsupportedJpegError` on progressive (SOF2) / lossless /
+    arithmetic-coded frames — the same loud-probe contract as the PNG/BMP
+    decoders, so corrupt objects null out at scan level while capability
+    declines stay classifiable."""
+    sof, w, h = jpeg_frame_info(payload)
+    if sof not in (0, 1):
+        raise UnsupportedJpegError(
+            sof,
+            f"unsupported JPEG frame type SOF{sof} "
+            "(only baseline sequential is decoded here)",
+        )
+    return w, h
 
 
 class _BitReader:
@@ -584,8 +663,9 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError(
-                f"unsupported JPEG frame type SOF{marker - 0xC0}"
+            raise UnsupportedJpegError(
+                marker - 0xC0,
+                f"unsupported JPEG frame type SOF{marker - 0xC0}",
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]

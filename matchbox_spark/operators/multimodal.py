@@ -39,6 +39,7 @@ MEDIA_META_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("status", T.StringType(), True),
     ]
 )
 
@@ -412,11 +413,21 @@ def decode_ppm_pixels(payload: bytes):
 
 @register_decoder("image/jpeg")
 def _jpeg_decoder(payload: bytes) -> dict:
-    """Real JPEG probe: marker walk to the SOF0/SOF1 frame header."""
-    from matchbox_spark.operators.jpeg import jpeg_dimensions
+    """Real JPEG probe: marker walk to ANY SOFn frame header.
 
-    w, h = jpeg_dimensions(payload)
-    return {"width": w, "height": h, "duration_ms": None}
+    All SOFn headers share the T.81 geometry layout, so a progressive
+    (SOF2) file still reports its true size — it is a capability gap for
+    the entropy decoder, not a broken file. The ``status`` key splits
+    "needs libjpeg" from "corrupt" in corpus reports."""
+    from matchbox_spark.operators.jpeg import jpeg_frame_info
+
+    sof, w, h = jpeg_frame_info(payload)
+    meta = {"width": w, "height": h, "duration_ms": None}
+    if sof not in (0, 1):
+        meta["status"] = (
+            "unsupported_progressive" if sof == 2 else "unsupported_frame"
+        )
+    return meta
 
 
 def decode_jpeg_pixels(payload: bytes):
@@ -445,6 +456,7 @@ IMAGE_STATS_SCHEMA = T.StructType(
         T.StructField("mean_r", T.DoubleType(), True),
         T.StructField("mean_g", T.DoubleType(), True),
         T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("status", T.StringType(), True),
     ]
 )
 
@@ -466,23 +478,41 @@ def decode_image_stats(
     """
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from matchbox_spark.operators.jpeg import UnsupportedJpegError
+
         for pdf in batches:
             n = len(pdf)
             width = [None] * n
             height = [None] * n
             means: list[list] = [[None] * n for _ in range(3)]
+            status: list = [None] * n
             for i, (mt, p) in enumerate(zip(pdf[type_col], pdf[payload_col])):
                 decoder = _PIXEL_DECODERS.get(mt)
-                if decoder is None or p is None:
+                if p is None:
+                    status[i] = "missing"
+                    continue
+                if decoder is None:
+                    status[i] = "no_decoder"
                     continue
                 try:
                     px = decoder(bytes(p))
+                except UnsupportedJpegError as exc:
+                    # header parsed, entropy decode declined: a capability
+                    # gap (swap in libjpeg), distinct from a broken file
+                    status[i] = (
+                        "unsupported_progressive"
+                        if exc.sof == 2
+                        else "unsupported_frame"
+                    )
+                    continue
                 except (ValueError, struct.error):
+                    status[i] = "corrupt"
                     continue
                 height[i], width[i] = int(px.shape[0]), int(px.shape[1])
                 ch_mean = px.reshape(-1, 3).mean(axis=0)
                 for c in range(3):
                     means[c][i] = float(ch_mean[c])
+                status[i] = "ok"
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64").to_numpy(),
@@ -491,6 +521,7 @@ def decode_image_stats(
                     "mean_r": pd.array(means[0], dtype="float64"),
                     "mean_g": pd.array(means[1], dtype="float64"),
                     "mean_b": pd.array(means[2], dtype="float64"),
+                    "status": pd.array(status, dtype="object"),
                 }
             )
 
@@ -531,27 +562,52 @@ def extract_media_metadata(
                     ).to_numpy(),
                 }
             )
+            from matchbox_spark.operators.jpeg import UnsupportedJpegError
+
             n = len(pdf)
             width = [None] * n
             height = [None] * n
             duration = [None] * n
+            status: list = [None] * n
             types = pdf[typ_c].tolist()
+            raw = pdf[pay_c].tolist()
             for i, (media_type, payload) in enumerate(zip(types, payloads)):
                 decoder = DECODERS.get(media_type)
+                if raw[i] is None:
+                    status[i] = "missing"
+                    continue
                 if decoder is None:
+                    status[i] = "no_decoder"
                     continue
                 try:
                     meta = decoder(payload)
-                except (NotImplementedError, ValueError, struct.error):
-                    # unsupported or malformed payload → null fields, not a
-                    # task failure (a corrupt object must not kill the scan)
+                except UnsupportedJpegError as exc:
+                    # a decoder that raises (rather than reporting) the
+                    # capability gap still classifies distinctly
+                    status[i] = (
+                        "unsupported_progressive"
+                        if exc.sof == 2
+                        else "unsupported_frame"
+                    )
+                    continue
+                except NotImplementedError:
+                    # honest codec stubs (MP3/H.264): the format is known,
+                    # the probe is not implemented in this environment
+                    status[i] = "unsupported"
+                    continue
+                except (ValueError, struct.error):
+                    # malformed payload → null fields, not a task failure
+                    # (a corrupt object must not kill the scan)
+                    status[i] = "corrupt"
                     continue
                 width[i] = meta.get("width")
                 height[i] = meta.get("height")
                 duration[i] = meta.get("duration_ms")
+                status[i] = meta.get("status", "ok")
             out["width"] = pd.array(width, dtype="Int32")
             out["height"] = pd.array(height, dtype="Int32")
             out["duration_ms"] = pd.array(duration, dtype="Int64")
+            out["status"] = pd.array(status, dtype="object")
             yield out[[f.name for f in MEDIA_META_SCHEMA.fields]]
 
     cols = df.select(id_c, pay_c, typ_c)

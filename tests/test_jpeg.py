@@ -319,3 +319,131 @@ class TestRandomizedRoundtrip:
             # 4:2:0, not a decoder defect) — so pin the MEAN tightly and
             # the max only as a desync tripwire
             assert d.mean() <= 1.5 and d.max() <= 32.0, (h, w, d.max())
+
+
+class TestProgressiveClassification:
+    """Round-8: SOF2 is a capability gap, not corruption — geometry still
+    reports, the status column splits 'needs libjpeg' from 'broken file',
+    and pad_to paddings beyond one COM segment's capacity emit several."""
+
+    def _progressive(self, img):
+        from matchbox_spark.operators.jpeg import (
+            encode_jpeg,
+            jpeg_marker_offset,
+        )
+
+        raw = encode_jpeg(img, quality=85)  # non-100 quality: DQT bytes can
+        buf = bytearray(raw)                # contain FF C0 coincidences
+        buf[jpeg_marker_offset(raw, 0xC0) + 1] = 0xC2
+        return bytes(buf)
+
+    def test_frame_info_parses_progressive_geometry(self):
+        import numpy as np
+
+        from matchbox_spark.operators.jpeg import (
+            UnsupportedJpegError,
+            decode_jpeg_pixels,
+            jpeg_dimensions,
+            jpeg_frame_info,
+        )
+
+        img = np.full((9, 12, 3), (10, 200, 99), dtype=np.uint8)
+        p = self._progressive(img)
+        assert jpeg_frame_info(p) == (2, 12, 9)
+        with pytest.raises(UnsupportedJpegError) as ei:
+            jpeg_dimensions(p)
+        assert ei.value.sof == 2
+        with pytest.raises(UnsupportedJpegError):
+            decode_jpeg_pixels(p)
+        # the typed error is still a ValueError (scan-contract compatible)
+        assert isinstance(ei.value, ValueError)
+
+    def test_marker_offset_walks_segments(self):
+        import numpy as np
+
+        from matchbox_spark.operators.jpeg import (
+            encode_jpeg,
+            jpeg_marker_offset,
+        )
+
+        img = np.full((8, 8, 3), 128, dtype=np.uint8)
+        p = encode_jpeg(img, quality=85)
+        off = jpeg_marker_offset(p, 0xC0)
+        assert p[off : off + 2] == b"\xff\xc0"
+        # a planted FF C0 byte pair inside an earlier segment body must NOT
+        # fool the walk (the bytes.find trap): prepend a COM whose payload
+        # contains the pair
+        import struct as st
+
+        fake = b"\xff\xd8" + b"\xff\xfe" + st.pack(">H", 4) + b"\xff\xc0" + p[2:]
+        off2 = jpeg_marker_offset(fake, 0xC0)
+        assert fake[off2 : off2 + 2] == b"\xff\xc0"
+        assert off2 > 8  # beyond the planted pair inside the COM body
+        with pytest.raises(ValueError, match="not found"):
+            jpeg_marker_offset(p, 0xDD)  # no DRI in this stream
+
+    def test_pad_to_multiple_com_segments(self):
+        import numpy as np
+
+        from matchbox_spark.operators.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg,
+            jpeg_dimensions,
+        )
+
+        img = np.full((8, 8, 3), 77, dtype=np.uint8)
+        base = len(encode_jpeg(img, quality=100))
+        # beyond one COM's 65537-byte framing capacity → several segments
+        for target in (base + 65538, base + 70000, 131072):
+            p = encode_jpeg(img, quality=100, pad_to=target)
+            assert len(p) == target
+            assert jpeg_dimensions(p) == (8, 8)
+            assert decode_jpeg_pixels(p).shape == (8, 8, 3)
+        # exact-size and too-small edges
+        assert len(encode_jpeg(img, quality=100, pad_to=base)) == base
+        with pytest.raises(ValueError, match="spare bytes"):
+            encode_jpeg(img, quality=100, pad_to=base + 3)
+        with pytest.raises(ValueError, match="spare bytes"):
+            encode_jpeg(img, quality=100, pad_to=base - 1)
+
+    def test_status_through_arrow_stages(self, spark):
+        import numpy as np
+
+        from matchbox_spark.operators.jpeg import encode_jpeg
+        from matchbox_spark.operators.multimodal import (
+            decode_image_stats,
+            extract_media_metadata,
+        )
+
+        img = np.full((9, 12, 3), (10, 200, 99), dtype=np.uint8)
+        good = encode_jpeg(img, quality=100, subsampling="4:4:4")
+        rows = [
+            (1, bytearray(good), "image/jpeg"),
+            (2, bytearray(good[:10]), "image/jpeg"),
+            (3, bytearray(self._progressive(img)), "image/jpeg"),
+            (4, bytearray(good), "image/gif"),
+            (5, None, "image/jpeg"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, payload binary, media_type string"
+        )
+        stats = {
+            r["doc_id"]: r.asDict() for r in decode_image_stats(df).collect()
+        }
+        assert stats[1]["status"] == "ok"
+        assert stats[2]["status"] == "corrupt"
+        assert stats[3]["status"] == "unsupported_progressive"
+        assert stats[3]["width"] is None  # pixels did not decode
+        assert stats[4]["status"] == "no_decoder"
+        assert stats[5]["status"] == "missing"
+        meta = {
+            r["doc_id"]: r.asDict()
+            for r in extract_media_metadata(df).collect()
+        }
+        assert meta[1]["status"] == "ok"
+        assert meta[2]["status"] == "corrupt"
+        # metadata probe DOES report progressive geometry (header parses)
+        assert meta[3]["status"] == "unsupported_progressive"
+        assert meta[3]["width"] == 12 and meta[3]["height"] == 9
+        assert meta[4]["status"] == "no_decoder"
+        assert meta[5]["status"] == "missing"
