@@ -5242,6 +5242,116 @@ def t14_kn_perplexity(spark, sf):
 
 
 @_q(
+    "t15_kn_held_out",
+    r"""WITH ttoks AS (
+          SELECT doc_id AS doc,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents WHERE doc_id % 4 <> 0
+        ), tq AS (
+          SELECT t[i] AS g0, t[i+1] AS g1, t[i+2] AS g2, t[i+3] AS g3
+          FROM ttoks, UNNEST(CASE WHEN len(t) >= 4 THEN range(1, len(t) - 2)
+                                  ELSE [] END) AS s(i)
+        ), c4t AS (
+          SELECT g0, g1, g2, g3, COUNT(*) AS c4 FROM tq
+          GROUP BY g0, g1, g2, g3
+        ), c3t AS (
+          SELECT g1, g2, g3, COUNT(*) AS c3 FROM c4t GROUP BY g1, g2, g3
+        ), c2t AS (
+          SELECT g2, g3, COUNT(*) AS c2 FROM c4t GROUP BY g2, g3
+        ), c1t AS (
+          SELECT g3, COUNT(*) AS c1 FROM c4t GROUP BY g3
+        ), x4 AS (
+          SELECT g0, g1, g2, SUM(c4) AS t4, COUNT(*) AS y4 FROM c4t
+          GROUP BY g0, g1, g2
+        ), x3 AS (
+          SELECT g1, g2, SUM(c3) AS t3, COUNT(*) AS y3 FROM c3t
+          GROUP BY g1, g2
+        ), x2 AS (
+          SELECT g2, SUM(c2) AS t2, COUNT(*) AS y2 FROM c2t GROUP BY g2
+        ), tot AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM c4t
+        ), stoks AS (
+          SELECT doc_id AS doc,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS t
+          FROM documents WHERE doc_id % 4 = 0
+        ), sq AS (
+          SELECT doc, t[i] AS g0, t[i+1] AS g1, t[i+2] AS g2, t[i+3] AS g3
+          FROM stoks, UNNEST(CASE WHEN len(t) >= 4 THEN range(1, len(t) - 2)
+                                  ELSE [] END) AS s(i)
+        ), s1 AS (
+          SELECT sq.doc, c4, t4, y4, c3, t3, y3, c2, t2, y2,
+                 COALESCE(CAST(c1 AS DOUBLE), 1.0) / (tot.nt + 1.0) AS p1
+          FROM sq
+          LEFT JOIN c4t USING (g0, g1, g2, g3)
+          LEFT JOIN c3t USING (g1, g2, g3)
+          LEFT JOIN c2t USING (g2, g3)
+          LEFT JOIN c1t USING (g3)
+          LEFT JOIN x4 USING (g0, g1, g2)
+          LEFT JOIN x3 USING (g1, g2)
+          LEFT JOIN x2 USING (g2)
+          CROSS JOIN tot
+        ), s2 AS (
+          SELECT doc, c4, t4, y4, c3, t3, y3,
+                 CASE WHEN t2 IS NULL THEN p1
+                      ELSE CASE WHEN c2 IS NULL THEN 0.0
+                                ELSE (c2 - 0.75) / t2 END
+                           + ((0.75 * y2) / t2) * p1 END AS p2
+          FROM s1
+        ), s3 AS (
+          SELECT doc, c4, t4, y4,
+                 CASE WHEN t3 IS NULL THEN p2
+                      ELSE CASE WHEN c3 IS NULL THEN 0.0
+                                ELSE (c3 - 0.75) / t3 END
+                           + ((0.75 * y3) / t3) * p2 END AS p3
+          FROM s2
+        ), s4 AS (
+          SELECT doc,
+                 CASE WHEN t4 IS NULL THEN p3
+                      ELSE CASE WHEN c4 IS NULL THEN 0.0
+                                ELSE (c4 - 0.75) / t4 END
+                           + ((0.75 * y4) / t4) * p3 END AS p4
+          FROM s3
+        ), per_doc AS (
+          SELECT doc, COUNT(*) AS n_grams,
+                 FLOOR((CAST(SUM(CAST(FLOOR(ln(p4) * 1000000 + 0.5)
+                                 / 1000000 AS DECIMAL(18,6)))
+                            AS DOUBLE) / COUNT(*)) * 1000000 + 0.5)
+                   / 1000000 AS mean_logprob
+          FROM s4 GROUP BY doc
+        )
+        SELECT d.doc_id AS doc,
+               CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+               pd.mean_logprob
+        FROM documents d LEFT JOIN per_doc pd ON pd.doc = d.doc_id
+        WHERE d.doc_id % 4 = 0""",
+)
+def t15_kn_held_out(spark, sf):
+    """KenLM-shaped train/score split (`operators/lm.py:kn_score_held_out`):
+    an order-4 interpolated-KN model trains on 3/4 of the corpus and
+    scores the HELD-OUT quarter, so every backoff branch is live — seen
+    grams discount, unseen grams in seen contexts keep only the D·types/
+    total interpolation mass, unseen contexts pass through to the next
+    order with weight 1, and OOV words take the reserved 1/(N+1) unigram
+    escape unit. All count tables derive from the one distinct-4-gram
+    table; scoring is seven |types|-sized left joins from the held-out
+    gram stream plus one broadcast scalar — no UDFs, one shuffle per count
+    table. Probabilities are an identically-parenthesised double CASE tree
+    on both engines; ln() rounds per-term to 6 dp and decimal-sums
+    (the t14 recipe), so the oracle is hash-exact."""
+    from matchbox_spark.operators.lm import kn_score_held_out
+
+    docs = _t(spark, sf, "documents")
+    return kn_score_held_out(
+        docs.where(F.col("doc_id") % 4 != 0),
+        docs.where(F.col("doc_id") % 4 == 0),
+        order=4,
+        discount=0.75,
+    )
+
+
+@_q(
     "d8_canonical_doc",
     r"""WITH corpus AS (
           SELECT doc_id, text, n_chars FROM documents
@@ -6814,6 +6924,7 @@ _TOUCHED_R8 = {
     "m7_decode_stats_malformed",   # status column + progressive class (c%6)
     "m5_real_image_decode",        # decode_image_stats signature rides along
     "m1_media_metadata",           # extract_media_metadata signature rides along
+    "t14_kn_perplexity",           # lm.py gained the held-out scorer (t15)
 }
 
 

@@ -165,6 +165,96 @@ def kn_doc_logprob(
     )
 
 
+def kn_score_held_out(
+    train_docs: DataFrame,
+    score_docs: DataFrame,
+    order: int = 4,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """KenLM-shaped train/score split: train KN count tables on one corpus,
+    score HELD-OUT documents — with OOV and unseen-context backoff, orders
+    2–5. → (doc, n_grams, mean_logprob) over ``score_docs``.
+
+    The real CCNet flow scores new documents against a reference-trained
+    model, so unlike :func:`kn_doc_logprob` (corpus-internal) every branch
+    of the general interpolated-KN form is live here:
+
+    - **seen gram**: discounted count + interpolation weight × lower order;
+    - **unseen gram, seen context**: the count term clips to 0 and only
+      the interpolation mass ``D·types/total`` backs off;
+    - **unseen context**: the level contributes nothing — probability
+      passes through to the next-lower order unchanged (weight 1);
+    - **OOV word**: the unigram level reserves one escape unit of mass:
+      ``P1(w) = cnt1(w)/(N+1)`` for seen words and ``1/(N+1)`` for unknown
+      (N = number of distinct training n-grams, Σ = 1 over seen ∪ unk).
+
+    Every level-k count table derives from the ONE distinct-n-gram table
+    (count = distinct n-gram types sharing the last-k suffix — the same
+    self-consistent family ``kn_prob_table`` uses), so both engines can
+    state the identical model. Scoring is |types|-sized left joins from
+    the held-out gram stream, one per level plus one per context — no
+    UDFs, no per-token state. Probabilities are a fixed double expression
+    tree (identical operand order cross-engine); per-gram ln() rounds to
+    6 dp, decimal-sums per doc, mean rounds to 6 dp (the t14 recipe), so
+    the result is hash-exact against a DuckDB oracle.
+    """
+    if order not in (2, 3, 4, 5):
+        raise ValueError("kn_score_held_out supports orders 2-5")
+    if not 0.0 < discount < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    D = F.lit(float(discount))
+    names = [f"g{i}" for i in range(order)]
+
+    train = _gram_stream(train_docs, order, id_col, text_col)
+    cN = train.groupBy(*names).agg(F.count("*").alias(f"c{order}"))
+    tabs = {order: cN}
+    for k in range(order - 1, 0, -1):
+        tabs[k] = cN.groupBy(*names[order - k:]).agg(
+            F.count("*").alias(f"c{k}")
+        )
+    ctxs = {}
+    for k in range(order, 1, -1):
+        ctxs[k] = tabs[k].groupBy(*names[order - k: order - 1]).agg(
+            F.sum(f"c{k}").alias(f"t{k}"), F.count("*").alias(f"y{k}")
+        )
+    nt = cN.agg(F.count("*").cast("double").alias("nt"))
+
+    sg = _gram_stream(score_docs, order, id_col, text_col)
+    j = sg
+    for k in range(order, 0, -1):
+        j = j.join(tabs[k], names[order - k:], "left")
+    for k in range(order, 1, -1):
+        j = j.join(ctxs[k], names[order - k: order - 1], "left")
+    j = j.crossJoin(F.broadcast(nt))
+
+    p = F.coalesce(F.col("c1").cast("double"), F.lit(1.0)) / (
+        F.col("nt") + F.lit(1.0)
+    )
+    for k in range(2, order + 1):
+        ck, tk, yk = F.col(f"c{k}"), F.col(f"t{k}"), F.col(f"y{k}")
+        full = (
+            F.when(ck.isNull(), F.lit(0.0)).otherwise((ck - D) / tk)
+            + ((D * yk) / tk) * p
+        )
+        p = F.when(tk.isNull(), p).otherwise(full)
+
+    term = ieee_round6(F.log(p)).cast("decimal(18,6)")
+    scored = j.groupBy("doc").agg(
+        F.count("*").alias("n_grams"),
+        ieee_round6(
+            F.sum(term).cast("double") / F.count("*")
+        ).alias("mean_logprob"),
+    )
+    base = score_docs.select(F.col(id_col).alias("doc"))
+    return base.join(scored, "doc", "left").select(
+        "doc",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+        "mean_logprob",
+    )
+
+
 def kn_perplexity(
     docs: DataFrame,
     order: int = 3,

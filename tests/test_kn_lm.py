@@ -127,3 +127,159 @@ class TestKnTrigram:
             kn_prob_table(g, 4, 0.75)
         with pytest.raises(ValueError, match="discount"):
             kn_prob_table(g, 2, 1.5)
+
+
+def _r6(x: float) -> float:
+    """The ieee_round6 recipe: FLOOR(x*1e6 + 0.5)/1e6 on IEEE doubles."""
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+class TestHeldOutScoring:
+    """Round-8 train/score split (kn_score_held_out): every backoff branch
+    hand-computed for order 2, then an order-4/5 cross-check against an
+    independent pure-Python reference."""
+
+    # train: d1="a b a c", d2="a b" → distinct bigrams (a,b):2 (b,a):1
+    # (a,c):1 → nt=3; tab1: a:1 b:1 c:1; ctx2: a:(t=3,y=2) b:(t=1,y=1)
+    TRAIN = [(1, "a b a c"), (2, "a b")]
+
+    def _score(self, spark, rows, order=2):
+        from matchbox_spark.operators.lm import kn_score_held_out
+
+        return {
+            r["doc"]: (r["n_grams"], r["mean_logprob"])
+            for r in kn_score_held_out(
+                _docs(spark, self.TRAIN),
+                _docs(spark, rows),
+                order=order,
+                discount=0.75,
+            ).collect()
+        }
+
+    def test_each_backoff_branch(self, spark):
+        # one bigram per doc isolates each branch of the general KN form
+        got = self._score(
+            spark,
+            [
+                (10, "a b"),   # seen gram, seen context
+                (11, "b x"),   # OOV word, seen context → escape mass only
+                (12, "x b"),   # unseen context → pass through to unigram
+                (13, "b a"),   # seen singleton gram
+                (14, "a q"),   # OOV word under the bigger context
+                (15, "z"),     # no grams at all
+            ],
+        )
+        p1_b = 1 / 4  # cnt1(b)=1, nt=3 → 1/(3+1)
+        p1_a = 1 / 4
+        p1_unk = 1 / 4  # escape unit: 1/(nt+1)
+        exp = {
+            10: (2 - 0.75) / 3 + ((0.75 * 2) / 3) * p1_b,
+            11: 0.0 + ((0.75 * 1) / 1) * p1_unk,
+            12: p1_b,
+            13: (1 - 0.75) / 1 + ((0.75 * 1) / 1) * p1_a,
+            14: 0.0 + ((0.75 * 2) / 3) * p1_unk,
+        }
+        for doc, p in exp.items():
+            n, mlp = got[doc]
+            assert n == 1, doc
+            assert mlp == _r6(_r6(math.log(p))), doc
+        assert got[15] == (0, None)
+
+    def test_order5_matches_independent_reference(self, spark):
+        from matchbox_spark.operators.lm import kn_score_held_out
+
+        # deterministic word-salad corpora (no RNG: content-derived)
+        vocab = ["red", "blue", "green", "ox", "owl", "ant", "elk", "bee"]
+        train_rows = [
+            (i, " ".join(vocab[(i * 7 + 3 * k) % 8] for k in range(12)))
+            for i in range(40)
+        ]
+        score_rows = [
+            (100 + i, " ".join(
+                (vocab[(i * 5 + 2 * k) % 8] if k % 6 else "novel")
+                for k in range(9)
+            ))
+            for i in range(12)
+        ]
+        for order in (4, 5):
+            got = {
+                r["doc"]: (r["n_grams"], r["mean_logprob"])
+                for r in kn_score_held_out(
+                    _docs(spark, train_rows),
+                    _docs(spark, score_rows),
+                    order=order,
+                    discount=0.75,
+                ).collect()
+            }
+            want = _reference_kn(train_rows, score_rows, order, 0.75)
+            assert got == want, f"order {order}"
+
+    def test_validation(self, spark):
+        from matchbox_spark.operators.lm import kn_score_held_out
+
+        t = _docs(spark, self.TRAIN)
+        with pytest.raises(ValueError, match="orders 2-5"):
+            kn_score_held_out(t, t, order=6)
+        with pytest.raises(ValueError, match="discount"):
+            kn_score_held_out(t, t, order=3, discount=1.5)
+
+
+def _reference_kn(train_rows, score_rows, order, D):
+    """Independent plain-Python KN held-out scorer (dicts and floats; no
+    Spark) mirroring the documented model definition."""
+    from collections import Counter
+    from decimal import Decimal
+
+    def grams(rows):
+        out = []
+        for doc_id, text in rows:
+            t = text.split()
+            for i in range(len(t) - order + 1):
+                out.append((doc_id, tuple(t[i : i + order])))
+        return out
+
+    cN = Counter(g for _, g in grams(train_rows))
+    tabs = {order: dict(cN)}
+    for k in range(order - 1, 0, -1):
+        c = Counter(g[order - k:] for g in cN)
+        tabs[k] = dict(c)
+    ctxs = {}
+    for k in range(order, 1, -1):
+        agg: dict = {}
+        for suf, cnt in tabs[k].items():
+            ctx = suf[: k - 1]
+            tot, typ = agg.get(ctx, (0, 0))
+            agg[ctx] = (tot + cnt, typ + 1)
+        ctxs[k] = agg
+    nt = float(len(cN))
+
+    def prob(g):
+        c1 = tabs[1].get(g[order - 1:])
+        p = (float(c1) if c1 is not None else 1.0) / (nt + 1.0)
+        for k in range(2, order + 1):
+            ctx = g[order - k : order - 1]
+            hit = ctxs[k].get(ctx)
+            if hit is None:
+                continue
+            tot, typ = hit
+            ck = tabs[k].get(g[order - k:])
+            full = (0.0 if ck is None else (ck - D) / tot) + ((D * typ) / tot) * p
+            p = full
+        return p
+
+    per_doc: dict = {}
+    for doc_id, g in grams(score_rows):
+        per_doc.setdefault(doc_id, []).append(
+            Decimal(str(_r6(math.log(prob(g)))))
+        )
+    out = {}
+    for doc_id, _ in score_rows:
+        terms = per_doc.get(doc_id)
+        if not terms:
+            out[doc_id] = (0, None)
+        else:
+            out[doc_id] = (
+                len(terms),
+                _r6(float(sum(terms)) / len(terms)),
+            )
+    return out
