@@ -37,10 +37,24 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
     "sketches": (["1000000", "256"], ["10000000", "512"]),  # rows, k
     "probabilistic": (["50000", "10"], ["1000000", "10"]),  # records, block
     "blocking": (["200000", "5"], ["10000000", "5"]),  # rows, SNM window
+    # full-registry dtype-strict oracle sweep (round 8: cannot be skipped
+    # in a close) — sf0.01 in --quick, both certification SFs in --full
+    "oracle_sweep": (
+        ["/root/testdata/sf0.01"],
+        ["/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+    ),
+    "streaming_lsh": (["--lsh", "6", "100", "8"], ["--lsh"]),
 }
 
 # harnesses that are not tools/stress_<name>.py
-SCRIPTS = {"plan_gate": "tools/plan_report.py"}
+SCRIPTS = {
+    "plan_gate": "tools/plan_report.py",
+    "streaming_lsh": "tools/stress_streaming_resolve.py",
+}
+
+# the registry sweep runs every oracle twice per SF (Spark + DuckDB) and
+# legitimately takes ~25-30 min per SF on a loaded box
+TIMEOUTS = {"oracle_sweep": 7200}
 
 
 def run_one(name: str, args: list[str]) -> tuple[str, int, float]:
@@ -49,7 +63,7 @@ def run_one(name: str, args: list[str]) -> tuple[str, int, float]:
         [sys.executable, SCRIPTS.get(name, f"tools/stress_{name}.py"), *args],
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=TIMEOUTS.get(name, 1800),
     )
     dt = time.monotonic() - t0
     if proc.returncode != 0:
