@@ -106,6 +106,7 @@ class Catalog:
         # _COMPACT_WIDTH retirements
         self._rc_tombstones: list[DataFrame] = []
         self._loaded_from_disk = False
+        self._snapshot_id = 0  # last persisted snapshot number (format 2)
         if path and os.path.exists(os.path.join(path, "steps.json")):
             self._load()
 
@@ -203,43 +204,44 @@ class Catalog:
     def save(self) -> None:
         """S10: persist all state tables + step metadata under ``path``.
 
-        Write-to-temp-then-swap: a catalog opened via ``_load`` holds each
-        table as a LAZY scan of ``path/<table>``, so a direct
-        ``mode("overwrite")`` to the same directory either fails analysis
-        ("cannot overwrite a path that is also being read from") or — when
-        a later ``_ckpt`` wrapper hides the file source from that check —
-        deletes the files out from under the still-unmaterialised plan.
-        Writing each table beside its target and swapping directories
-        afterwards makes load → mutate → save safe; parts are then
-        re-pointed at fresh scans (the pre-swap DataFrames hold a file
-        index of names that no longer exist)."""
+        **Atomic across tables** (ADVICE r7): every table writes into ONE
+        fresh versioned snapshot directory (``path/snapshots/<n>/``), then
+        a single ``os.replace`` of ``steps.json`` flips the pointer. A
+        crash anywhere before the flip leaves the previous snapshot fully
+        intact and pointed-to; a crash after the flip leaves the new
+        snapshot live with at worst an orphaned old directory, which the
+        next save garbage-collects. There is no window in which the
+        on-disk state mixes tables from two snapshots — the hazard the old
+        per-table rename swap had.
+
+        Writing into a fresh directory also keeps load → mutate → save
+        safe (a catalog opened via ``_load`` holds LAZY scans of the
+        pointed-to snapshot; nothing ever overwrites a directory being
+        read). Parts re-point at the new snapshot before the old one is
+        collected."""
         if not self.path:
             raise ValueError("catalog has no path")
         os.makedirs(self.path, exist_ok=True)
-        swaps: list[tuple[str, str]] = []
+        snap = self._snapshot_id + 1
+        snaps_root = os.path.join(self.path, "snapshots")
+        snap_dir = os.path.join(snaps_root, str(snap))
+        shutil.rmtree(snap_dir, ignore_errors=True)
         for name in self._table_names():
-            target = os.path.join(self.path, name)
-            tmp = target + ".saving"
-            shutil.rmtree(tmp, ignore_errors=True)
             writer = getattr(self, name).write.mode("overwrite")
             parts = self._PARTITIONING.get(name)
             if parts:
                 writer = writer.partitionBy(*parts)
-            writer.parquet(tmp)
-            swaps.append((tmp, target))
-        # every table written successfully — now swap all of them so a
-        # mid-save failure never leaves a half-new snapshot behind
-        for tmp, target in swaps:
-            old = target + ".old"
-            shutil.rmtree(old, ignore_errors=True)
-            if os.path.exists(target):
-                os.rename(target, old)
-            os.rename(tmp, target)
-            shutil.rmtree(old, ignore_errors=True)
-        with open(os.path.join(self.path, "steps.json"), "w") as f:
-            json.dump(self.steps, f, indent=2, sort_keys=True)
+            writer.parquet(os.path.join(snap_dir, name))
+        # every table written — flip the ONE pointer atomically
+        meta = {"format": 2, "snapshot": snap, "steps": self.steps}
+        tmp = os.path.join(self.path, "steps.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, "steps.json"))
+        self._snapshot_id = snap
+        # re-point parts at the live snapshot BEFORE collecting the old one
         for name in self._table_names():
-            target = os.path.join(self.path, name)
+            target = os.path.join(snap_dir, name)
             self.spark.catalog.refreshByPath(target)
             self._parts[name] = [
                 self.spark.read.schema(_SCHEMAS[name]).parquet(target)
@@ -248,6 +250,17 @@ class Catalog:
         # re-pointed scan is already folded — drop the (now no-op) overlay
         self._rc_tombstones = []
         self._loaded_from_disk = True
+        # GC: superseded snapshots and any legacy v1 per-table directories
+        if os.path.isdir(snaps_root):
+            for d in os.listdir(snaps_root):
+                if d != str(snap):
+                    shutil.rmtree(
+                        os.path.join(snaps_root, d), ignore_errors=True
+                    )
+        for name in self._table_names():
+            legacy = os.path.join(self.path, name)
+            for suffix in ("", ".old", ".saving"):
+                shutil.rmtree(legacy + suffix, ignore_errors=True)
 
     # join-key bucketing for warehouse persistence: the hierarchy joins
     # (resolver_clusters → contains → cluster_keys/clusters) all key on
@@ -328,14 +341,29 @@ class Catalog:
         return cat
 
     def _load(self) -> None:
+        with open(os.path.join(self.path, "steps.json")) as f:
+            data = json.load(f)
+        if isinstance(data.get("snapshot"), int) and isinstance(
+            data.get("steps"), dict
+        ):
+            # format 2: one versioned snapshot directory, pointed to by the
+            # manifest — only the pointed-to snapshot is ever read, so a
+            # crash mid-save can never surface a mixed table set
+            self._snapshot_id = data["snapshot"]
+            self.steps = data["steps"]
+            base = os.path.join(
+                self.path, "snapshots", str(self._snapshot_id)
+            )
+        else:
+            # legacy format 1: per-table directories beside steps.json
+            self.steps = data
+            base = self.path
         for name in self._table_names():
-            p = os.path.join(self.path, name)
+            p = os.path.join(base, name)
             if os.path.exists(p):
                 self._parts[name] = [
                     self.spark.read.schema(_SCHEMAS[name]).parquet(p)
                 ]
-        with open(os.path.join(self.path, "steps.json")) as f:
-            self.steps = json.load(f)
         row = self.clusters.agg(
             F.max("cluster_id").alias("m"), F.count("*").alias("n")
         ).collect()[0]

@@ -1,0 +1,89 @@
+"""Atomic-snapshot persistence pins (round 8, ADVICE r7).
+
+``Catalog.save`` writes every table into one versioned snapshot directory
+and flips a single ``steps.json`` pointer last, so no crash window can
+surface a table set mixing two snapshots. These tests pin the pointer
+semantics, crash recovery, legacy (format-1) loading, and snapshot GC.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from matchbox_spark.plans.catalog import Catalog
+
+
+def _mk(spark, path, score=0.5):
+    cat = Catalog(spark, str(path))
+    edges = spark.createDataFrame(
+        [(1, 2, score)], "left_id long, right_id long, score float"
+    )
+    cat.insert_model_edges("m", edges)
+    return cat
+
+
+def test_save_load_roundtrip_and_gc(spark, tmp_path):
+    p = tmp_path / "cat"
+    cat = _mk(spark, p)
+    cat.save()
+    assert json.loads((p / "steps.json").read_text())["snapshot"] == 1
+    # mutate + save again: pointer advances, superseded snapshot collected
+    cat.insert_model_edges("m2", spark.createDataFrame(
+        [(3, 4, 0.9)], "left_id long, right_id long, score float"
+    ))
+    cat.save()
+    meta = json.loads((p / "steps.json").read_text())
+    assert meta["snapshot"] == 2 and set(meta["steps"]) == {"m", "m2"}
+    assert os.listdir(p / "snapshots") == ["2"]
+    re = Catalog(spark, str(p))
+    assert re.model_edges.count() == 2
+    # and load → mutate → save remains safe (the old data-loss class)
+    re.drop_step("m2")
+    re.save()
+    assert Catalog(spark, str(p)).model_edges.count() == 1
+
+
+def test_crash_before_pointer_flip_preserves_old_snapshot(spark, tmp_path):
+    """A half-written NEW snapshot without the pointer flip must be
+    invisible: load serves the previous snapshot completely."""
+    p = tmp_path / "cat"
+    cat = _mk(spark, p)
+    cat.save()
+    # simulate a crash mid-save of snapshot 2: tables partially written,
+    # steps.json NOT flipped
+    (p / "snapshots" / "2").mkdir()
+    shutil.copytree(p / "snapshots" / "1" / "clusters",
+                    p / "snapshots" / "2" / "clusters")
+    re = Catalog(spark, str(p))
+    assert re._snapshot_id == 1
+    assert re.model_edges.count() == 1
+    assert "m" in re.steps
+    # the next save supersedes and collects the orphan
+    re.save()
+    assert os.listdir(p / "snapshots") == ["2"]
+    assert json.loads((p / "steps.json").read_text())["snapshot"] == 2
+
+
+def test_legacy_v1_layout_still_loads_and_upgrades(spark, tmp_path):
+    """A catalog persisted by the old per-table layout (steps.json = bare
+    steps dict, tables beside it) loads, and its first save migrates it to
+    the snapshot layout and removes the legacy directories."""
+    p = tmp_path / "cat"
+    cat = _mk(spark, p)
+    # hand-write the v1 layout
+    os.makedirs(p, exist_ok=True)
+    for name in cat._table_names():
+        getattr(cat, name).write.mode("overwrite").parquet(str(p / name))
+    (p / "steps.json").write_text(json.dumps(cat.steps))
+
+    re = Catalog(spark, str(p))
+    assert re.model_edges.where(F.col("step") == "m").count() == 1
+    re.save()
+    meta = json.loads((p / "steps.json").read_text())
+    assert meta["snapshot"] == 1
+    assert not (p / "model_edges").exists()  # legacy dirs collected
+    assert Catalog(spark, str(p)).model_edges.count() == 1

@@ -287,7 +287,7 @@ def test_bucketed_catalog_join_is_shuffle_free(spark, crn_parquet, tmp_path):
     finally:
         for t in [
             "clusters", "cluster_keys", "contains", "model_edges",
-            "resolver_clusters", "steps_meta",
+            "resolver_clusters", "block_keys", "steps_meta",
         ]:
             spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
         spark.sql(f"DROP DATABASE IF EXISTS {db}")
