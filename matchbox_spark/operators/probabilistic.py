@@ -247,25 +247,40 @@ def splink_sql_to_spark(sql: str) -> str:
     """
     import re as _re
 
+    # split off single-quoted string LITERALS ('' is the escape) so that
+    # neither the validation scans nor the rewrites ever touch literal
+    # text — a legitimate condition comparing against 'len(' or
+    # 'list_intersect(' must pass through verbatim (ADVICE r7)
+    lit_re = _re.compile(r"'(?:[^']|'')*'")
+    segs = lit_re.split(sql)
+    lits = lit_re.findall(sql)
+    scan_text = " ".join(segs)
+
     for fn in _UNSUPPORTED_FUNCS:
-        if _re.search(rf"\b{fn}\s*\(", sql, _re.IGNORECASE):
+        if _re.search(rf"\b{fn}\s*\(", scan_text, _re.IGNORECASE):
             raise ValueError(
                 f"Splink condition uses {fn}(), which has no Spark builtin "
                 "equivalent here; rewrite the level with levenshtein/soundex "
                 "or precompute the similarity as a column"
             )
     for fn, hint in _AMBIGUOUS_FUNCS.items():
-        if _re.search(rf"\b{fn}\s*\(", sql, _re.IGNORECASE):
+        if _re.search(rf"\b{fn}\s*\(", scan_text, _re.IGNORECASE):
             raise ValueError(f"Splink condition uses {fn}(): {hint}")
-    out = sql
-    for duck, spark_name in _DUCKDB_TO_SPARK_FUNCS.items():
-        out = _re.sub(
-            rf"\b{duck}\s*\(", f"{spark_name}(", out, flags=_re.IGNORECASE
-        )
-    # l."col" / r."col" → l.`col` (Spark identifier quoting)
-    out = _re.sub(r'([lr])\."([^"]+)"', r"\1.`\2`", out)
-    # bare double-quoted identifiers
-    out = _re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"', r"`\1`", out)
+
+    def _rewrite(seg: str) -> str:
+        for duck, spark_name in _DUCKDB_TO_SPARK_FUNCS.items():
+            seg = _re.sub(
+                rf"\b{duck}\s*\(", f"{spark_name}(", seg, flags=_re.IGNORECASE
+            )
+        # l."col" / r."col" → l.`col` (Spark identifier quoting)
+        seg = _re.sub(r'([lr])\."([^"]+)"', r"\1.`\2`", seg)
+        # bare double-quoted identifiers
+        seg = _re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"', r"`\1`", seg)
+        return seg
+
+    out = _rewrite(segs[0])
+    for lit, seg in zip(lits, segs[1:]):
+        out += lit + _rewrite(seg)
     return out
 
 

@@ -488,3 +488,43 @@ def test_splink_compat_posterior_matches_closed_form(spark):
             assert math.isclose(
                 w["match_weight"], math.log2(w["m"] / w["u"]), rel_tol=1e-12
             )
+
+
+class TestLiteralSafeTranspile:
+    """Round-8 (ADVICE r7): validation scans and rewrites must never touch
+    single-quoted string literals."""
+
+    def test_forbidden_name_inside_literal_passes(self):
+        from matchbox_spark.operators.probabilistic import splink_sql_to_spark
+
+        out = splink_sql_to_spark("""l."note" = 'call len(x) or jaccard(a)'""")
+        assert out == "l.`note` = 'call len(x) or jaccard(a)'"
+
+    def test_rename_inside_literal_is_untouched(self):
+        from matchbox_spark.operators.probabilistic import splink_sql_to_spark
+
+        out = splink_sql_to_spark(
+            """l."tag" = 'list_intersect(' AND """
+            """array_length(list_intersect(l."xs", r."xs")) >= 2"""
+        )
+        assert out == (
+            "l.`tag` = 'list_intersect(' AND "
+            "size(array_intersect(l.`xs`, r.`xs`)) >= 2"
+        )
+
+    def test_quoted_word_inside_literal_not_backticked(self):
+        from matchbox_spark.operators.probabilistic import splink_sql_to_spark
+
+        out = splink_sql_to_spark('''l."a" = 'he said "hi" to len'world''' + "'")
+        # escaped '' stays one literal; the inner "hi" is literal text
+        assert '`hi`' not in out and out.startswith("l.`a` = ")
+
+    def test_forbidden_name_outside_literal_still_rejected(self):
+        import pytest as _pytest
+
+        from matchbox_spark.operators.probabilistic import splink_sql_to_spark
+
+        with _pytest.raises(ValueError, match="len\\(\\)"):
+            splink_sql_to_spark("""len(l."name") > 3 AND l."x" = 'ok'""")
+        with _pytest.raises(ValueError, match="jaccard"):
+            splink_sql_to_spark("""jaccard(l."a", r."a") > 0.5""")
