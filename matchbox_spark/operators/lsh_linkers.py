@@ -263,3 +263,90 @@ class EmbeddingLinker(Linker):
             .where(F.col("score") >= F.lit(float(s.threshold)))
         )
         return conform(out, SCHEMA_MODEL_EDGES)
+
+
+@dataclass
+class SimHashDeduperSettings(DeduperSettings):
+    text_field: str = "text"
+    bits: int = 16
+    max_hamming: int = 3
+
+
+@add_model_class
+class SimHashDeduper(Deduper):
+    """Intra-source near-duplicate pairs via SimHash + pigeonhole blocking.
+
+    The d4-family plan (``dedup.simhash_near_duplicates``) behind the model
+    surface; edges carry ``1 − hamming/bits`` as a similarity score.
+    Requires ``max_hamming <= bits // 2`` — the half-signature pigeonhole
+    guarantee the blocking relies on (any pair within that distance shares
+    an identical half).
+
+    Streaming block-locality: an edge needs a shared (half index, half
+    value) key, and a doc's halves are a pure function of its own text —
+    so :meth:`delta_block_keys` lets ``incremental_resolve_stream`` stream
+    SimHash dedupe O(touched) per micro-batch like MinHash.
+    """
+
+    settings_class = SimHashDeduperSettings
+
+    def _validate(self) -> None:
+        s = self.settings
+        if s.max_hamming > s.bits // 2:
+            raise ValueError(
+                f"max_hamming={s.max_hamming} > bits//2={s.bits // 2}: the "
+                "half-signature pigeonhole blocking only guarantees recall "
+                "up to bits//2 — raise bits or lower max_hamming"
+            )
+
+    def dedupe(self, data: DataFrame) -> DataFrame:
+        from matchbox_spark.operators.dedup import simhash_near_duplicates
+
+        self._validate()
+        s = self.settings
+        pairs = simhash_near_duplicates(
+            data, s.id, s.text_field, bits=s.bits, max_hamming=s.max_hamming
+        )
+        id_type = data.schema[s.id].dataType
+        return conform(
+            pairs.select(
+                F.col("doc_a").cast(id_type).alias("left_id"),
+                F.col("doc_b").cast(id_type).alias("right_id"),
+                (
+                    F.lit(1.0)
+                    - F.col("hamming") / F.lit(float(s.bits))
+                ).alias("score"),
+            ),
+            SCHEMA_MODEL_EDGES,
+        )
+
+    def delta_block_keys(self, data: DataFrame) -> DataFrame:
+        """``(id, block_key)`` — both half-signature keys of every row,
+        folded to one long exactly like the candidate join keys."""
+        from matchbox_spark.operators.dedup import simhash_values
+
+        self._validate()
+        s = self.settings
+        half = s.bits // 2
+        mask = (1 << half) - 1
+        sims = simhash_values(data, s.id, s.text_field, s.bits)
+        return sims.select(
+            F.col("doc").alias(s.id),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).alias("hi"),
+                        F.col("simhash").bitwiseAND(mask).alias("hv"),
+                    ),
+                    F.struct(
+                        F.lit(1).alias("hi"),
+                        F.shiftright("simhash", half)
+                        .bitwiseAND(mask)
+                        .alias("hv"),
+                    ),
+                )
+            ).alias("h"),
+        ).select(
+            s.id,
+            F.xxhash64(F.col("h.hi"), F.col("h.hv")).alias("block_key"),
+        )

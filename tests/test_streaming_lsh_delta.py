@@ -153,3 +153,54 @@ def test_insert_block_keys_delta_idempotent(spark):
     # steps are isolated
     cat.insert_block_keys_delta("other", keys)
     assert cat.block_keys.where(F.col("step") == "other").count() == 3
+
+
+def test_simhash_delta_matches_full_recompute(spark, tmp_path):
+    """SimHashDeduper declares delta_block_keys (pigeonhole half-keys are
+    content-derived): auto-routed streaming must end in the clusters the
+    full recompute produces, with both half-keys persisted per leaf."""
+    import pytest as _pytest
+
+    from matchbox_spark.operators.lsh_linkers import SimHashDeduper
+
+    def run(name, **kwargs):
+        data_dir = tmp_path / f"data_{name}"
+        data_dir.mkdir()
+        for rows in BATCHES:
+            spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(data_dir))
+        cat = Catalog(spark)
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(data_dir))
+        )
+        q = incremental_resolve_stream(
+            stream,
+            cat,
+            source_step="s",
+            key_field="k",
+            index_fields=["text"],
+            model=SimHashDeduper(
+                id="id", text_field="s_text", bits=16, max_hamming=4
+            ),
+            resolver_method=Components(method="auto"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{name}"),
+            source_location=str(data_dir),
+            **kwargs,
+        )
+        q.awaitTermination(600)
+        return cat
+
+    delta = run("sh_delta")
+    full = run("sh_full", auto_delta=False)
+    assert _clusters(delta) == _clusters(full)
+    bk = delta.block_keys.where(F.col("step") == "s_model")
+    assert bk.count() == 6 * 2  # two half-keys per distinct text
+    assert full.block_keys.isEmpty()
+    # the pigeonhole recall bound is enforced
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        SimHashDeduper(id="id", bits=16, max_hamming=9).dedupe(
+            spark.createDataFrame([(1, "a")], "id long, text string")
+        )
