@@ -20,11 +20,17 @@ Scale shape per micro-batch:
 - **Resolution** (`incremental_resolve_stream`): with ``blocking_fields``
   set, only rows sharing a blocking value with the batch are re-linked
   (delta-link); previously resolved components are carried as star edges
-  (one synthetic edge per member — O(entities), not O(past edges)) so a
+  (one synthetic edge per member — O(touched), not O(past edges)) so a
   bridging record can still merge clusters formed in earlier batches. New
-  edges APPEND into the persisted edge set. Without ``blocking_fields`` the
-  model re-runs over all accumulated rows (general-correct for
-  non-monotone models; documented O(accumulated) per batch).
+  edges APPEND into the persisted edge set. Models whose blocking values
+  are COMPUTED rather than raw fields (LSH band keys — ``MinHashDeduper``,
+  ``SimHashDeduper``) declare ``delta_block_keys`` instead: each leaf's
+  keys persist once into the catalog's ``block_keys`` index and a batch
+  prunes accumulated state with one semi-join, so signatures are never
+  recomputed over state. Without either contract the model re-runs over
+  all accumulated rows (general-correct for non-monotone models;
+  documented O(accumulated) per batch, amortisable via
+  ``resolve_cadence``).
 
 Checkpoint/state coupling: the streaming checkpoint is durable but a
 ``Catalog(spark)`` without a path is not. Resuming a checkpoint against a
