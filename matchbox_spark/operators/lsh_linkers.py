@@ -350,3 +350,67 @@ class SimHashDeduper(Deduper):
             s.id,
             F.xxhash64(F.col("h.hi"), F.col("h.hv")).alias("block_key"),
         )
+
+
+@dataclass
+class EmbeddingDeduperSettings(DeduperSettings):
+    vector_field: str = "embedding"
+    threshold: float = 0.95
+    bucket_dims: list = dc_field(default_factory=lambda: [0, 1, 2, 3, 4, 5])
+
+
+@add_model_class
+class EmbeddingDeduper(Deduper):
+    """Intra-source near-duplicate pairs by embedding cosine ≥ threshold.
+
+    The d5-family plan (``dedup.embedding_near_duplicates``): sign-bit LSH
+    buckets with one-bit multi-probe block the self-join; exact cosine
+    verifies. Edges carry the round-6 cosine as score.
+
+    Streaming block-locality: an edge between x and y requires one side's
+    HOME bucket to sit in the other's probe set, and both rows' probe sets
+    contain that bucket — so every edge shares a probe-set key, keys are a
+    pure function of the row's own vector, and :meth:`delta_block_keys`
+    streams it O(touched) like the other LSH dedupers.
+    """
+
+    settings_class = EmbeddingDeduperSettings
+
+    def dedupe(self, data: DataFrame) -> DataFrame:
+        from matchbox_spark.operators.dedup import embedding_near_duplicates
+
+        s = self.settings
+        if not s.bucket_dims:
+            raise ValueError(
+                "EmbeddingDeduper requires bucket_dims (the unblocked "
+                "quadratic baseline is evaluation-only)"
+            )
+        pairs = embedding_near_duplicates(
+            data, s.id, s.vector_field, s.threshold, list(s.bucket_dims)
+        )
+        id_type = data.schema[s.id].dataType
+        return conform(
+            pairs.select(
+                F.col("doc_a").cast(id_type).alias("left_id"),
+                F.col("doc_b").cast(id_type).alias("right_id"),
+                F.col("cosine").alias("score"),
+            ),
+            SCHEMA_MODEL_EDGES,
+        )
+
+    def delta_block_keys(self, data: DataFrame) -> DataFrame:
+        """``(id, block_key)`` — the row's full probe set (home bucket plus
+        every one-bit flip), exactly the keys the candidate join can meet
+        on. The bucket value is already a small long, so it IS the key."""
+        s = self.settings
+        if not s.bucket_dims:
+            raise ValueError("EmbeddingDeduper requires bucket_dims")
+        dims = list(s.bucket_dims)
+        home = sign_bucket_expr(s.vector_field, dims)
+        probes = F.array(
+            *([home] + [home.bitwiseXOR(F.lit(1 << i)) for i in range(len(dims))])
+        )
+        return data.select(
+            F.col(s.id).alias(s.id),
+            F.explode(probes).alias("block_key"),
+        ).select(s.id, F.col("block_key").cast("long").alias("block_key"))

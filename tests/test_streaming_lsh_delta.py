@@ -204,3 +204,63 @@ def test_simhash_delta_matches_full_recompute(spark, tmp_path):
         SimHashDeduper(id="id", bits=16, max_hamming=9).dedupe(
             spark.createDataFrame([(1, "a")], "id long, text string")
         )
+
+
+def test_embedding_delta_matches_full_recompute(spark, tmp_path):
+    """EmbeddingDeduper's probe-set keys are content-derived: streamed
+    delta-link clusters must equal the full recompute, including a late
+    vector bridging two earlier cosine-neighbour groups."""
+    from matchbox_spark.operators.lsh_linkers import EmbeddingDeduper
+
+    def v(x, y):
+        return [float(x), float(y), 1.0]
+
+    batches = [
+        [(1, v(1, 0)), (2, v(0.98, 0.02)), (10, v(-5, -5))],
+        [(3, v(0, 1)), (4, v(0.02, 0.98))],
+        [(5, v(0.5, 0.5))],  # bridges the x-axis and y-axis groups
+    ]
+    schema = "k long, embedding array<double>"
+
+    def run(name, **kwargs):
+        data_dir = tmp_path / f"data_{name}"
+        data_dir.mkdir()
+        for rows in batches:
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(data_dir))
+        cat = Catalog(spark)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(data_dir))
+        )
+        q = incremental_resolve_stream(
+            stream,
+            cat,
+            source_step="s",
+            key_field="k",
+            index_fields=["embedding"],
+            model=EmbeddingDeduper(
+                id="id", vector_field="s_embedding",
+                threshold=0.80, bucket_dims=[0, 1, 2],
+            ),
+            resolver_method=Components(method="auto"),
+            checkpoint_dir=str(tmp_path / f"ckpt_{name}"),
+            source_location=str(data_dir),
+            **kwargs,
+        )
+        q.awaitTermination(600)
+        return cat
+
+    delta = run("emb_delta")
+    full = run("emb_full", auto_delta=False)
+    got = _clusters(delta)
+    assert got == _clusters(full)
+    assert frozenset({10}) in got
+    bk = delta.block_keys.where(F.col("step") == "s_model")
+    # 6 distinct vectors x (1 home + 3 one-bit probes), duplicates possible
+    # only via 64-bit equal buckets (none here)
+    assert bk.select("leaf_id").distinct().count() == 6
+    assert bk.count() == 6 * 4
+    assert full.block_keys.isEmpty()
