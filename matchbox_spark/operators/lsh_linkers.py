@@ -410,7 +410,15 @@ class EmbeddingDeduper(Deduper):
         probes = F.array(
             *([home] + [home.bitwiseXOR(F.lit(1 << i)) for i in range(len(dims))])
         )
-        return data.select(
-            F.col(s.id).alias(s.id),
-            F.explode(probes).alias("block_key"),
-        ).select(s.id, F.col("block_key").cast("long").alias("block_key"))
+        return (
+            data.select(
+                F.col(s.id).alias(s.id),
+                F.explode(probes).alias("block_key"),
+            )
+            .select(s.id, F.col("block_key").cast("long").alias("block_key"))
+            # duplicate-content leaves reach the stream as several queried
+            # rows with one id; signature-based dedupers collapse them via
+            # their groupBy, this explode does not — dedupe so the key
+            # index stays one row per (leaf, key)
+            .dropDuplicates()
+        )

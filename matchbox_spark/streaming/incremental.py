@@ -441,7 +441,9 @@ def incremental_resolve_stream(
             # block keys — O(batch) to compute, a pure function of batch
             # content, so replay-safe — select the accumulated leaves the
             # model could touch via one semi-join on the persisted key index
-            id_col = getattr(model.settings, "id", "id")
+            id_col = getattr(
+                getattr(model, "settings", None), "id", None
+            ) or "id"
             batch_hashes = batch.select(
                 row_hash_expr(batch.schema, sorted(index_fields)).alias(
                     "cluster_hash"
