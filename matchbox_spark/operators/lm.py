@@ -39,6 +39,18 @@ from matchbox_spark.functions.numeric import ieee_round6
 from matchbox_spark.functions.text import tokens_expr
 
 
+def _ckpt_lazy(df: DataFrame) -> DataFrame:
+    """Lazy local checkpoint (the catalog's `_ckpt` recipe): truncate the
+    lineage so a subtree referenced by several downstream levels computes
+    once instead of re-executing its corpus scan per reference. Lazy — the
+    materialisation folds into the first action; falls back to the plain
+    plan if checkpointing is unavailable."""
+    try:
+        return df.localCheckpoint(eager=False)
+    except Exception:  # noqa: BLE001 — rare AQE checkpoint-planning bug
+        return df
+
+
 def _gram_stream(
     docs: DataFrame, order: int, id_col: str, text_col: str
 ) -> DataFrame:
@@ -80,8 +92,12 @@ def kn_prob_table(grams: DataFrame, order: int, discount: float) -> DataFrame:
     names = [f"g{i}" for i in range(order)]
     ctx, last = names[:-1], names[-1]
 
-    # highest level: raw counts + context marginals
-    cN = grams.groupBy(*names).agg(F.count("*").alias("c"))
+    # highest level: raw counts + context marginals. The distinct-gram
+    # table feeds every lower level AND the final join; without the lazy
+    # checkpoint each reference re-executes the corpus-wide gram shuffle
+    # (plan showed N parquet scans, zero ReusedExchange) — truncating here
+    # makes the corpus read once and every level a |types|-sized derivation.
+    cN = _ckpt_lazy(grams.groupBy(*names).agg(F.count("*").alias("c")))
     ctxN = cN.groupBy(*ctx).agg(
         F.sum("c").alias("cctx"), F.count("*").alias("next_types")
     )
@@ -208,7 +224,11 @@ def kn_score_held_out(
     names = [f"g{i}" for i in range(order)]
 
     train = _gram_stream(train_docs, order, id_col, text_col)
-    cN = train.groupBy(*names).agg(F.count("*").alias(f"c{order}"))
+    # one corpus shuffle total: every count table and context marginal
+    # below derives from this |types|-sized checkpoint (see kn_prob_table)
+    cN = _ckpt_lazy(
+        train.groupBy(*names).agg(F.count("*").alias(f"c{order}"))
+    )
     tabs = {order: cN}
     for k in range(order - 1, 0, -1):
         tabs[k] = cN.groupBy(*names[order - k:]).agg(
