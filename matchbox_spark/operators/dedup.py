@@ -599,6 +599,13 @@ def simhash_near_duplicates(
     """
     half = bits // 2
     sims = simhash_values(df, id_col, text_col, bits)
+    try:
+        # both sides of the half-key self-join read the signature table;
+        # without lineage truncation each side re-executes the corpus-wide
+        # token explode + two groupBys (plan showed two parquet scans)
+        sims = sims.localCheckpoint(eager=False)
+    except Exception:  # noqa: BLE001 — rare AQE checkpoint-planning bug
+        pass
     mask = (1 << half) - 1
     halves = sims.select(
         "doc",
