@@ -6925,6 +6925,10 @@ _TOUCHED_R8 = {
     "m5_real_image_decode",        # decode_image_stats signature rides along
     "m1_media_metadata",           # extract_media_metadata signature rides along
     "t14_kn_perplexity",           # lm.py gained the held-out scorer (t15)
+    "d4_simhash",                  # simhash self-join checkpoint
+    "d4b_simhash_neardups",        # simhash self-join checkpoint
+    "j6_splink_compat",            # literal-safe transpile
+    "e4_histogram_quantiles",      # NaN-routing re-certification (ADVICE)
 }
 
 
