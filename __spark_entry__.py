@@ -5745,6 +5745,12 @@ def g6_pagerank(spark, sf):
         "id", (F.lit(1.0) / F.col("n")).alias("pr")
     )
     dec12 = lambda c: F.round(c, 12).cast("decimal(28,12)")  # noqa: E731
+    # truncate iterative lineage (value-neutral): without the lazy
+    # checkpoints each unrolled round re-embeds everything before it and
+    # the base tables re-scan per level (plan showed 32 parquet scans)
+    ed = ed.localCheckpoint(eager=False)
+    deg = deg.localCheckpoint(eager=False)
+    base = base.localCheckpoint(eager=False)
     for _ in range(3):
         contrib = (
             ed.join(pr.select(F.col("id").alias("src"), "pr"), "src")
@@ -5763,6 +5769,7 @@ def g6_pagerank(spark, sf):
                     12,
                 ).alias("pr"),
             )
+            .localCheckpoint(eager=False)
         )
     return pr.select("id", F.round("pr", 9).alias("pagerank"))
 
@@ -6347,6 +6354,8 @@ def g7_lpa(spark, sf):
     labels = s.select(
         F.col("s_suppkey").alias("id"), F.col("s_suppkey").alias("lbl")
     )
+    # truncate iterative lineage (value-neutral; 36 parquet scans before)
+    ed = ed.localCheckpoint(eager=False)
     for _ in range(3):
         votes = (
             ed.join(labels.select(F.col("id").alias("src"), "lbl"), "src")
@@ -6366,6 +6375,7 @@ def g7_lpa(spark, sf):
         labels = (
             labels.join(winners, "id", "left")
             .select("id", F.coalesce("w_lbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
         )
     return labels.select("id", F.col("lbl").alias("community"))
 
@@ -6929,6 +6939,8 @@ _TOUCHED_R8 = {
     "d4b_simhash_neardups",        # simhash self-join checkpoint
     "j6_splink_compat",            # literal-safe transpile
     "e4_histogram_quantiles",      # NaN-routing re-certification (ADVICE)
+    "g6_pagerank",                 # per-iteration lineage checkpoints
+    "g7_label_propagation",        # per-round lineage checkpoints
 }
 
 
