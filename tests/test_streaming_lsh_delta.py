@@ -264,3 +264,47 @@ def test_embedding_delta_matches_full_recompute(spark, tmp_path):
     assert bk.select("leaf_id").distinct().count() == 6
     assert bk.count() == 6 * 4
     assert full.block_keys.isEmpty()
+
+
+def test_serving_matcher_patches_under_block_key_stream(spark, tmp_path):
+    """The computed-block delta route keeps the serving matcher's patch
+    invariant (merges only enter through batch rows): after the bridge
+    batch, a point lookup serves the fully-merged membership and the
+    incrementally-patched projection equals a fresh re-materialisation."""
+    from matchbox_spark.plans.dag import Matcher
+
+    data_dir = tmp_path / "data_serve"
+    data_dir.mkdir()
+    cat = Catalog(spark)
+    matcher = Matcher()
+    src = str(data_dir)
+    for rows in BATCHES:
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = incremental_resolve_stream(
+            stream,
+            cat,
+            source_step="s",
+            key_field="k",
+            index_fields=["text"],
+            model=_model(),
+            resolver_method=Components(method="auto"),
+            checkpoint_dir=str(tmp_path / "ckpt_serve"),
+            source_location=src,
+            serving_matcher=matcher,
+        )
+        q.awaitTermination(600)
+
+    got = matcher.lookup("1", "s", ["s"])[0]
+    assert got.target_keys == {"1", "2", "3", "4", "5"}
+    assert matcher.lookup("10", "s", ["s"])[0].target_keys == {"10"}
+    fresh = unified_query(cat, ["s_resolve"], ["s"], level="key")
+    assert {
+        (r["id"], r["source"], r["key"]) for r in matcher.projection.collect()
+    } == {(r["id"], r["source"], r["key"]) for r in fresh.collect()}
