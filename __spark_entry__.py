@@ -1330,21 +1330,23 @@ def d4_simhash(spark, sf):
           SELECT doc, SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
           FROM votes GROUP BY doc
         ),
-        halves AS (
+        chunks AS (
           SELECT doc, simhash, hp.hi,
-                 CASE WHEN hp.hi = 0 THEN simhash & 255
-                      ELSE (simhash >> 8) & 255 END AS hv
-          FROM sims, UNNEST(range(2)) AS hp(hi)
+                 (simhash >> (hp.hi * 4)) & 15 AS hv
+          FROM sims, UNNEST(range(4)) AS hp(hi)
         )
         SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
                bit_count(xor(a.simhash, b.simhash)) AS hamming
-        FROM halves a JOIN halves b ON a.hi = b.hi AND a.hv = b.hv
+        FROM chunks a JOIN chunks b ON a.hi = b.hi AND a.hv = b.hv
           AND a.doc < b.doc
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
 )
 def d4b_simhash_nd(spark, sf):
-    """SimHash near-dup pairs: pigeonhole half-signature blocking + Hamming
-    filter — the oracle mirrors signature, blocking, and distance."""
+    """SimHash near-dup pairs: pigeonhole chunk blocking (max_hamming+1 = 4
+    chunks of 4 bits — exact recall for hamming ≤ 3) + Hamming filter. The
+    oracle mirrors signature, blocking, and distance, and the exactness of
+    the blocking itself is pinned vs brute force in
+    tests/test_lsh_linkers.py."""
     return DD.simhash_near_duplicates(
         _t(spark, sf, "documents"), "doc_id", "text", bits=16, max_hamming=3
     )

@@ -95,19 +95,16 @@ def sorted_neighborhood_rank(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    any_null = F.lit(False)
-    for c in key_names:
-        # for nulls='last' the wrapped structs are never null themselves;
-        # the probe only matters on the raw-column paths
-        any_null = any_null | F.col(c).isNull()
-    stats = (
-        part.groupBy("_pid")
-        .agg(
-            F.count("*").alias("_n"),
-            F.max(any_null.cast("int")).alias("_hasnull"),
-        )
-        .collect()
-    )
+    aggs = [F.count("*").alias("_n")]
+    if nulls == "error":
+        # the probe rides the counts job — but only in error mode: under
+        # 'first' it's never read, and under 'last' the wrapped structs are
+        # statically non-null, so building it would be dead work
+        any_null = F.lit(False)
+        for c in key_names:
+            any_null = any_null | F.col(c).isNull()
+        aggs.append(F.max(any_null.cast("int")).alias("_hasnull"))
+    stats = part.groupBy("_pid").agg(*aggs).collect()
     if nulls == "error" and any(r["_hasnull"] for r in stats):
         raise ValueError(
             "sorted_neighborhood: null value in sort key column(s) "

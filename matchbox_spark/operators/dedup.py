@@ -584,6 +584,46 @@ def simhash_values(
     )
 
 
+def simhash_chunks(bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, length) of the ``max_hamming + 1`` contiguous signature
+    chunks the pigeonhole blocking keys on.
+
+    A pair differing in ≤ ``max_hamming`` bits cannot touch all
+    ``max_hamming + 1`` chunks, so it shares at least one chunk verbatim —
+    the guarantee is exact (two halves only covered distance ≤ 1).
+    Chunk lengths differ by at most one bit.
+    """
+    k = max_hamming + 1
+    if k > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {k} chunks but bits={bits}: "
+            "each pigeonhole chunk must span at least one bit"
+        )
+    base, extra = divmod(bits, k)
+    out: list[tuple[int, int]] = []
+    off = 0
+    for i in range(k):
+        length = base + (1 if i < extra else 0)
+        out.append((off, length))
+        off += length
+    return out
+
+
+def _simhash_chunk_parts(chunks: list[tuple[int, int]]) -> F.Column:
+    """array<struct<hi,hv>> of every chunk key of the ``simhash`` column."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("hi"),
+                F.shiftright("simhash", off)
+                .bitwiseAND((1 << length) - 1)
+                .alias("hv"),
+            )
+            for i, (off, length) in enumerate(chunks)
+        ]
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -593,35 +633,32 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ max_hamming.
 
-    Blocking: two half-signatures — by pigeonhole, any pair within Hamming
-    distance ≤ bits/2 shares at least one identical half, so candidates form
-    on (half_index, half_value) keys instead of a cross join.
+    Blocking: ``max_hamming + 1`` contiguous chunk signatures — by
+    pigeonhole, any pair within the distance budget shares at least one
+    identical chunk (``max_hamming`` differing bits cannot hit every one of
+    ``max_hamming + 1`` chunks), so candidates form on (chunk_index,
+    chunk_value) keys instead of a cross join and recall is exact.
     """
-    half = bits // 2
     sims = simhash_values(df, id_col, text_col, bits)
     try:
-        # both sides of the half-key self-join read the signature table;
+        # both sides of the chunk-key self-join read the signature table;
         # without lineage truncation each side re-executes the corpus-wide
         # token explode + two groupBys (plan showed two parquet scans)
         sims = sims.localCheckpoint(eager=False)
     except Exception:  # noqa: BLE001 — rare AQE checkpoint-planning bug
         pass
-    mask = (1 << half) - 1
+    return simhash_pairs_from_values(sims, bits, max_hamming)
+
+
+def simhash_pairs_from_values(
+    sims: DataFrame, bits: int, max_hamming: int
+) -> DataFrame:
+    """Chunk-blocked pair join over a ``(doc, simhash)`` signature table."""
+    chunks = simhash_chunks(bits, max_hamming)
     halves = sims.select(
         "doc",
         "simhash",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("hi"),
-                    F.col("simhash").bitwiseAND(mask).alias("hv"),
-                ),
-                F.struct(
-                    F.lit(1).alias("hi"),
-                    F.shiftright("simhash", half).bitwiseAND(mask).alias("hv"),
-                ),
-            )
-        ).alias("hpart"),
+        F.explode(_simhash_chunk_parts(chunks)).alias("hpart"),
     ).select("doc", "simhash", F.col("hpart.hi").alias("hi"), F.col("hpart.hv").alias("hv"))
     a = halves.select(
         F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), "hi", "hv"

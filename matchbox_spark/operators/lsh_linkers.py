@@ -278,12 +278,13 @@ class SimHashDeduper(Deduper):
 
     The d4-family plan (``dedup.simhash_near_duplicates``) behind the model
     surface; edges carry ``1 − hamming/bits`` as a similarity score.
-    Requires ``max_hamming <= bits // 2`` — the half-signature pigeonhole
-    guarantee the blocking relies on (any pair within that distance shares
-    an identical half).
+    Blocking keys on ``max_hamming + 1`` contiguous signature chunks, so by
+    pigeonhole every pair within the distance budget shares an identical
+    chunk — recall is exact. Requires ``max_hamming + 1 <= bits`` (each
+    chunk spans at least one bit).
 
-    Streaming block-locality: an edge needs a shared (half index, half
-    value) key, and a doc's halves are a pure function of its own text —
+    Streaming block-locality: an edge needs a shared (chunk index, chunk
+    value) key, and a doc's chunks are a pure function of its own text —
     so :meth:`delta_block_keys` lets ``incremental_resolve_stream`` stream
     SimHash dedupe O(touched) per micro-batch like MinHash.
     """
@@ -292,11 +293,11 @@ class SimHashDeduper(Deduper):
 
     def _validate(self) -> None:
         s = self.settings
-        if s.max_hamming > s.bits // 2:
+        if s.max_hamming + 1 > s.bits:
             raise ValueError(
-                f"max_hamming={s.max_hamming} > bits//2={s.bits // 2}: the "
-                "half-signature pigeonhole blocking only guarantees recall "
-                "up to bits//2 — raise bits or lower max_hamming"
+                f"max_hamming={s.max_hamming} needs {s.max_hamming + 1} "
+                f"pigeonhole chunks but bits={s.bits}: raise bits or lower "
+                "max_hamming"
             )
 
     def dedupe(self, data: DataFrame) -> DataFrame:
@@ -321,31 +322,21 @@ class SimHashDeduper(Deduper):
         )
 
     def delta_block_keys(self, data: DataFrame) -> DataFrame:
-        """``(id, block_key)`` — both half-signature keys of every row,
+        """``(id, block_key)`` — every pigeonhole-chunk key of every row,
         folded to one long exactly like the candidate join keys."""
-        from matchbox_spark.operators.dedup import simhash_values
+        from matchbox_spark.operators.dedup import (
+            _simhash_chunk_parts,
+            simhash_chunks,
+            simhash_values,
+        )
 
         self._validate()
         s = self.settings
-        half = s.bits // 2
-        mask = (1 << half) - 1
+        chunks = simhash_chunks(s.bits, s.max_hamming)
         sims = simhash_values(data, s.id, s.text_field, s.bits)
         return sims.select(
             F.col("doc").alias(s.id),
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.lit(0).alias("hi"),
-                        F.col("simhash").bitwiseAND(mask).alias("hv"),
-                    ),
-                    F.struct(
-                        F.lit(1).alias("hi"),
-                        F.shiftright("simhash", half)
-                        .bitwiseAND(mask)
-                        .alias("hv"),
-                    ),
-                )
-            ).alias("h"),
+            F.explode(_simhash_chunk_parts(chunks)).alias("h"),
         ).select(
             s.id,
             F.xxhash64(F.col("h.hi"), F.col("h.hv")).alias("block_key"),

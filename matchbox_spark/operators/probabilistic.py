@@ -247,14 +247,14 @@ def splink_sql_to_spark(sql: str) -> str:
     """
     import re as _re
 
-    # split off single-quoted string LITERALS ('' is the escape) so that
-    # neither the validation scans nor the rewrites ever touch literal
-    # text — a legitimate condition comparing against 'len(' or
-    # 'list_intersect(' must pass through verbatim (ADVICE r7)
-    lit_re = _re.compile(r"'(?:[^']|'')*'")
-    segs = lit_re.split(sql)
-    lits = lit_re.findall(sql)
-    scan_text = " ".join(segs)
+    # lex double-quoted IDENTIFIERS and single-quoted string LITERALS in one
+    # alternation so each quoting construct is consumed atomically — an
+    # apostrophe inside a quoted identifier (l."o'brien") must not open a
+    # bogus literal, and literal text must never be scanned or rewritten
+    # ('' / "" are the respective escapes; ADVICE r7 + r8)
+    tok_re = _re.compile(r"(\"(?:[^\"]|\"\")*\"|'(?:[^']|'')*')")
+    parts = tok_re.split(sql)  # even indices: code; odd: quoted token
+    scan_text = " ".join(parts[::2])
 
     for fn in _UNSUPPORTED_FUNCS:
         if _re.search(rf"\b{fn}\s*\(", scan_text, _re.IGNORECASE):
@@ -267,21 +267,25 @@ def splink_sql_to_spark(sql: str) -> str:
         if _re.search(rf"\b{fn}\s*\(", scan_text, _re.IGNORECASE):
             raise ValueError(f"Splink condition uses {fn}(): {hint}")
 
-    def _rewrite(seg: str) -> str:
+    def _rewrite_code(seg: str) -> str:
         for duck, spark_name in _DUCKDB_TO_SPARK_FUNCS.items():
             seg = _re.sub(
                 rf"\b{duck}\s*\(", f"{spark_name}(", seg, flags=_re.IGNORECASE
             )
-        # l."col" / r."col" → l.`col` (Spark identifier quoting)
-        seg = _re.sub(r'([lr])\."([^"]+)"', r"\1.`\2`", seg)
-        # bare double-quoted identifiers
-        seg = _re.sub(r'"([A-Za-z_][A-Za-z0-9_]*)"', r"`\1`", seg)
         return seg
 
-    out = _rewrite(segs[0])
-    for lit, seg in zip(lits, segs[1:]):
-        out += lit + _rewrite(seg)
-    return out
+    out = []
+    for i, part in enumerate(parts):
+        if i % 2 == 0:
+            out.append(_rewrite_code(part))
+        elif part.startswith('"'):
+            # "col" → `col` (Spark identifier quoting); undo the "" escape
+            # and double any embedded backtick (Spark's escape)
+            inner = part[1:-1].replace('""', '"').replace("`", "``")
+            out.append(f"`{inner}`")
+        else:
+            out.append(part)  # string literal — verbatim
+    return "".join(out)
 
 
 @dataclass

@@ -217,8 +217,11 @@ class Catalog:
         Writing into a fresh directory also keeps load → mutate → save
         safe (a catalog opened via ``_load`` holds LAZY scans of the
         pointed-to snapshot; nothing ever overwrites a directory being
-        read). Parts re-point at the new snapshot before the old one is
-        collected."""
+        read). Parts re-point at the new snapshot before any old one is
+        collected, and GC keeps the immediate predecessor snapshot for one
+        extra generation so concurrent readers of the previous pointer
+        survive a save. Writers are SINGLE by contract — two processes
+        saving to one path race the pointer flip and snapshot numbering."""
         if not self.path:
             raise ValueError("catalog has no path")
         os.makedirs(self.path, exist_ok=True)
@@ -250,10 +253,19 @@ class Catalog:
         # re-pointed scan is already folded — drop the (now no-op) overlay
         self._rc_tombstones = []
         self._loaded_from_disk = True
-        # GC: superseded snapshots and any legacy v1 per-table directories
+        # GC: superseded snapshots and any legacy v1 per-table directories.
+        # Deferred by ONE generation (ADVICE r8): the immediate predecessor
+        # survives this save so another live Catalog handle — or a user-held
+        # lazy DataFrame — that opened via the previous pointer keeps
+        # reading intact files. Writers are single (documented contract);
+        # a reader more than one save behind is out of the safety window.
         if os.path.isdir(snaps_root):
             for d in os.listdir(snaps_root):
-                if d != str(snap):
+                try:
+                    keep = int(d) >= snap - 1
+                except ValueError:
+                    keep = False  # not a snapshot dir — stray junk
+                if not keep:
                     shutil.rmtree(
                         os.path.join(snaps_root, d), ignore_errors=True
                     )

@@ -31,20 +31,39 @@ def test_save_load_roundtrip_and_gc(spark, tmp_path):
     cat = _mk(spark, p)
     cat.save()
     assert json.loads((p / "steps.json").read_text())["snapshot"] == 1
-    # mutate + save again: pointer advances, superseded snapshot collected
+    # mutate + save again: pointer advances; the immediate predecessor is
+    # KEPT one generation for in-flight readers (ADVICE r8)
     cat.insert_model_edges("m2", spark.createDataFrame(
         [(3, 4, 0.9)], "left_id long, right_id long, score float"
     ))
     cat.save()
     meta = json.loads((p / "steps.json").read_text())
     assert meta["snapshot"] == 2 and set(meta["steps"]) == {"m", "m2"}
-    assert os.listdir(p / "snapshots") == ["2"]
+    assert sorted(os.listdir(p / "snapshots")) == ["1", "2"]
     re = Catalog(spark, str(p))
     assert re.model_edges.count() == 2
-    # and load → mutate → save remains safe (the old data-loss class)
+    # and load → mutate → save remains safe (the old data-loss class);
+    # the third save collects snapshot 1 (now two generations stale)
     re.drop_step("m2")
     re.save()
+    assert sorted(os.listdir(p / "snapshots")) == ["2", "3"]
     assert Catalog(spark, str(p)).model_edges.count() == 1
+
+
+def test_reader_of_previous_snapshot_survives_one_save(spark, tmp_path):
+    """A lazy DataFrame held from the PREVIOUS pointer must stay readable
+    across one save by another handle (GC defers one generation)."""
+    p = tmp_path / "cat"
+    cat = _mk(spark, p)
+    cat.save()
+    reader = Catalog(spark, str(p))
+    held = reader.model_edges  # lazy scan of snapshot 1
+    writer = Catalog(spark, str(p))
+    writer.insert_model_edges("m2", spark.createDataFrame(
+        [(3, 4, 0.9)], "left_id long, right_id long, score float"
+    ))
+    writer.save()  # snapshot 2 live; snapshot 1 must survive this save
+    assert held.count() == 1
 
 
 def test_crash_before_pointer_flip_preserves_old_snapshot(spark, tmp_path):
@@ -62,9 +81,10 @@ def test_crash_before_pointer_flip_preserves_old_snapshot(spark, tmp_path):
     assert re._snapshot_id == 1
     assert re.model_edges.count() == 1
     assert "m" in re.steps
-    # the next save supersedes and collects the orphan
+    # the next save supersedes the orphan in place (snapshot 1 is kept one
+    # generation for in-flight readers)
     re.save()
-    assert os.listdir(p / "snapshots") == ["2"]
+    assert sorted(os.listdir(p / "snapshots")) == ["1", "2"]
     assert json.loads((p / "steps.json").read_text())["snapshot"] == 2
 
 

@@ -197,11 +197,12 @@ def test_simhash_delta_matches_full_recompute(spark, tmp_path):
     full = run("sh_full", auto_delta=False)
     assert _clusters(delta) == _clusters(full)
     bk = delta.block_keys.where(F.col("step") == "s_model")
-    assert bk.count() == 6 * 2  # two half-keys per distinct text
+    # max_hamming + 1 = 5 pigeonhole chunk keys per distinct text
+    assert bk.count() == 6 * 5
     assert full.block_keys.isEmpty()
-    # the pigeonhole recall bound is enforced
+    # each chunk must span at least one bit
     with _pytest.raises(ValueError, match="pigeonhole"):
-        SimHashDeduper(id="id", bits=16, max_hamming=9).dedupe(
+        SimHashDeduper(id="id", bits=16, max_hamming=16).dedupe(
             spark.createDataFrame([(1, "a")], "id long, text string")
         )
 
