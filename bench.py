@@ -3,12 +3,23 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}. Each query materialises via the
 noop sink (full execution, no driver collect cost).
+
+Round-9 protocol: the recorded number is a per-query MEDIAN across
+$SPARK_GRAFT_BENCH_SESSIONS (default 3) FRESH interpreter+JVM sessions,
+each taking the best of 2 timed runs after one untimed warm-up. Rationale
+(tools/probe_j7_ab.py): an interleaved cross-version A/B proved the
+r7→r8 j7 "regression" (6.76 → 9.62 s) was box state, not code — single-
+session minima swing ±40% across windows on this box, and a median of
+independent sessions is robust to one slow window where a single-session
+min is not. Set SPARK_GRAFT_BENCH_SESSIONS=1 for a quick iteration loop.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
@@ -28,7 +39,24 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
+def _session_info(cpus: str) -> dict:
+    try:
+        load1, load5, _ = os.getloadavg()
+        with open("/proc/uptime") as f:
+            uptime = float(f.read().split()[0])
+        return {
+            "load1": round(load1, 2),
+            "load5": round(load5, 2),
+            "uptime_s": round(uptime),
+            "cpus": int(cpus),
+        }
+    except OSError:
+        return {"cpus": int(cpus)}
+
+
+def run_one_session() -> None:
+    """Child mode: one fresh Spark session, every headline query warmed
+    once then timed twice (best-of-2); prints one JSON dict of timings."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 
@@ -54,29 +82,50 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    # one UNTIMED warm-up (plan compilation, codegen, page cache) then
-    # best-of-3: single-machine timings swing ±20-50% on scheduler noise
-    # (the r5 j7 delta); the minimum of three warm runs is the honest
-    # capability number and keeps the driver-recorded total within ~1 s of
-    # a same-session close run.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        run(name)
-        timings[name] = round(min(run(name) for _ in range(3)), 3)
+        run(name)  # untimed warm-up (plan compilation, codegen, page cache)
+        timings[name] = round(min(run(name) for _ in range(2)), 3)
+    print("BENCH_SESSION " + json.dumps(timings), flush=True)
 
-    try:
-        load1, load5, _ = os.getloadavg()
-        with open("/proc/uptime") as f:
-            uptime = float(f.read().split()[0])
-        session = {
-            "load1": round(load1, 2),
-            "load5": round(load5, 2),
-            "uptime_s": round(uptime),
-            "cpus": int(cpus),
-        }
-    except OSError:
-        session = {"cpus": int(cpus)}
 
+def main() -> None:
+    if os.environ.get("_SPARK_GRAFT_BENCH_CHILD") == "1":
+        run_one_session()
+        return
+
+    n_sessions = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "3")))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    per_session: list[dict[str, float]] = []
+    loads: list[float] = []
+    for _ in range(n_sessions):
+        try:
+            loads.append(round(os.getloadavg()[0], 2))
+        except OSError:
+            pass
+        env = dict(os.environ, _SPARK_GRAFT_BENCH_CHILD="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=1800,
+        )
+        row = None
+        for line in proc.stdout.splitlines():
+            if line.startswith("BENCH_SESSION "):
+                row = json.loads(line[len("BENCH_SESSION "):])
+        if proc.returncode != 0 or row is None:
+            sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
+            raise RuntimeError("bench child session failed")
+        per_session.append(row)
+
+    timings = {
+        name: round(statistics.median(s[name] for s in per_session), 3)
+        for name in HEADLINE
+    }
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -86,7 +135,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "session": session,
+                "session": _session_info(cpus),
+                "protocol": {
+                    "sessions": n_sessions,
+                    "per_session_best_of": 2,
+                    "aggregate": "median across fresh sessions",
+                    "load1_at_session_starts": loads,
+                },
+                "sessions_detail": per_session,
             }
         )
     )

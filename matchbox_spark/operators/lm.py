@@ -188,6 +188,7 @@ def kn_score_held_out(
     discount: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    unigram: str = "types",
 ) -> DataFrame:
     """KenLM-shaped train/score split: train KN count tables on one corpus,
     score HELD-OUT documents — with OOV and unseen-context backoff, orders
@@ -204,7 +205,21 @@ def kn_score_held_out(
       passes through to the next-lower order unchanged (weight 1);
     - **OOV word**: the unigram level reserves one escape unit of mass:
       ``P1(w) = cnt1(w)/(N+1)`` for seen words and ``1/(N+1)`` for unknown
-      (N = number of distinct training n-grams, Σ = 1 over seen ∪ unk).
+      (Σ = 1 over seen ∪ unk).
+
+    ``unigram`` picks the unigram count basis (both Σ to 1 with the same
+    escape construction; higher levels are KN continuation counts either
+    way):
+
+    - ``'types'`` (default, the oracle-pinned mode): ``cnt1(w)`` = distinct
+      training n-gram TYPES ending in ``w``, ``N`` = distinct n-gram types —
+      a KN-continuation-style distribution. Self-consistent, but NOT what
+      KenLM does at the unigram level, so perplexities are KenLM-shaped
+      rather than KenLM-equal.
+    - ``'tokens'``: ``cnt1(w)`` = token OCCURRENCES of ``w`` as the final
+      word of a training n-gram, ``N`` = total n-gram tokens — KenLM's
+      token-frequency unigram semantics (each corpus token past the first
+      ``order−1`` per doc counts exactly once).
 
     Every level-k count table derives from the ONE distinct-n-gram table
     (count = distinct n-gram types sharing the last-k suffix — the same
@@ -220,6 +235,8 @@ def kn_score_held_out(
         raise ValueError("kn_score_held_out supports orders 2-5")
     if not 0.0 < discount < 1.0:
         raise ValueError("discount must be in (0, 1)")
+    if unigram not in ("types", "tokens"):
+        raise ValueError("unigram must be 'types' or 'tokens'")
     D = F.lit(float(discount))
     names = [f"g{i}" for i in range(order)]
 
@@ -239,7 +256,12 @@ def kn_score_held_out(
         ctxs[k] = tabs[k].groupBy(*names[order - k: order - 1]).agg(
             F.sum(f"c{k}").alias(f"t{k}"), F.count("*").alias(f"y{k}")
         )
-    nt = cN.agg(F.count("*").cast("double").alias("nt"))
+    if unigram == "tokens":
+        # KenLM-mode unigram basis: token occurrences, not distinct types
+        tabs[1] = cN.groupBy(names[-1]).agg(F.sum(f"c{order}").alias("c1"))
+        nt = cN.agg(F.sum(f"c{order}").cast("double").alias("nt"))
+    else:
+        nt = cN.agg(F.count("*").cast("double").alias("nt"))
 
     sg = _gram_stream(score_docs, order, id_col, text_col)
     j = sg

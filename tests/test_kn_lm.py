@@ -222,9 +222,72 @@ class TestHeldOutScoring:
             kn_score_held_out(t, t, order=6)
         with pytest.raises(ValueError, match="discount"):
             kn_score_held_out(t, t, order=3, discount=1.5)
+        with pytest.raises(ValueError, match="unigram"):
+            kn_score_held_out(t, t, unigram="words")
+
+    def test_tokens_unigram_hand_check(self, spark):
+        """KenLM-mode (unigram='tokens') order-2 hand pins: the unigram
+        basis is gram-final TOKEN occurrences (b:2 a:1 c:1, NT=4), not
+        distinct types (b:1 a:1 c:1, nt=3)."""
+        from matchbox_spark.operators.lm import kn_score_held_out
+
+        got = {
+            r["doc"]: (r["n_grams"], r["mean_logprob"])
+            for r in kn_score_held_out(
+                _docs(spark, self.TRAIN),
+                _docs(spark, [(10, "a b"), (11, "b x"), (12, "x b")]),
+                order=2,
+                discount=0.75,
+                unigram="tokens",
+            ).collect()
+        }
+        p1_b = 2 / 5  # tokens(b)=2, NT=4 → 2/(4+1)
+        p1_unk = 1 / 5
+        exp = {
+            10: (2 - 0.75) / 3 + ((0.75 * 2) / 3) * p1_b,
+            11: 0.0 + ((0.75 * 1) / 1) * p1_unk,
+            12: p1_b,
+        }
+        for doc, p in exp.items():
+            n, mlp = got[doc]
+            assert n == 1, doc
+            assert mlp == _r6(_r6(math.log(p))), doc
+
+    def test_tokens_mode_matches_independent_reference(self, spark):
+        from matchbox_spark.operators.lm import kn_score_held_out
+
+        vocab = ["red", "blue", "green", "ox", "owl", "ant", "elk", "bee"]
+        train_rows = [
+            (i, " ".join(vocab[(i * 7 + 3 * k) % 8] for k in range(12)))
+            for i in range(40)
+        ]
+        score_rows = [
+            (100 + i, " ".join(
+                (vocab[(i * 5 + 2 * k) % 8] if k % 6 else "novel")
+                for k in range(9)
+            ))
+            for i in range(12)
+        ]
+        for order in (2, 4):
+            got = {
+                r["doc"]: (r["n_grams"], r["mean_logprob"])
+                for r in kn_score_held_out(
+                    _docs(spark, train_rows),
+                    _docs(spark, score_rows),
+                    order=order,
+                    discount=0.75,
+                    unigram="tokens",
+                ).collect()
+            }
+            want = _reference_kn(
+                train_rows, score_rows, order, 0.75, unigram="tokens"
+            )
+            assert got == want, f"order {order}"
+            # the two modes genuinely differ on this corpus
+            assert got != _reference_kn(train_rows, score_rows, order, 0.75)
 
 
-def _reference_kn(train_rows, score_rows, order, D):
+def _reference_kn(train_rows, score_rows, order, D, unigram="types"):
     """Independent plain-Python KN held-out scorer (dicts and floats; no
     Spark) mirroring the documented model definition."""
     from collections import Counter
@@ -251,7 +314,14 @@ def _reference_kn(train_rows, score_rows, order, D):
             tot, typ = agg.get(ctx, (0, 0))
             agg[ctx] = (tot + cnt, typ + 1)
         ctxs[k] = agg
-    nt = float(len(cN))
+    if unigram == "tokens":
+        c1 = Counter()
+        for g, cnt in cN.items():
+            c1[g[order - 1:]] += cnt
+        tabs[1] = dict(c1)
+        nt = float(sum(cN.values()))
+    else:
+        nt = float(len(cN))
 
     def prob(g):
         c1 = tabs[1].get(g[order - 1:])
