@@ -3860,13 +3860,18 @@ def m5_real_decode(spark, sf):
                     payload, mt = encode_ppm(img), "image/x-portable-pixmap"
                 elif c == 2:
                     payload, mt = encode_png(img, filter_type=4), "image/png"
-                else:  # q=100 4:4:4 -> solid colour roundtrips bit-exactly
+                else:  # q=100 4:4:4 -> solid colour roundtrips bit-exactly;
+                    # alternate baseline (SOF0) and PROGRESSIVE (SOF2 —
+                    # multi-scan spectral selection + successive
+                    # approximation, round 9) containers: identical
+                    # coefficients, so one oracle pins both decode paths
                     payload, mt = (
                         encode_jpeg(
                             img,
                             quality=100,
                             subsampling="4:4:4",
                             restart_interval=2,
+                            progressive=bool((int(doc_id) // 4) % 2),
                         ),
                         "image/jpeg",
                     )
@@ -3933,21 +3938,20 @@ def m5_real_decode(spark, sf):
            WHEN 8 THEN 68 + ht * (1 + 3 * w)
            WHEN 9 THEN 16
            WHEN 10 THEN 68 + ht * (1 + 3 * w)
-           -- JPEG container padded to a constant size via a COM segment
-           -- (Huffman output length is data-dependent)
+           -- JPEG containers padded to constant sizes via COM segments
+           -- (Huffman output length is data-dependent); the progressive
+           -- container carries 14 scans + the flat AC table, hence 2048
            WHEN 11 THEN 1024
            WHEN 12 THEN 10
-           WHEN 13 THEN 1024
+           WHEN 13 THEN 2048
            ELSE tlen END AS BIGINT) AS n_bytes,
-         -- c = 13 (progressive): all SOFn headers share the geometry
-         -- layout, so the probe reports true size with a distinct status
+         -- c = 13 (REAL progressive, round 9): probes ok like baseline
          CAST(CASE WHEN c <= 1 OR c = 8 OR c = 11 OR c = 13
               THEN w END AS INT) AS width,
          CAST(CASE WHEN c <= 1 OR c = 8 OR c = 11 OR c = 13
               THEN ht END AS INT) AS height,
          CAST(CASE WHEN c = 2 THEN ns // 8 END AS BIGINT) AS duration_ms,
-         CASE WHEN c <= 2 OR c = 8 OR c = 11 THEN 'ok'
-              WHEN c = 13 THEN 'unsupported_progressive'
+         CASE WHEN c <= 2 OR c = 8 OR c = 11 OR c = 13 THEN 'ok'
               WHEN c = 7 THEN 'no_decoder'
               ELSE 'corrupt' END AS status
        FROM d""",
@@ -3965,20 +3969,18 @@ def m6_malformed_media(spark, sf):
     and the JPEG trio: a VALID baseline JPEG padded to a constant
     1024-byte container via a COM segment (marker walk to SOF0 succeeds —
     geometry pinned; padding is needed because Huffman output length is
-    data-dependent), a JPEG truncated to 10 bytes, and a progressive
-    (SOF2) JPEG the baseline decoder rejects loudly. A corrupt object
-    yields null fields, never a task failure — the contract a 100 TB scan
-    over heterogeneous objects needs."""
+    data-dependent), a JPEG truncated to 10 bytes, and a REAL progressive
+    (SOF2) JPEG — 14-scan spectral-selection + successive-approximation
+    container, probed ok with pinned geometry since the round-9 decoder.
+    A corrupt object yields null fields, never a task failure — the
+    contract a 100 TB scan over heterogeneous objects needs."""
     import hashlib as _hl
     import struct as _st
 
     import numpy as _np
     import pandas as _pd
 
-    from matchbox_spark.operators.jpeg import (
-        encode_jpeg,
-        jpeg_marker_offset,
-    )
+    from matchbox_spark.operators.jpeg import encode_jpeg
     from matchbox_spark.operators.multimodal import (
         encode_bmp,
         encode_png,
@@ -4010,14 +4012,13 @@ def m6_malformed_media(spark, sf):
                         encode_jpeg(solid, quality=100)[:10],
                         "image/jpeg",
                     )
-                elif c == 13:  # progressive (SOF2) — out of baseline scope
-                    raw = encode_jpeg(solid, quality=100, pad_to=1024)
-                    # proper marker walk to SOF0 (a bytes.find probe can hit
-                    # a coincidental FF C0 byte pair inside a DQT body at
-                    # qualities other than 100 — ADVICE r7)
-                    buf = bytearray(raw)
-                    buf[jpeg_marker_offset(raw, 0xC0) + 1] = 0xC2
-                    payload, mt = bytes(buf), "image/jpeg"
+                elif c == 13:  # REAL progressive (SOF2), COM-padded
+                    payload, mt = (
+                        encode_jpeg(
+                            solid, quality=100, progressive=True, pad_to=2048
+                        ),
+                        "image/jpeg",
+                    )
                 elif c == 8:  # valid stored-deflate PNG (closed-form size)
                     payload, mt = (
                         encode_png(solid, filter_type=4, compress_level=0),
@@ -4084,36 +4085,32 @@ def m6_malformed_media(spark, sf):
          FROM documents WHERE doc_id < 400
        )
        SELECT doc_id,
-         CAST(CASE WHEN c <= 1 THEN 4 + b3 % 13 END AS INT) AS width,
-         CAST(CASE WHEN c <= 1 THEN 4 + b4 % 13 END AS INT) AS height,
-         CAST(CASE WHEN c <= 1 THEN b0 END AS DOUBLE) AS mean_r,
-         CAST(CASE WHEN c <= 1 THEN b1 END AS DOUBLE) AS mean_g,
-         CAST(CASE WHEN c <= 1 THEN b2 END AS DOUBLE) AS mean_b,
-         CASE WHEN c <= 1 THEN 'ok'
+         CAST(CASE WHEN c <= 1 OR c = 5 THEN 4 + b3 % 13 END AS INT) AS width,
+         CAST(CASE WHEN c <= 1 OR c = 5 THEN 4 + b4 % 13 END AS INT) AS height,
+         CAST(CASE WHEN c <= 1 OR c = 5 THEN b0 END AS DOUBLE) AS mean_r,
+         CAST(CASE WHEN c <= 1 OR c = 5 THEN b1 END AS DOUBLE) AS mean_g,
+         CAST(CASE WHEN c <= 1 OR c = 5 THEN b2 END AS DOUBLE) AS mean_b,
+         CASE WHEN c <= 1 OR c = 5 THEN 'ok'
               WHEN c = 4 THEN 'no_decoder'
-              WHEN c = 5 THEN 'unsupported_progressive'
               ELSE 'corrupt' END AS status
        FROM h""",
 )
 def m7_decode_malformed(spark, sf):
-    """Pixel-decode error branches through the driver oracle, now with a
+    """Pixel-decode error branches through the driver oracle, with a
     per-row STATUS the corpus report can aggregate: valid BMP and PPM
     rasters decode FOR REAL (solid colour — channel means equal the digest
     bytes exactly, status 'ok'); truncated BMP and garbage PPM magic are
-    'corrupt'; an unregistered pixel type is 'no_decoder'; and a
-    progressive (SOF2) JPEG — whose header parses but whose entropy decode
-    this baseline codec declines — is 'unsupported_progressive', the
-    needs-libjpeg bucket a real web corpus must separate from broken
-    files (operators/jpeg.py:UnsupportedJpegError)."""
+    'corrupt'; an unregistered pixel type is 'no_decoder'; and a REAL
+    progressive (SOF2) JPEG — multi-scan spectral selection + successive
+    approximation — decodes to pixels since round 9, so its solid-colour
+    means are pinned exactly like the raster formats
+    (operators/jpeg.py:_decode_progressive_pixels)."""
     import hashlib as _hl
 
     import numpy as _np
     import pandas as _pd
 
-    from matchbox_spark.operators.jpeg import (
-        encode_jpeg,
-        jpeg_marker_offset,
-    )
+    from matchbox_spark.operators.jpeg import encode_jpeg
     from matchbox_spark.operators.multimodal import (
         decode_image_stats,
         encode_bmp,
@@ -4142,11 +4139,11 @@ def m7_decode_malformed(spark, sf):
                     payload, mt = b"XX" + h, "image/x-portable-pixmap"
                 elif c == 4:  # valid raster, but no pixel decoder for GIF
                     payload, mt = encode_bmp(solid), "image/gif"
-                else:  # progressive JPEG: header ok, scan decode declined
-                    raw = encode_jpeg(solid, quality=100)
-                    buf = bytearray(raw)
-                    buf[jpeg_marker_offset(raw, 0xC0) + 1] = 0xC2
-                    payload, mt = bytes(buf), "image/jpeg"
+                else:  # REAL progressive JPEG: full SOF2 scan-script decode
+                    payload, mt = (
+                        encode_jpeg(solid, quality=100, progressive=True),
+                        "image/jpeg",
+                    )
                 rows.append((int(doc_id), payload, mt))
             yield _pd.DataFrame(
                 rows, columns=["doc_id", "payload", "media_type"]
@@ -6926,29 +6923,26 @@ def _last_green_rounds(here: str | None = None) -> dict[str, int]:
 
 _LAST_GREEN = _last_green_rounds()
 
-# round-8 code-path changes (new operators, review fixes) — these lead the
-# driver sample so CORRECTNESS_r08 certifies them first
-_TOUCHED_R8 = {
-    "st1_incremental_index",       # computed-block-key delta route rides incremental.py
-    "st7_incremental_resolve",     # same module; block_keys catalog table
-    "j13_sorted_neighborhood",     # null-placement guard in the rank recipe
-    "m6_malformed_media",          # status column + SOF2 classification
-    "m7_decode_stats_malformed",   # status column + progressive class (c%6)
-    "m5_real_image_decode",        # decode_image_stats signature rides along
-    "m1_media_metadata",           # extract_media_metadata signature rides along
-    "t14_kn_perplexity",           # lm.py gained the held-out scorer (t15)
-    "d4_simhash",                  # simhash self-join checkpoint
-    "d4b_simhash_neardups",        # simhash self-join checkpoint
-    "j6_splink_compat",            # literal-safe transpile
-    "e4_histogram_quantiles",      # NaN-routing re-certification (ADVICE)
-    "g6_pagerank",                 # per-iteration lineage checkpoints
-    "g7_label_propagation",        # per-round lineage checkpoints
+# round-9 code-path changes (new operators, review fixes) — these lead the
+# driver sample so CORRECTNESS_r09 certifies them first
+_TOUCHED_R9 = {
+    "d4b_simhash_neardups",        # chunked pigeonhole blocking (ADVICE r8)
+    "d4_simhash",                  # simhash module rides along
+    "j6_splink_compat",            # quote-atomic transpile lexer (ADVICE r8)
+    "j13_sorted_neighborhood",     # null-probe only in error mode (ADVICE r8)
+    "j13b_multipass_snm",          # same aggregate change
+    "m5_real_image_decode",        # progressive (SOF2) decode rotation branch
+    "m6_malformed_media",          # real progressive fixture, 2048 container
+    "m7_decode_stats_malformed",   # progressive rows now decode to pixels
+    "m1_media_metadata",           # multimodal status taxonomy rides along
+    "t15_kn_held_out",             # unigram='tokens' option (types default)
+    "st7_incremental_resolve",     # catalog GC deferral rides the save path
 }
 
 
 def _rotated() -> list[str]:
     def prio(n: str) -> int:
-        if n in _TOUCHED_R8:
+        if n in _TOUCHED_R9:
             return 0
         # never-green (absent) → tier 1; else 1 + last green round, so the
         # stalest certification re-checks first

@@ -8,10 +8,12 @@ restart markers, dequantisation, 2-D IDCT, chroma upsampling, and
 YCbCr→RGB conversion. Production swaps the registry entry for
 libjpeg-turbo (PIL/pyav); the signature is unchanged.
 
-Scope (honest): baseline sequential DCT, 8-bit, 1 or 3 components,
-sampling factors 1–2 (covers 4:4:4, 4:2:2, 4:2:0). Progressive (SOF2),
-arithmetic coding, 12-bit, and hierarchical modes raise ``ValueError`` —
-the scan-level null contract applies, exactly like the PNG/BMP probes.
+Scope (honest): baseline sequential DCT (SOF0/1) AND progressive DCT
+(SOF2 — spectral selection + successive approximation, round 9), 8-bit,
+1 or 3 components, sampling factors 1–2 (covers 4:4:4, 4:2:2, 4:2:0).
+Lossless (SOF3+), arithmetic coding, 12-bit, and hierarchical modes raise
+``ValueError``/``UnsupportedJpegError`` — the scan-level null contract
+applies, exactly like the PNG/BMP probes.
 
 Rounding contract (what the m5 oracle replays in SQL): quantisation is
 ``floor(coef/q + 0.5)``, sample reconstruction is
@@ -119,6 +121,21 @@ _AC_CHROMA_SPEC = (
         0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
         0xF9, 0xFA,
     ],
+)
+
+# Progressive AC scans additionally code EOBn symbols (0x10..0xE0 — EOB-run
+# lengths 2^1..2^14), which the Annex-K baseline AC tables do NOT contain
+# (real progressive encoders always ship custom tables). This flat table
+# assigns every symbol the scans can emit an 8-bit code: run/size pairs for
+# sizes 1-14 (runs 0-15), ZRL (0xF0), and EOB0..EOB14 — 224 + 1 + 15 = 240
+# codes, Kraft sum 240/256 < 1, the all-ones byte never assigned.
+_AC_PROG_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted(
+        [(r << 4) | s for r in range(16) for s in range(1, 15)]
+        + [0xF0]
+        + [n << 4 for n in range(15)]
+    ),
 )
 
 # Zig-zag order: _ZIGZAG[k] = flat index into the 8×8 block of the k-th
@@ -229,12 +246,238 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
+def _encode_progressive_scans(
+    comp_blocks: list,
+    enc_dc: list,
+    enc_ac: list,
+    mcus_x: int,
+    mcus_y: int,
+    restart_interval: int,
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+) -> list[tuple[bytes, bytes]]:
+    """Entropy-code the T.81 Annex-G progressive scan script over the
+    already-quantised coefficient blocks: interleaved DC first (Al=1) +
+    DC refinement, then per component two spectral AC bands (1–5, 6–63)
+    each as a first pass (Al=1) and a refinement pass (Ah=1, Al=0) — so a
+    decoder must exercise spectral selection, successive approximation,
+    EOB runs, and correction bits. Returns [(sos_payload, entropy), ...].
+    """
+    ncomp = len(comp_blocks)
+    zz = _ZIGZAG
+
+    def rst_marker(bw_: _BitWriter, n: int) -> None:
+        bw_.align()
+        bw_.raw(bytes([0xFF, 0xD0 + n % 8]))
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        bw_ = _BitWriter()
+        pred = [0] * ncomp
+        mcu = rst = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    rst_marker(bw_, rst)
+                    rst += 1
+                    pred = [0] * ncomp
+                mcu += 1
+                for ci, (quant, _nbx, hs, vs) in enumerate(comp_blocks):
+                    for by in range(vs):
+                        for bx in range(hs):
+                            dc = int(quant[my * vs + by, mx * hs + bx, 0, 0])
+                            if ah == 0:
+                                v = dc >> al  # arithmetic shift (G.1.2.1)
+                                diff = v - pred[ci]
+                                pred[ci] = v
+                                cat = _category(diff)
+                                code, ln = enc_dc[ci][cat]
+                                bw_.write(code, ln)
+                                if cat:
+                                    bw_.write(
+                                        diff if diff > 0
+                                        else diff + (1 << cat) - 1,
+                                        cat,
+                                    )
+                            else:
+                                bw_.write((dc >> al) & 1, 1)
+        return bw_.flush()
+
+    def _ni_grid(ci: int) -> tuple[int, int]:
+        _, _, hs, vs = comp_blocks[ci]
+        cw = -(-(w * hs) // hmax)
+        ch = -(-(h * vs) // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        quant, _, _, _ = comp_blocks[ci]
+        bwx, bwy = _ni_grid(ci)
+        codes = enc_ac[ci]
+        bw_ = _BitWriter()
+        eob = 0
+        mcu = rst = 0
+
+        def flush_eob() -> None:
+            nonlocal eob
+            if eob:
+                n = eob.bit_length() - 1
+                code, ln = codes[n << 4]
+                bw_.write(code, ln)
+                if n:
+                    bw_.write(eob - (1 << n), n)
+                eob = 0
+
+        for by in range(bwy):
+            for bx in range(bwx):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    flush_eob()
+                    rst_marker(bw_, rst)
+                    rst += 1
+                mcu += 1
+                blk = quant[by, bx].reshape(64)[zz]
+                vals = []
+                for k in range(ss, se + 1):
+                    t = int(blk[k])
+                    av = abs(t) >> al  # magnitude truncation (G.1.2.2)
+                    vals.append(av if t >= 0 else -av)
+                last = -1
+                for i, v in enumerate(vals):
+                    if v:
+                        last = i
+                if last < 0:
+                    eob += 1
+                    if eob == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                for i in range(last + 1):
+                    v = vals[i]
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, ln = codes[0xF0]  # ZRL
+                        bw_.write(code, ln)
+                        r -= 16
+                    cat = _category(v)
+                    code, ln = codes[(r << 4) | cat]
+                    bw_.write(code, ln)
+                    bw_.write(v if v > 0 else v + (1 << cat) - 1, cat)
+                    r = 0
+                if last < se - ss:
+                    eob += 1
+                    if eob == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return bw_.flush()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        quant, _, _, _ = comp_blocks[ci]
+        bwx, bwy = _ni_grid(ci)
+        codes = enc_ac[ci]
+        bw_ = _BitWriter()
+        eob = 0
+        be: list[int] = []  # correction bits owned by the pending EOB run
+        mcu = rst = 0
+
+        def flush_eob() -> None:
+            nonlocal eob, be
+            if eob:
+                n = eob.bit_length() - 1
+                code, ln = codes[n << 4]
+                bw_.write(code, ln)
+                if n:
+                    bw_.write(eob - (1 << n), n)
+                for b in be:
+                    bw_.write(b, 1)
+                eob, be = 0, []
+
+        for by in range(bwy):
+            for bx in range(bwx):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    flush_eob()
+                    rst_marker(bw_, rst)
+                    rst += 1
+                mcu += 1
+                blk = quant[by, bx].reshape(64)[zz]
+                av = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                ebpos = ss - 1  # last newly-nonzero coefficient, if any
+                for i, t in enumerate(av):
+                    if t == 1:
+                        ebpos = ss + i
+                r = 0
+                br: list[int] = []
+                for k in range(ss, se + 1):
+                    t = av[k - ss]
+                    if t == 0:
+                        r += 1
+                        continue
+                    # ZRLs not foldable into the EOB run must flush first
+                    while r > 15 and k <= ebpos:
+                        flush_eob()
+                        code, ln = codes[0xF0]
+                        bw_.write(code, ln)
+                        r -= 16
+                        for b in br:
+                            bw_.write(b, 1)
+                        br = []
+                    if t > 1:  # history-nonzero: one buffered correction bit
+                        br.append(t & 1)
+                        continue
+                    flush_eob()  # newly-nonzero coefficient
+                    code, ln = codes[(r << 4) | 1]
+                    bw_.write(code, ln)
+                    bw_.write(1 if int(blk[k]) > 0 else 0, 1)
+                    for b in br:
+                        bw_.write(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:  # trailing zeros fold into the EOB run
+                    eob += 1
+                    be.extend(br)
+                    if eob == 0x7FFF or len(be) > 900:
+                        flush_eob()
+        flush_eob()
+        return bw_.flush()
+
+    def sos(comp_specs: list[tuple[int, int, int]],
+            ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            body += bytes([cid, (td << 4) | ta])
+        return body + bytes([ss, se, (ah << 4) | al])
+
+    all_dc = [(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(ncomp)]
+    scans = [
+        (sos(all_dc, 0, 0, 0, 1), dc_scan(0, 1)),
+        (sos(all_dc, 0, 0, 1, 0), dc_scan(1, 0)),
+    ]
+    for ci in range(ncomp):
+        ta = 0 if ci == 0 else 1
+        for ss, se in ((1, 5), (6, 63)):
+            scans.append(
+                (sos([(ci + 1, 0, ta)], ss, se, 0, 1),
+                 ac_first_scan(ci, ss, se, 1))
+            )
+    for ci in range(ncomp):
+        ta = 0 if ci == 0 else 1
+        for ss, se in ((1, 5), (6, 63)):
+            scans.append(
+                (sos([(ci + 1, 0, ta)], ss, se, 1, 0),
+                 ac_refine_scan(ci, ss, se, 0))
+            )
+    return scans
+
+
 def encode_jpeg(
     pixels,
     quality: int = 90,
     subsampling: str = "4:4:4",
     pad_to: int | None = None,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode an (H, W, 3) uint8 RGB array as a baseline sequential JFIF
     JPEG: standard Annex-K quantisation (IJG quality-scaled) and Huffman
@@ -247,6 +490,13 @@ def encode_jpeg(
     is EXACTLY that many bytes — what the m6 oracle's closed-form
     byte-length check needs (Huffman output length is data-dependent, so
     a constant container size has to be engineered).
+
+    ``progressive=True`` emits the SAME quantised coefficients as an
+    SOF2 progressive stream (Annex-G scan script: interleaved DC first +
+    refinement, two spectral AC bands per component, each with a
+    successive-approximation refinement pass) — so a progressive decode
+    must reproduce the baseline decode bit-for-bit, the roundtrip pin
+    tests/test_jpeg.py relies on.
     """
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
@@ -297,13 +547,31 @@ def encode_jpeg(
         quant = np.floor(coefs / q + 0.5).astype(np.int32)
         comp_blocks.append((quant, nbx, hs, vs))
 
-    # Huffman-encode the interleaved scan
     enc_dc = [_canonical_codes(_DC_LUMA_SPEC)] + [
         _canonical_codes(_DC_CHROMA_SPEC)
     ] * 2
     enc_ac = [_canonical_codes(_AC_LUMA_SPEC)] + [
         _canonical_codes(_AC_CHROMA_SPEC)
     ] * 2
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    if progressive:
+        prog_ac = _canonical_codes(_AC_PROG_SPEC)
+        scans = _encode_progressive_scans(
+            comp_blocks, enc_dc, [prog_ac] * 3, mcus_x, mcus_y,
+            restart_interval, w, h, hmax, vmax,
+        )
+        scan_bytes = b"".join(
+            seg(0xFFDA, hdr) + entropy for hdr, entropy in scans
+        )
+        return _assemble_jpeg(
+            0xFFC2, scan_bytes, samp, luma_q, chroma_q, w, h,
+            restart_interval, pad_to,
+        )
+
+    # Huffman-encode the interleaved baseline scan
     bw_ = _BitWriter()
     pred = [0, 0, 0]
     zz = _ZIGZAG
@@ -355,12 +623,38 @@ def encode_jpeg(
                             bw_.write(code, ln)
     entropy = bw_.flush()
 
+    # Td<<4 | Ta per component: luma uses DC/AC tables 0, chroma tables 1
+    sos_comps = b"".join(
+        bytes([ci + 1, 0x00 if ci == 0 else 0x11]) for ci in range(3)
+    )
+    scan_bytes = seg(0xFFDA, b"\x03" + sos_comps + b"\x00\x3f\x00") + entropy
+    return _assemble_jpeg(
+        0xFFC0, scan_bytes, samp, luma_q, chroma_q, w, h,
+        restart_interval, pad_to,
+    )
+
+
+def _assemble_jpeg(
+    sof_marker: int,
+    scan_bytes: bytes,
+    samp: list,
+    luma_q: np.ndarray,
+    chroma_q: np.ndarray,
+    w: int,
+    h: int,
+    restart_interval: int,
+    pad_to: int | None,
+) -> bytes:
+    """Shared container assembly: SOI/APP0/DQT/SOFn/DHT/DRI + the scan
+    section(s) + EOI, with optional COM padding to an exact byte size."""
+
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     def dqt(tid: int, table: np.ndarray) -> bytes:
         return seg(
-            0xFFDB, bytes([tid]) + bytes(int(x) for x in table.reshape(64)[zz])
+            0xFFDB,
+            bytes([tid]) + bytes(int(x) for x in table.reshape(64)[_ZIGZAG]),
         )
 
     def dht(cls: int, tid: int, spec) -> bytes:
@@ -371,27 +665,23 @@ def encode_jpeg(
         bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0 if ci == 0 else 1])
         for ci in range(3)
     )
-    # Td<<4 | Ta per component: luma uses DC/AC tables 0, chroma tables 1
-    sos_comps = b"".join(
-        bytes([ci + 1, 0x00 if ci == 0 else 0x11]) for ci in range(3)
-    )
+    prog = sof_marker == 0xFFC2
     out = (
         b"\xff\xd8"  # SOI
         + seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + dqt(0, luma_q)
         + dqt(1, chroma_q)
-        + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
+        + seg(sof_marker, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
         + dht(0, 0, _DC_LUMA_SPEC)
-        + dht(1, 0, _AC_LUMA_SPEC)
+        + dht(1, 0, _AC_PROG_SPEC if prog else _AC_LUMA_SPEC)
         + dht(0, 1, _DC_CHROMA_SPEC)
-        + dht(1, 1, _AC_CHROMA_SPEC)
+        + dht(1, 1, _AC_PROG_SPEC if prog else _AC_CHROMA_SPEC)
         + (
             seg(0xFFDD, struct.pack(">H", restart_interval))
             if restart_interval
             else b""
         )
-        + seg(0xFFDA, b"\x03" + sos_comps + b"\x00\x3f\x00")
-        + entropy
+        + scan_bytes
         + b"\xff\xd9"  # EOI
     )
     if pad_to is not None:
@@ -528,19 +818,19 @@ def jpeg_marker_offset(payload: bytes, marker: int) -> int:
 
 @_loud_probe
 def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
-    """Marker walk → (width, height) from the SOF0/SOF1 frame header.
+    """Marker walk → (width, height) from the SOF0/SOF1/SOF2 frame header.
 
     Raises ``ValueError`` on bad magic or truncation, and the typed
-    :class:`UnsupportedJpegError` on progressive (SOF2) / lossless /
-    arithmetic-coded frames — the same loud-probe contract as the PNG/BMP
-    decoders, so corrupt objects null out at scan level while capability
-    declines stay classifiable."""
+    :class:`UnsupportedJpegError` on lossless / arithmetic-coded frames —
+    the same loud-probe contract as the PNG/BMP decoders, so corrupt
+    objects null out at scan level while capability declines stay
+    classifiable. Progressive (SOF2) is fully decodable since round 9."""
     sof, w, h = jpeg_frame_info(payload)
-    if sof not in (0, 1):
+    if sof not in (0, 1, 2):
         raise UnsupportedJpegError(
             sof,
             f"unsupported JPEG frame type SOF{sof} "
-            "(only baseline sequential is decoded here)",
+            "(baseline sequential and progressive are decoded here)",
         )
     return w, h
 
@@ -661,7 +951,9 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 if not (1 <= hs <= 2 and 1 <= vs <= 2):
                     raise ValueError("sampling factors beyond 1-2 unsupported")
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # progressive DCT — its own multi-scan walk
+            return _decode_progressive_pixels(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedJpegError(
                 marker - 0xC0,
@@ -798,8 +1090,21 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                         ] = deq * q
             mcu_count += 1
 
+    return _coef_to_rgb(scan_comps, coef, w, h, hmax, vmax)
+
+
+def _coef_to_rgb(
+    comps: list[dict],
+    coef: dict[int, np.ndarray],
+    w: int,
+    h: int,
+    hmax: int,
+    vmax: int,
+) -> np.ndarray:
+    """Shared decode tail: dequantised (nby, nbx, 8, 8) float coefficient
+    arrays per component → batched IDCT → chroma upsample → RGB uint8."""
     planes: list[np.ndarray] = []
-    for c in scan_comps:
+    for c in comps:
         blocks = coef[c["id"]]
         spatial = (
             np.einsum("xu,ryuv,vc->ryxc", _DCT_M.T, blocks, _DCT_M) + 128.0
@@ -819,3 +1124,347 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode — spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def _destuff_entropy(payload: bytes, start: int) -> tuple[bytes, set, int]:
+    """Destuffed entropy bytes from ``start`` up to the next real marker:
+    → (data, restart byte positions, offset of the terminating marker)."""
+    data = bytearray()
+    restarts: set[int] = set()
+    ep = start
+    while ep < len(payload):
+        b = payload[ep]
+        if b == 0xFF:
+            nxt = payload[ep + 1] if ep + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                data.append(0xFF)
+                ep += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                restarts.add(len(data))
+                ep += 2
+                continue
+            break  # EOI or next segment marker
+        data.append(b)
+        ep += 1
+    return bytes(data), restarts, ep
+
+
+def _ac_first_block(
+    reader: _BitReader,
+    blk: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    act: dict,
+    eobrun: int,
+) -> int:
+    """G.1.2.2 first AC scan of one block; returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _decode_huff(reader, act)
+        r, s = sym >> 4, sym & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index overflow")
+            blk[_ZIGZAG[k]] = _extend(reader.receive(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                return eobrun
+            k += 16  # ZRL
+    return 0
+
+
+def _ac_refine_block(
+    reader: _BitReader,
+    blk: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    act: dict,
+    eobrun: int,
+) -> int:
+    """G.1.2.3 AC refinement of one block; returns the new EOB run.
+
+    Newly-nonzero coefficients arrive as magnitude-1 symbols with a sign
+    bit; every already-nonzero coefficient passed over (including those
+    under an EOB run) consumes one correction bit that may raise its
+    magnitude by ``1 << al``."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def correct(z: int) -> None:
+        if reader.read_bit() and (int(blk[z]) & p1) == 0:
+            blk[z] += p1 if blk[z] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _decode_huff(reader, act)
+            r, s = sym >> 4, sym & 0x0F
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad successive-approximation AC symbol")
+                newval = p1 if reader.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.receive(r)
+                break  # rest of the band under EOB logic below
+            # advance over r zero-HISTORY coefficients, refining nonzero ones
+            while k <= se:
+                z = int(_ZIGZAG[k])
+                if blk[z] != 0:
+                    correct(z)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("JPEG AC refine index overflow")
+                blk[int(_ZIGZAG[k])] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = int(_ZIGZAG[k])
+            if blk[z] != 0:
+                correct(z)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(
+    data: bytes,
+    restarts: set,
+    scan_comps: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    htables: dict,
+    coef: dict[int, np.ndarray],
+    restart_interval: int,
+    hmax: int,
+    vmax: int,
+    w: int,
+    h: int,
+) -> None:
+    """Decode one progressive scan into the int32 coefficient arrays."""
+    reader = _BitReader(data)
+    eobrun = 0
+    preds = {c["id"]: 0 for c in scan_comps}
+
+    def units():
+        if len(scan_comps) > 1:  # interleaved (DC scans only)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    blocks = []
+                    for c in scan_comps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blocks.append(
+                                    (c, my * c["v"] + by, mx * c["h"] + bx)
+                                )
+                    yield blocks
+        else:  # non-interleaved: the component's own ceil(size/8) grid
+            c = scan_comps[0]
+            cw = -(-(w * c["h"]) // hmax)
+            ch = -(-(h * c["v"]) // vmax)
+            for by in range(-(-ch // 8)):
+                for bx in range(-(-cw // 8)):
+                    yield [(c, by, bx)]
+
+    mcu_count = 0
+    for blocks in units():
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            reader.n = 0  # byte-align
+            if reader.pos not in restarts:
+                raise ValueError("JPEG restart marker out of place")
+            preds = {c["id"]: 0 for c in scan_comps}
+            eobrun = 0
+        for c, by, bx in blocks:
+            blk = coef[c["id"]][by, bx]
+            if ss == 0:  # DC scan
+                if ah == 0:
+                    dct = htables.get((0, c["td"]))
+                    if dct is None:
+                        raise ValueError("JPEG scan references missing DHT")
+                    cat = _decode_huff(reader, dct)
+                    diff = _extend(reader.receive(cat), cat) if cat else 0
+                    preds[c["id"]] += diff
+                    blk[0] = preds[c["id"]] << al
+                elif reader.read_bit():
+                    blk[0] |= 1 << al
+            else:  # AC scan (single component, enforced by caller)
+                act = htables.get((1, c["ta"]))
+                if act is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                if ah == 0:
+                    eobrun = _ac_first_block(reader, blk, ss, se, al, act, eobrun)
+                else:
+                    eobrun = _ac_refine_block(reader, blk, ss, se, al, act, eobrun)
+        mcu_count += 1
+
+
+@_loud_probe
+def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
+    """Decode a progressive (SOF2) JPEG to an (H, W, 3) uint8 RGB array.
+
+    Multi-scan marker walk: every SOS carries a spectral band (Ss–Se) and
+    a successive-approximation state (Ah, Al); DC scans may interleave
+    components, AC scans are per-component (T.81 G.1). Coefficients
+    accumulate across scans as integers (refinement is bitwise), then the
+    shared dequantise → IDCT → upsample → RGB tail runs once."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    coef: dict[int, np.ndarray] = {}
+    w = h = 0
+    hmax = vmax = 1
+    restart_interval = 0
+    any_scan = False
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker == 0xD9:
+            break
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        ln = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(
+                    body[bp + 1 : bp + 65], np.uint8
+                ).astype(np.int32)
+                qtables[tq] = tbl.reshape(8, 8)
+                bp += 65
+        elif marker == 0xC4:
+            bp = 0
+            while bp < len(body):
+                cls, tid = body[bp] >> 4, body[bp] & 0x0F
+                bits = list(body[bp + 1 : bp + 17])
+                nv = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + nv])
+                htables[(cls, tid)] = _decode_table((bits, vals))
+                bp += 17 + nv
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            if len(body) < 6 + nc * 3:
+                raise ValueError("truncated JPEG SOF component list")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + i * 3], body[7 + i * 3], body[8 + i * 3]
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise ValueError("sampling factors beyond 1-2 unsupported")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            # the first DC scan must code every block of every component
+            # with >= 1 bit, so geometry the payload cannot cover is
+            # structural corruption — guard BEFORE the O(w·h) allocation
+            total_blocks = mcus_x * mcus_y * sum(c["h"] * c["v"] for c in comps)
+            if total_blocks > len(payload) * 8:
+                raise ValueError("JPEG dimensions exceed entropy data")
+            coef = {
+                c["id"]: np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), np.int32
+                )
+                for c in comps
+            }
+        elif marker in _SOF_MARKERS:
+            raise ValueError("conflicting frame headers in progressive JPEG")
+        elif marker == 0xDD:
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:
+            if not comps:
+                raise ValueError("JPEG scan before SOF frame header")
+            if len(body) < 1:
+                raise ValueError("truncated JPEG SOS header")
+            ns = body[0]
+            if len(body) < 1 + ns * 2 + 3:
+                raise ValueError("truncated JPEG SOS component list")
+            scan_comps = []
+            for i in range(ns):
+                cs, tds = body[1 + i * 2], body[2 + i * 2]
+                matching = [c for c in comps if c["id"] == cs]
+                if not matching:
+                    raise ValueError("JPEG scan selects a component absent from SOF")
+                scan_comps.append(
+                    {**matching[0], "td": tds >> 4, "ta": tds & 0x0F}
+                )
+            ss, se = body[1 + ns * 2], body[2 + ns * 2]
+            ah, al = body[3 + ns * 2] >> 4, body[3 + ns * 2] & 0x0F
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("progressive DC scan must have Se = 0")
+            else:
+                if ns != 1:
+                    raise ValueError("progressive AC scan must be single-component")
+                if not (ss <= se <= 63):
+                    raise ValueError("bad progressive spectral band")
+            if ah and ah != al + 1:
+                raise ValueError("bad successive-approximation progression")
+            data, restarts, endpos = _destuff_entropy(payload, pos + 2 + ln)
+            _progressive_scan(
+                data, restarts, scan_comps, ss, se, ah, al, htables, coef,
+                restart_interval, hmax, vmax, w, h,
+            )
+            any_scan = True
+            pos = endpos
+            continue
+        pos += 2 + ln
+    if not comps or not any_scan:
+        raise ValueError("JPEG missing SOF/SOS")
+    deq: dict[int, np.ndarray] = {}
+    for c in comps:
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise ValueError("JPEG scan references missing DQT")
+        nby, nbx = coef[c["id"]].shape[:2]
+        deq[c["id"]] = (
+            coef[c["id"]].astype(np.float64).reshape(nby, nbx, 8, 8) * q
+        )
+    return _coef_to_rgb(comps, deq, w, h, hmax, vmax)

@@ -415,18 +415,18 @@ def decode_ppm_pixels(payload: bytes):
 def _jpeg_decoder(payload: bytes) -> dict:
     """Real JPEG probe: marker walk to ANY SOFn frame header.
 
-    All SOFn headers share the T.81 geometry layout, so a progressive
-    (SOF2) file still reports its true size — it is a capability gap for
-    the entropy decoder, not a broken file. The ``status`` key splits
-    "needs libjpeg" from "corrupt" in corpus reports."""
+    All SOFn headers share the T.81 geometry layout, so even a frame type
+    the entropy decoder declines (lossless, arithmetic-coded) reports its
+    true size — a capability gap, not a broken file. The ``status`` key
+    splits "needs a fuller codec" from "corrupt" in corpus reports.
+    Baseline (SOF0/1) AND progressive (SOF2) are fully decodable here
+    since round 9, so both probe as plain ok."""
     from matchbox_spark.operators.jpeg import jpeg_frame_info
 
     sof, w, h = jpeg_frame_info(payload)
     meta = {"width": w, "height": h, "duration_ms": None}
-    if sof not in (0, 1):
-        meta["status"] = (
-            "unsupported_progressive" if sof == 2 else "unsupported_frame"
-        )
+    if sof not in (0, 1, 2):
+        meta["status"] = "unsupported_frame"
     return meta
 
 
@@ -496,14 +496,11 @@ def decode_image_stats(
                     continue
                 try:
                     px = decoder(bytes(p))
-                except UnsupportedJpegError as exc:
+                except UnsupportedJpegError:
                     # header parsed, entropy decode declined: a capability
-                    # gap (swap in libjpeg), distinct from a broken file
-                    status[i] = (
-                        "unsupported_progressive"
-                        if exc.sof == 2
-                        else "unsupported_frame"
-                    )
+                    # gap (lossless/arithmetic frame types — baseline AND
+                    # progressive decode for real), distinct from corrupt
+                    status[i] = "unsupported_frame"
                     continue
                 except (ValueError, struct.error):
                     status[i] = "corrupt"
@@ -581,14 +578,12 @@ def extract_media_metadata(
                     continue
                 try:
                     meta = decoder(payload)
-                except UnsupportedJpegError as exc:
+                except UnsupportedJpegError:
                     # a decoder that raises (rather than reporting) the
-                    # capability gap still classifies distinctly
-                    status[i] = (
-                        "unsupported_progressive"
-                        if exc.sof == 2
-                        else "unsupported_frame"
-                    )
+                    # capability gap still classifies distinctly; since the
+                    # round-9 progressive decoder, only lossless/arithmetic
+                    # frame types land here
+                    status[i] = "unsupported_frame"
                     continue
                 except NotImplementedError:
                     # honest codec stubs (MP3/H.264): the format is known,

@@ -8,8 +8,10 @@ Pins the contracts the m5/m6 oracles rely on:
   for the JPEG rotation branch just as for BMP/PPM/PNG.
 - ``pad_to`` produces an exact container byte length (COM padding), the
   closed form the m6 oracle checks.
-- Error branches (bad magic, truncation, progressive SOF2, marker desync)
+- Error branches (bad magic, truncation, lossless SOF3, marker desync)
   raise ``ValueError`` — the scan-level null contract.
+- Progressive (SOF2) decodes for real (round 9): decode(progressive)
+  equals decode(baseline) bit-for-bit over the same coefficients.
 
 Reference parity: the reference treats media as opaque blobs with typed
 metadata (SURVEY §2 multimodal row); this codec makes the Spark-side
@@ -107,11 +109,17 @@ class TestJpegCodec:
             decode_jpeg_pixels(p[:10])
         bad = bytearray(p)
         i = bad.find(b"\xff\xc0")
-        bad[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-        with pytest.raises(ValueError, match="SOF2"):
+        bad[i + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless: undecodable)
+        with pytest.raises(ValueError, match="SOF3"):
             decode_jpeg_pixels(bytes(bad))
-        with pytest.raises(ValueError, match="SOF2"):
+        with pytest.raises(ValueError, match="SOF3"):
             jpeg_dimensions(bytes(bad))
+        # SOF2 with a baseline scan script is structurally malformed (a DC
+        # scan must have Se = 0) — corrupt, not a capability decline
+        fake2 = bytearray(p)
+        fake2[i + 1] = 0xC2
+        with pytest.raises(ValueError, match="Se = 0"):
+            decode_jpeg_pixels(bytes(fake2))
         desync = bytearray(p)
         i = desync.find(b"\xff\xdb")
         desync[i] = 0x00  # first DQT marker byte corrupted
@@ -322,11 +330,17 @@ class TestRandomizedRoundtrip:
 
 
 class TestProgressiveClassification:
-    """Round-8: SOF2 is a capability gap, not corruption — geometry still
-    reports, the status column splits 'needs libjpeg' from 'broken file',
-    and pad_to paddings beyond one COM segment's capacity emit several."""
+    """Round-9: SOF2 decodes FOR REAL; lossless (SOF3) is the remaining
+    capability gap — geometry still reports, the status column splits
+    'needs a fuller codec' from 'broken file', and pad_to paddings beyond
+    one COM segment's capacity emit several."""
 
     def _progressive(self, img):
+        from matchbox_spark.operators.jpeg import encode_jpeg
+
+        return encode_jpeg(img, quality=85, progressive=True)
+
+    def _lossless(self, img):
         from matchbox_spark.operators.jpeg import (
             encode_jpeg,
             jpeg_marker_offset,
@@ -334,10 +348,10 @@ class TestProgressiveClassification:
 
         raw = encode_jpeg(img, quality=85)  # non-100 quality: DQT bytes can
         buf = bytearray(raw)                # contain FF C0 coincidences
-        buf[jpeg_marker_offset(raw, 0xC0) + 1] = 0xC2
+        buf[jpeg_marker_offset(raw, 0xC0) + 1] = 0xC3
         return bytes(buf)
 
-    def test_frame_info_parses_progressive_geometry(self):
+    def test_frame_info_and_capability_split(self):
         import numpy as np
 
         from matchbox_spark.operators.jpeg import (
@@ -350,11 +364,15 @@ class TestProgressiveClassification:
         img = np.full((9, 12, 3), (10, 200, 99), dtype=np.uint8)
         p = self._progressive(img)
         assert jpeg_frame_info(p) == (2, 12, 9)
+        assert jpeg_dimensions(p) == (12, 9)  # SOF2 supported since round 9
+        assert decode_jpeg_pixels(p).shape == (9, 12, 3)
+        lossless = self._lossless(img)
+        assert jpeg_frame_info(lossless) == (3, 12, 9)
         with pytest.raises(UnsupportedJpegError) as ei:
-            jpeg_dimensions(p)
-        assert ei.value.sof == 2
+            jpeg_dimensions(lossless)
+        assert ei.value.sof == 3
         with pytest.raises(UnsupportedJpegError):
-            decode_jpeg_pixels(p)
+            decode_jpeg_pixels(lossless)
         # the typed error is still a ValueError (scan-contract compatible)
         assert isinstance(ei.value, ValueError)
 
@@ -417,12 +435,15 @@ class TestProgressiveClassification:
 
         img = np.full((9, 12, 3), (10, 200, 99), dtype=np.uint8)
         good = encode_jpeg(img, quality=100, subsampling="4:4:4")
+        prog = encode_jpeg(img, quality=100, subsampling="4:4:4",
+                           progressive=True)
         rows = [
             (1, bytearray(good), "image/jpeg"),
             (2, bytearray(good[:10]), "image/jpeg"),
-            (3, bytearray(self._progressive(img)), "image/jpeg"),
+            (3, bytearray(prog), "image/jpeg"),
             (4, bytearray(good), "image/gif"),
             (5, None, "image/jpeg"),
+            (6, bytearray(self._lossless(img)), "image/jpeg"),
         ]
         df = spark.createDataFrame(
             rows, "doc_id long, payload binary, media_type string"
@@ -432,18 +453,109 @@ class TestProgressiveClassification:
         }
         assert stats[1]["status"] == "ok"
         assert stats[2]["status"] == "corrupt"
-        assert stats[3]["status"] == "unsupported_progressive"
-        assert stats[3]["width"] is None  # pixels did not decode
+        # round 9: progressive decodes for real — same stats as baseline
+        assert stats[3]["status"] == "ok"
+        assert stats[3]["width"] == 12 and stats[3]["height"] == 9
+        assert stats[3]["mean_r"] == stats[1]["mean_r"]
         assert stats[4]["status"] == "no_decoder"
         assert stats[5]["status"] == "missing"
+        assert stats[6]["status"] == "unsupported_frame"
+        assert stats[6]["width"] is None  # pixels did not decode
         meta = {
             r["doc_id"]: r.asDict()
             for r in extract_media_metadata(df).collect()
         }
         assert meta[1]["status"] == "ok"
         assert meta[2]["status"] == "corrupt"
-        # metadata probe DOES report progressive geometry (header parses)
-        assert meta[3]["status"] == "unsupported_progressive"
+        assert meta[3]["status"] == "ok"
         assert meta[3]["width"] == 12 and meta[3]["height"] == 9
         assert meta[4]["status"] == "no_decoder"
         assert meta[5]["status"] == "missing"
+        # metadata probe DOES report lossless geometry (header parses)
+        assert meta[6]["status"] == "unsupported_frame"
+        assert meta[6]["width"] == 12 and meta[6]["height"] == 9
+
+
+class TestProgressiveDecode:
+    """Round-9 progressive (SOF2) codec: spectral selection + successive
+    approximation. The encoder emits the SAME quantised coefficients as the
+    baseline container (Annex-G scan script: DC first Al=1 + DC refinement,
+    two AC bands per component each with first Al=1 + refinement passes),
+    so decode(progressive) must equal decode(baseline) BIT-FOR-BIT — any
+    defect in EOB-run accounting, correction-bit order, ZRL handling, DC
+    point-transform, or the non-interleaved component grids mismatches."""
+
+    MATRIX = [
+        ((16, 16), "4:4:4", 90, 0),
+        ((24, 17), "4:4:4", 75, 0),   # ragged edge blocks
+        ((21, 13), "4:2:0", 85, 0),   # chroma grid != luma grid
+        ((32, 32), "4:4:4", 50, 3),   # restart markers in every scan
+        ((19, 23), "4:2:0", 95, 2),   # subsampling + restarts
+        ((8, 8), "4:4:4", 100, 0),    # single block, all-ones quant
+        ((64, 48), "4:2:0", 60, 5),
+        ((5, 40), "4:4:4", 30, 0),    # strong quantisation → long EOB runs
+    ]
+
+    def test_progressive_equals_baseline_bitexact(self):
+        from matchbox_spark.operators.jpeg import jpeg_frame_info
+
+        rng = np.random.default_rng(42)
+        for (h, w), sub, q, ri in self.MATRIX:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            base = encode_jpeg(
+                img, quality=q, subsampling=sub, restart_interval=ri
+            )
+            prog = encode_jpeg(
+                img, quality=q, subsampling=sub, restart_interval=ri,
+                progressive=True,
+            )
+            assert jpeg_frame_info(prog)[0] == 2
+            assert np.array_equal(
+                decode_jpeg_pixels(base), decode_jpeg_pixels(prog)
+            ), (h, w, sub, q, ri)
+
+    def test_smooth_gradient_exercises_eob_runs(self):
+        # a smooth gradient quantises to sparse AC → EOB runs spanning many
+        # blocks (n > 0 EOBn symbols with appended bits) in first AND
+        # refinement passes
+        y, x = np.mgrid[0:40, 0:56]
+        img = np.stack(
+            [(x * 2) % 256, (y * 3) % 256, ((x + y)) % 256], axis=-1
+        ).astype(np.uint8)
+        base = encode_jpeg(img, quality=40, subsampling="4:4:4")
+        prog = encode_jpeg(
+            img, quality=40, subsampling="4:4:4", progressive=True
+        )
+        assert np.array_equal(
+            decode_jpeg_pixels(base), decode_jpeg_pixels(prog)
+        )
+
+    def test_solid_colour_progressive_q100_bit_exact(self):
+        # the m6/m7 fixture shape: solid colour + q100 + COM padding
+        rng = np.random.default_rng(9)
+        for _ in range(10):
+            c = rng.integers(0, 256, 3)
+            w, h = int(rng.integers(4, 17)), int(rng.integers(4, 17))
+            img = np.full((h, w, 3), c, dtype=np.uint8)
+            p = encode_jpeg(img, quality=100, progressive=True, pad_to=2048)
+            assert len(p) == 2048
+            assert jpeg_dimensions(p) == (w, h)
+            assert np.array_equal(decode_jpeg_pixels(p), img)
+
+    def test_progressive_error_branches(self):
+        img = np.full((12, 12, 3), 90, dtype=np.uint8)
+        p = encode_jpeg(img, quality=80, progressive=True)
+        # truncation inside a later scan's entropy data → loud ValueError
+        with pytest.raises(ValueError):
+            decode_jpeg_pixels(p[: len(p) - len(p) // 4])
+        # adversarial geometry: SOF2 claiming 65535x65535 on a tiny payload
+        # must raise BEFORE allocating coefficient arrays
+        import struct as st
+
+        from matchbox_spark.operators.jpeg import jpeg_marker_offset
+
+        buf = bytearray(p)
+        off = jpeg_marker_offset(p, 0xC2)
+        st.pack_into(">HH", buf, off + 5, 65535, 65535)
+        with pytest.raises(ValueError, match="exceed"):
+            decode_jpeg_pixels(bytes(buf))

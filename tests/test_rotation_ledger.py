@@ -70,9 +70,9 @@ def test_every_registry_query_has_a_green_row():
     never = [
         n
         for n in se._REGISTRY
-        if se._LAST_GREEN.get(n, 0) == 0 and n not in se._TOUCHED_R8
+        if se._LAST_GREEN.get(n, 0) == 0 and n not in se._TOUCHED_R9
     ]
-    # genuinely-new queries added THIS round sit in _TOUCHED_R8 or have no
+    # genuinely-new queries added THIS round sit in _TOUCHED_R9 or have no
     # green row yet by construction; everything else must be certified
     new_this_round = [n for n in never if n not in json.loads(
         (REPO / "tests/fixtures/hand_ledgers_r7.json").read_text()
@@ -117,7 +117,7 @@ def test_rotation_order_invariants():
     assert set(order) == set(se._REGISTRY) and len(order) == len(se._REGISTRY)
 
     def tier(n):
-        if n in se._TOUCHED_R8:
+        if n in se._TOUCHED_R9:
             return 0
         return 1 + se._LAST_GREEN.get(n, 0)
 
@@ -129,4 +129,4 @@ def test_rotation_order_invariants():
         members = [reg_pos[n] for n in order if tier(n) == t]
         assert members == sorted(members), f"tier {t} reordered"
     # the head of the sample is this round's touched set
-    assert set(order[: len(se._TOUCHED_R8)]) == se._TOUCHED_R8
+    assert set(order[: len(se._TOUCHED_R9)]) == se._TOUCHED_R9
