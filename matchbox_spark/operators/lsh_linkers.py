@@ -363,6 +363,15 @@ class EmbeddingDeduper(Deduper):
     contain that bucket — so every edge shares a probe-set key, keys are a
     pure function of the row's own vector, and :meth:`delta_block_keys`
     streams it O(touched) like the other LSH dedupers.
+
+    **Size the bucket space to the corpus**: there are only
+    ``2^len(bucket_dims)`` buckets, and both the candidate self-join and
+    the streaming touched-set scale with bucket OCCUPANCY
+    (corpus / 2^bits). The 6-dim default suits small fixtures; at N rows
+    pick ``len(bucket_dims) ≈ log2(N / target_occupancy)`` — measured in
+    ``tools/stress_streaming_resolve.py --embedding``, 6 dims over a few
+    thousand vectors degenerates delta streaming to a super-linear
+    recompute (2.13× ramp) while 16 dims holds it flat (1.05×).
     """
 
     settings_class = EmbeddingDeduperSettings

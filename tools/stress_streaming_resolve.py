@@ -276,7 +276,147 @@ def main_lsh(
         spark.stop()
 
 
+def main_embedding(
+    n_batches: int = 12, groups: int = 300, rows_per_group: int = 10,
+    dim: int = 64,
+) -> int:
+    """Embedding (cosine-LSH) delta-link flat-ramp stress (round 9).
+
+    ``EmbeddingDeduper`` declares ``delta_block_keys`` (the row's full
+    one-bit-probe bucket set); the stream must (a) stay flat per batch —
+    bucket keys compute O(batch), never over accumulated vectors — and
+    (b) recover exact entities, including a late vector joining a cluster
+    formed in batch 0 purely through the persisted probe-set index.
+
+    Layout: per batch, ``groups`` clusters of ``rows_per_group``
+    near-identical vectors. A group's base vector has deterministic
+    hash-derived components with |v_i| ≥ 0.3 (signs never flip under the
+    ±0.05 per-variant perturbation, so the whole group shares its home
+    bucket and within-group cosine ≥ 0.99); distinct groups are
+    independent pseudo-random directions in R^dim, so cross-group cosine
+    concentrates near 0 and never reaches the 0.95 threshold. The last
+    batch adds one more perturbed copy of batch 0 group 0's base → that
+    old cluster grows by one through the block-key index alone.
+
+    Bucket sizing is the lesson this harness teaches: with the default 6
+    bucket dims (64 buckets) the probe sets of ANY batch touch nearly all
+    accumulated leaves — the delta route degenerates to a full recompute
+    and the ramp goes super-linear (measured 2.13x over 6 batches). With
+    16 dims (65,536 buckets ≫ corpus/expected-occupancy) touched stays
+    O(batch) and the ramp is flat. Rule: 2^len(bucket_dims) must grow
+    with the corpus, ~corpus_size/target_bucket_occupancy.
+    """
+    from matchbox_spark.operators.lsh_linkers import EmbeddingDeduper
+
+    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="stress_resolve_emb_")
+    src, ckpt = f"{work}/in", f"{work}/ckpt"
+    rows_per_batch = groups * rows_per_group
+
+    def vec_expr(gexpr: str, rexpr: str) -> str:
+        # v_i = sign(g,i) * (0.3 + 0.7*u1(g,i)) + 0.05 * u2(g,r,i)
+        return (
+            f"transform(sequence(0, {dim - 1}), i -> "
+            f"if(pmod(xxhash64('sg', {gexpr}, i), 2) = 0, 1.0d, -1.0d)"
+            f" * (0.3d + 0.7d * pmod(xxhash64('m', {gexpr}, i), 1000000)"
+            f" / 1000000.0d)"
+            f" + 0.05d * pmod(xxhash64('v', {gexpr}, {rexpr}, i), 1000000)"
+            f" / 1000000.0d)"
+        )
+
+    try:
+        for b in range(n_batches):
+            g = f"(id div {rows_per_group} + {b} * {groups})"
+            r = f"(id % {rows_per_group})"
+            batch = spark.range(rows_per_batch).selectExpr(
+                f"id + {b} * {rows_per_batch} as k",
+                f"{vec_expr(g, r)} as embedding",
+            )
+            if b == n_batches - 1:
+                bridge = spark.range(1).selectExpr(
+                    f"cast({10**9} as long) as k",
+                    # group 0's base, fresh variant id → joins batch 0's cluster
+                    f"{vec_expr('0L', str(rows_per_group + 7))} as embedding",
+                )
+                batch = batch.unionByName(bridge)
+            batch.coalesce(1).write.mode("append").parquet(src)
+
+        catalog = Catalog(spark)
+        stream = (
+            spark.readStream.schema(f"k long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = incremental_resolve_stream(
+            stream,
+            catalog,
+            source_step="s",
+            key_field="k",
+            index_fields=["embedding"],
+            model=EmbeddingDeduper(
+                id="id", vector_field="s_embedding",
+                threshold=0.95, bucket_dims=list(range(16)),
+            ),
+            resolver_method=Components(method="auto"),
+            checkpoint_dir=ckpt,
+            source_location=src,
+        )
+        q.awaitTermination(3600)
+
+        durs = [
+            p["batchDuration"] / 1000.0
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) > 0
+        ]
+        import statistics
+
+        print(f"[embedding] batches={len(durs)} rows/batch={rows_per_batch}")
+        print("per-batch sec:", " ".join(f"{d:.1f}" for d in durs))
+        k = max(3, min(5, len(durs) // 3))
+        head = statistics.median(durs[1:1 + k])
+        tail = statistics.median(durs[-k:])
+        ramp = tail / head if head else float("inf")
+        print(
+            f"head(median b1-{k})={head:.1f}s "
+            f"tail(median last{k})={tail:.1f}s ramp={ramp:.2f}x"
+        )
+
+        ids = unified_query(
+            catalog, ["s_resolve", "s_model", "s"], ["s"], level="key"
+        )
+        sizes = (
+            ids.groupBy("id").agg(F.count("*").alias("n")).groupBy("n").count()
+        ).collect()
+        by_size = {r["n"]: r["count"] for r in sizes}
+        n_entities = sum(by_size.values())
+        print(
+            f"entities={n_entities} "
+            f"size-histogram={dict(sorted(by_size.items()))}"
+        )
+        exp = n_batches * groups
+        assert n_entities == exp, (n_entities, exp)
+        assert by_size.get(rows_per_group + 1, 0) == 1, "bridge cluster missing"
+        assert by_size.get(rows_per_group, 0) == exp - 1
+        # the key index holds every leaf's full probe set (home + 16 flips)
+        n_keys = catalog.block_keys.count()
+        exp_keys = (n_batches * rows_per_batch + 1) * 17
+        assert n_keys == exp_keys, (n_keys, exp_keys)
+
+        ok = ramp < 2.0
+        print("FLAT OK" if ok else "RAMP DETECTED")
+        return 0 if ok else 1
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
+    if "--embedding" in sys.argv:
+        if "--quick" in sys.argv:
+            raise SystemExit(main_embedding(6, 100, 8))
+        args = [int(a) for a in sys.argv[1:] if a.lstrip("-").isdigit()]
+        raise SystemExit(main_embedding(*args))
     if "--lsh" in sys.argv:
         if "--quick" in sys.argv:
             raise SystemExit(main_lsh(6, 100, 8))
