@@ -700,12 +700,20 @@ def embedding_near_duplicates(
     """
     base = df.select(F.col(id_col).cast("long").alias("doc"), F.col(vec_col).alias("v"))
     if bucket_dims:
-        home = sign_bucket_expr("v", bucket_dims)
+        # bind the home bucket ONCE before fanning out the probe array:
+        # referencing the raw sign_bucket_expr 1 + len(dims) times re-inlines
+        # the whole sum-of-signs expression per probe, blowing codegen past
+        # janino's method limit at ~16 dims (interpreted fallback)
+        homed = base.withColumn("bkt", sign_bucket_expr("v", bucket_dims))
         probes = F.array(
-            *([home] + [home.bitwiseXOR(F.lit(1 << i)) for i in range(len(bucket_dims))])
+            *([F.col("bkt")]
+              + [F.col("bkt").bitwiseXOR(F.lit(1 << i))
+                 for i in range(len(bucket_dims))])
         )
-        a = base.select("doc", "v", F.explode(probes).alias("bkt")).alias("a")
-        b = base.withColumn("bkt", home).alias("b")
+        a = homed.select(
+            "doc", "v", F.explode(probes).alias("bkt")
+        ).alias("a")
+        b = homed.alias("b")
         joined = a.join(
             b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.doc") < F.col("b.doc"))
         )

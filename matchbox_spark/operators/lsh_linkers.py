@@ -247,11 +247,14 @@ class EmbeddingLinker(Linker):
             F.col(s.right_id).cast("long").alias("right_id"),
             F.col(s.right_field).alias("_rv"),
         ).withColumn("bkt", sign_bucket_expr("_rv", dims))
-        home = sign_bucket_expr("_lv", dims)
+        # bind home once (codegen blow-up at wide dims — see dedup.py)
+        lh = lv.withColumn("bkt", sign_bucket_expr("_lv", dims))
         probes = F.array(
-            *([home] + [home.bitwiseXOR(F.lit(1 << i)) for i in range(len(dims))])
+            *([F.col("bkt")]
+              + [F.col("bkt").bitwiseXOR(F.lit(1 << i))
+                 for i in range(len(dims))])
         )
-        lx = lv.select("left_id", "_lv", F.explode(probes).alias("bkt"))
+        lx = lh.select("left_id", "_lv", F.explode(probes).alias("bkt"))
         out = (
             lx.join(rv, "bkt")
             .select(
@@ -406,13 +409,19 @@ class EmbeddingDeduper(Deduper):
         if not s.bucket_dims:
             raise ValueError("EmbeddingDeduper requires bucket_dims")
         dims = list(s.bucket_dims)
-        home = sign_bucket_expr(s.vector_field, dims)
+        # bind home once (codegen blow-up at wide dims — see dedup.py)
+        homed = data.select(
+            F.col(s.id).alias(s.id),
+            sign_bucket_expr(s.vector_field, dims).alias("_home"),
+        )
         probes = F.array(
-            *([home] + [home.bitwiseXOR(F.lit(1 << i)) for i in range(len(dims))])
+            *([F.col("_home")]
+              + [F.col("_home").bitwiseXOR(F.lit(1 << i))
+                 for i in range(len(dims))])
         )
         return (
-            data.select(
-                F.col(s.id).alias(s.id),
+            homed.select(
+                s.id,
                 F.explode(probes).alias("block_key"),
             )
             .select(s.id, F.col("block_key").cast("long").alias("block_key"))
