@@ -9,12 +9,13 @@ grows — the property a scaling bench needs:
 - fact keys shift by copy * (max_key + 1), foreign keys consistently
   (orders.o_custkey tracks customer, lineitem tracks orders/part/supplier)
 - region/nation stay fixed (TPC-H semantics: dimension tables don't scale)
-- document TEXT is re-ordered per copy by a copy-keyed token sort:
-  within-copy near-duplicate structure is preserved (similar token
-  multisets sort into similar sequences) while cross-copy shingle overlap
-  is destroyed — so MinHash/LSH candidate volume scales like a real 10x
-  corpus instead of like 10 exact replicas (which would grow LSH buckets
-  quadratically)
+- document TOKENS are renamed per copy (token -> token_cpK): within-copy
+  near-duplicate structure is preserved EXACTLY (every shingle renames
+  1:1) while cross-copy shingle overlap is destroyed — so MinHash/LSH
+  candidate volume scales like a real 10x corpus instead of like 10
+  exact replicas. (A copy-keyed token SORT was tried first and rejected:
+  sorting concentrates the shared vocabulary of UNRELATED docs into
+  shared bigrams, manufacturing ~33x fake near-dup candidates per copy.)
 - embedding vectors rotate components by the copy index: norms and
   within-copy neighbour structure preserved, cross-copy collisions
   decorrelated
@@ -96,10 +97,9 @@ def main(out_dir: str) -> int:
                 )
             if table == "documents" and k > 0:
                 shuffled = (
-                    f"array_join(transform(array_sort(transform("
+                    f"array_join(transform("
                     f"filter(split(text, '\\\\s+'), x -> x <> ''),"
-                    f" t -> named_struct('h', xxhash64(t, {k}), 't', t))),"
-                    f" s -> s.t), ' ')"
+                    f" t -> concat(t, '_cp{k}')), ' ')"
                 )
                 df = df.withColumn("text", F.expr(shuffled)).withColumn(
                     "n_chars", F.length("text").cast(
