@@ -5943,6 +5943,85 @@ def t10_urls(spark, sf):
 
 
 @_q(
+    "t16_line_repetition",
+    r"""WITH base AS (
+          SELECT doc_id, text,
+                 substr(text, 1, 30) AS s1,
+                 substr(text, 40, 25) AS s2,
+                 substr(text, 70, 20) AS s3
+          FROM documents
+        ), synth AS (
+          SELECT doc_id,
+                 CASE doc_id % 3
+                   WHEN 0 THEN s1 || chr(10) || s2 || chr(10) || s1
+                            || chr(10) || chr(10) || s2 || chr(10) || s3
+                   WHEN 1 THEN s1 || chr(10) || s2 || chr(10) || chr(10) || s3
+                   ELSE text END AS raw
+          FROM base
+        ), units AS (
+          SELECT doc_id, 'l' AS k, trim(t.u) AS u
+          FROM synth, UNNEST(string_split(raw, chr(10))) AS t(u)
+          WHERE trim(t.u) <> ''
+          UNION ALL
+          SELECT doc_id, 'p', trim(t.u)
+          FROM synth, UNNEST(string_split_regex(raw, '\n\n+')) AS t(u)
+          WHERE trim(t.u) <> ''
+        ), counts AS (
+          SELECT doc_id, k, u, COUNT(*) AS o, length(u) AS len
+          FROM units GROUP BY 1, 2, 3
+        ), per AS (
+          SELECT doc_id, k, SUM(o) AS tot, SUM(o) - COUNT(*) AS dups,
+                 SUM(o * len) AS chars, SUM((o - 1) * len) AS dup_chars
+          FROM counts GROUP BY 1, 2
+        )
+        SELECT doc_id AS doc,
+          CAST(COALESCE(MAX(CASE WHEN k = 'l' THEN tot END), 0) AS BIGINT)
+            AS n_lines,
+          FLOOR(COALESCE(MAX(CASE WHEN k = 'l'
+            THEN CAST(dups AS DOUBLE) / tot END), 0) * 1e6 + 0.5) / 1e6
+            AS dup_line_frac,
+          FLOOR(COALESCE(MAX(CASE WHEN k = 'l'
+            THEN CAST(dup_chars AS DOUBLE) / chars END), 0) * 1e6 + 0.5) / 1e6
+            AS dup_line_char_frac,
+          FLOOR(COALESCE(MAX(CASE WHEN k = 'p'
+            THEN CAST(dups AS DOUBLE) / tot END), 0) * 1e6 + 0.5) / 1e6
+            AS dup_para_frac,
+          FLOOR(COALESCE(MAX(CASE WHEN k = 'p'
+            THEN CAST(dup_chars AS DOUBLE) / chars END), 0) * 1e6 + 0.5) / 1e6
+            AS dup_para_char_frac
+        FROM per GROUP BY doc_id""",
+)
+def t16_line_rep(spark, sf):
+    """Gopher structural-repetition signals (duplicate line/paragraph
+    fractions by count AND character mass — the filter half
+    repetition_stats' n-gram signals don't cover). Multi-line documents
+    are synthesised identically in both engines (corpus text is
+    single-line word salad): variant 0 repeats a line across a paragraph
+    break, variant 1 is all-unique lines, variant 2 is a single line —
+    so every fraction and the zero-duplicate path are all pinned.
+    functions/text.py:line_repetition_stats — one tagged explode, two
+    shuffles, codegen-only."""
+    d = _t(spark, sf, "documents")
+    s1 = F.substring("text", 1, 30)
+    s2 = F.substring("text", 40, 25)
+    s3 = F.substring("text", 70, 20)
+    nl = F.lit("\n")
+    raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(s1, nl, s2, nl, s1, nl, nl, s2, nl, s3),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(s1, nl, s2, nl, nl, s3),
+        )
+        .otherwise(F.col("text"))
+    )
+    synth = d.select("doc_id", raw.alias("text"))
+    return TX.line_repetition_stats(synth, "doc_id", "text")
+
+
+@_q(
     "q28_intersect_except",
     """SELECT 'both' AS side, c_custkey FROM (
          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -6937,6 +7016,8 @@ _TOUCHED_R9 = {
     "m1_media_metadata",           # multimodal status taxonomy rides along
     "t15_kn_held_out",             # unigram='tokens' option (types default)
     "st7_incremental_resolve",     # catalog GC deferral rides the save path
+    "t16_line_repetition",         # NEW: Gopher duplicate line/para fractions
+    "d5_embedding_pairs",          # bind-once home-bucket probe fan-out
 }
 
 

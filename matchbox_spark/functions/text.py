@@ -446,6 +446,97 @@ def repetition_stats(df, id_col: str, text_col: str):
     )
 
 
+def line_repetition_stats(df, id_col: str, text_col: str):
+    """Gopher-style intra-document duplicate LINE and PARAGRAPH fractions
+    (Rae et al. 2021 §A1.1 — the structural-repetition half of the filter;
+    :func:`repetition_stats` covers the n-gram half). Per document:
+
+    - ``n_lines`` — non-empty trimmed lines (``\\n``-separated)
+    - ``dup_line_frac`` — ``(Σ occurrences − distinct lines) / Σ
+      occurrences``: every occurrence of a line beyond its first counts
+      as a duplicate (Gopher drops docs above 0.30)
+    - ``dup_line_char_frac`` — the same, weighted by line character
+      length: ``Σ (o_u − 1)·len(u) / Σ o_u·len(u)`` (Gopher bound 0.20)
+    - ``dup_para_frac`` / ``dup_para_char_frac`` — identical over
+      paragraphs (``\\n\\n+``-separated; bounds 0.30 / 0.20)
+
+    Relational shape: ONE tagged explode of both unit streams, one
+    (doc, kind, unit) count, one per-doc fold — two shuffles, no UDF,
+    shuffle key fine-grained enough to avoid hot partitions at corpus
+    scale. Docs with no units report 0.0 everywhere (nothing repeats).
+    Fractions round via ieee_round6 (cross-engine hash stability).
+    """
+    from matchbox_spark.functions.numeric import ieee_round6
+
+    def units(sep: str) -> Column:
+        # single-arg lambda, NOT bare F.trim: transform() passes (element,
+        # index) to two-arg callables, and F.trim's optional second param
+        # is the trim CHARACTER SET — the index would silently replace it
+        return F.filter(
+            F.transform(F.split(F.col(text_col), sep), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+
+    tagged = df.select(
+        F.col(id_col).cast("long").alias("doc"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("l").alias("k"), units("\n").alias("us")),
+                F.struct(F.lit("p").alias("k"), units("\n\n+").alias("us")),
+            )
+        ).alias("x"),
+    )
+    us = tagged.select(
+        "doc", F.col("x.k").alias("k"), F.explode("x.us").alias("u")
+    )
+    counts = us.groupBy("doc", "k", "u").agg(F.count("*").alias("o")).withColumn(
+        "len", F.length("u")
+    )
+    per = counts.groupBy("doc", "k").agg(
+        F.sum("o").alias("tot"),
+        (F.sum("o") - F.count("*")).alias("dups"),
+        F.sum(F.col("o") * F.col("len")).alias("chars"),
+        F.sum((F.col("o") - 1) * F.col("len")).alias("dup_chars"),
+    )
+
+    def pick(kind: str, num: str, den: str) -> Column:
+        v = F.max(
+            F.when(
+                F.col("k") == kind,
+                F.col(num).cast("double") / F.col(den),
+            )
+        )
+        return ieee_round6(F.coalesce(v, F.lit(0.0)))
+
+    stats = per.groupBy("doc").agg(
+        F.coalesce(
+            F.max(F.when(F.col("k") == "l", F.col("tot"))), F.lit(0)
+        ).cast("long").alias("n_lines"),
+        pick("l", "dups", "tot").alias("dup_line_frac"),
+        pick("l", "dup_chars", "chars").alias("dup_line_char_frac"),
+        pick("p", "dups", "tot").alias("dup_para_frac"),
+        pick("p", "dup_chars", "chars").alias("dup_para_char_frac"),
+    )
+    return (
+        df.select(F.col(id_col).cast("long").alias("doc"))
+        .distinct()
+        .join(stats, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            *[
+                F.coalesce(c, F.lit(0.0)).alias(c)
+                for c in (
+                    "dup_line_frac",
+                    "dup_line_char_frac",
+                    "dup_para_frac",
+                    "dup_para_char_frac",
+                )
+            ],
+        )
+    )
+
+
 def winnowing_fingerprints(
     df,
     id_col: str,

@@ -362,6 +362,46 @@ def test_repetition_stats_handcrafted(spark):
     assert got[3]["top_bigram_frac"] == 0.0 and got[3]["dup_trigram_frac"] == 0.0
 
 
+def test_line_repetition_stats_handcrafted(spark):
+    from matchbox_spark.functions.text import line_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            # lines: aa,bb,aa,bb,cc (tot 5, dup 2; chars 2+2+2+2+2=10,
+            # dup_chars 4); paragraphs: "aa\nbb\naa" and "bb\ncc" (unique)
+            (1, "aa\nbb\naa\n\nbb\ncc"),
+            # all-unique lines, one para
+            (2, "xx\nyy"),
+            # single line == single paragraph
+            (3, "solo line"),
+            # whole-paragraph duplicate: paras p×2,q (tot 3, dup 1;
+            # chars 5+5+2, dup_chars 5); lines aa,bb,aa,bb,qq
+            (4, "aa\nbb\n\naa\nbb\n\nqq"),
+            # trailing/leading spaces trim away; blank-ish line drops
+            (5, " aa \naa\n   \nbb"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc"]: r for r in line_repetition_stats(df, "doc_id", "text").collect()
+    }
+    assert got[1]["n_lines"] == 5
+    assert got[1]["dup_line_frac"] == 0.4      # (5-3)/5
+    assert got[1]["dup_line_char_frac"] == 0.4  # 4/10
+    assert got[1]["dup_para_frac"] == 0.0
+    assert got[2]["n_lines"] == 2
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["n_lines"] == 1 and got[3]["dup_para_frac"] == 0.0
+    assert got[4]["dup_para_frac"] == round(1 / 3, 6)
+    assert got[4]["dup_para_char_frac"] == round(5 / 12, 6)
+    assert got[4]["dup_line_frac"] == 0.4
+    # doc 5: trimmed lines aa,aa,bb (the spaces-only line is dropped) —
+    # pins that transform() gets a single-arg lambda (bare F.trim would
+    # receive the element INDEX as its trim-character-set argument)
+    assert got[5]["n_lines"] == 3
+    assert got[5]["dup_line_frac"] == round(1 / 3, 6)
+
+
 def test_minhash_capped_verification_matches_exact(near_dup_docs):
     # cap far above the doc shingle counts: sketches complete → exact path;
     # jaccard values must equal the uncapped (string-set) computation
