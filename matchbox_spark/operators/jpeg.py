@@ -246,6 +246,41 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
+def _encode_seq_block(
+    bw_: _BitWriter, blk: np.ndarray, pred: int, dcc: dict, acc: dict
+) -> int:
+    """Baseline DC+AC Huffman coding of one zigzag block; returns the new
+    DC predictor."""
+    dc = int(blk[0])
+    diff = dc - pred
+    cat = _category(diff)
+    code, ln = dcc[cat]
+    bw_.write(code, ln)
+    if cat:
+        bw_.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    nz = np.nonzero(blk[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(blk[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = acc[0xF0]  # ZRL
+            bw_.write(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = acc[(run << 4) | cat]
+        bw_.write(code, ln)
+        bw_.write(v if v > 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if last < 63:
+        code, ln = acc[0x00]  # EOB
+        bw_.write(code, ln)
+    return dc
+
+
 def _encode_progressive_scans(
     comp_blocks: list,
     enc_dc: list,
@@ -478,6 +513,7 @@ def encode_jpeg(
     pad_to: int | None = None,
     restart_interval: int = 0,
     progressive: bool = False,
+    multi_scan: bool = False,
 ) -> bytes:
     """Encode an (H, W, 3) uint8 RGB array as a baseline sequential JFIF
     JPEG: standard Annex-K quantisation (IJG quality-scaled) and Huffman
@@ -496,7 +532,10 @@ def encode_jpeg(
     refinement, two spectral AC bands per component, each with a
     successive-approximation refinement pass) — so a progressive decode
     must reproduce the baseline decode bit-for-bit, the roundtrip pin
-    tests/test_jpeg.py relies on.
+    tests/test_jpeg.py relies on. ``multi_scan=True`` (exclusive with
+    progressive) emits a sequential SOF0 with one full DC+AC scan PER
+    COMPONENT over its non-interleaved grid — the other legal sequential
+    layout real encoders produce, same bit-for-bit roundtrip contract.
     """
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
@@ -557,6 +596,8 @@ def encode_jpeg(
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
+    if progressive and multi_scan:
+        raise ValueError("progressive and multi_scan are exclusive")
     if progressive:
         prog_ac = _canonical_codes(_AC_PROG_SPEC)
         scans = _encode_progressive_scans(
@@ -568,6 +609,40 @@ def encode_jpeg(
         )
         return _assemble_jpeg(
             0xFFC2, scan_bytes, samp, luma_q, chroma_q, w, h,
+            restart_interval, pad_to,
+        )
+    if multi_scan:
+        # one full sequential scan per component, non-interleaved grids
+        sections = []
+        for ci, (quant, _nbx, hs, vs) in enumerate(comp_blocks):
+            cw = -(-(w * hs) // hmax)
+            ch = -(-(h * vs) // vmax)
+            bwx, bwy = -(-cw // 8), -(-ch // 8)
+            bw_ = _BitWriter()
+            pred_v = 0
+            mcu = rst = 0
+            for by in range(bwy):
+                for bx in range(bwx):
+                    if (
+                        restart_interval
+                        and mcu
+                        and mcu % restart_interval == 0
+                    ):
+                        bw_.align()
+                        bw_.raw(bytes([0xFF, 0xD0 + rst % 8]))
+                        rst += 1
+                        pred_v = 0
+                    mcu += 1
+                    blk = quant[by, bx].reshape(64)[_ZIGZAG]
+                    pred_v = _encode_seq_block(
+                        bw_, blk, pred_v, enc_dc[ci], enc_ac[ci]
+                    )
+            hdr = bytes(
+                [1, ci + 1, (0 if ci == 0 else 1) * 0x11, 0, 63, 0]
+            )
+            sections.append(seg(0xFFDA, hdr) + bw_.flush())
+        return _assemble_jpeg(
+            0xFFC0, b"".join(sections), samp, luma_q, chroma_q, w, h,
             restart_interval, pad_to,
         )
 
@@ -591,36 +666,9 @@ def encode_jpeg(
                 for by in range(vs):
                     for bx in range(hs):
                         blk = quant[my * vs + by, mx * hs + bx].reshape(64)[zz]
-                        dc = int(blk[0])
-                        diff = dc - pred[ci]
-                        pred[ci] = dc
-                        cat = _category(diff)
-                        code, ln = enc_dc[ci][cat]
-                        bw_.write(code, ln)
-                        if cat:
-                            bits = diff if diff > 0 else diff + (1 << cat) - 1
-                            bw_.write(bits, cat)
-                        run = 0
-                        nz = np.nonzero(blk[1:])[0]
-                        last = nz[-1] + 1 if len(nz) else 0
-                        for k in range(1, last + 1):
-                            v = int(blk[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run >= 16:
-                                code, ln = enc_ac[ci][0xF0]  # ZRL
-                                bw_.write(code, ln)
-                                run -= 16
-                            cat = _category(v)
-                            code, ln = enc_ac[ci][(run << 4) | cat]
-                            bw_.write(code, ln)
-                            bits = v if v > 0 else v + (1 << cat) - 1
-                            bw_.write(bits, cat)
-                            run = 0
-                        if last < 63:
-                            code, ln = enc_ac[ci][0x00]  # EOB
-                            bw_.write(code, ln)
+                        pred[ci] = _encode_seq_block(
+                            bw_, blk, pred[ci], enc_dc[ci], enc_ac[ci]
+                        )
     entropy = bw_.flush()
 
     # Td<<4 | Ta per component: luma uses DC/AC tables 0, chroma tables 1
@@ -718,9 +766,9 @@ def _loud_probe(fn):
     import functools
 
     @functools.wraps(fn)
-    def wrapped(payload: bytes):
+    def wrapped(payload: bytes, *args, **kwargs):
         try:
-            return fn(payload)
+            return fn(payload, *args, **kwargs)
         except (IndexError, StopIteration) as exc:
             raise ValueError(f"corrupt JPEG structure: {exc!r}") from exc
 
@@ -966,12 +1014,10 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
                 raise ValueError("truncated JPEG SOS header")
             ns = body[0]
             if ns != len(comps):
-                # a non-interleaved (multi-scan) baseline file: decoding
-                # only the first scan would silently return a greyscale
-                # approximation — fail loudly per the probe contract
-                raise ValueError(
-                    "non-interleaved (multi-scan) JPEG unsupported"
-                )
+                # a non-interleaved (multi-scan) sequential file: each
+                # scan covers a component subset — the multi-scan walker
+                # (shared with progressive, round 9) decodes it fully
+                return _decode_multiscan_pixels(payload, progressive=False)
             if len(body) < 1 + ns * 2:
                 raise ValueError("truncated JPEG SOS component list")
             scan_comps = []
@@ -1249,6 +1295,31 @@ def _ac_refine_block(
     return eobrun
 
 
+def _sequential_block(
+    reader: _BitReader, blk: np.ndarray, dct: dict, act: dict, pred: int
+) -> int:
+    """Full baseline DC+AC decode of one block; returns the new DC pred."""
+    cat = _decode_huff(reader, dct)
+    diff = _extend(reader.receive(cat), cat) if cat else 0
+    pred += diff
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        sym = _decode_huff(reader, act)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, sz = sym >> 4, sym & 0x0F
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC index overflow")
+        blk[int(_ZIGZAG[k])] = _extend(reader.receive(sz), sz)
+        k += 1
+    return pred
+
+
 def _progressive_scan(
     data: bytes,
     restarts: set,
@@ -1264,8 +1335,11 @@ def _progressive_scan(
     vmax: int,
     w: int,
     h: int,
+    sequential: bool = False,
 ) -> None:
-    """Decode one progressive scan into the int32 coefficient arrays."""
+    """Decode one scan into the int32 coefficient arrays — a progressive
+    band/approximation pass, or (``sequential=True``) a full baseline
+    DC+AC scan over a component subset (multi-scan SOF0 files)."""
     reader = _BitReader(data)
     eobrun = 0
     preds = {c["id"]: 0 for c in scan_comps}
@@ -1302,7 +1376,15 @@ def _progressive_scan(
             eobrun = 0
         for c, by, bx in blocks:
             blk = coef[c["id"]][by, bx]
-            if ss == 0:  # DC scan
+            if sequential:
+                dct = htables.get((0, c["td"]))
+                act = htables.get((1, c["ta"]))
+                if dct is None or act is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                preds[c["id"]] = _sequential_block(
+                    reader, blk, dct, act, preds[c["id"]]
+                )
+            elif ss == 0:  # DC scan
                 if ah == 0:
                     dct = htables.get((0, c["td"]))
                     if dct is None:
@@ -1324,17 +1406,27 @@ def _progressive_scan(
         mcu_count += 1
 
 
-@_loud_probe
 def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
-    """Decode a progressive (SOF2) JPEG to an (H, W, 3) uint8 RGB array.
+    return _decode_multiscan_pixels(payload, progressive=True)
 
-    Multi-scan marker walk: every SOS carries a spectral band (Ss–Se) and
-    a successive-approximation state (Ah, Al); DC scans may interleave
-    components, AC scans are per-component (T.81 G.1). Coefficients
-    accumulate across scans as integers (refinement is bitwise), then the
-    shared dequantise → IDCT → upsample → RGB tail runs once."""
+
+@_loud_probe
+def _decode_multiscan_pixels(
+    payload: bytes, progressive: bool
+) -> np.ndarray:
+    """Decode a multi-scan JPEG to an (H, W, 3) uint8 RGB array.
+
+    Progressive (SOF2): every SOS carries a spectral band (Ss–Se) and a
+    successive-approximation state (Ah, Al); DC scans may interleave
+    components, AC scans are per-component (T.81 G.1). Sequential
+    multi-scan (SOF0/1 with component-subset scans, ``progressive=False``):
+    each scan fully DC+AC-codes its components over the non-interleaved
+    grids. Coefficients accumulate across scans as integers (refinement
+    is bitwise), then the shared dequantise → IDCT → upsample → RGB tail
+    runs once."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
+    frame_markers = (0xC2,) if progressive else (0xC0, 0xC1)
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[dict] = []
@@ -1343,6 +1435,7 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
     hmax = vmax = 1
     restart_interval = 0
     any_scan = False
+    coded: set[int] = set()  # component ids some scan has coded
     pos = 2
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
@@ -1383,7 +1476,7 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
                 vals = list(body[bp + 17 : bp + 17 + nv])
                 htables[(cls, tid)] = _decode_table((bits, vals))
                 bp += 17 + nv
-        elif marker == 0xC2:
+        elif marker in frame_markers:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -1415,7 +1508,7 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
                 for c in comps
             }
         elif marker in _SOF_MARKERS:
-            raise ValueError("conflicting frame headers in progressive JPEG")
+            raise ValueError("conflicting frame headers in multi-scan JPEG")
         elif marker == 0xDD:
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:
@@ -1437,7 +1530,12 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
                 )
             ss, se = body[1 + ns * 2], body[2 + ns * 2]
             ah, al = body[3 + ns * 2] >> 4, body[3 + ns * 2] & 0x0F
-            if ss == 0:
+            if not progressive:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError(
+                        "sequential JPEG scan must cover the full spectrum"
+                    )
+            elif ss == 0:
                 if se != 0:
                     raise ValueError("progressive DC scan must have Se = 0")
             else:
@@ -1445,19 +1543,25 @@ def _decode_progressive_pixels(payload: bytes) -> np.ndarray:
                     raise ValueError("progressive AC scan must be single-component")
                 if not (ss <= se <= 63):
                     raise ValueError("bad progressive spectral band")
-            if ah and ah != al + 1:
+            if progressive and ah and ah != al + 1:
                 raise ValueError("bad successive-approximation progression")
             data, restarts, endpos = _destuff_entropy(payload, pos + 2 + ln)
             _progressive_scan(
                 data, restarts, scan_comps, ss, se, ah, al, htables, coef,
                 restart_interval, hmax, vmax, w, h,
+                sequential=not progressive,
             )
             any_scan = True
+            coded |= {c["id"] for c in scan_comps}
             pos = endpos
             continue
         pos += 2 + ln
     if not comps or not any_scan:
         raise ValueError("JPEG missing SOF/SOS")
+    if not progressive and coded != {c["id"] for c in comps}:
+        # decoding a component-subset file would silently return a wrong
+        # (partially black) image — fail loudly per the probe contract
+        raise ValueError("multi-scan JPEG leaves components uncoded")
     deq: dict[int, np.ndarray] = {}
     for c in comps:
         q = qtables.get(c["tq"])

@@ -125,12 +125,13 @@ class TestJpegCodec:
         desync[i] = 0x00  # first DQT marker byte corrupted
         with pytest.raises(ValueError, match="desync"):
             decode_jpeg_pixels(bytes(desync))
-        # non-interleaved: SOS claims 1 component against a 3-comp frame —
-        # decoding only that scan would silently return greyscale
+        # SOS claims 1 component against a 3-comp frame: routes to the
+        # multi-scan walker (round 9), where the mangled header bytes are
+        # not a legal full-spectrum sequential scan — loud, not greyscale
         multi = bytearray(p)
         i = multi.find(b"\xff\xda")
         multi[i + 4] = 1  # Ns
-        with pytest.raises(ValueError, match="non-interleaved"):
+        with pytest.raises(ValueError, match="full spectrum"):
             decode_jpeg_pixels(bytes(multi))
 
     def test_bad_subsampling_and_shape(self):
@@ -559,3 +560,57 @@ class TestProgressiveDecode:
         st.pack_into(">HH", buf, off + 5, 65535, 65535)
         with pytest.raises(ValueError, match="exceed"):
             decode_jpeg_pixels(bytes(buf))
+
+
+class TestMultiScanSequential:
+    """Round-9: sequential SOF0 files with one full DC+AC scan per
+    component (the other legal sequential layout) decode through the
+    multi-scan walker — previously a loud capability decline."""
+
+    def test_multi_scan_equals_interleaved_bitexact(self):
+        rng = np.random.default_rng(17)
+        for (h, w), sub, q, ri in [
+            ((16, 16), "4:4:4", 90, 0),
+            ((21, 13), "4:2:0", 85, 0),   # per-component grids differ
+            ((24, 17), "4:4:4", 75, 3),   # restarts inside each scan
+            ((19, 23), "4:2:0", 95, 2),
+            ((8, 8), "4:4:4", 100, 0),
+        ]:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            base = encode_jpeg(
+                img, quality=q, subsampling=sub, restart_interval=ri
+            )
+            ms = encode_jpeg(
+                img, quality=q, subsampling=sub, restart_interval=ri,
+                multi_scan=True,
+            )
+            assert np.array_equal(
+                decode_jpeg_pixels(base), decode_jpeg_pixels(ms)
+            ), (h, w, sub, q, ri)
+
+    def test_uncoded_component_is_loud(self):
+        img = np.full((12, 12, 3), 80, dtype=np.uint8)
+        ms = encode_jpeg(img, quality=90, multi_scan=True)
+        # drop the LAST scan (Cr never coded): must refuse, not go green
+        i = ms.rfind(b"\xff\xda")
+        truncated = ms[:i] + b"\xff\xd9"
+        with pytest.raises(ValueError, match="uncoded"):
+            decode_jpeg_pixels(truncated)
+
+    def test_exclusive_with_progressive(self):
+        img = np.full((8, 8, 3), 1, dtype=np.uint8)
+        with pytest.raises(ValueError, match="exclusive"):
+            encode_jpeg(img, progressive=True, multi_scan=True)
+
+    def test_multi_scan_through_arrow_stage(self, spark):
+        from matchbox_spark.operators.multimodal import decode_image_stats
+
+        img = np.full((9, 12, 3), (10, 200, 99), dtype=np.uint8)
+        ms = encode_jpeg(img, quality=100, multi_scan=True)
+        df = spark.createDataFrame(
+            [(1, bytearray(ms), "image/jpeg")],
+            "doc_id long, payload binary, media_type string",
+        )
+        row = decode_image_stats(df).collect()[0]
+        assert row["status"] == "ok"
+        assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (10.0, 200.0, 99.0)
