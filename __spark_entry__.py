@@ -4163,6 +4163,86 @@ def m7_decode_malformed(spark, sf):
     )
 
 
+@_q(
+    "m8_real_resize",
+    """WITH h AS (
+         SELECT doc_id,
+                4 + CAST('0x' || substr(sha256(text), 7, 2) AS INT) % 13 AS w,
+                4 + CAST('0x' || substr(sha256(text), 9, 2) AS INT) % 13 AS ht
+         FROM documents WHERE doc_id < 300
+       ), grid AS (
+         SELECT doc_id, (y.y * ht) // 8 AS sy, (x.x * w) // 8 AS sx
+         FROM h, UNNEST(range(8)) AS y(y), UNNEST(range(8)) AS x(x)
+       )
+       SELECT doc_id,
+              CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+              AVG((doc_id * 7 + sy * 3 + sx * 5) % 256) AS mean_r,
+              AVG((doc_id * 11 + sy * 5 + sx * 7) % 256) AS mean_g,
+              AVG((doc_id * 13 + sy * 7 + sx * 11) % 256) AS mean_b
+       FROM grid GROUP BY doc_id""",
+)
+def m8_real_resize(spark, sf):
+    """REAL image resize through the Arrow stage: each doc synthesises a
+    deterministic GRADIENT raster (pixel = closed-form function of
+    (doc_id, y, x)) as a lossless BMP or Paeth-filtered PNG, which
+    resize_decoded_images then decodes FOR REAL, nearest-neighbour
+    resamples to 8×8 with the floor rule ``src = floor(dst·S/D)``, and
+    re-encodes. The oracle replays the resample arithmetic relationally
+    (an 8×8 UNNEST grid of source indices) and pins the resized channel
+    means exactly — the means are k/64 with k integral, so both engines'
+    doubles are bit-identical. Wrong stride, channel swap, off-by-one in
+    the index rule, or a broken decoder all hash-mismatch."""
+    import hashlib as _hl
+
+    import numpy as _np
+    import pandas as _pd
+
+    from matchbox_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        resize_decoded_images,
+    )
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+
+    def _make(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                hd = _hl.sha256(str(text).encode("utf-8")).digest()
+                w, ht = 4 + hd[3] % 13, 4 + hd[4] % 13
+                y = _np.arange(ht)[:, None]
+                x = _np.arange(w)[None, :]
+                img = _np.stack(
+                    [
+                        (i * 7 + y * 3 + x * 5) % 256,
+                        (i * 11 + y * 5 + x * 7) % 256,
+                        (i * 13 + y * 7 + x * 11) % 256,
+                    ],
+                    axis=-1,
+                ).astype(_np.uint8)
+                if i % 2 == 0:
+                    payload, mt = encode_bmp(img), "image/bmp"
+                else:
+                    payload, mt = (
+                        encode_png(img, filter_type=4), "image/png"
+                    )
+                rows.append((i, payload, mt))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "payload", "media_type"]
+            )
+
+    payloads = d.mapInPandas(
+        _make, "doc_id long, payload binary, media_type string"
+    )
+    return resize_decoded_images(payloads, 8, 8).select(
+        "doc_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 4: PII scrubbing, contamination detection, BM25 keyword search,
 # grouping-sets analytics, windowed running aggregates, exact percentiles,
@@ -7018,6 +7098,7 @@ _TOUCHED_R9 = {
     "st7_incremental_resolve",     # catalog GC deferral rides the save path
     "t16_line_repetition",         # NEW: Gopher duplicate line/para fractions
     "d5_embedding_pairs",          # bind-once home-bucket probe fan-out
+    "m8_real_resize",              # NEW: real decode→resample→encode resize
 }
 
 

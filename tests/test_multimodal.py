@@ -344,3 +344,54 @@ class TestPngCodec:
         out = decode_image_stats(df).collect()[0]
         assert (out["width"], out["height"]) == (4, 6)
         assert (out["mean_r"], out["mean_g"], out["mean_b"]) == (10.0, 20.0, 30.0)
+
+
+def test_resize_decoded_images_real(spark):
+    """Round-9 REAL resize: decode -> floor-rule nearest-neighbour ->
+    re-encode. The resized BMP payload must decode back to exactly the
+    raster the floor rule predicts (down- AND up-scaling), and the error
+    taxonomy matches decode_image_stats."""
+    import numpy as np
+
+    from matchbox_spark.operators.jpeg import encode_jpeg
+    from matchbox_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp,
+        resize_decoded_images,
+    )
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (11, 17, 3), dtype=np.uint8)
+    solid = np.full((5, 6, 3), (9, 80, 200), np.uint8)
+    rows = [
+        (1, bytearray(encode_bmp(img)), "image/bmp"),
+        (2, bytearray(encode_jpeg(solid, quality=100)), "image/jpeg"),
+        (3, bytearray(b"XX"), "image/bmp"),       # corrupt
+        (4, bytearray(encode_bmp(img)), "image/gif"),  # no decoder
+        (5, None, "image/bmp"),                    # missing
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    for tw, th in ((8, 8), (23, 4)):  # down- and up-scale
+        got = {
+            r["doc_id"]: r
+            for r in resize_decoded_images(df, tw, th).collect()
+        }
+        ys = (np.arange(th) * img.shape[0]) // th
+        xs = (np.arange(tw) * img.shape[1]) // tw
+        want = img[ys][:, xs]
+        assert got[1]["status"] == "ok"
+        assert got[1]["width"] == tw and got[1]["height"] == th
+        assert np.array_equal(
+            decode_bmp_pixels(bytes(got[1]["payload"])), want
+        )
+        assert got[1]["mean_r"] == float(want[..., 0].mean())
+        # q100 solid JPEG decodes exactly; resize of solid stays solid
+        assert got[2]["status"] == "ok"
+        assert (got[2]["mean_r"], got[2]["mean_g"], got[2]["mean_b"]) == (
+            9.0, 80.0, 200.0,
+        )
+        assert got[3]["status"] == "corrupt" and got[3]["payload"] is None
+        assert got[4]["status"] == "no_decoder"
+        assert got[5]["status"] == "missing"

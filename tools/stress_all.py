@@ -44,12 +44,17 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
         ["/root/testdata/sf0.01", "/root/testdata/sf0.1"],
     ),
     "streaming_lsh": (["--lsh", "6", "100", "8"], ["--lsh"]),
+    "streaming_embedding": (
+        ["--embedding", "6", "100", "8"],
+        ["--embedding", "12", "300", "10"],
+    ),
 }
 
 # harnesses that are not tools/stress_<name>.py
 SCRIPTS = {
     "plan_gate": "tools/plan_report.py",
     "streaming_lsh": "tools/stress_streaming_resolve.py",
+    "streaming_embedding": "tools/stress_streaming_resolve.py",
 }
 
 # the registry sweep runs every oracle twice per SF (Spark + DuckDB) and
