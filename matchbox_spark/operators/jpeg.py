@@ -769,7 +769,9 @@ def _loud_probe(fn):
     def wrapped(payload: bytes, *args, **kwargs):
         try:
             return fn(payload, *args, **kwargs)
-        except (IndexError, StopIteration) as exc:
+        except (IndexError, StopIteration, OverflowError) as exc:
+            # OverflowError: a corrupt progressive stream can accumulate a
+            # DC prediction beyond int32 — numpy raises on assignment
             raise ValueError(f"corrupt JPEG structure: {exc!r}") from exc
 
     return wrapped

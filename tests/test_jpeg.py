@@ -614,3 +614,37 @@ class TestMultiScanSequential:
         row = decode_image_stats(df).collect()[0]
         assert row["status"] == "ok"
         assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (10.0, 200.0, 99.0)
+
+
+class TestCorruptionFuzz:
+    """Seeded byte-corruption fuzz over baseline, multi-scan, and
+    progressive containers: every mutation must either decode to SOME
+    raster or raise ValueError — never IndexError/StopIteration/
+    OverflowError (which would escape the scan-level catch and kill a
+    Spark task) and never hang."""
+
+    def test_mutated_streams_fail_closed(self):
+        rng = np.random.default_rng(77)
+        img = rng.integers(0, 256, (24, 19, 3), dtype=np.uint8)
+        containers = [
+            encode_jpeg(img, quality=80),
+            encode_jpeg(img, quality=80, multi_scan=True),
+            encode_jpeg(img, quality=80, progressive=True, restart_interval=3),
+        ]
+        outcomes = {"ok": 0, "valueerror": 0}
+        for p in containers:
+            for trial in range(60):
+                buf = bytearray(p)
+                for _ in range(int(rng.integers(1, 4))):
+                    buf[int(rng.integers(2, len(buf)))] = int(
+                        rng.integers(0, 256)
+                    )
+                try:
+                    out = decode_jpeg_pixels(bytes(buf))
+                    assert out.dtype == np.uint8 and out.ndim == 3
+                    outcomes["ok"] += 1
+                except ValueError:
+                    outcomes["valueerror"] += 1
+                # anything else (IndexError, OverflowError, ...) propagates
+                # and fails the test
+        assert outcomes["valueerror"] > 0  # the fuzz actually bit
