@@ -4243,6 +4243,79 @@ def m8_real_resize(spark, sf):
     )
 
 
+@_q(
+    "m9_audio_stats",
+    """WITH h AS (
+         SELECT doc_id,
+                8 * (1 + CAST('0x' || substr(sha256(text), 11, 2) AS INT)
+                     % 32) AS ns
+         FROM documents WHERE doc_id < 300
+       ), s AS (
+         SELECT doc_id, ns,
+                (doc_id * 31 + i.i * 17) % 4001 - 2000 AS v
+         FROM h, UNNEST(range(ns)) AS i(i)
+       )
+       SELECT doc_id,
+              CAST(ns AS BIGINT) AS n_samples,
+              CAST(8000 AS INT) AS sample_rate,
+              CAST(1 AS INT) AS channels,
+              CAST(MAX(ABS(v)) AS INT) AS peak,
+              FLOOR((SUM(v) / CAST(COUNT(*) AS DOUBLE)) * 1000000 + 0.5)
+                / 1000000 AS mean,
+              FLOOR(SQRT(SUM(v * v) / CAST(COUNT(*) AS DOUBLE)) * 1000000
+                + 0.5) / 1000000 AS rms
+       FROM s GROUP BY doc_id, ns""",
+)
+def m9_audio_stats(spark, sf):
+    """REAL audio decode through the Arrow stage: each doc synthesises a
+    deterministic 16-bit PCM waveform (sample i = closed-form function of
+    (doc_id, i)), encodes it as a real RIFF/WAVE container, and
+    decode_audio_stats walks the chunks, decodes the PCM FOR REAL
+    (np.frombuffer) and reports peak/mean/RMS — the signal-level facts an
+    audio curation pipeline filters on. The oracle replays the waveform
+    relationally (UNNEST grid) — integer sums are exact, the mean/RMS
+    division+sqrt are single correctly-rounded IEEE ops, and both sides
+    finish with ieee_round6 — so the compare is hash-exact. Chunk-walk
+    bugs, sign errors, or byte-order mistakes all mismatch."""
+    import hashlib as _hl
+
+    import numpy as _np
+    import pandas as _pd
+
+    from matchbox_spark.operators.multimodal import (
+        decode_audio_stats,
+        encode_wav,
+    )
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+
+    def _make(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                hd = _hl.sha256(str(text).encode("utf-8")).digest()
+                ns = 8 * (1 + hd[5] % 32)
+                idx = _np.arange(ns, dtype=_np.int64)
+                samples = (i * 31 + idx * 17) % 4001 - 2000
+                rows.append(
+                    (i, encode_wav(samples, sample_rate=8000), "audio/wav")
+                )
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "payload", "media_type"]
+            )
+
+    payloads = d.mapInPandas(
+        _make, "doc_id long, payload binary, media_type string"
+    )
+    return decode_audio_stats(payloads).select(
+        "doc_id", "n_samples", "sample_rate", "channels", "peak",
+        "mean", "rms",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 4: PII scrubbing, contamination detection, BM25 keyword search,
 # grouping-sets analytics, windowed running aggregates, exact percentiles,
@@ -7099,6 +7172,7 @@ _TOUCHED_R9 = {
     "t16_line_repetition",         # NEW: Gopher duplicate line/para fractions
     "d5_embedding_pairs",          # bind-once home-bucket probe fan-out
     "m8_real_resize",              # NEW: real decode→resample→encode resize
+    "m9_audio_stats",              # NEW: real PCM decode + signal stats
 }
 
 

@@ -30,6 +30,16 @@ from pyspark.sql import functions as F
 IEEE_ROUND6_SQL = "FLOOR(({x}) * 1000000 + 0.5) / 1000000"
 
 
+def IEEE_ROUND6_PY(x: float) -> float:
+    """Python twin of :func:`ieee_round6` (identical op order on IEEE
+    doubles) for values computed inside Arrow/Pandas stages — CPython
+    float arithmetic is the same correctly-rounded IEEE-754, so the
+    result matches the JVM/DuckDB expression bit for bit."""
+    import math
+
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
 def ieee_round6(x: Column) -> Column:
     """``x`` (double) rounded half-up to 6 dp via IEEE-exact primitives.
 

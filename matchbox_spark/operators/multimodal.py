@@ -707,6 +707,183 @@ def resize_images(
     return df.select(id_col, payload_col).mapInPandas(_resize, schema)
 
 
+def decode_wav_samples(payload: bytes):
+    """Real PCM decode: RIFF walk → (int16 sample array, rate, channels).
+
+    16-bit PCM only (audio_format 1); anything else raises ValueError —
+    the loud-probe contract. Returns the interleaved sample stream."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + sz > len(payload):
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt " and sz >= 16:
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif cid == b"data":
+            data = payload[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only 16-bit PCM WAV supported")
+    samples = np.frombuffer(data[: len(data) - (len(data) % 2)], "<i2")
+    return samples, rate, channels
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+        T.StructField("mean", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("status", T.StringType(), True),
+    ]
+)
+
+
+def decode_audio_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    type_col: str = "media_type",
+) -> DataFrame:
+    """REAL audio decode through the Arrow stage: PCM samples → stats.
+
+    Decodes 16-bit PCM WAV payloads for real (RIFF chunk walk +
+    ``np.frombuffer``) and reports per-object sample count, rate,
+    channels, peak |amplitude|, mean, and RMS — the signal-level facts an
+    audio curation pipeline filters on (silence, clipping, level
+    normalisation). Same shape and status taxonomy as
+    :func:`decode_image_stats`: corrupt/missing/no_decoder objects null
+    out, never kill the task. mean and RMS are ieee_round6-rounded so a
+    relational oracle can replay them bit-exactly."""
+    from matchbox_spark.functions.numeric import IEEE_ROUND6_PY
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            cols: dict = {
+                k: [None] * n
+                for k in ("n_samples", "rate", "ch", "peak", "mean", "rms")
+            }
+            status: list = [None] * n
+            for i, (mt, p) in enumerate(zip(pdf[type_col], pdf[payload_col])):
+                if p is None:
+                    status[i] = "missing"
+                    continue
+                if mt != "audio/wav":
+                    status[i] = "no_decoder"
+                    continue
+                try:
+                    samples, rate, ch = decode_wav_samples(bytes(p))
+                except (ValueError, struct.error):
+                    status[i] = "corrupt"
+                    continue
+                cols["n_samples"][i] = int(samples.size)
+                cols["rate"][i] = int(rate)
+                cols["ch"][i] = int(ch)
+                if samples.size:
+                    s64 = samples.astype(np.float64)
+                    cols["peak"][i] = int(np.abs(samples.astype(np.int32)).max())
+                    cols["mean"][i] = IEEE_ROUND6_PY(float(s64.mean()))
+                    cols["rms"][i] = IEEE_ROUND6_PY(
+                        float(np.sqrt((s64 * s64).mean()))
+                    )
+                else:
+                    cols["peak"][i] = 0
+                status[i] = "ok"
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").to_numpy(),
+                    "n_samples": pd.array(cols["n_samples"], dtype="Int64"),
+                    "sample_rate": pd.array(cols["rate"], dtype="Int32"),
+                    "channels": pd.array(cols["ch"], dtype="Int32"),
+                    "peak": pd.array(cols["peak"], dtype="Int32"),
+                    "mean": pd.array(cols["mean"], dtype="float64"),
+                    "rms": pd.array(cols["rms"], dtype="float64"),
+                    "status": pd.array(status, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col, type_col).mapInPandas(
+        _stats, AUDIO_STATS_SCHEMA
+    )
+
+
+def resample_audio(
+    df: DataFrame,
+    factor: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Integer-factor audio decimation: keep every ``factor``-th sample,
+    re-encode as WAV at ``rate / factor``. Honest scope: plain decimation
+    (no anti-alias filter — production swaps in a polyphase resampler);
+    the plumbing (binary→binary Arrow stage, real PCM decode/encode) is
+    real and the output decodes back exactly to ``samples[::factor]``."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("status", T.StringType(), True),
+        ]
+    )
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            payload: list = [None] * n
+            rate_out: list = [None] * n
+            ns_out: list = [None] * n
+            status: list = [None] * n
+            for i, p in enumerate(pdf[payload_col]):
+                if p is None:
+                    status[i] = "missing"
+                    continue
+                try:
+                    samples, rate, ch = decode_wav_samples(bytes(p))
+                except (ValueError, struct.error):
+                    status[i] = "corrupt"
+                    continue
+                if ch != 1:
+                    status[i] = "corrupt"  # decimation is per-frame; mono only
+                    continue
+                out = samples[::factor]
+                new_rate = max(1, rate // factor)
+                payload[i] = encode_wav(out, sample_rate=new_rate)
+                rate_out[i] = new_rate
+                ns_out[i] = int(out.size)
+                status[i] = "ok"
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").to_numpy(),
+                    "payload": pd.array(payload, dtype="object"),
+                    "sample_rate": pd.array(rate_out, dtype="Int32"),
+                    "n_samples": pd.array(ns_out, dtype="Int64"),
+                    "status": pd.array(status, dtype="object"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_resample, schema)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

@@ -648,3 +648,71 @@ class TestCorruptionFuzz:
                 # anything else (IndexError, OverflowError, ...) propagates
                 # and fails the test
         assert outcomes["valueerror"] > 0  # the fuzz actually bit
+
+
+def test_single_component_progressive_grayscale():
+    """Hand-assembled 1-component SOF2 stream (the encoder only emits
+    3-component progressive): two DC scans (first Al=1, refine) and one
+    AC first scan over a 16x8 two-block image — pins the grayscale
+    progressive path, non-interleaved DC grids, and Y-replication."""
+    import struct as st
+
+    from matchbox_spark.operators.jpeg import (
+        _DC_LUMA_SPEC,
+        _AC_PROG_SPEC,
+        _BitWriter,
+        _canonical_codes,
+        decode_jpeg_pixels,
+        jpeg_frame_info,
+    )
+
+    def seg(marker, payload):
+        return st.pack(">HH", marker, len(payload) + 2) + payload
+
+    # all-ones quant table in zigzag order
+    dqt = seg(0xFFDB, bytes([0]) + b"\x01" * 64)
+    sof = seg(0xFFC2, st.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    bits, vals = _DC_LUMA_SPEC
+    dht_dc = seg(0xFFC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    pbits, pvals = _AC_PROG_SPEC
+    dht_ac = seg(0xFFC4, bytes([0x10]) + bytes(pbits) + bytes(pvals))
+    dc = _canonical_codes(_DC_LUMA_SPEC)
+    ac = _canonical_codes(_AC_PROG_SPEC)
+
+    # block DC values (orthonormal DCT of constant block v-128: dc=8(v-128)):
+    # blocks at 100 and 200 gray -> dc -224 and 576
+    targets = [-224, 576]
+    # scan 1: DC first, Al=1 (values arithmetic-shifted: -112, 288)
+    bw = _BitWriter()
+    pred = 0
+    for t in targets:
+        v = t >> 1
+        diff = v - pred
+        pred = v
+        cat = abs(diff).bit_length()
+        code, ln = dc[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    scan1 = seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + bw.flush()
+    # scan 2: DC refine (bit 0 of each dc: 0, 0)
+    bw = _BitWriter()
+    for t in targets:
+        bw.write(t & 1, 1)
+    scan2 = seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + bw.flush()
+    # scan 3: AC first 1..63, Al=0 — both blocks are DC-only: EOB run of 2
+    bw = _BitWriter()
+    code, ln = ac[0x10]  # EOB1: run = 2^1 + 0 appended bits
+    bw.write(code, ln)
+    bw.write(0, 1)
+    scan3 = seg(0xFFDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bw.flush()
+
+    p = (b"\xff\xd8" + dqt + sof + dht_dc + dht_ac
+         + scan1 + scan2 + scan3 + b"\xff\xd9")
+    assert jpeg_frame_info(p) == (2, 16, 8)
+    out = decode_jpeg_pixels(p)
+    assert out.shape == (8, 16, 3)
+    # grayscale replicates to RGB; IDCT of dc d over all-ones quant is
+    # d/8 + 128 per pixel
+    assert np.all(out[:, :8] == 100)
+    assert np.all(out[:, 8:] == 200)

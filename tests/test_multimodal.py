@@ -395,3 +395,51 @@ def test_resize_decoded_images_real(spark):
         assert got[3]["status"] == "corrupt" and got[3]["payload"] is None
         assert got[4]["status"] == "no_decoder"
         assert got[5]["status"] == "missing"
+
+
+def test_audio_decode_and_resample_real(spark):
+    """Round-9 real PCM path: decode_audio_stats reports exact
+    peak/mean/RMS of a known waveform; resample_audio's output WAV
+    decodes back to samples[::factor] at rate/factor."""
+    import math
+
+    import numpy as np
+
+    from matchbox_spark.operators.multimodal import (
+        decode_audio_stats,
+        decode_wav_samples,
+        encode_wav,
+        resample_audio,
+    )
+
+    samples = np.array([0, 1000, -2000, 32767, -32768, 5, -5, 12], "<i2")
+    wav = encode_wav(samples, sample_rate=16000)
+    rows = [
+        (1, bytearray(wav), "audio/wav"),
+        (2, bytearray(b"RIFFxxxx"), "audio/wav"),   # corrupt
+        (3, bytearray(wav), "audio/mpeg"),           # no decoder here
+        (4, None, "audio/wav"),                      # missing
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    got = {r["doc_id"]: r for r in decode_audio_stats(df).collect()}
+    s64 = samples.astype(np.float64)
+    assert got[1]["status"] == "ok"
+    assert got[1]["n_samples"] == 8 and got[1]["sample_rate"] == 16000
+    assert got[1]["peak"] == 32768
+    assert got[1]["mean"] == math.floor(s64.mean() * 1e6 + 0.5) / 1e6
+    assert got[1]["rms"] == math.floor(
+        math.sqrt((s64 * s64).mean()) * 1e6 + 0.5
+    ) / 1e6
+    assert got[2]["status"] == "corrupt"
+    assert got[3]["status"] == "no_decoder"
+    assert got[4]["status"] == "missing"
+
+    out = {r["doc_id"]: r for r in resample_audio(df, 2).collect()}
+    assert out[1]["status"] == "ok"
+    assert out[1]["sample_rate"] == 8000 and out[1]["n_samples"] == 4
+    back, rate, ch = decode_wav_samples(bytes(out[1]["payload"]))
+    assert rate == 8000 and ch == 1
+    assert np.array_equal(back, samples[::2])
+    assert out[2]["status"] == "corrupt" and out[4]["status"] == "missing"
