@@ -33,7 +33,21 @@ def main() -> int:
     group = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     n_entities = n_rows // group
 
-    spark = get_spark(app_name="stress_pipeline")
+    # SIZE SHUFFLE PARTITIONS WITH THE DATA (the spill-aware rule): the
+    # dedupe emits ~n_rows/group * C(group,2) pair edges, and CC's distinct
+    # hash-aggregates them — with a fixed core-count partitioning, 32
+    # concurrent tasks divide one local-mode heap and the per-task
+    # aggregation map cannot even allocate its first page at 20M rows
+    # (AGGREGATE_OUT_OF_MEMORY, observed round 9). ~250k edges per
+    # partition keeps every task's map comfortably spillable; on a real
+    # cluster the same rule is per-executor-memory, not per-box.
+    import os as _os
+
+    edges_est = n_rows // group * (group * (group - 1) // 2)
+    parts = max(_os.cpu_count() or 8, min(2048, edges_est // 250_000))
+    spark = get_spark(
+        app_name="stress_pipeline", shuffle_partitions=parts
+    )
     path = tempfile.mkdtemp(prefix="stress_src_") + "/src.parquet"
     (
         spark.range(n_rows)
