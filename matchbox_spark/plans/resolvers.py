@@ -81,12 +81,25 @@ class DisjointSet:
 # ---------------------------------------------------------------------------
 
 
-def _materialize(df: DataFrame) -> DataFrame:
+def _materialize(df: DataFrame, disk_only: bool = False) -> DataFrame:
     """Materialise + truncate lineage, robust to SPARK's occasional
     ``localCheckpoint`` AttributeMap failure on some AQE plan shapes
     (observed as ``key not found: <attr>`` in local mode): fall back to a
-    reliable checkpoint, provisioning a temp checkpoint dir on demand."""
+    reliable checkpoint, provisioning a temp checkpoint dir on demand.
+
+    ``disk_only=True`` checkpoints at ``StorageLevel.DISK_ONLY`` — the
+    right level for READ-ONCE state like CC iteration rounds: the default
+    MEMORY_AND_DISK keeps every superseded round's deserialized edge set
+    on the heap (ContextCleaner frees them lazily, after a GC notices),
+    which at 90M edges × ~6 rounds exceeded a 32 GB heap (round 9);
+    DISK_ONLY bounds heap use by ONE round's working set."""
     try:
+        if disk_only:
+            from pyspark import StorageLevel
+
+            return df.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
         return df.localCheckpoint(eager=True)
     except Exception:  # noqa: BLE001
         # parquet round-trip: a different execution path (file write) that
@@ -115,7 +128,9 @@ def _edge_signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["x"])
 
 
-def _materialize_with_signature(edges: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+def _materialize_with_signature(
+    edges: DataFrame, disk_only: bool = False
+) -> tuple[DataFrame, tuple[int, int]]:
     """Materialise an edge set AND collect its (count, xor) signature in the
     SAME job via the Observation API — the convergence check rides the
     checkpoint's execution instead of costing a second full pass. One driver
@@ -129,7 +144,7 @@ def _materialize_with_signature(edges: DataFrame) -> tuple[DataFrame, tuple[int,
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("x"),
     )
-    out = _materialize(observed)
+    out = _materialize(observed, disk_only=disk_only)
     m = obs.get  # blocks until the eager checkpoint's job finishes
     return out, (int(m["n"]), int(m["x"]))
 
@@ -257,7 +272,8 @@ def connected_components(
     e, sig = _materialize_with_signature(
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
+        .distinct(),
+        disk_only=True,  # read once (first round or the driver collect)
     )
     if sig[0] == 0:
         return spark.createDataFrame([], "id long, component long")
@@ -279,7 +295,10 @@ def connected_components(
     for it in range(max_iter):
         e2 = _small_star(_large_star(e))
         if checkpoint_every and it % checkpoint_every == 0:
-            e2, new_sig = _materialize_with_signature(e2)
+            # DISK_ONLY: round state is read exactly once (by the next
+            # round) — memory-resident checkpoint blocks of superseded
+            # rounds are pure heap pressure at large edge counts
+            e2, new_sig = _materialize_with_signature(e2, disk_only=True)
         else:
             new_sig = _edge_signature(e2)
         e = e2

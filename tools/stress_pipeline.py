@@ -45,8 +45,22 @@ def main() -> int:
 
     edges_est = n_rows // group * (group * (group - 1) // 2)
     parts = max(_os.cpu_count() or 8, min(2048, edges_est // 250_000))
+    extra = {}
+    if edges_est > 50_000_000:
+        # local-mode reality: ONE JVM hosts all executor threads, so the
+        # default 8g heap is ~250 MB/concurrent task — nothing like a real
+        # executor. Give the scale tier a cluster-shaped heap, and lower
+        # AQE's advisory partition size so the coalesced post-shuffle
+        # aggregate keeps per-task hash maps spillable (the 64 MB advisory
+        # targets serialized shuffle bytes; aggregation memory is several
+        # times that).
+        _os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
+        extra["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = str(
+            16 * 1024 * 1024
+        )
     spark = get_spark(
-        app_name="stress_pipeline", shuffle_partitions=parts
+        app_name="stress_pipeline", shuffle_partitions=parts,
+        extra_conf=extra,
     )
     path = tempfile.mkdtemp(prefix="stress_src_") + "/src.parquet"
     (
