@@ -20,6 +20,8 @@ resolution — far above any mean/ratio/log-prob this repo rounds).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -35,8 +37,6 @@ def IEEE_ROUND6_PY(x: float) -> float:
     doubles) for values computed inside Arrow/Pandas stages — CPython
     float arithmetic is the same correctly-rounded IEEE-754, so the
     result matches the JVM/DuckDB expression bit for bit."""
-    import math
-
     return math.floor(x * 1000000.0 + 0.5) / 1000000.0
 
 

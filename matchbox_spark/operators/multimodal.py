@@ -829,11 +829,12 @@ def resample_audio(
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Integer-factor audio decimation: keep every ``factor``-th sample,
-    re-encode as WAV at ``rate / factor``. Honest scope: plain decimation
-    (no anti-alias filter — production swaps in a polyphase resampler);
-    the plumbing (binary→binary Arrow stage, real PCM decode/encode) is
-    real and the output decodes back exactly to ``samples[::factor]``."""
+    """Integer-factor audio decimation: keep every ``factor``-th FRAME
+    (all channels of a sample instant move together), re-encode as WAV at
+    ``rate / factor``. Honest scope: plain decimation (no anti-alias
+    filter — production swaps in a polyphase resampler); the plumbing
+    (binary→binary Arrow stage, real PCM decode/encode) is real and the
+    output decodes back exactly to ``frames[::factor]``."""
     if factor < 1:
         raise ValueError("factor must be >= 1")
     schema = T.StructType(
@@ -862,12 +863,13 @@ def resample_audio(
                 except (ValueError, struct.error):
                     status[i] = "corrupt"
                     continue
-                if ch != 1:
-                    status[i] = "corrupt"  # decimation is per-frame; mono only
-                    continue
-                out = samples[::factor]
+                # frame-wise decimation: interleaved channels stay aligned
+                frames = samples[: (samples.size // ch) * ch].reshape(-1, ch)
+                out = frames[::factor].reshape(-1)
                 new_rate = max(1, rate // factor)
-                payload[i] = encode_wav(out, sample_rate=new_rate)
+                payload[i] = encode_wav(
+                    out, sample_rate=new_rate, channels=ch
+                )
                 rate_out[i] = new_rate
                 ns_out[i] = int(out.size)
                 status[i] = "ok"
@@ -918,6 +920,8 @@ def resize_decoded_images(
     status taxonomy as :func:`decode_image_stats`. One Arrow-batched
     ``mapInPandas`` pass; decode parallelism = input partitioning.
     """
+    if width < 1 or height < 1:
+        raise ValueError("resize target dimensions must be >= 1")
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

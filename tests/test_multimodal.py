@@ -443,3 +443,44 @@ def test_audio_decode_and_resample_real(spark):
     assert rate == 8000 and ch == 1
     assert np.array_equal(back, samples[::2])
     assert out[2]["status"] == "corrupt" and out[4]["status"] == "missing"
+
+
+def test_resample_audio_stereo_framewise(spark):
+    """Stereo decimation keeps channel pairs aligned (frame-wise) — a
+    valid stereo WAV must NOT classify corrupt (review fix, round 9)."""
+    import numpy as np
+
+    from matchbox_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+        resample_audio,
+    )
+
+    # interleaved L/R: L = 100,200,300,400 ; R = -1,-2,-3,-4
+    inter = np.array([100, -1, 200, -2, 300, -3, 400, -4], "<i2")
+    wav = encode_wav(inter, sample_rate=8000, channels=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav), "audio/wav")],
+        "doc_id long, payload binary, media_type string",
+    )
+    row = resample_audio(df, 2).collect()[0]
+    assert row["status"] == "ok"
+    back, rate, ch = decode_wav_samples(bytes(row["payload"]))
+    assert (rate, ch) == (4000, 2)
+    # frames 0 and 2 survive: (100,-1) and (300,-3)
+    assert back.tolist() == [100, -1, 300, -3]
+
+
+def test_resize_rejects_bad_dimensions(spark):
+    import pytest as _pytest
+
+    from matchbox_spark.operators.multimodal import resize_decoded_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x"), "image/bmp")],
+        "doc_id long, payload binary, media_type string",
+    )
+    with _pytest.raises(ValueError, match=">= 1"):
+        resize_decoded_images(df, 0, 8)
+    with _pytest.raises(ValueError, match=">= 1"):
+        resize_decoded_images(df, 8, -1)
