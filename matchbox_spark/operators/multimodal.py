@@ -246,29 +246,23 @@ def encode_wav(
     )
 
 
-def encode_png(
-    pixels, filter_type: int = 0, compress_level: int = 6
-) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as a real 8-bit truecolour PNG
-    (zlib IDAT, CRC'd chunks). ``filter_type`` applies one of the five
-    scanline filters (0=None 1=Sub 2=Up 3=Average 4=Paeth) to every row —
-    fixtures use the non-trivial ones to exercise un-filtering.
-    ``compress_level=0`` emits STORED deflate blocks, making the payload
-    length a closed-form function of geometry (what the m6 oracle needs):
-    ``57 + 2 + 5·ceil(raw/65535) + raw + 4`` with ``raw = h·(1+3w)``.
-    """
-    import zlib
-
+def _png_filter_rows(rows2d, nch: int, filter_type: int) -> bytes:
+    """Apply one scanline filter to a (n_rows, stride) uint8 array; the
+    per-pixel byte distance is ``nch``. Returns filtered bytes with the
+    per-row filter tag."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    h, w, _ = px.shape
-    rows = []
-    prev = np.zeros(w * 3, dtype=np.uint8)
-    for r in range(h):
-        cur = px[r].reshape(-1)
-        left = np.concatenate([np.zeros(3, np.uint8), cur[:-3]])
-        ul = np.concatenate([np.zeros(3, np.uint8), prev[:-3]])
+    out = []
+    stride = rows2d.shape[1] if rows2d.size else 0
+    prev = np.zeros(stride, dtype=np.uint8)
+    z = np.zeros(nch, np.uint8)
+    for cur in rows2d:
+        left = np.concatenate([z, cur[:-nch]]) if stride > nch else np.zeros(
+            stride, np.uint8
+        )
+        ul = np.concatenate([z, prev[:-nch]]) if stride > nch else np.zeros(
+            stride, np.uint8
+        )
         if filter_type == 0:
             filt = cur
         elif filter_type == 1:
@@ -289,61 +283,115 @@ def encode_png(
             filt = cur - pred
         else:
             raise ValueError(f"unknown PNG filter {filter_type}")
-        rows.append(bytes([filter_type]) + filt.tobytes())
+        out.append(bytes([filter_type]) + filt.tobytes())
         prev = cur
-    raw = b"".join(rows)
-    idat = zlib.compress(raw, compress_level)
+    return b"".join(out)
 
-    import zlib as _z
+
+def encode_png(
+    pixels,
+    filter_type: int = 0,
+    compress_level: int = 6,
+    interlace: bool = False,
+    palette: bool = False,
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a real 8-bit PNG (zlib
+    IDAT, CRC'd chunks). ``filter_type`` applies one of the five scanline
+    filters (0=None 1=Sub 2=Up 3=Average 4=Paeth) to every row — fixtures
+    use the non-trivial ones to exercise un-filtering. ``compress_level=0``
+    emits STORED deflate blocks, making the DEFAULT truecolour layout's
+    byte length a closed-form function of geometry (what the m6 oracle
+    needs): ``57 + 2 + 5·ceil(raw/65535) + raw + 4`` with
+    ``raw = h·(1+3w)``.
+
+    ``interlace=True`` writes Adam7 (seven independently filtered
+    sub-images); ``palette=True`` writes an indexed-colour (type 3) PNG
+    with a PLTE chunk — raises if the image has more than 256 distinct
+    colours. Both compose, and both roundtrip bit-exactly through
+    :func:`decode_png_pixels`.
+    """
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+
+    plte = b""
+    if palette:
+        flat = px.reshape(-1, 3)
+        colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError(
+                f"palette PNG supports <= 256 colours, image has {len(colors)}"
+            )
+        plane = inverse.astype(np.uint8).reshape(h, w, 1)
+        nch, color_type = 1, 3
+        plte = colors.astype(np.uint8).tobytes()
+    else:
+        plane = px
+        nch, color_type = 3, 2
+
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = plane[y0::dy, x0::dx]
+            hp, wp = sub.shape[:2]
+            if hp == 0 or wp == 0:
+                continue
+            parts.append(
+                _png_filter_rows(
+                    sub.reshape(hp, wp * nch), nch, filter_type
+                )
+            )
+        raw = b"".join(parts)
+    else:
+        raw = _png_filter_rows(plane.reshape(h, w * nch), nch, filter_type)
+    idat = zlib.compress(raw, compress_level)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
             struct.pack(">I", len(data))
             + ctype
             + data
-            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + (chunk(b"PLTE", plte) if palette else b"")
         + chunk(b"IDAT", idat)
         + chunk(b"IEND", b"")
     )
 
 
-def decode_png_pixels(payload: bytes):
-    """Decode an 8-bit non-interlaced PNG (grey / RGB / RGBA) to an
-    (H, W, 3) uint8 RGB array: signature + CRC-verified chunk walk, IDAT
-    concat + inflate, then per-scanline UN-filtering (all five filter
-    types; Sub/Average/Paeth run the per-pixel recurrence). Greyscale
-    replicates to three channels; RGBA drops alpha. Interlaced (Adam7),
-    16-bit, and palette PNGs raise — honest scope, matching the codec
-    registry's stub contract for formats beyond it."""
-    import zlib
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) — the
+# seven passes partition the pixel grid exactly (PNG spec §8.2)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
+
+def _png_unfilter(raw: bytes, pos: int, n_rows: int, stride: int, nch: int):
+    """Un-filter ``n_rows`` scanlines of ``stride`` bytes starting at
+    ``pos`` in the inflated stream (all five filter types; the per-pixel
+    recurrence uses ``nch`` as the filter byte distance). Returns
+    (rows array, new position)."""
     import numpy as np
 
-    w, h, depth, color, interlace = _png_ihdr(payload)
-    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
-        raise ValueError(
-            f"unsupported PNG variant: depth={depth} color={color} "
-            f"interlace={interlace}"
-        )
-    nch = {0: 1, 2: 3, 6: 4}[color]
-    idat = b"".join(d for t, d in _png_chunks(payload) if t == b"IDAT")
-    raw = zlib.decompress(idat)
-    stride = w * nch
-    if len(raw) != h * (1 + stride):
-        raise ValueError("PNG pixel data length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
+    out = np.zeros((n_rows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    for r in range(h):
-        ft = raw[r * (1 + stride)]
-        line = np.frombuffer(
-            raw, np.uint8, count=stride, offset=r * (1 + stride) + 1
-        ).copy()
+    for r in range(n_rows):
+        if pos + 1 + stride > len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        ft = raw[pos]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
         if ft == 0:
             cur = line
         elif ft == 2:
@@ -367,7 +415,64 @@ def decode_png_pixels(payload: bytes):
             raise ValueError(f"unknown PNG filter {ft}")
         out[r] = cur
         prev = cur
-    px = out.reshape(h, w, nch)
+    return out, pos
+
+
+def decode_png_pixels(payload: bytes):
+    """Decode an 8-bit PNG — grey / RGB / PALETTE / RGBA, non-interlaced
+    OR Adam7-interlaced (round 9) — to an (H, W, 3) uint8 RGB array:
+    signature + CRC-verified chunk walk, IDAT concat + inflate, per-
+    scanline UN-filtering (all five filter types), per-pass deinterlace
+    for Adam7, PLTE lookup for palette images. Greyscale replicates to
+    three channels; RGBA drops alpha. 16-bit stays out of scope (raises)
+    — rare in web corpora, unlike PNG8 palettes and Adam7."""
+    import zlib
+
+    import numpy as np
+
+    w, h, depth, color, interlace = _png_ihdr(payload)
+    if depth != 8 or interlace not in (0, 1) or color not in (0, 2, 3, 6):
+        raise ValueError(
+            f"unsupported PNG variant: depth={depth} color={color} "
+            f"interlace={interlace}"
+        )
+    nch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    palette = None
+    idat_parts = []
+    for t, d in _png_chunks(payload):
+        if t == b"IDAT":
+            idat_parts.append(d)
+        elif t == b"PLTE":
+            if len(d) % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            palette = np.frombuffer(d, np.uint8).reshape(-1, 3)
+    if color == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    raw = zlib.decompress(b"".join(idat_parts))
+
+    if interlace == 0:
+        lines, pos = _png_unfilter(raw, 0, h, w * nch, nch)
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        px = lines.reshape(h, w, nch)
+    else:  # Adam7: seven sub-images, each filtered independently
+        px = np.zeros((h, w, nch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # pass empty at this geometry
+            lines, pos = _png_unfilter(raw, pos, hp, wp * nch, nch)
+            px[y0::dy, x0::dx] = lines.reshape(hp, wp, nch)
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+
+    if color == 3:
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        return palette[idx]
     if color == 0:
         return np.repeat(px, 3, axis=2)
     return px[..., :3]

@@ -484,3 +484,35 @@ def test_resize_rejects_bad_dimensions(spark):
         resize_decoded_images(df, 0, 8)
     with _pytest.raises(ValueError, match=">= 1"):
         resize_decoded_images(df, 8, -1)
+
+
+def test_png_palette_and_adam7_roundtrip():
+    """Round-9: PNG8 palette and Adam7 interlace decode for real — every
+    (filter, interlace, palette) combination roundtrips bit-exactly, and
+    the pass grid is the spec's exact partition (the initial wrong grid
+    failed roundtrip, which this matrix would catch again)."""
+    import numpy as np
+
+    from matchbox_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(5)
+    for (h, w) in [(13, 21), (8, 8), (1, 1), (3, 17), (2, 2), (9, 1)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        pal_img = (img // 64) * 64  # <= 64 distinct colours
+        for ft in (0, 1, 2, 3, 4):
+            for inter in (False, True):
+                p = encode_png(img, filter_type=ft, interlace=inter)
+                assert np.array_equal(decode_png_pixels(p), img), (h, w, ft, inter)
+                p2 = encode_png(
+                    pal_img, filter_type=ft, interlace=inter, palette=True
+                )
+                assert np.array_equal(decode_png_pixels(p2), pal_img)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="256"):
+        encode_png(
+            rng.integers(0, 256, (32, 32, 3), dtype=np.uint8), palette=True
+        )
