@@ -3859,7 +3859,20 @@ def m5_real_decode(spark, sf):
                 elif c == 1:
                     payload, mt = encode_ppm(img), "image/x-portable-pixmap"
                 elif c == 2:
-                    payload, mt = encode_png(img, filter_type=4), "image/png"
+                    # rotate PNG layouts (round 9): plain truecolour,
+                    # Adam7-interlaced, PNG8 palette, palette+interlace —
+                    # identical pixels, so ONE oracle certifies all four
+                    # decode paths
+                    v = (int(doc_id) // 4) % 4
+                    payload, mt = (
+                        encode_png(
+                            img,
+                            filter_type=4,
+                            interlace=bool(v & 1),
+                            palette=bool(v & 2),
+                        ),
+                        "image/png",
+                    )
                 else:  # q=100 4:4:4 -> solid colour roundtrips bit-exactly;
                     # alternate baseline (SOF0) and PROGRESSIVE (SOF2 —
                     # multi-scan spectral selection + successive
