@@ -638,6 +638,14 @@ def simhash_near_duplicates(
     identical chunk (``max_hamming`` differing bits cannot hit every one of
     ``max_hamming + 1`` chunks), so candidates form on (chunk_index,
     chunk_value) keys instead of a cross join and recall is exact.
+
+    **Size ``bits`` to the corpus** (measured, round 9): each chunk spans
+    ``bits/(max_hamming+1)`` bits, so there are only ``2^(bits/(mh+1))``
+    distinct values per chunk position and expected candidates grow as
+    ``(mh+1) · n² / 2^(bits/(mh+1))`` — 16-bit signatures (4-bit chunks,
+    16 values each) are a fixture-scale demo that goes quadratic by ~50k
+    docs (sf1 probe: 23× output, 51× wall for 10× docs); real corpora
+    want 32–48 bits so chunk occupancy stays O(1) per doc.
     """
     sims = simhash_values(df, id_col, text_col, bits)
     try:
