@@ -3815,7 +3815,9 @@ def m4_resize(spark, sf):
 def m5_real_decode(spark, sf):
     """REAL image decode, hash-verified end to end: each document synthesises
     an actual image — 24-bit BMP, binary PPM, a COMPRESSED PNG (zlib IDAT,
-    Paeth-filtered scanlines, CRC'd chunks), or a baseline sequential JPEG
+    Paeth-filtered scanlines, CRC'd chunks; rotating truecolour /
+    Adam7-interlaced / PNG8-palette / palette+interlace layouts), or a
+    baseline sequential JPEG
     (standard Huffman tables, restart markers, full entropy decode + IDCT)
     rotating by doc_id — with solid colour + geometry derived from
     sha256(text), which decode_image_stats then decodes FOR REAL (header

@@ -269,11 +269,14 @@ def connected_components(
     100 TB path; what the stress harness pins).
     """
     spark = edges.sparkSession
+    # initial materialisation keeps the default (memory-first) level: it
+    # is ONE resident copy freed with `e`, and the driver-collect path
+    # reads it immediately — only the LOOP's superseded rounds accumulate,
+    # so only those go DISK_ONLY
     e, sig = _materialize_with_signature(
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .where(F.col("src") != F.col("dst"))
-        .distinct(),
-        disk_only=True,  # read once (first round or the driver collect)
+        .distinct()
     )
     if sig[0] == 0:
         return spark.createDataFrame([], "id long, component long")
