@@ -22,6 +22,7 @@ fill with torchaudio / pyav — signature unchanged; the deterministic
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 from typing import Callable, Iterator
 
@@ -839,6 +840,12 @@ def decode_wav_samples(payload: bytes):
     audio_format, channels, rate, _br, _ba, bits = fmt
     if audio_format != 1 or bits != 16:
         raise ValueError("only 16-bit PCM WAV supported")
+    # channels/rate are load-bearing divisors downstream (resample_audio
+    # divides by channels; stats report rate) — a crafted fmt chunk with
+    # channels=0 must surface as the scan-level "corrupt" status, not a
+    # ZeroDivisionError that kills the whole task (ADVICE r9)
+    if channels < 1 or rate < 1:
+        raise ValueError("WAV fmt declares non-positive channels/rate")
     samples = np.frombuffer(data[: len(data) - (len(data) % 2)], "<i2")
     return samples, rate, channels
 
@@ -901,11 +908,23 @@ def decode_audio_stats(
                 cols["rate"][i] = int(rate)
                 cols["ch"][i] = int(ch)
                 if samples.size:
-                    s64 = samples.astype(np.float64)
-                    cols["peak"][i] = int(np.abs(samples.astype(np.int32)).max())
-                    cols["mean"][i] = IEEE_ROUND6_PY(float(s64.mean()))
+                    # exact integer sums, ONE double divide — matching the
+                    # oracle's SUM(v)/COUNT operation order at any length.
+                    # np.mean's pairwise float64 summation drifts from the
+                    # exact-integer path once sum(v*v) exceeds 2^53
+                    # (~3 min of 44.1 kHz stereo) — ADVICE r9. int64 holds
+                    # sum(v*v) exactly to ~2^33 samples (v*v ≤ 2^30).
+                    s64 = samples.astype(np.int64)
+                    tot = int(s64.sum())
+                    sq = int(np.sum(s64 * s64, dtype=np.int64))
+                    ns = int(samples.size)
+                    cols["peak"][i] = int(np.abs(s64).max())
+                    # float(tot)/float(ns), not tot/ns: SQL converts the
+                    # exact integer SUM to double BEFORE dividing; Python's
+                    # int/int would round the exact rational instead
+                    cols["mean"][i] = IEEE_ROUND6_PY(float(tot) / float(ns))
                     cols["rms"][i] = IEEE_ROUND6_PY(
-                        float(np.sqrt((s64 * s64).mean()))
+                        math.sqrt(float(sq) / float(ns))
                     )
                 else:
                     cols["peak"][i] = 0

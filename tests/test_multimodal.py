@@ -471,6 +471,88 @@ def test_resample_audio_stereo_framewise(spark):
     assert back.tolist() == [100, -1, 300, -3]
 
 
+def test_wav_zero_channels_classifies_corrupt(spark):
+    """A crafted fmt chunk declaring channels=0 (or rate=0) must surface
+    as the scan-level 'corrupt' status — resample_audio divides by the
+    channel count, and before the r10 guard a ZeroDivisionError escaped
+    the (ValueError, struct.error) handlers and killed the task
+    (ADVICE r9, medium)."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from matchbox_spark.operators.multimodal import (
+        decode_audio_stats,
+        decode_wav_samples,
+        resample_audio,
+    )
+
+    def _wav(channels, rate):
+        data = _struct.pack("<4h", 1, -2, 3, -4)
+        fmt = _struct.pack("<HHIIHH", 1, channels, rate, rate * 2, 2, 16)
+        body = (
+            b"WAVE"
+            + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    for bad in (_wav(0, 8000), _wav(1, 0)):
+        with _pytest.raises(ValueError, match="non-positive"):
+            decode_wav_samples(bad)
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_wav(0, 8000)), "audio/wav"),
+            (2, bytearray(_wav(1, 0)), "audio/wav"),
+            (3, bytearray(_wav(1, 8000)), "audio/wav"),
+        ],
+        "doc_id long, payload binary, media_type string",
+    )
+    stats = {r["doc_id"]: r for r in decode_audio_stats(df).collect()}
+    assert stats[1]["status"] == "corrupt"
+    assert stats[2]["status"] == "corrupt"
+    assert stats[3]["status"] == "ok" and stats[3]["peak"] == 4
+    res = {r["doc_id"]: r for r in resample_audio(df, 2).collect()}
+    assert res[1]["status"] == "corrupt"
+    assert res[2]["status"] == "corrupt"
+    assert res[3]["status"] == "ok"
+
+
+def test_audio_stats_exact_integer_accumulation(spark):
+    """mean/RMS come from exact integer sums with ONE double divide —
+    the oracle's SUM(v)/COUNT operation order — not np.mean's pairwise
+    float path (ADVICE r9, low). Pinned against the Python-int oracle
+    formula on a full-range waveform."""
+    import math
+
+    import numpy as np
+
+    from matchbox_spark.operators.multimodal import (
+        decode_audio_stats,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32768, size=4097, dtype=np.int64).astype(
+        "<i2"
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(samples, sample_rate=44100)), "audio/wav")],
+        "doc_id long, payload binary, media_type string",
+    )
+    row = decode_audio_stats(df).collect()[0]
+    tot = int(samples.astype(np.int64).sum())
+    sq = int((samples.astype(np.int64) ** 2).sum())
+    n = samples.size
+    want_mean = math.floor(float(tot) / float(n) * 1e6 + 0.5) / 1e6
+    want_rms = (
+        math.floor(math.sqrt(float(sq) / float(n)) * 1e6 + 0.5) / 1e6
+    )
+    assert row["mean"] == want_mean
+    assert row["rms"] == want_rms
+
+
 def test_resize_rejects_bad_dimensions(spark):
     import pytest as _pytest
 
