@@ -1353,6 +1353,49 @@ def d4b_simhash_nd(spark, sf):
 
 
 @_q(
+    "d4c_simhash_scaled",
+    r"""WITH tok AS (
+          SELECT doc_id AS doc, t.tok FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+            FROM documents
+          ), UNNEST(toks) AS t(tok)
+        ),
+        h AS (SELECT doc, ('0x' || substr(sha256(tok), 1, 8))::BIGINT AS h FROM tok),
+        votes AS (
+          SELECT doc, b.bit,
+                 SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h, UNNEST(range(32)) AS b(bit) GROUP BY doc, b.bit
+        ),
+        sims AS (
+          SELECT doc, SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+          FROM votes GROUP BY doc
+        ),
+        chunks AS (
+          SELECT doc, simhash, hp.hi,
+                 (simhash >> (hp.hi * 8)) & 255 AS hv
+          FROM sims, UNNEST(range(4)) AS hp(hi)
+        )
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM chunks a JOIN chunks b ON a.hi = b.hi AND a.hv = b.hv
+          AND a.doc < b.doc
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+def d4c_simhash_scaled(spark, sf):
+    """SimHash near-dups at the SCALE-SAFE signature width (round 10): 32
+    bits / 8-bit pigeonhole chunks — the configuration ``auto_simhash_bits``
+    derives for real corpora, where d4b's 16-bit demo width goes quadratic
+    (r9 sf1 probe: 51× wall for 10× docs; 32 bits collapses candidates 24×
+    and runs 7.5× faster). Same exact-recall blocking, same oracle recipe
+    as d4b at the wider width, so the cross-engine gate now certifies the
+    configuration users should actually run, not just the demo."""
+    return DD.simhash_near_duplicates(
+        _t(spark, sf, "documents"), "doc_id", "text", bits=32, max_hamming=3
+    )
+
+
+@_q(
     "m1_media_metadata",
     """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
               sha256(text) AS checksum
@@ -7170,8 +7213,18 @@ def _last_green_rounds(here: str | None = None) -> dict[str, int]:
 
 _LAST_GREEN = _last_green_rounds()
 
-# round-9 code-path changes (new operators, review fixes) — these lead the
-# driver sample so CORRECTNESS_r09 certifies them first
+# round-10 code-path changes — these lead the driver sample so
+# CORRECTNESS_r10 certifies them first
+_TOUCHED_R10 = {
+    "d4c_simhash_scaled",          # NEW: scale-safe 32-bit SimHash oracle
+    "d4_simhash",                  # shiftleft(1,bit) BIGINT fix rides along
+    "d4b_simhash_neardups",        # same module (auto-sizing landed)
+    "d5_embedding_pairs",          # embedding module (auto bucket_dims)
+    "m9_audio_stats",              # exact-integer mean/RMS accumulation
+    "m1_media_metadata",           # WAV channels>=1 guard rides along
+}
+
+# round-9 code-path changes (new operators, review fixes)
 _TOUCHED_R9 = {
     "d4b_simhash_neardups",        # chunked pigeonhole blocking (ADVICE r8)
     "d4_simhash",                  # simhash module rides along
@@ -7193,10 +7246,11 @@ _TOUCHED_R9 = {
 
 def _rotated() -> list[str]:
     def prio(n: str) -> int:
-        if n in _TOUCHED_R9:
+        if n in _TOUCHED_R10:
             return 0
         # never-green (absent) → tier 1; else 1 + last green round, so the
-        # stalest certification re-checks first
+        # stalest certification re-checks first (_TOUCHED_R9 entries are
+        # all green in r9, so _LAST_GREEN naturally orders them last)
         return 1 + _LAST_GREEN.get(n, 0)
 
     return sorted(_REGISTRY, key=prio)  # stable: registry order within tiers

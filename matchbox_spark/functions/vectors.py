@@ -58,6 +58,11 @@ def sign_bucket_expr(vec: Column | str, dims: list[int]) -> Column:
     in the same bucket with high probability; used to block ANN candidate
     generation so the exact cosine only runs within buckets.
     """
+    if len(dims) > 63:
+        # the bucket key is a signed long: bit 63 would need the 1 << 63
+        # literal, which overflows it (and 2^63 buckets is far beyond any
+        # useful occupancy anyway)
+        raise ValueError("sign_bucket_expr supports at most 63 dims")
     v = _c(vec)
     bit_terms = [
         F.when(F.element_at(v, d + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))

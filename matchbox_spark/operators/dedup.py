@@ -25,6 +25,9 @@ computes the identical signature), and uniform enough for LSH.
 
 from __future__ import annotations
 
+import logging
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -577,7 +580,12 @@ def simhash_values(
         .agg(F.sum("vote").alias("v"))
         .withColumn(
             "bitval",
-            F.when(F.col("v") > 0, F.expr("shiftleft(1, bit)")).otherwise(0),
+            # 1 must be a BIGINT: shiftleft(1, 31) on an INT literal wraps
+            # to -2^31 and poisons the signature — unreachable at the
+            # 16-bit demo width, exposed by the 32-bit d4c oracle (r10)
+            F.when(
+                F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")
+            ).otherwise(F.lit(0).cast("long")),
         )
         .groupBy("doc")
         .agg(F.sum("bitval").cast("long").alias("simhash"))
@@ -624,11 +632,59 @@ def _simhash_chunk_parts(chunks: list[tuple[int, int]]) -> F.Column:
     )
 
 
+def auto_simhash_bits(
+    n_docs: int,
+    max_hamming: int = 3,
+    target_occupancy: int = 1024,
+    min_chunk_bits: int = 4,
+) -> int:
+    """Corpus-derived SimHash signature width (measured rule, round 9).
+
+    Pigeonhole blocking keys on ``max_hamming + 1`` chunks of
+    ``bits/(mh+1)`` bits each, so expected candidate volume grows as
+    ``(mh+1) · n² / 2^(bits/(mh+1))`` — the chunk width must track
+    ``log2(n)`` or the blocked join degenerates toward a cross join
+    (sf1 probe: 16-bit signatures go quadratic by ~50k docs, 51× wall
+    for 10× corpus; 32 bits collapses sf1 candidates 24×). This derives
+    ``chunk = max(min_chunk_bits, ceil(log2(n / target_occupancy)))``
+    and returns ``(mh+1) · chunk`` clamped to the 48-bit signature cap —
+    small fixtures keep the 16-bit demo sizing, real corpora auto-widen.
+    """
+    k = max_hamming + 1
+    chunk = max(
+        min_chunk_bits,
+        math.ceil(math.log2(max(n_docs, 2) / target_occupancy)),
+    )
+    return max(k, min(48, k * chunk))
+
+
+def auto_embedding_bucket_dims(
+    n_rows: int,
+    vector_dim: int,
+    target_occupancy: float = 1.0,
+) -> list[int]:
+    """Corpus-derived sign-bit LSH bucket dims (measured rule, round 9).
+
+    There are only ``2^len(bucket_dims)`` buckets and both the candidate
+    self-join and the streaming touched-set scale with bucket occupancy
+    (``n / 2^dims``) — 6 dims (64 buckets) over a few thousand vectors
+    degenerates delta streaming to a 2.13× super-linear recompute while
+    16 dims (65,536 buckets) holds the same load flat
+    (``tools/stress_streaming_resolve.py --embedding``). Returns the
+    first ``min(vector_dim, ceil(log2(n / occupancy)))`` component
+    indices; small fixtures keep small bucket spaces, real corpora
+    auto-widen up to the vector's dimensionality.
+    """
+    k = math.ceil(math.log2(max(n_rows, 2) / target_occupancy))
+    # 63: the packed bucket key is a signed long (sign_bucket_expr cap)
+    return list(range(max(1, min(k, vector_dim, 63))))
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    bits: int = 16,
+    bits: int | None = None,
     max_hamming: int = 3,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ max_hamming.
@@ -645,8 +701,18 @@ def simhash_near_duplicates(
     ``(mh+1) · n² / 2^(bits/(mh+1))`` — 16-bit signatures (4-bit chunks,
     16 values each) are a fixture-scale demo that goes quadratic by ~50k
     docs (sf1 probe: 23× output, 51× wall for 10× docs); real corpora
-    want 32–48 bits so chunk occupancy stays O(1) per doc.
+    want 32–48 bits so chunk occupancy stays O(1) per doc. The default
+    ``bits=None`` applies :func:`auto_simhash_bits` to the corpus count
+    (round 10: the shipped default must be the scale-safe path); note
+    auto-sizing changes the signature width and hence which pairs fall
+    within ``max_hamming`` — pin ``bits`` explicitly for reproducible
+    pair sets across differently-sized corpora.
     """
+    if bits is None:
+        bits = auto_simhash_bits(df.count(), max_hamming)
+        logging.getLogger(__name__).info(
+            "simhash_near_duplicates auto-sized bits=%d", bits
+        )
     sims = simhash_values(df, id_col, text_col, bits)
     try:
         # both sides of the chunk-key self-join read the signature table;

@@ -9,17 +9,31 @@ emit SCHEMA_MODEL_EDGES with a genuine similarity as the score.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+import logging
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from matchbox_spark.functions.text import word_shingles_expr
 from matchbox_spark.functions.vectors import cosine_expr, sign_bucket_expr
+from matchbox_spark.operators.dedup import (
+    auto_embedding_bucket_dims,
+    auto_simhash_bits,
+)
 from matchbox_spark.operators.dedupers import Deduper, DeduperSettings
 from matchbox_spark.operators.linkers import Linker, LinkerSettings
 from matchbox_spark.operators.registry import add_model_class
 from matchbox_spark.schemas import SCHEMA_MODEL_EDGES, conform
+
+logger = logging.getLogger(__name__)
+
+#: sentinel for corpus-derived parameter sizing (round 10): the shipped
+#: defaults must be the scale-safe path, not the fixture demo values —
+#: both LSH families' demo parameters were measured super-linear at scale
+#: (SimHash bits=16 quadratic by ~50k docs; 64 embedding buckets 2.13×
+#: super-linear at 36k vectors) while the derived sizes hold flat.
+AUTO = "auto"
 
 
 @dataclass
@@ -223,7 +237,10 @@ class EmbeddingLinkerSettings(LinkerSettings):
     left_field: str = "embedding"
     right_field: str = "embedding"
     threshold: float = 0.9
-    bucket_dims: list = dc_field(default_factory=lambda: [0, 1, 2, 3, 4, 5])
+    # "auto" (the default) derives the bucket space from the two sides'
+    # combined row count at link() time (same measured occupancy rule as
+    # EmbeddingDeduper); pin a list for reproducibility
+    bucket_dims: list | str = AUTO
 
 
 @add_model_class
@@ -238,7 +255,30 @@ class EmbeddingLinker(Linker):
 
     def link(self, left: DataFrame, right: DataFrame) -> DataFrame:
         s = self.settings
-        dims = list(s.bucket_dims)
+        if isinstance(s.bucket_dims, (list, tuple)):
+            if not s.bucket_dims:
+                raise ValueError("EmbeddingLinker requires bucket_dims")
+            dims = list(s.bucket_dims)
+        elif s.bucket_dims == AUTO:
+            n = left.count() + right.count()
+            probe = (
+                left.where(F.col(s.left_field).isNotNull())
+                .select(F.size(s.left_field).alias("d"))
+                .first()
+            )
+            vdim = int(probe["d"]) if probe is not None else 1
+            dims = auto_embedding_bucket_dims(n, vdim)
+            logger.info(
+                "EmbeddingLinker auto-sized bucket_dims=%s (%d buckets "
+                "for %d rows)",
+                dims,
+                1 << len(dims),
+                n,
+            )
+        else:
+            raise ValueError(
+                f"bucket_dims must be a list or 'auto', got {s.bucket_dims!r}"
+            )
         lv = left.select(
             F.col(s.left_id).cast("long").alias("left_id"),
             F.col(s.left_field).alias("_lv"),
@@ -271,7 +311,11 @@ class EmbeddingLinker(Linker):
 @dataclass
 class SimHashDeduperSettings(DeduperSettings):
     text_field: str = "text"
-    bits: int = 16
+    # "auto" (the default) derives the signature width from the corpus
+    # count at dedupe() time via auto_simhash_bits and freezes it on the
+    # model instance; pin an int for reproducible pair sets across
+    # differently-sized corpora and for streaming delta-link
+    bits: int | str = AUTO
     max_hamming: int = 3
 
 
@@ -289,27 +333,74 @@ class SimHashDeduper(Deduper):
     Streaming block-locality: an edge needs a shared (chunk index, chunk
     value) key, and a doc's chunks are a pure function of its own text —
     so :meth:`delta_block_keys` lets ``incremental_resolve_stream`` stream
-    SimHash dedupe O(touched) per micro-batch like MinHash.
+    SimHash dedupe O(touched) per micro-batch like MinHash. Block keys
+    must be stable across batches, and a micro-batch is no proxy for the
+    corpus, so ``bits='auto'`` raises there — pin bits explicitly (size
+    with :func:`matchbox_spark.operators.dedup.auto_simhash_bits` against
+    the expected corpus) for ``incremental_resolve_stream``.
     """
 
     settings_class = SimHashDeduperSettings
 
-    def _validate(self) -> None:
+    def _resolved_bits(self, data: DataFrame | None = None) -> int:
+        """The signature width to run at: the pinned int, or the
+        corpus-derived width frozen on first resolution (one count job —
+        noise next to the dedupe itself)."""
         s = self.settings
-        if s.max_hamming + 1 > s.bits:
+        if isinstance(s.bits, int):
+            return s.bits
+        if s.bits != AUTO:
+            raise ValueError(f"bits must be an int or 'auto', got {s.bits!r}")
+        if getattr(self, "_auto_bits", None) is None:
+            if data is None:
+                raise ValueError(
+                    "SimHashDeduper(bits='auto') sizes the signature from "
+                    "the full corpus at dedupe() time; streaming delta-link "
+                    "sees only per-batch slices, so pin bits explicitly "
+                    "(e.g. bits=auto_simhash_bits(expected_corpus_size)) "
+                    "for incremental_resolve_stream"
+                )
+            self._auto_bits = auto_simhash_bits(data.count(), s.max_hamming)
+            logger.info(
+                "SimHashDeduper auto-sized bits=%d (max_hamming=%d)",
+                self._auto_bits,
+                s.max_hamming,
+            )
+        return self._auto_bits
+
+    def _validate(self, bits: int | None = None) -> None:
+        s = self.settings
+        if bits is None:
+            bits = s.bits if isinstance(s.bits, int) else None
+        if bits is None:
+            return  # auto mode: validated after corpus-derived sizing
+        if s.max_hamming + 1 > bits:
             raise ValueError(
                 f"max_hamming={s.max_hamming} needs {s.max_hamming + 1} "
-                f"pigeonhole chunks but bits={s.bits}: raise bits or lower "
+                f"pigeonhole chunks but bits={bits}: raise bits or lower "
                 "max_hamming"
+            )
+        if bits // (s.max_hamming + 1) < 3:
+            # ADVICE r9: chunks this narrow (< 8 distinct values) block
+            # almost nothing — the candidate join degenerates toward a
+            # cross join. Legal (recall stays exact) but a scale trap.
+            logger.warning(
+                "SimHashDeduper: bits=%d / %d pigeonhole chunks leaves "
+                "%d-bit chunk keys — blocking is nearly a cross join; "
+                "raise bits (see auto_simhash_bits) or lower max_hamming",
+                bits,
+                s.max_hamming + 1,
+                bits // (s.max_hamming + 1),
             )
 
     def dedupe(self, data: DataFrame) -> DataFrame:
         from matchbox_spark.operators.dedup import simhash_near_duplicates
 
-        self._validate()
         s = self.settings
+        bits = self._resolved_bits(data)
+        self._validate(bits)
         pairs = simhash_near_duplicates(
-            data, s.id, s.text_field, bits=s.bits, max_hamming=s.max_hamming
+            data, s.id, s.text_field, bits=bits, max_hamming=s.max_hamming
         )
         id_type = data.schema[s.id].dataType
         return conform(
@@ -318,7 +409,7 @@ class SimHashDeduper(Deduper):
                 F.col("doc_b").cast(id_type).alias("right_id"),
                 (
                     F.lit(1.0)
-                    - F.col("hamming") / F.lit(float(s.bits))
+                    - F.col("hamming") / F.lit(float(bits))
                 ).alias("score"),
             ),
             SCHEMA_MODEL_EDGES,
@@ -326,17 +417,23 @@ class SimHashDeduper(Deduper):
 
     def delta_block_keys(self, data: DataFrame) -> DataFrame:
         """``(id, block_key)`` — every pigeonhole-chunk key of every row,
-        folded to one long exactly like the candidate join keys."""
+        folded to one long exactly like the candidate join keys.
+
+        Keys must be identical across micro-batches, so auto bits are NOT
+        resolved from ``data`` here (a batch slice is no corpus proxy):
+        unresolved ``bits='auto'`` raises with pinning guidance.
+        """
         from matchbox_spark.operators.dedup import (
             _simhash_chunk_parts,
             simhash_chunks,
             simhash_values,
         )
 
-        self._validate()
         s = self.settings
-        chunks = simhash_chunks(s.bits, s.max_hamming)
-        sims = simhash_values(data, s.id, s.text_field, s.bits)
+        bits = self._resolved_bits()
+        self._validate(bits)
+        chunks = simhash_chunks(bits, s.max_hamming)
+        sims = simhash_values(data, s.id, s.text_field, bits)
         return sims.select(
             F.col("doc").alias(s.id),
             F.explode(_simhash_chunk_parts(chunks)).alias("h"),
@@ -350,7 +447,11 @@ class SimHashDeduper(Deduper):
 class EmbeddingDeduperSettings(DeduperSettings):
     vector_field: str = "embedding"
     threshold: float = 0.95
-    bucket_dims: list = dc_field(default_factory=lambda: [0, 1, 2, 3, 4, 5])
+    # "auto" (the default) derives the bucket space from the corpus count
+    # and vector dimensionality at dedupe() time via
+    # auto_embedding_bucket_dims and freezes it on the model instance;
+    # pin a list for reproducibility and for streaming delta-link
+    bucket_dims: list | str = AUTO
 
 
 @add_model_class
@@ -370,26 +471,69 @@ class EmbeddingDeduper(Deduper):
     **Size the bucket space to the corpus**: there are only
     ``2^len(bucket_dims)`` buckets, and both the candidate self-join and
     the streaming touched-set scale with bucket OCCUPANCY
-    (corpus / 2^bits). The 6-dim default suits small fixtures; at N rows
-    pick ``len(bucket_dims) ≈ log2(N / target_occupancy)`` — measured in
-    ``tools/stress_streaming_resolve.py --embedding``, 6 dims over a few
-    thousand vectors degenerates delta streaming to a super-linear
-    recompute (2.13× ramp) while 16 dims holds it flat (1.05×).
+    (corpus / 2^bits). The default ``bucket_dims='auto'`` derives
+    ``len(bucket_dims) ≈ log2(N)`` from a corpus count at dedupe() time
+    (measured in ``tools/stress_streaming_resolve.py --embedding``: 6
+    dims over a few thousand vectors degenerates delta streaming to a
+    super-linear recompute, 2.13× ramp, while 16 dims holds it flat at
+    1.05×). Streaming delta-link needs batch-stable keys, so auto raises
+    there — pin ``bucket_dims`` explicitly (size with
+    :func:`matchbox_spark.operators.dedup.auto_embedding_bucket_dims`
+    against the expected corpus) for ``incremental_resolve_stream``.
     """
 
     settings_class = EmbeddingDeduperSettings
+
+    def _resolved_dims(self, data: DataFrame | None = None) -> list[int]:
+        """The bucket dims to run at: the pinned list, or corpus-derived
+        dims frozen on first resolution (one count + one first-row probe
+        for the vector dimensionality)."""
+        s = self.settings
+        if isinstance(s.bucket_dims, (list, tuple)):
+            if not s.bucket_dims:
+                raise ValueError(
+                    "EmbeddingDeduper requires bucket_dims (the unblocked "
+                    "quadratic baseline is evaluation-only)"
+                )
+            return list(s.bucket_dims)
+        if s.bucket_dims != AUTO:
+            raise ValueError(
+                f"bucket_dims must be a list or 'auto', got "
+                f"{s.bucket_dims!r}"
+            )
+        if getattr(self, "_auto_dims", None) is None:
+            if data is None:
+                raise ValueError(
+                    "EmbeddingDeduper(bucket_dims='auto') sizes the bucket "
+                    "space from the full corpus at dedupe() time; streaming "
+                    "delta-link sees only per-batch slices, so pin "
+                    "bucket_dims explicitly (e.g. "
+                    "auto_embedding_bucket_dims(expected_corpus_size, dim)) "
+                    "for incremental_resolve_stream"
+                )
+            n = data.count()
+            probe = (
+                data.where(F.col(s.vector_field).isNotNull())
+                .select(F.size(s.vector_field).alias("d"))
+                .first()
+            )
+            vdim = int(probe["d"]) if probe is not None else 1
+            self._auto_dims = auto_embedding_bucket_dims(n, vdim)
+            logger.info(
+                "EmbeddingDeduper auto-sized bucket_dims=%s (%d buckets "
+                "for %d rows)",
+                self._auto_dims,
+                1 << len(self._auto_dims),
+                n,
+            )
+        return self._auto_dims
 
     def dedupe(self, data: DataFrame) -> DataFrame:
         from matchbox_spark.operators.dedup import embedding_near_duplicates
 
         s = self.settings
-        if not s.bucket_dims:
-            raise ValueError(
-                "EmbeddingDeduper requires bucket_dims (the unblocked "
-                "quadratic baseline is evaluation-only)"
-            )
         pairs = embedding_near_duplicates(
-            data, s.id, s.vector_field, s.threshold, list(s.bucket_dims)
+            data, s.id, s.vector_field, s.threshold, self._resolved_dims(data)
         )
         id_type = data.schema[s.id].dataType
         return conform(
@@ -404,11 +548,14 @@ class EmbeddingDeduper(Deduper):
     def delta_block_keys(self, data: DataFrame) -> DataFrame:
         """``(id, block_key)`` — the row's full probe set (home bucket plus
         every one-bit flip), exactly the keys the candidate join can meet
-        on. The bucket value is already a small long, so it IS the key."""
+        on. The bucket value is already a small long, so it IS the key.
+
+        Keys must be identical across micro-batches, so auto dims are NOT
+        resolved from ``data`` here (a batch slice is no corpus proxy):
+        unresolved ``bucket_dims='auto'`` raises with pinning guidance.
+        """
         s = self.settings
-        if not s.bucket_dims:
-            raise ValueError("EmbeddingDeduper requires bucket_dims")
-        dims = list(s.bucket_dims)
+        dims = self._resolved_dims()
         # bind home once (codegen blow-up at wide dims — see dedup.py)
         homed = data.select(
             F.col(s.id).alias(s.id),
