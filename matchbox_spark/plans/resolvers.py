@@ -119,6 +119,30 @@ def _materialize(df: DataFrame, disk_only: bool = False) -> DataFrame:
         return df.sparkSession.read.parquet(path)
 
 
+def _free_checkpoint(df: DataFrame) -> None:
+    """Best-effort explicit release of a localCheckpoint's cached blocks.
+
+    Superseded CC round state is dead the moment the next round's
+    checkpoint materialises, but its blocks are only reclaimed when the
+    driver GC happens to collect the RDD (ContextCleaner) — on a
+    long-running 100×-scale CC (hundreds of rounds) tens of GB of dead
+    DISK_ONLY round state can pile up first (VERDICT r9). Reaches the
+    LogicalRDD behind the checkpointed frame and unpersists it directly;
+    a frame not backed by a bare checkpoint (e.g. the parquet fallback in
+    ``_materialize``, or a plan chained on top of one) is left untouched.
+
+    The freed frame must never be read again: the checkpoint cut its
+    lineage, so a re-read raises rather than recomputes — callers free
+    round k−1 only after round k's checkpoint has eagerly materialised.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — py4j internals; freeing is optional
+        logger.debug("checkpoint free skipped", exc_info=True)
+
+
 def _edge_signature(edges: DataFrame) -> tuple[int, int]:
     """(count, xor-hash) of an edge set — cheap convergence check."""
     row = edges.agg(
@@ -302,6 +326,12 @@ def connected_components(
             # round) — memory-resident checkpoint blocks of superseded
             # rounds are pure heap pressure at large edge counts
             e2, new_sig = _materialize_with_signature(e2, disk_only=True)
+            # round k's checkpoint is eagerly on disk → round k−1 (or the
+            # initial edge set) is dead; free it NOW instead of waiting
+            # for a driver GC, so live round state is bounded at ~2 rounds
+            # whatever the round count (only safe because e2 no longer
+            # references e — _free_checkpoint no-ops on chained plans)
+            _free_checkpoint(e)
         else:
             new_sig = _edge_signature(e2)
         e = e2

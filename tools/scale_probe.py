@@ -14,7 +14,18 @@ dedupe, j5 weighted link) have OUTPUT ~100× by construction (in-group
 pairs are quadratic in group size) — their honest scale measure is
 wall ÷ output-rows, printed separately.
 
+Round 10 (VERDICT r9 item 3): the probe is part of the close protocol —
+``--round N`` writes ``SCALING_rN.json`` beside ``BENCH_rN.json`` with a
+per-query verdict, so a super-linear regression is caught by protocol
+instead of by someone happening to run the probe by hand (r9 caught d4b
+only that way). Verdict rule: sf_big is 10× rows, so wall may grow up to
+the LARGER of 10× and the query's own output growth (pair generators are
+contractually quadratic in group size), with 1.5× slack for scheduling
+noise; beyond that the query is flagged ``super_linear`` and the probe
+exits non-zero.
+
 Usage: python tools/scale_probe.py [sf_small] [sf_big] [query ...]
+       python tools/scale_probe.py --round 10   # close-protocol record
 """
 
 from __future__ import annotations
@@ -40,7 +51,19 @@ QUERIES = [
 ]
 
 
-def main(sf_small: str, sf_big: str, names: list[str]) -> int:
+#: wall may grow to slack × max(data growth, output growth) before flagging
+SLACK = 1.5
+DATA_RATIO = 10.0  # sf0.1 -> sf1
+
+
+def _verdict(row: dict) -> str:
+    bound = SLACK * max(DATA_RATIO, row["rows_ratio"] or DATA_RATIO)
+    if row["wall_ratio"] is not None and row["wall_ratio"] > bound:
+        return "super_linear"
+    return "ok"
+
+
+def main(sf_small: str, sf_big: str, names: list[str], record_round: int | None = None) -> int:
     import __spark_entry__ as entrymod
     from matchbox_spark.session import get_spark
 
@@ -68,20 +91,48 @@ def main(sf_small: str, sf_big: str, names: list[str]) -> int:
             "big_rows": n_big,
             "rows_ratio": round(n_big / n_small, 2) if n_small else None,
         }
+        row["verdict"] = _verdict(row)
         out[name] = row
         print(
             f"{name}: {t_small:.2f}s -> {t_big:.2f}s "
             f"(x{row['wall_ratio']}) rows {n_small} -> {n_big} "
-            f"(x{row['rows_ratio']})",
+            f"(x{row['rows_ratio']}) {row['verdict']}",
             flush=True,
         )
+    flagged = [n for n, r in out.items() if r["verdict"] != "ok"]
     print("SCALE_PROBE " + json.dumps(out))
+    if flagged:
+        print("FLAGGED " + ", ".join(flagged))
+    if record_round is not None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            f"SCALING_r{record_round:02d}.json",
+        )
+        with open(path, "w") as fh:
+            json.dump(
+                {
+                    "sf_small": sf_small,
+                    "sf_big": sf_big,
+                    "slack": SLACK,
+                    "queries": out,
+                    "flagged": flagged,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {path}")
     spark.stop()
-    return 0
+    return 1 if flagged else 0
 
 
 if __name__ == "__main__":
-    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    big = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.localdata/sf1"
-    names = sys.argv[3:] or QUERIES
-    raise SystemExit(main(small, big, names))
+    argv = list(sys.argv[1:])
+    rnd = None
+    if "--round" in argv:
+        i = argv.index("--round")
+        rnd = int(argv[i + 1])
+        del argv[i : i + 2]
+    small = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    big = argv[1] if len(argv) > 1 else "/root/repo/.localdata/sf1"
+    names = argv[2:] or QUERIES
+    raise SystemExit(main(small, big, names, record_round=rnd))

@@ -6,12 +6,19 @@ node, diameter ring_size/2 — adversarial for label propagation, fine for
 star contraction) plus random chords within rings. Validates the component
 count and the min-label invariant, and reports wall time.
 
+Round 10 also asserts the STORAGE high-water mark: superseded round
+checkpoints are explicitly freed the moment the next round materialises
+(``_free_checkpoint``), so live cached round state must stay bounded at
+~2 rounds however many rounds the graph needs — before the fix, dead
+DISK_ONLY rounds accumulated until a driver GC happened to run.
+
 Usage: python tools/stress_cc.py [n_rings] [ring_size]
 """
 
 from __future__ import annotations
 
 import sys
+import threading
 import time
 
 sys.path.insert(0, ".")
@@ -20,6 +27,39 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from matchbox_spark.plans.resolvers import connected_components  # noqa: E402
 from matchbox_spark.session import get_spark  # noqa: E402
+
+
+class StorageMonitor:
+    """Samples cached-RDD count/bytes while a job runs; keeps the max."""
+
+    def __init__(self, spark, period: float = 0.2):
+        self._sc = spark.sparkContext._jsc.sc()
+        self._period = period
+        self._stop = threading.Event()
+        self.max_rdds = 0
+        self.max_bytes = 0
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                infos = list(self._sc.getRDDStorageInfo())
+                self.max_rdds = max(self.max_rdds, len(infos))
+                self.max_bytes = max(
+                    self.max_bytes,
+                    sum(i.memSize() + i.diskSize() for i in infos),
+                )
+            except Exception:  # noqa: BLE001 — sampling is best-effort
+                pass
+            self._stop.wait(self._period)
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=5)
 
 
 def main() -> int:
@@ -48,7 +88,10 @@ def main() -> int:
     graph = edges.union(chords)
 
     t0 = time.time()
-    cc = connected_components(graph, strategy="distributed").localCheckpoint(eager=True)
+    with StorageMonitor(spark) as mon:
+        cc = connected_components(graph, strategy="distributed").localCheckpoint(
+            eager=True
+        )
     elapsed = time.time() - t0
 
     n_components = cc.select("component").distinct().count()
@@ -57,11 +100,22 @@ def main() -> int:
     # its ring start (multiple of ring_size)
     bad_labels = cc.where(F.col("component") % ring_size != 0).count()
 
-    ok = n_components == n_rings and n_nodes == n and bad_labels == 0
+    # storage bound: at any instant at most the initial edge set, the
+    # previous round, the landing round, and the result checkpoint are
+    # live — dead rounds are freed explicitly, not left for GC. The ring
+    # graph needs ~log(diameter) rounds, so without the explicit free the
+    # high-water mark would track the round count instead of staying flat.
+    storage_ok = mon.max_rdds <= 4
+
+    ok = (
+        n_components == n_rings and n_nodes == n and bad_labels == 0
+        and storage_ok
+    )
     print(
         f"nodes={n:,} edges~={2*n:,} components={n_components:,} "
         f"(expected {n_rings:,}) bad_labels={bad_labels} "
-        f"time={elapsed:.1f}s -> {'OK' if ok else 'FAIL'}"
+        f"storage_hw={mon.max_rdds} rdds/{mon.max_bytes/1e6:.0f}MB "
+        f"(bound 4) time={elapsed:.1f}s -> {'OK' if ok else 'FAIL'}"
     )
     return 0 if ok else 1
 
