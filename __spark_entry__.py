@@ -3879,6 +3879,7 @@ def m5_real_decode(spark, sf):
     import numpy as _np
     import pandas as _pd
 
+    from matchbox_spark.operators.gif import encode_gif
     from matchbox_spark.operators.jpeg import encode_jpeg
     from matchbox_spark.operators.multimodal import (
         decode_image_stats,
@@ -3898,7 +3899,7 @@ def m5_real_decode(spark, sf):
                 h = _hl.sha256(str(text).encode("utf-8")).digest()
                 w, ht = 4 + h[3] % 13, 4 + h[4] % 13
                 img = _np.full((ht, w, 3), (h[0], h[1], h[2]), dtype=_np.uint8)
-                c = int(doc_id) % 4
+                c = int(doc_id) % 5
                 if c == 0:
                     payload, mt = encode_bmp(img), "image/bmp"
                 elif c == 1:
@@ -3908,7 +3909,7 @@ def m5_real_decode(spark, sf):
                     # Adam7-interlaced, PNG8 palette, palette+interlace —
                     # identical pixels, so ONE oracle certifies all four
                     # decode paths
-                    v = (int(doc_id) // 4) % 4
+                    v = (int(doc_id) // 5) % 4
                     payload, mt = (
                         encode_png(
                             img,
@@ -3918,7 +3919,8 @@ def m5_real_decode(spark, sf):
                         ),
                         "image/png",
                     )
-                else:  # q=100 4:4:4 -> solid colour roundtrips bit-exactly;
+                elif c == 3:
+                    # q=100 4:4:4 -> solid colour roundtrips bit-exactly;
                     # alternate baseline (SOF0) and PROGRESSIVE (SOF2 —
                     # multi-scan spectral selection + successive
                     # approximation, round 9) containers: identical
@@ -3929,9 +3931,21 @@ def m5_real_decode(spark, sf):
                             quality=100,
                             subsampling="4:4:4",
                             restart_interval=2,
-                            progressive=bool((int(doc_id) // 4) % 2),
+                            progressive=bool((int(doc_id) // 5) % 2),
                         ),
                         "image/jpeg",
+                    )
+                else:
+                    # GIF (round 10): real LZW decode, plain and 4-pass
+                    # interlaced layouts alternating — the oracle is
+                    # format-agnostic (geometry + solid colour from
+                    # sha256(text)), so the same SQL certifies the fifth
+                    # container format with zero changes
+                    payload, mt = (
+                        encode_gif(
+                            img, interlace=bool((int(doc_id) // 5) % 2)
+                        ),
+                        "image/gif",
                     )
                 rows.append((int(doc_id), payload, mt))
             yield _pd.DataFrame(
@@ -4195,8 +4209,10 @@ def m7_decode_malformed(spark, sf):
                     payload, mt = encode_bmp(solid)[:10], "image/bmp"
                 elif c == 3:  # wrong magic for the declared type
                     payload, mt = b"XX" + h, "image/x-portable-pixmap"
-                elif c == 4:  # valid raster, but no pixel decoder for GIF
-                    payload, mt = encode_bmp(solid), "image/gif"
+                elif c == 4:  # valid raster, but no pixel decoder for TIFF
+                    # (GIF grew a real decoder in round 10, so it no longer
+                    # serves as the unregistered-type case)
+                    payload, mt = encode_bmp(solid), "image/tiff"
                 else:  # REAL progressive JPEG: full SOF2 scan-script decode
                     payload, mt = (
                         encode_jpeg(solid, quality=100, progressive=True),

@@ -546,11 +546,31 @@ def decode_jpeg_pixels(payload: bytes):
     return _dec(payload)
 
 
+@register_decoder("image/gif")
+def _gif_decoder(payload: bytes) -> dict:
+    """Real GIF probe: signature + logical screen descriptor (round 10)."""
+    from matchbox_spark.operators.gif import gif_screen_info
+
+    w, h = gif_screen_info(payload)
+    return {"width": w, "height": h, "duration_ms": None}
+
+
+def decode_gif_pixels(payload: bytes):
+    """First GIF frame → (H, W, 3) uint8 RGB (full LZW decode, round 10).
+
+    Thin re-export of :func:`matchbox_spark.operators.gif.decode_gif_pixels`
+    so the pixel-decoder registry lives in one place."""
+    from matchbox_spark.operators.gif import decode_gif_pixels as _dec
+
+    return _dec(payload)
+
+
 _PIXEL_DECODERS = {
     "image/bmp": decode_bmp_pixels,
     "image/x-portable-pixmap": decode_ppm_pixels,
     "image/png": decode_png_pixels,
     "image/jpeg": decode_jpeg_pixels,
+    "image/gif": decode_gif_pixels,
 }
 
 

@@ -1,0 +1,127 @@
+"""GIF (LZW) codec tests (round 10): bit-exact round-trips, interlace,
+LZW width growth and dictionary reset, the Arrow stats stage, and a
+corruption fuzz proving every malformed payload fails CLOSED (ValueError
+→ scan-level 'corrupt' status, never a task-killing exception)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from matchbox_spark.operators.gif import (
+    decode_gif_pixels,
+    encode_gif,
+    gif_screen_info,
+    lzw_decode,
+    lzw_encode,
+)
+
+
+def test_lzw_roundtrip_widths():
+    rng = np.random.default_rng(5)
+    for mcs in (2, 4, 8):
+        for n in (1, 7, 300, 5000):
+            idx = rng.integers(0, 1 << mcs, n, dtype=np.uint8)
+            assert (
+                bytes(lzw_decode(lzw_encode(idx, mcs), mcs, n)) == idx.tobytes()
+            )
+
+
+def test_lzw_dictionary_reset():
+    # > 4096 distinct phrases forces the encoder's mid-stream clear code
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 256, 120_000, dtype=np.uint8)
+    assert bytes(lzw_decode(lzw_encode(idx, 8), 8, len(idx))) == idx.tobytes()
+
+
+def test_lzw_cscsc_case():
+    # the decoder's code == next special case: aba ab abab… patterns
+    idx = np.array([1, 2, 1, 1, 2, 1, 1, 2, 1, 2], dtype=np.uint8)
+    assert bytes(lzw_decode(lzw_encode(idx, 2), 2, len(idx))) == idx.tobytes()
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip_exact(interlace):
+    rng = np.random.default_rng(11)
+    for h, w, ncol in ((1, 1, 1), (5, 7, 2), (9, 12, 5), (33, 41, 200), (64, 64, 256)):
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, ncol, (h, w))]
+        payload = encode_gif(img, interlace=interlace)
+        assert gif_screen_info(payload) == (w, h)
+        assert np.array_equal(decode_gif_pixels(payload), img)
+
+
+def test_gif_rejects_too_many_colors():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)  # ~1600 colors
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(img)
+
+
+def test_gif_extension_blocks_are_skipped():
+    # inject a GIF89a graphic-control extension before the image descriptor
+    img = np.full((3, 4, 3), (9, 80, 200), np.uint8)
+    payload = bytearray(encode_gif(img))
+    desc = payload.index(0x2C, 13)
+    gce = bytes((0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00))
+    patched = bytes(payload[:desc]) + gce + bytes(payload[desc:])
+    assert np.array_equal(decode_gif_pixels(patched), img)
+
+
+def test_gif_through_decode_image_stats(spark):
+    from matchbox_spark.operators.multimodal import (
+        decode_image_stats,
+        extract_media_metadata,
+    )
+
+    img = np.full((6, 4, 3), (10, 20, 30), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_gif(img)), "image/gif"),
+        (2, bytearray(encode_gif(img, interlace=True)), "image/gif"),
+        (3, bytearray(b"GIF89a junk"), "image/gif"),     # corrupt
+        (4, bytearray(encode_gif(img)), "image/tiff"),   # no decoder
+        (5, None, "image/gif"),                           # missing
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    out = {r["doc_id"]: r for r in decode_image_stats(df).collect()}
+    for d in (1, 2):
+        assert out[d]["status"] == "ok"
+        assert (out[d]["width"], out[d]["height"]) == (4, 6)
+        assert (out[d]["mean_r"], out[d]["mean_g"], out[d]["mean_b"]) == (
+            10.0, 20.0, 30.0,
+        )
+    assert out[3]["status"] == "corrupt"
+    assert out[4]["status"] == "no_decoder"
+    assert out[5]["status"] == "missing"
+    # metadata probe reports the logical screen
+    meta = {r["doc_id"]: r for r in extract_media_metadata(df).collect()}
+    assert (meta[1]["width"], meta[1]["height"]) == (4, 6)
+    assert meta[3]["width"] is None
+
+
+def test_gif_corruption_fuzz_fails_closed():
+    """Every single-byte mutation and truncation either still decodes to
+    SOME raster or raises ValueError — never IndexError/struct.error/
+    OverflowError escaping to kill a task (the m6/m7 status contract)."""
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 16, (9, 7))]
+    for interlace in (False, True):
+        payload = bytearray(encode_gif(img, interlace=interlace))
+        # truncations at every prefix length
+        for cut in range(len(payload)):
+            try:
+                decode_gif_pixels(bytes(payload[:cut]))
+            except ValueError:
+                pass
+        # single-byte corruptions across the whole container
+        for pos in range(len(payload)):
+            for delta in (1, 0x7F):
+                mutated = bytearray(payload)
+                mutated[pos] = (mutated[pos] + delta) & 0xFF
+                try:
+                    decode_gif_pixels(bytes(mutated))
+                except ValueError:
+                    pass

@@ -367,7 +367,7 @@ def test_resize_decoded_images_real(spark):
         (1, bytearray(encode_bmp(img)), "image/bmp"),
         (2, bytearray(encode_jpeg(solid, quality=100)), "image/jpeg"),
         (3, bytearray(b"XX"), "image/bmp"),       # corrupt
-        (4, bytearray(encode_bmp(img)), "image/gif"),  # no decoder
+        (4, bytearray(encode_bmp(img)), "image/tiff"),  # no decoder
         (5, None, "image/bmp"),                    # missing
     ]
     df = spark.createDataFrame(
