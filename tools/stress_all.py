@@ -43,6 +43,9 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
         ["/root/testdata/sf0.01"],
         ["/root/testdata/sf0.01", "/root/testdata/sf0.1"],
     ),
+    # scale-safe SimHash config (32-bit/8-bit chunks): exact twin recall +
+    # bounded candidates; full tier pins the r9 1M-doc confirmation
+    "simhash": (["--simhash", "20000", "20"], ["--simhash", "1000000", "30"]),
     "streaming_lsh": (["--lsh", "6", "100", "8"], ["--lsh"]),
     "streaming_embedding": (
         ["--embedding", "6", "100", "8"],
@@ -53,6 +56,7 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
 # harnesses that are not tools/stress_<name>.py
 SCRIPTS = {
     "plan_gate": "tools/plan_report.py",
+    "simhash": "tools/stress_dedup.py",
     "streaming_lsh": "tools/stress_streaming_resolve.py",
     "streaming_embedding": "tools/stress_streaming_resolve.py",
 }

@@ -8,11 +8,21 @@ near-duplicate twin with the last word replaced (shingle Jaccard ≈ 0.93).
 Reports wall time and recall of planted pairs at threshold 0.7. Usage::
 
     python tools/stress_dedup.py [n_docs] [words_per_doc] [max_verify_shingles]
+    python tools/stress_dedup.py --simhash [n_docs] [words_per_doc]
 
 With ``words_per_doc`` large (e.g. 2000) and a small cap (e.g. 512) this
 doubles as the adversarially-long-document harness: verification joins carry
 bounded bottom-k sketches instead of full shingle sets, so executor memory
 stays flat regardless of document length.
+
+``--simhash`` (round 10) is the regression harness for the scale-safe
+SimHash configuration: 32-bit signatures / 8-bit pigeonhole chunks over the
+same planted-twin corpus — the setting the r9 sf1 probe measured 7.5×
+faster than the 16-bit demo with candidates collapsed 24×, and the
+configuration ``auto_simhash_bits`` derives for real corpora. Recall is
+exact by pigeonhole, so the harness asserts EQUALITY on the twin subset:
+every twin pair whose true signature hamming ≤ 3 is found, none invented.
+The full tier (1M docs) pins the r9 one-off 1M-doc confirmation.
 """
 
 from __future__ import annotations
@@ -28,12 +38,9 @@ from matchbox_spark.operators.dedup import minhash_dedupe_pairs  # noqa: E402
 from matchbox_spark.session import get_spark  # noqa: E402
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    words = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-    cap = int(sys.argv[3]) if len(sys.argv) > 3 else None
-    spark = get_spark(app_name="stress_dedup")
-
+def _corpus(spark, n: int, words: int):
+    """Planted-twin corpus, fully JVM-side: every 20th doc gets a
+    near-duplicate with the last word replaced."""
     base = spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.array_join(
@@ -55,6 +62,68 @@ def main() -> None:
             ).alias("text"),
         )
     )
+    return base, twins
+
+
+def main_simhash() -> None:
+    from matchbox_spark.operators.dedup import (
+        simhash_near_duplicates,
+        simhash_values,
+    )
+
+    args = [int(a) for a in sys.argv[1:] if a.lstrip("-").isdigit()]
+    n = args[0] if len(args) > 0 else 100_000
+    words = args[1] if len(args) > 1 else 30
+    bits, max_hamming = 32, 3
+    spark = get_spark(app_name="stress_simhash")
+    base, twins = _corpus(spark, n, words)
+    docs = base.unionByName(twins).persist()
+    docs.count()
+
+    # ground truth on the twin subset: each planted pair's true signature
+    # hamming (one O(n) join — no quadratic work)
+    sims = simhash_values(docs, "doc_id", "text", bits).persist()
+    a = sims.where(F.col("doc") < n).select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sa")
+    )
+    b = sims.where(F.col("doc") >= n).select(
+        (F.col("doc") - n).alias("doc_a"), F.col("simhash").alias("sb")
+    )
+    expected = (
+        a.join(b, "doc_a")
+        .where(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= max_hamming)
+        .count()
+    )
+
+    t0 = time.time()
+    pairs = simhash_near_duplicates(
+        docs, "doc_id", "text", bits=bits, max_hamming=max_hamming
+    ).persist()
+    total_pairs = pairs.count()
+    dt = time.time() - t0
+    found = (
+        pairs.where(F.col("doc_b") - F.col("doc_a") == n)
+        .where(F.col("doc_a") % 20 == 0)
+        .count()
+    )
+    ok = found == expected
+    print(
+        f"[simhash bits={bits} mh={max_hamming}] docs={docs.count():,} "
+        f"twin_pairs_within_h{max_hamming}={expected:,} found={found:,} "
+        f"total_pairs={total_pairs:,} time={dt:.1f}s -> "
+        f"{'OK' if ok else 'RECALL BROKEN'}"
+    )
+    spark.stop()
+    sys.exit(0 if ok else 1)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    words = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    cap = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    spark = get_spark(app_name="stress_dedup")
+
+    base, twins = _corpus(spark, n, words)
     docs = base.unionByName(twins).persist()
     n_twins = twins.count()
 
@@ -82,4 +151,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--simhash" in sys.argv:
+        main_simhash()
+    else:
+        main()
