@@ -47,6 +47,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from matchbox_spark.functions.hashing import row_hash_expr
 from matchbox_spark.plans.catalog import Catalog
+from matchbox_spark.plans.resolvers import _free_checkpoint
 
 
 def _guard_checkpoint_state(catalog: Catalog, step: str, batch_id: int) -> None:
@@ -419,6 +420,7 @@ def incremental_resolve_stream(
             data = data.localCheckpoint(eager=True)
             new_edges = model.dedupe(data).localCheckpoint(eager=True)
             catalog.insert_model_edges_delta(model_step, new_edges)
+            _batch_locals = [data, new_edges]
             # only components holding a leaf the model could touch this
             # batch are starred, recomputed, and (if merged away) retired —
             # per-batch resolver work is O(batch blocks + touched members),
@@ -436,6 +438,10 @@ def incremental_resolve_stream(
             catalog.merge_resolver_clusters_delta(
                 resolver_step, assignments, candidate_roots=touched_roots
             )
+            # free batch-local checkpoints (see the use_block_keys branch)
+            for frame in _batch_locals + [touched_roots]:
+                if frame is not None:
+                    _free_checkpoint(frame)
         elif use_block_keys:
             # computed-blocking delta-link (LSH-family models): the batch's
             # block keys — O(batch) to compute, a pure function of batch
@@ -498,6 +504,22 @@ def incremental_resolve_stream(
             catalog.merge_resolver_clusters_delta(
                 resolver_step, assignments, candidate_roots=touched_roots
             )
+            # batch-local checkpoints are dead once the batch's catalog
+            # deltas are materialised (the catalog eagerly checkpoints its
+            # own copies); free them now — otherwise every micro-batch
+            # leaves one set of cached blocks behind until a driver GC
+            # happens to run (round 10, same lifecycle fix as CC rounds)
+            for frame in (
+                batch_leaf_ids,
+                batch_rows,
+                batch_keys,
+                touched_leaves,
+                data,
+                new_edges,
+                touched_roots,
+            ):
+                if frame is not None:
+                    _free_checkpoint(frame)
         else:
             _full_resolve(
                 catalog,

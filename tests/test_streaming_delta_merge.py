@@ -128,8 +128,12 @@ def test_merge_replay_is_idempotent(spark, tmp_path):
 
 
 def test_tombstones_fold_after_compaction_width(spark, tmp_path):
-    """More than _COMPACT_WIDTH retire batches fold the overlay into the
-    base table; the view stays correct throughout and ends overlay-free."""
+    """Tombstone runs tier LSM-style (round 10): the overlay stays
+    log-bounded however many retire batches land — no single batch folds
+    the whole base table (the old fold-at-_COMPACT_WIDTH policy made one
+    streaming micro-batch pay O(total state), the measured compaction
+    spike) — and the view stays correct throughout. ``save()`` still
+    folds the overlay (test_save_folds_tombstones)."""
     cat = Catalog(spark)
     n = _COMPACT_WIDTH + 2
     idx = spark.createDataFrame(
@@ -158,7 +162,12 @@ def test_tombstones_fold_after_compaction_width(spark, tmp_path):
         claims = cat.resolver_clusters.where(F.col("step") == "r").collect()
         assert len(claims) == 1, f"step {i}: {claims}"
         prev_root = claims[0]["cluster_id"]
-    assert cat._rc_tombstones == []  # folded
+    # binary-counter bound: ≤ bit_length(total retire appends) runs live,
+    # and the weights account for every append exactly once
+    n_retires = n - 1  # first merge had no candidate_roots
+    assert len(cat._rc_tombstones) <= max(1, n_retires.bit_length())
+    assert sum(cat._rc_tomb_weights) == n_retires
+    assert len(cat._rc_tomb_weights) == len(cat._rc_tombstones)
     # terminal claim resolves to the full member set
     leaves = (
         cat.contains.join(
@@ -349,3 +358,43 @@ def test_quiet_delta_batch_is_a_noop(spark):
     from matchbox_spark.plans.query import resolver_assignments
 
     assert resolver_assignments(cat, "s_resolve").count() == 0
+
+
+def test_append_tiering_bounds_parts_without_full_folds(spark):
+    """Catalog._append tiers delta runs LSM-style (round 10): after n
+    appends the table holds ≤ bit_length(n) parts (binary-counter
+    invariant: one run per weight class), weights account for every
+    append, content is the exact union, and no append ever folds the
+    whole table (the weights never collapse to one giant run unless the
+    counter genuinely carries that far)."""
+    cat = Catalog(spark)
+    n = 20
+    for i in range(n):
+        delta = spark.createDataFrame(
+            [(100 + i, bytes([i]))], "cluster_id long, cluster_hash binary"
+        )
+        cat._append("clusters", delta)
+        w = cat._part_weights["clusters"]
+        assert sum(w) == i + 1
+        assert len(w) <= (i + 1).bit_length()
+        # binary-counter invariant: strictly decreasing weight classes
+        classes = [x.bit_length() for x in w]
+        assert classes == sorted(classes, reverse=True)
+    assert cat.clusters.count() == n
+    assert {r["cluster_id"] for r in cat.clusters.collect()} == {
+        100 + i for i in range(n)
+    }
+    # a wholesale reassignment (commit) resets to one fully-compacted run
+    cat._commit("clusters", cat.clusters)
+    assert cat._part_weights["clusters"] == [1 << 30]
+    # and subsequent appends tier above it without ever merging the base
+    for i in range(3):
+        cat._append(
+            "clusters",
+            spark.createDataFrame(
+                [(500 + i, bytes([200 + i]))],
+                "cluster_id long, cluster_hash binary",
+            ),
+        )
+    assert cat._part_weights["clusters"][0] == 1 << 30
+    assert cat.clusters.count() == n + 3
