@@ -117,7 +117,7 @@ def test_rotation_order_invariants():
     assert set(order) == set(se._REGISTRY) and len(order) == len(se._REGISTRY)
 
     def tier(n):
-        if n in se._TOUCHED_R9:
+        if n in se._TOUCHED_R10:
             return 0
         return 1 + se._LAST_GREEN.get(n, 0)
 
@@ -129,4 +129,4 @@ def test_rotation_order_invariants():
         members = [reg_pos[n] for n in order if tier(n) == t]
         assert members == sorted(members), f"tier {t} reordered"
     # the head of the sample is this round's touched set
-    assert set(order[: len(se._TOUCHED_R9)]) == se._TOUCHED_R9
+    assert set(order[: len(se._TOUCHED_R10)]) == se._TOUCHED_R10
