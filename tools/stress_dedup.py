@@ -16,13 +16,16 @@ bounded bottom-k sketches instead of full shingle sets, so executor memory
 stays flat regardless of document length.
 
 ``--simhash`` (round 10) is the regression harness for the scale-safe
-SimHash configuration: 32-bit signatures / 8-bit pigeonhole chunks over the
-same planted-twin corpus — the setting the r9 sf1 probe measured 7.5×
-faster than the 16-bit demo with candidates collapsed 24×, and the
-configuration ``auto_simhash_bits`` derives for real corpora. Recall is
-exact by pigeonhole, so the harness asserts EQUALITY on the twin subset:
-every twin pair whose true signature hamming ≤ 3 is found, none invented.
-The full tier (1M docs) pins the r9 one-off 1M-doc confirmation.
+SimHash configuration, driven through the SHIPPED default path:
+``SimHashDeduper(bits='auto')``, whose width resolves from the corpus
+count at dedupe() time. The harness pins the derivation (at the
+measured-cliff region ≥100k docs auto must clear the 32-bit floor the
+r9 sf1 probe established — 7.5× faster than the 16-bit demo with
+candidates collapsed 24×) and asserts the model resolved exactly
+``auto_simhash_bits(n)``. Recall is exact by pigeonhole, so the twin
+subset asserts EQUALITY: every twin pair whose true signature hamming
+≤ 3 is found, none invented. The full tier (1M docs) pins the r9
+one-off 1M-doc confirmation at the auto-derived 40-bit width.
 """
 
 from __future__ import annotations
@@ -67,18 +70,28 @@ def _corpus(spark, n: int, words: int):
 
 def main_simhash() -> None:
     from matchbox_spark.operators.dedup import (
-        simhash_near_duplicates,
+        auto_simhash_bits,
         simhash_values,
     )
+    from matchbox_spark.operators.lsh_linkers import SimHashDeduper
 
     args = [int(a) for a in sys.argv[1:] if a.lstrip("-").isdigit()]
     n = args[0] if len(args) > 0 else 100_000
     words = args[1] if len(args) > 1 else 30
-    bits, max_hamming = 32, 3
+    max_hamming = 3
     spark = get_spark(app_name="stress_simhash")
     base, twins = _corpus(spark, n, words)
     docs = base.unionByName(twins).persist()
-    docs.count()
+    n_docs = docs.count()
+
+    # the SHIPPED default path: bits='auto' resolves the width from the
+    # corpus count at dedupe() time. Pin the derivation itself: at the
+    # measured-cliff region (>=100k docs) auto must clear the 32-bit
+    # scale-safe floor the r9 sf1 probe established.
+    bits = auto_simhash_bits(n_docs, max_hamming)
+    if n_docs >= 100_000 and bits < 32:
+        print(f"auto_simhash_bits({n_docs:,})={bits} < 32 -> SIZING BROKEN")
+        sys.exit(1)
 
     # ground truth on the twin subset: each planted pair's true signature
     # hamming (one O(n) join — no quadratic work)
@@ -96,19 +109,24 @@ def main_simhash() -> None:
     )
 
     t0 = time.time()
-    pairs = simhash_near_duplicates(
-        docs, "doc_id", "text", bits=bits, max_hamming=max_hamming
-    ).persist()
-    total_pairs = pairs.count()
+    deduper = SimHashDeduper(
+        id="doc_id", text_field="text", max_hamming=max_hamming
+    )  # bits='auto' default — the path a user gets
+    edges = deduper.dedupe(docs).persist()
+    total_pairs = edges.count()
     dt = time.time() - t0
+    resolved = deduper._resolved_bits()
+    if resolved != bits:
+        print(f"model resolved bits={resolved}, expected {bits} -> SIZING BROKEN")
+        sys.exit(1)
     found = (
-        pairs.where(F.col("doc_b") - F.col("doc_a") == n)
-        .where(F.col("doc_a") % 20 == 0)
+        edges.where(F.col("right_id") - F.col("left_id") == n)
+        .where(F.col("left_id") % 20 == 0)
         .count()
     )
     ok = found == expected
     print(
-        f"[simhash bits={bits} mh={max_hamming}] docs={docs.count():,} "
+        f"[simhash bits={bits} (auto) mh={max_hamming}] docs={n_docs:,} "
         f"twin_pairs_within_h{max_hamming}={expected:,} found={found:,} "
         f"total_pairs={total_pairs:,} time={dt:.1f}s -> "
         f"{'OK' if ok else 'RECALL BROKEN'}"
