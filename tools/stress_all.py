@@ -43,9 +43,15 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
         ["/root/testdata/sf0.01"],
         ["/root/testdata/sf0.01", "/root/testdata/sf0.1"],
     ),
-    # scale-safe SimHash config (32-bit/8-bit chunks): exact twin recall +
-    # bounded candidates; full tier pins the r9 1M-doc confirmation
+    # LSH-family SHIPPED defaults (bits='auto' / bucket_dims='auto')
+    # driven end-to-end through the model surface: exact planted recall +
+    # the derivation pinned against auto_*; full simhash tier pins the r9
+    # 1M-doc confirmation at the auto-derived width
     "simhash": (["--simhash", "20000", "20"], ["--simhash", "1000000", "30"]),
+    "embedding_dedupe": (
+        ["--embedding", "20000", "32"],
+        ["--embedding", "1000000", "32"],
+    ),
     "streaming_lsh": (["--lsh", "6", "100", "8"], ["--lsh"]),
     "streaming_embedding": (
         ["--embedding", "6", "100", "8"],
@@ -57,6 +63,7 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
 SCRIPTS = {
     "plan_gate": "tools/plan_report.py",
     "simhash": "tools/stress_dedup.py",
+    "embedding_dedupe": "tools/stress_dedup.py",
     "streaming_lsh": "tools/stress_streaming_resolve.py",
     "streaming_embedding": "tools/stress_streaming_resolve.py",
 }

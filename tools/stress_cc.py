@@ -67,7 +67,17 @@ def main() -> int:
     ring_size = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     n = n_rings * ring_size
 
-    spark = get_spark(app_name="stress_cc")
+    # spill-aware rule (same as stress_pipeline): size shuffle partitions
+    # with the edge volume, not the core count — the 50M-node rung at a
+    # fixed 32 partitions carried ~3M edges/task and spent its first rounds
+    # retrying page allocations (134 TaskMemoryManager WARNs, passed but
+    # spill-bound). ~500k edges/partition keeps every round's hash
+    # aggregate comfortably inside a local-mode task's heap share.
+    import os as _os
+
+    edges_est = 2 * n
+    parts = max(_os.cpu_count() or 8, min(2048, edges_est // 500_000))
+    spark = get_spark(app_name="stress_cc", shuffle_partitions=parts)
     nodes = spark.range(n)
     # ring edges: i -> next node in the same ring (wrapping)
     edges = nodes.select(

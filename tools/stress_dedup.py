@@ -9,6 +9,7 @@ Reports wall time and recall of planted pairs at threshold 0.7. Usage::
 
     python tools/stress_dedup.py [n_docs] [words_per_doc] [max_verify_shingles]
     python tools/stress_dedup.py --simhash [n_docs] [words_per_doc]
+    python tools/stress_dedup.py --embedding [n_vecs] [dim]
 
 With ``words_per_doc`` large (e.g. 2000) and a small cap (e.g. 512) this
 doubles as the adversarially-long-document harness: verification joins carry
@@ -135,6 +136,80 @@ def main_simhash() -> None:
     sys.exit(0 if ok else 1)
 
 
+def main_embedding() -> None:
+    """Batch EmbeddingDeduper through the SHIPPED default path
+    (``bucket_dims='auto'``): planted sign-preserving twins over a
+    JVM-generated vector corpus. A twin is the base vector with every
+    component scaled by a positive factor, so all sign bits — hence the
+    LSH home bucket — are IDENTICAL and cosine ≈ 0.9998: recall of
+    planted pairs is exact by construction, making this an equality
+    assert like the SimHash harness, not a recall estimate. Also pins
+    the derivation: the model must resolve exactly
+    ``auto_embedding_bucket_dims(n, dim)`` (log2-of-corpus bucket space,
+    the rule that keeps occupancy flat at any scale).
+
+    Usage: python tools/stress_dedup.py --embedding [n_vecs] [dim]
+    """
+    from matchbox_spark.operators.dedup import auto_embedding_bucket_dims
+    from matchbox_spark.operators.lsh_linkers import EmbeddingDeduper
+
+    args = [int(a) for a in sys.argv[1:] if a.lstrip("-").isdigit()]
+    n = args[0] if len(args) > 0 else 200_000
+    dim = args[1] if len(args) > 1 else 32
+    spark = get_spark(app_name="stress_embedding_dedupe")
+
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            # pmod keeps the sign bits balanced (plain % follows the
+            # dividend's sign and would pile 75% of mass negative)
+            lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(2000)) - 999.5)
+            / 1000.0,
+        ).alias("embedding"),
+    )
+    twins = base.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x
+            * (1.0 + F.pmod(F.xxhash64(F.lit(7), i), F.lit(100)) / 5000.0),
+        ).alias("embedding"),
+    )
+    docs = base.unionByName(twins).persist()
+    n_docs = docs.count()
+    n_twins = (n + 19) // 20
+
+    expected_dims = auto_embedding_bucket_dims(n_docs, dim)
+
+    t0 = time.time()
+    deduper = EmbeddingDeduper(id="doc_id", vector_field="embedding")
+    edges = deduper.dedupe(docs).persist()
+    total_pairs = edges.count()
+    dt = time.time() - t0
+    resolved = deduper._resolved_dims()
+    if resolved != expected_dims:
+        print(
+            f"model resolved dims={resolved}, expected {expected_dims} "
+            "-> SIZING BROKEN"
+        )
+        sys.exit(1)
+    found = (
+        edges.where(F.col("right_id") - F.col("left_id") == n)
+        .where(F.col("left_id") % 20 == 0)
+        .count()
+    )
+    ok = found == n_twins
+    print(
+        f"[embedding dims={len(resolved)} (auto, {1 << len(resolved):,} "
+        f"buckets)] vecs={n_docs:,} planted={n_twins:,} found={found:,} "
+        f"total_pairs={total_pairs:,} time={dt:.1f}s -> "
+        f"{'OK' if ok else 'RECALL BROKEN'}"
+    )
+    spark.stop()
+    sys.exit(0 if ok else 1)
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     words = int(sys.argv[2]) if len(sys.argv) > 2 else 30
@@ -171,5 +246,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--simhash" in sys.argv:
         main_simhash()
+    elif "--embedding" in sys.argv:
+        main_embedding()
     else:
         main()

@@ -54,7 +54,12 @@ def main() -> int:
         # aggregate keeps per-task hash maps spillable (the 64 MB advisory
         # targets serialized shuffle bytes; aggregation memory is several
         # times that).
-        _os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
+        # 32g carries the 20M-row tier; the 50M tier (225M edges) ran the
+        # whole pipeline + validation on it but OOM'd in the final edge
+        # count — scale the heap with the edge volume like the partitions
+        _os.environ.setdefault(
+            "SPARK_DRIVER_MEM", "64g" if edges_est > 150_000_000 else "32g"
+        )
         extra["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = str(
             16 * 1024 * 1024
         )
