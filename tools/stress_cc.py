@@ -71,13 +71,24 @@ def main() -> int:
     # with the edge volume, not the core count — the 50M-node rung at a
     # fixed 32 partitions carried ~3M edges/task and spent its first rounds
     # retrying page allocations (134 TaskMemoryManager WARNs, passed but
-    # spill-bound). ~500k edges/partition keeps every round's hash
-    # aggregate comfortably inside a local-mode task's heap share.
+    # spill-bound; a second attempt on the same 8g default heap died with
+    # AGGREGATE_OUT_OF_MEMORY outright). Partition count alone doesn't fix
+    # local mode — 32 concurrent tasks still divide one JVM heap whatever
+    # the partition count — so past ~50M edges the tier also needs the
+    # cluster-shaped heap + lowered AQE advisory stress_pipeline uses.
     import os as _os
 
     edges_est = 2 * n
     parts = max(_os.cpu_count() or 8, min(2048, edges_est // 500_000))
-    spark = get_spark(app_name="stress_cc", shuffle_partitions=parts)
+    extra = {}
+    if edges_est > 50_000_000:
+        _os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
+        extra["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = str(
+            16 * 1024 * 1024
+        )
+    spark = get_spark(
+        app_name="stress_cc", shuffle_partitions=parts, extra_conf=extra
+    )
     nodes = spark.range(n)
     # ring edges: i -> next node in the same ring (wrapping)
     edges = nodes.select(
