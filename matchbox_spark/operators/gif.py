@@ -24,6 +24,14 @@ import struct
 
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
+# decode-side cap on DECLARED geometry (screen or frame): LZW expands up
+# to 4096x per code, so honouring a 65535x65535 declaration from a
+# kilobyte-sized hostile payload would balloon to gigabytes mid-decode
+# and kill the Arrow worker with OOM instead of the contractual
+# ValueError. 2^25 pixels (~33.5M, e.g. 8192x4096) is far beyond any
+# stats-corpus poster raster while keeping the worst allocation ~100 MB.
+_MAX_PIXELS = 1 << 25
+
 
 # ---------------------------------------------------------------------------
 # bit I/O (LSB-first, unlike JPEG's MSB-first streams)
@@ -219,7 +227,12 @@ def gif_screen_info(payload: bytes):
 
 
 def decode_gif_pixels(payload: bytes):
-    """Decode the FIRST frame of a GIF to an (H, W, 3) uint8 RGB array.
+    """Decode the FIRST frame of a GIF to an (H, W, 3) uint8 RGB array
+    sized to the LOGICAL SCREEN, with the frame composited at its declared
+    (left, top) placement over the background color — so the raster's
+    geometry always agrees with the :func:`gif_screen_info` metadata probe
+    for the same payload (real-world GIFs often carry a first frame that
+    is a sub-rectangle of the screen).
 
     Full container walk: signature, logical screen descriptor, global
     color table, extension blocks skipped (animation control is metadata,
@@ -228,11 +241,20 @@ def decode_gif_pixels(payload: bytes):
     lookup. Transparency is ignored (the palette color is reported as-is
     — stats pipelines want the stored raster). Later animation frames are
     out of scope for the stats surface; the first frame IS the poster
-    raster corpora index by."""
+    raster corpora index by.
+
+    Declared geometry is capped at ``_MAX_PIXELS``: LZW expands up to
+    4096× per code, so a kilobyte-sized hostile payload can declare a
+    65535×65535 frame and balloon to gigabytes mid-decode — the cap keeps
+    the fail-closed contract (ValueError, absorbed by the scan-level
+    status taxonomy) instead of an executor OOM."""
     import numpy as np
 
-    gif_screen_info(payload)  # validates signature + screen
+    sw, sh = gif_screen_info(payload)  # validates signature + screen
+    if sw * sh > _MAX_PIXELS:
+        raise ValueError("GIF logical screen exceeds the decode pixel cap")
     packed = payload[10]
+    bg_index = payload[11]
     gct, pos = _read_color_table(payload, 13, packed)
 
     while True:
@@ -253,11 +275,15 @@ def decode_gif_pixels(payload: bytes):
 
     if pos + 9 > len(payload):
         raise ValueError("GIF image descriptor truncated")
-    _left, _top, fw, fh = struct.unpack_from("<HHHH", payload, pos)
+    left, top, fw, fh = struct.unpack_from("<HHHH", payload, pos)
     fpacked = payload[pos + 8]
     pos += 9
     if fw < 1 or fh < 1:
         raise ValueError("GIF frame declares empty geometry")
+    if fw * fh > _MAX_PIXELS:
+        raise ValueError("GIF frame exceeds the decode pixel cap")
+    if left >= sw or top >= sh:
+        raise ValueError("GIF frame placed entirely outside the screen")
     interlaced = bool(fpacked & 0x40)
     lct, pos = _read_color_table(payload, pos, fpacked)
     palette_bytes = lct if lct is not None else gct
@@ -282,7 +308,22 @@ def decode_gif_pixels(payload: bytes):
         idx = ordered
     if int(idx.max(initial=0)) >= len(palette):
         raise ValueError("GIF palette index out of range")
-    return palette[idx]
+    frame = palette[idx]
+    if left == 0 and top == 0 and fw == sw and fh == sh:
+        return frame  # frame covers the screen exactly (the common case)
+    # composite onto the screen canvas: background color per the logical
+    # screen descriptor (the bg index refers to the GLOBAL table; black
+    # when there is none or the index is out of range), frame clipped to
+    # the screen bounds
+    canvas = np.zeros((sh, sw, 3), np.uint8)
+    if gct is not None and bg_index * 3 + 3 <= len(gct):
+        canvas[:, :] = np.frombuffer(
+            gct[bg_index * 3 : bg_index * 3 + 3], np.uint8
+        )
+    ch = min(fh, sh - top)
+    cw = min(fw, sw - left)
+    canvas[top : top + ch, left : left + cw] = frame[:ch, :cw]
+    return canvas
 
 
 def encode_gif(pixels, interlace: bool = False) -> bytes:

@@ -261,12 +261,20 @@ class EmbeddingLinker(Linker):
             dims = list(s.bucket_dims)
         elif s.bucket_dims == AUTO:
             n = left.count() + right.count()
-            probe = (
-                left.where(F.col(s.left_field).isNotNull())
-                .select(F.size(s.left_field).alias("d"))
-                .first()
-            )
-            vdim = int(probe["d"]) if probe is not None else 1
+            # probe BOTH sides' dimensionality: bucket dims index into both
+            # vectors, so the usable width is the smaller of the two — and
+            # a left side with all-null embeddings must not collapse the
+            # bucket space for an arbitrarily large right side
+            probed = []
+            for df, field in ((left, s.left_field), (right, s.right_field)):
+                row = (
+                    df.where(F.col(field).isNotNull())
+                    .select(F.size(field).alias("d"))
+                    .first()
+                )
+                if row is not None:
+                    probed.append(int(row["d"]))
+            vdim = min(probed) if probed else 1
             dims = auto_embedding_bucket_dims(n, vdim)
             logger.info(
                 "EmbeddingLinker auto-sized bucket_dims=%s (%d buckets "

@@ -110,6 +110,11 @@ class Catalog:
         self._rc_tomb_weights: list[int] = []
         self._loaded_from_disk = False
         self._snapshot_id = 0  # last persisted snapshot number (format 2)
+        # count of _ckpt fallbacks (checkpoint failed, raw plan returned):
+        # a stored part may then still REFERENCE its input frames, so
+        # callers that free their own upstream checkpoints after an insert
+        # (streaming batch locals) must check this hasn't moved first
+        self._ckpt_fallbacks = 0
         if path and os.path.exists(os.path.join(path, "steps.json")):
             self._load()
 
@@ -396,6 +401,7 @@ class Catalog:
         try:
             return df.localCheckpoint(eager=eager)
         except Exception:  # noqa: BLE001 — rare AQE checkpoint-planning bug
+            self._ckpt_fallbacks += 1
             return df
 
     def _sync_weights(self, name: str) -> list[int]:
@@ -433,19 +439,28 @@ class Catalog:
             delta = self._ckpt(delta, eager=False)
         parts = self._parts[name]
         weights = self._sync_weights(name)
-        parts.append(delta)
+        self._tier(parts, weights, delta)
+        if len(parts) > _COMPACT_WIDTH:
+            self._parts[name] = [self._ckpt(self._table(name), eager=False)]
+            self._part_weights[name] = [1 << 30]
+
+    def _tier(
+        self, frames: list[DataFrame], weights: list[int], delta: DataFrame
+    ) -> None:
+        """Binary-counter carry: push ``delta`` at weight 1, then merge the
+        two most-recent runs while they share a weight class. Shared by
+        ``_append`` and the resolver-tombstone overlay — one copy of the
+        carry rule, so a policy change cannot silently diverge."""
+        frames.append(delta)
         weights.append(1)
         while (
             len(weights) >= 2
             and weights[-1].bit_length() == weights[-2].bit_length()
         ):
             w2, w1 = weights.pop(), weights.pop()
-            p2, p1 = parts.pop(), parts.pop()
-            parts.append(self._ckpt(p1.unionByName(p2), eager=False))
+            p2, p1 = frames.pop(), frames.pop()
+            frames.append(self._ckpt(p1.unionByName(p2), eager=False))
             weights.append(w1 + w2)
-        if len(parts) > _COMPACT_WIDTH:
-            self._parts[name] = [self._ckpt(self._table(name), eager=False)]
-            self._part_weights[name] = [1 << 30]
 
     def _commit(self, name: str, df: DataFrame) -> None:
         """Rewrite path: replace a table wholesale (drop/replace a step).
@@ -1101,23 +1116,11 @@ class Catalog:
                 ),
                 eager=True,
             )
-            self._rc_tombstones.append(retired)
-            self._rc_tomb_weights.append(1)
             # same binary-counter tiering as _append (round 10): without it
             # the anti-join overlay widens by one frame per micro-batch and
             # every downstream plan re-broadcasts the widening union — a
             # measured linear per-batch creep in the embedding delta ramp
-            while (
-                len(self._rc_tomb_weights) >= 2
-                and self._rc_tomb_weights[-1].bit_length()
-                == self._rc_tomb_weights[-2].bit_length()
-            ):
-                w2, w1 = self._rc_tomb_weights.pop(), self._rc_tomb_weights.pop()
-                t2, t1 = self._rc_tombstones.pop(), self._rc_tombstones.pop()
-                self._rc_tombstones.append(
-                    self._ckpt(t1.unionByName(t2), eager=False)
-                )
-                self._rc_tomb_weights.append(w1 + w2)
+            self._tier(self._rc_tombstones, self._rc_tomb_weights, retired)
             if len(self._rc_tombstones) > _COMPACT_WIDTH:
                 # ≥ 2^12 retirement batches of tiered runs — effectively a
                 # backstop; save() folds tombstones into the base anyway

@@ -348,6 +348,28 @@ def incremental_resolve_stream(
     model_step = f"{source_step}_model"
     resolver_step = f"{source_step}_resolve"
 
+    # corpus-derived ('auto') LSH parameters freeze from the FIRST corpus a
+    # model sees — in a stream that is micro-batch 1, the one slice that is
+    # NO proxy for the eventual corpus (a 1k-doc first batch would freeze
+    # 16-bit SimHash, the width measured quadratic by ~50k docs). The
+    # delta path already refuses this inside delta_block_keys; the full-
+    # recompute path would silently mis-size, so refuse EVERY route up
+    # front with the same pinning guidance.
+    unresolved = [
+        name
+        for name in ("bits", "bucket_dims")
+        if getattr(getattr(model, "settings", None), name, None) == "auto"
+    ]
+    if unresolved:
+        raise ValueError(
+            f"{type(model).__name__}({', '.join(unresolved)}='auto') sizes "
+            "its parameters from the full corpus at dedupe() time, but a "
+            "stream's first micro-batch is no proxy for the corpus — pin "
+            "explicitly for incremental_resolve_stream (size with "
+            "auto_simhash_bits / auto_embedding_bucket_dims against the "
+            "expected corpus)"
+        )
+
     use_block_keys = False
     if blocking_fields is None and auto_delta:
         probe = getattr(model, "delta_blocking_fields", None)
@@ -370,6 +392,13 @@ def incremental_resolve_stream(
             return
         if not run["from_start"]:
             _guard_checkpoint_state(catalog, source_step, batch_id)
+        # freeing the batch-local checkpoints below assumes every catalog
+        # delta eagerly checkpointed its OWN copy; if any _ckpt fell back
+        # to the raw plan (rare AQE planning bug), a stored part still
+        # references these frames — freeing them would truncate lineage
+        # unrecoverably, so on fallback we skip the frees for this batch
+        # (pre-r10 behaviour: blocks linger until a driver GC)
+        fallbacks0 = catalog._ckpt_fallbacks
         _index_batch(catalog, source_step, batch, key_field, index_fields)
 
         if (
@@ -439,9 +468,10 @@ def incremental_resolve_stream(
                 resolver_step, assignments, candidate_roots=touched_roots
             )
             # free batch-local checkpoints (see the use_block_keys branch)
-            for frame in _batch_locals + [touched_roots]:
-                if frame is not None:
-                    _free_checkpoint(frame)
+            if catalog._ckpt_fallbacks == fallbacks0:
+                for frame in _batch_locals + [touched_roots]:
+                    if frame is not None:
+                        _free_checkpoint(frame)
         elif use_block_keys:
             # computed-blocking delta-link (LSH-family models): the batch's
             # block keys — O(batch) to compute, a pure function of batch
@@ -509,17 +539,18 @@ def incremental_resolve_stream(
             # own copies); free them now — otherwise every micro-batch
             # leaves one set of cached blocks behind until a driver GC
             # happens to run (round 10, same lifecycle fix as CC rounds)
-            for frame in (
-                batch_leaf_ids,
-                batch_rows,
-                batch_keys,
-                touched_leaves,
-                data,
-                new_edges,
-                touched_roots,
-            ):
-                if frame is not None:
-                    _free_checkpoint(frame)
+            if catalog._ckpt_fallbacks == fallbacks0:
+                for frame in (
+                    batch_leaf_ids,
+                    batch_rows,
+                    batch_keys,
+                    touched_leaves,
+                    data,
+                    new_edges,
+                    touched_roots,
+                ):
+                    if frame is not None:
+                        _free_checkpoint(frame)
         else:
             _full_resolve(
                 catalog,

@@ -183,3 +183,67 @@ def test_embedding_linker_auto(spark):
         left_id="id", right_id="id", threshold=0.95
     ).link(left, right)
     assert {(r["left_id"], r["right_id"]) for r in edges.collect()} == {(1, 10)}
+
+
+def test_embedding_linker_auto_probes_both_sides(spark, caplog):
+    """An all-null LEFT embedding column must not collapse the auto bucket
+    space for a large right side: the dim probe reads both sides and uses
+    the smaller available dimensionality (round 10 review fix)."""
+    import logging
+    import re
+
+    from matchbox_spark.operators.dedup import auto_embedding_bucket_dims
+    from matchbox_spark.operators.lsh_linkers import EmbeddingLinker
+
+    n_right = 4096
+    left = spark.createDataFrame(
+        [(i, None) for i in range(8)], "id long, embedding array<double>"
+    )
+    right = spark.range(n_right).select(
+        F.col("id"),
+        F.array(*[(F.col("id") + d + 1.0) for d in range(16)]).alias(
+            "embedding"
+        ),
+    )
+    linker = EmbeddingLinker(left_id="id", right_id="id", threshold=0.99)
+    with caplog.at_level(logging.INFO, logger="matchbox_spark"):
+        linker.link(left, right).count()  # resolves + runs (no pairs match)
+    msg = next(
+        r.getMessage() for r in caplog.records if "auto-sized bucket_dims" in r.getMessage()
+    )
+    n_buckets = int(re.search(r"\((\d+) buckets", msg.replace(",", "")).group(1))
+    expected = auto_embedding_bucket_dims(8 + n_right, 16)
+    assert len(expected) > 3  # the corpus demands a non-degenerate space
+    # the probe must have seen the RIGHT side's 16 dims, not vdim=1
+    # (which would cap the space at 2 buckets)
+    assert n_buckets == 1 << len(expected)
+
+
+def test_catalog_ckpt_fallback_counter(spark):
+    """_ckpt swallows the rare checkpoint-planning failure and returns the
+    raw plan — the fallback counter must move so streaming batch-local
+    frees know the stored part may still reference their frames
+    (round 10 review fix)."""
+    from matchbox_spark.plans.catalog import Catalog
+
+    cat = Catalog(spark)
+    df = spark.range(3).select(
+        F.col("id").alias("cluster_id"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias(
+            "cluster_hash"
+        ),
+    )
+
+    class _Boom:
+        def __getattr__(self, name):
+            raise RuntimeError("planning bug")
+
+    broken = df.alias("b")
+    object.__setattr__(broken, "localCheckpoint", _Boom())
+    before = cat._ckpt_fallbacks
+    out = cat._ckpt(broken, eager=True)
+    assert cat._ckpt_fallbacks == before + 1
+    assert out is broken  # raw plan returned, still usable
+    # and the healthy path does not move the counter
+    cat._ckpt(df, eager=True)
+    assert cat._ckpt_fallbacks == before + 1

@@ -125,3 +125,55 @@ def test_gif_corruption_fuzz_fails_closed():
                     decode_gif_pixels(bytes(mutated))
                 except ValueError:
                     pass
+
+
+def test_gif_decode_pixel_cap_fails_closed():
+    # a kilobyte-sized hostile payload declaring a gigapixel geometry must
+    # raise (scan-level 'corrupt'), not balloon to gigabytes mid-decode
+    img = np.full((2, 2, 3), (1, 2, 3), np.uint8)
+    bomb_screen = bytearray(encode_gif(img))
+    bomb_screen[6:10] = (60000).to_bytes(2, "little") * 2  # screen 60000^2
+    with pytest.raises(ValueError, match="pixel cap"):
+        decode_gif_pixels(bytes(bomb_screen))
+
+    bomb_frame = bytearray(encode_gif(img))
+    desc = bomb_frame.index(0x2C, 13)
+    bomb_frame[desc + 5 : desc + 9] = (60000).to_bytes(2, "little") * 2
+    with pytest.raises(ValueError, match="pixel cap"):
+        decode_gif_pixels(bytes(bomb_frame))
+
+
+def test_gif_subrectangle_frame_composites_onto_screen():
+    # real-world GIFs place the first frame inside a larger logical
+    # screen: the decoded raster must match gif_screen_info's geometry,
+    # frame at (left, top), background color elsewhere
+    img = np.zeros((3, 4, 3), np.uint8)
+    img[:, :] = (10, 20, 30)
+    img[0, 0] = (200, 100, 50)
+    payload = bytearray(encode_gif(img))
+    payload[6:8] = (9).to_bytes(2, "little")  # screen 9 wide
+    payload[8:10] = (7).to_bytes(2, "little")  # screen 7 tall
+    desc = payload.index(0x2C, 13)
+    payload[desc + 1 : desc + 3] = (2).to_bytes(2, "little")  # left
+    payload[desc + 3 : desc + 5] = (1).to_bytes(2, "little")  # top
+    out = decode_gif_pixels(bytes(payload))
+    assert out.shape == (7, 9, 3)
+    assert gif_screen_info(bytes(payload)) == (9, 7)
+    bg = np.frombuffer(
+        bytes(payload[13 + 3 * payload[11] : 16 + 3 * payload[11]]), np.uint8
+    )
+    assert np.array_equal(out[1:4, 2:6], img)
+    assert np.array_equal(out[0, :], np.tile(bg, (9, 1)))
+    assert np.array_equal(out[:, 0], np.tile(bg, (7, 1)))
+
+    # frame straddling the right/bottom edge is clipped, not an error
+    payload[desc + 1 : desc + 3] = (7).to_bytes(2, "little")
+    payload[desc + 3 : desc + 5] = (5).to_bytes(2, "little")
+    out = decode_gif_pixels(bytes(payload))
+    assert out.shape == (7, 9, 3)
+    assert np.array_equal(out[5:7, 7:9], img[:2, :2])
+
+    # frame placed entirely outside the screen fails closed
+    payload[desc + 1 : desc + 3] = (9).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="outside"):
+        decode_gif_pixels(bytes(payload))

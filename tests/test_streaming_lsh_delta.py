@@ -309,3 +309,45 @@ def test_serving_matcher_patches_under_block_key_stream(spark, tmp_path):
     assert {
         (r["id"], r["source"], r["key"]) for r in matcher.projection.collect()
     } == {(r["id"], r["source"], r["key"]) for r in fresh.collect()}
+
+
+def test_stream_refuses_unresolved_auto_params(spark, tmp_path):
+    """Corpus-derived 'auto' LSH parameters freeze from the first corpus a
+    model sees — in a stream that is micro-batch 1, no proxy for the
+    eventual corpus. The delta path always refused this inside
+    delta_block_keys; the FULL-recompute path (auto_delta=False) would
+    silently freeze the mis-sized width, so the stream must refuse every
+    route up front (round 10 review fix)."""
+    import pytest
+
+    from matchbox_spark.operators.lsh_linkers import (
+        EmbeddingDeduper,
+        SimHashDeduper,
+    )
+    from matchbox_spark.plans.catalog import Catalog
+    from matchbox_spark.plans.resolvers import Components
+    from matchbox_spark.streaming.incremental import incremental_resolve_stream
+
+    df = spark.createDataFrame([(1, "a b c")], "k long, text string")
+    data_dir = str(tmp_path / "data")
+    df.write.parquet(data_dir)
+    stream = spark.readStream.schema(df.schema).parquet(data_dir)
+
+    for model, route in (
+        (SimHashDeduper(id="id", text_field="s_text"), True),
+        (SimHashDeduper(id="id", text_field="s_text"), False),
+        (EmbeddingDeduper(id="id", vector_field="s_text"), False),
+    ):
+        with pytest.raises(ValueError, match="auto"):
+            incremental_resolve_stream(
+                stream,
+                Catalog(spark),
+                source_step="s",
+                key_field="k",
+                index_fields=["text"],
+                model=model,
+                resolver_method=Components(method="auto"),
+                checkpoint_dir=str(tmp_path / f"ckpt_{route}_{type(model).__name__}"),
+                source_location=data_dir,
+                auto_delta=route,
+            )
