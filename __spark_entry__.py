@@ -7235,9 +7235,17 @@ _TOUCHED_R10 = {
     "d4c_simhash_scaled",          # NEW: scale-safe 32-bit SimHash oracle
     "d4_simhash",                  # shiftleft(1,bit) BIGINT fix rides along
     "d4b_simhash_neardups",        # same module (auto-sizing landed)
-    "d5_embedding_pairs",          # embedding module (auto bucket_dims)
+    "d5_embedding_pairs",          # embedding module (auto bucket_dims +
+    #                                two-sided linker dim probe, review fix)
     "m9_audio_stats",              # exact-integer mean/RMS accumulation
     "m1_media_metadata",           # WAV channels>=1 guard rides along
+    # close-time review fixes (GIF pixel cap + placement compositing ride
+    # the m-family rotation; streaming auto-guard + checkpoint-free safety
+    # + catalog _tier ride st7's delta path)
+    "m5_real_image_decode",
+    "m6_malformed_media",
+    "m7_decode_stats_malformed",
+    "st7_incremental_resolve",
 }
 
 # round-9 code-path changes (new operators, review fixes)
