@@ -41,13 +41,18 @@ only post-restart data — both entry points detect that (first seen batch_id
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from matchbox_spark.functions.hashing import row_hash_expr
+from matchbox_spark.operators.lsh_linkers import AUTO
 from matchbox_spark.plans.catalog import Catalog
 from matchbox_spark.plans.resolvers import _free_checkpoint
+
+logger = logging.getLogger(__name__)
 
 
 def _guard_checkpoint_state(catalog: Catalog, step: str, batch_id: int) -> None:
@@ -358,7 +363,7 @@ def incremental_resolve_stream(
     unresolved = [
         name
         for name in ("bits", "bucket_dims")
-        if getattr(getattr(model, "settings", None), name, None) == "auto"
+        if getattr(getattr(model, "settings", None), name, None) == AUTO
     ]
     if unresolved:
         raise ValueError(
@@ -472,6 +477,24 @@ def incremental_resolve_stream(
                 for frame in _batch_locals + [touched_roots]:
                     if frame is not None:
                         _free_checkpoint(frame)
+            else:
+                # a checkpoint fell back to AQE-cached plans mid-batch:
+                # freeing now could drop blocks a fallback plan still
+                # references, so the frees are deferred to driver GC — say
+                # so, or a long-running stream's lingering blocks look like
+                # the pre-r10 leak instead of this deliberate skip
+                logger.warning(
+                    "batch %s: skipped freeing %d batch-local checkpoints "
+                    "(catalog checkpoint fallbacks %d -> %d); blocks are "
+                    "released by driver GC",
+                    batch_id,
+                    sum(
+                        f is not None
+                        for f in _batch_locals + [touched_roots]
+                    ),
+                    fallbacks0,
+                    catalog._ckpt_fallbacks,
+                )
         elif use_block_keys:
             # computed-blocking delta-link (LSH-family models): the batch's
             # block keys — O(batch) to compute, a pure function of batch
@@ -539,18 +562,29 @@ def incremental_resolve_stream(
             # own copies); free them now — otherwise every micro-batch
             # leaves one set of cached blocks behind until a driver GC
             # happens to run (round 10, same lifecycle fix as CC rounds)
+            _locals = (
+                batch_leaf_ids,
+                batch_rows,
+                batch_keys,
+                touched_leaves,
+                data,
+                new_edges,
+                touched_roots,
+            )
             if catalog._ckpt_fallbacks == fallbacks0:
-                for frame in (
-                    batch_leaf_ids,
-                    batch_rows,
-                    batch_keys,
-                    touched_leaves,
-                    data,
-                    new_edges,
-                    touched_roots,
-                ):
+                for frame in _locals:
                     if frame is not None:
                         _free_checkpoint(frame)
+            else:
+                logger.warning(
+                    "batch %s: skipped freeing %d batch-local checkpoints "
+                    "(catalog checkpoint fallbacks %d -> %d); blocks are "
+                    "released by driver GC",
+                    batch_id,
+                    sum(f is not None for f in _locals),
+                    fallbacks0,
+                    catalog._ckpt_fallbacks,
+                )
         else:
             _full_resolve(
                 catalog,

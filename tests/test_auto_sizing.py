@@ -234,12 +234,14 @@ def test_catalog_ckpt_fallback_counter(spark):
         ),
     )
 
-    class _Boom:
-        def __getattr__(self, name):
-            raise RuntimeError("planning bug")
+    def _boom(*args, **kwargs):
+        raise RuntimeError("planning bug")
 
     broken = df.alias("b")
-    object.__setattr__(broken, "localCheckpoint", _Boom())
+    # a plain raising callable — an object whose __getattr__ raises would
+    # fail with TypeError at the *call* (implicit __call__ lookup bypasses
+    # __getattr__), simulating a different failure than a planning bug
+    object.__setattr__(broken, "localCheckpoint", _boom)
     before = cat._ckpt_fallbacks
     out = cat._ckpt(broken, eager=True)
     assert cat._ckpt_fallbacks == before + 1
