@@ -756,14 +756,20 @@ def j7_flagship(spark, sf):
     key's entity as the minimum member custkey (content-defined, so the
     relational oracle can state it independently — equality-dedupe
     components are exactly the groupwise-equal classes)."""
+    from pyspark.sql import Window
+
     from matchbox_spark.plans.query import unified_query
 
     dag = _flagship_dag(spark, sf)
     ids = unified_query(
         dag.catalog, dag.resolver_lineage("resolve"), ["cust"], level="key"
     ).withColumn("custkey", F.col("key").cast("long"))
-    rep = ids.groupBy("id").agg(F.min("custkey").alias("entity_rep"))
-    return ids.join(rep, "id").select("key", "entity_rep")
+    # per-entity min as a window, not groupBy+self-join: one shuffle on id
+    # instead of two plus a join stage
+    return ids.select(
+        "key",
+        F.min("custkey").over(Window.partitionBy("id")).alias("entity_rep"),
+    )
 
 
 @_q(

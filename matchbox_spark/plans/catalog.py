@@ -42,12 +42,30 @@ from pyspark.sql import functions as F
 from matchbox_spark.functions.indexing import dense_index
 from matchbox_spark.functions.hashing import (
     fold_unordered_stats,
+    hash_cluster_leaves,
     hash_table_unordered,
     hash_to_base64,
     leaf_set_hash_expr,
     row_hash_expr,
     unordered_stats_aggs,
 )
+
+
+def _is_local_plan(df: DataFrame) -> bool:
+    """Whether ``df`` optimizes to a LocalRelation (driver-resident rows).
+
+    ``DataFrame.isLocal()`` checks the ANALYZED plan, where a conform()'s
+    Project hides the LocalRelation; the optimizer's
+    ConvertToLocalRelation rule collapses it, so probe the optimized plan.
+    Triggers analysis/optimization (driver-side, no jobs) — work every
+    consumer pays anyway."""
+    try:
+        return (
+            df._jdf.queryExecution().optimizedPlan().getClass().getSimpleName()
+            == "LocalRelation"
+        )
+    except Exception:  # noqa: BLE001 — detection only; fall to general path
+        return False
 
 _CLUSTERS = "cluster_id long, cluster_hash binary"
 _KEYS = "cluster_id long, source string, key string"
@@ -251,6 +269,9 @@ class Catalog:
             json.dump(meta, f, indent=2, sort_keys=True)
         os.replace(tmp, os.path.join(self.path, "steps.json"))
         self._snapshot_id = snap
+        # every table is on disk — a deferred lazy-assignment cache (and
+        # the plans reading it) is no longer needed by anything re-pointed
+        self._release_assign_temp()
         # re-point parts at the live snapshot BEFORE collecting the old one
         for name in self._table_names():
             target = os.path.join(snap_dir, name)
@@ -520,7 +541,9 @@ class Catalog:
             bucketed = new_hashes
         else:
             bucketed = new_hashes.withColumn("_bkt", self._bucket_expr())
-            self._assign_temp = None
+            # a deferred temp from a prior lazy assignment may still be
+            # held — free it (unpersist, not just drop the handle)
+            self._release_assign_temp()
         if counts is None:
             bucketed = bucketed.persist()
             self._assign_temp = bucketed
@@ -595,6 +618,7 @@ class Catalog:
         (insert.py:43-165 semantics: temp table → insert-if-absent → unnest).
         """
         # index is groupBy-output (unique by hash) — no distinct needed
+        self._release_assign_temp()  # deferred from a prior lazy assignment
         if self._clusters_empty and fingerprint is None:
             # first insert into an empty catalog: every hash is new, so TWO
             # jobs do everything. Job 1 is one grouped aggregate over the
@@ -625,10 +649,19 @@ class Catalog:
                 self._release_assign_temp()
                 return
             counts = {r["_bkt"]: r["n"] for r in stats}
+            # LAZY checkpoint: the id assignment (window over the cached
+            # bucketed index) folds into the FIRST downstream action — in
+            # the DAG flow that is the model step's edge materialisation,
+            # which reads cluster_keys through this plan anyway. The old
+            # eager=True here was one more serial driver sync per source
+            # step (the j7 serial-action floor, VERDICT r10). The persist
+            # stays live until the next catalog mutation releases it
+            # (deferred _release_assign_temp below); an early release is
+            # still correct — the plan recomputes deterministically
+            # (content-hash bucketing + row_number ordered by hash).
             assigned = self._ckpt(
-                self._assign_ids(bucketed, counts=counts), eager=True
+                self._assign_ids(bucketed, counts=counts), eager=False
             )
-            self._release_assign_temp()
             self._append(
                 "clusters",
                 assigned.select("cluster_id", "cluster_hash"),
@@ -828,6 +861,7 @@ class Catalog:
         checkpoint of data that was identical anyway — the rare re-sync
         case; the insert path stays one job.
         """
+        self._release_assign_temp()  # deferred from a prior lazy assignment
         tagged = edges.select(
             F.lit(step).alias("step"), "left_id", "right_id", "score"
         )
@@ -889,6 +923,27 @@ class Catalog:
         hashes; new clusters insert-if-absent; ``contains`` and
         ``resolver_clusters`` rows land last (insert.py:333-511).
         """
+        self._release_assign_temp()  # deferred from a prior lazy assignment
+        if (
+            fingerprint is not None
+            and self._contains_empty
+            and (
+                getattr(assignments, "_mb_local_pdf", None) is not None
+                or _is_local_plan(assignments)
+            )
+        ):
+            # the resolver's auto probe already ran union-find on the
+            # driver (assignments is a LocalRelation) and no hierarchy
+            # exists yet (every child is a leaf — no expansion join):
+            # content-address driver-side in two shallow broadcast-join
+            # collects instead of ~18 serial AQE stage-jobs of distributed
+            # groupBys — the j7 serial-action floor VERDICT r10 flagged.
+            # Scale-safe by construction: the data volume is bounded by the
+            # resolver's own driver-path decision. The distributed path
+            # below stays the general case (distributed assignments, prior
+            # hierarchy, or fingerprint not precomputed).
+            self._insert_resolver_clusters_local(step, assignments, fingerprint)
+            return
         # caches (not checkpoints): reused by several derivations below, then
         # explicitly unpersisted once the deltas are materialised
         assignments = assignments.persist()
@@ -920,6 +975,142 @@ class Catalog:
             )
         else:
             self._append("resolver_clusters", rc)
+        self._step_rows["resolver_clusters"].add(step)
+        self.steps[step] = {
+            "type": "resolver",
+            "fingerprint": hash_to_base64(fingerprint),
+        }
+
+    def _insert_resolver_clusters_local(
+        self, step: str, assignments: DataFrame, fingerprint: bytes
+    ) -> None:
+        """Driver-scale :meth:`insert_resolver_clusters` (first hierarchy
+        insert, LocalRelation assignments, precomputed fingerprint).
+
+        Byte-identical outcome to the distributed path: same H5 member
+        hashes (``hash_cluster_leaves`` is the driver twin of
+        ``leaf_set_hash_expr``), same dense id order (sorted hash bytes —
+        what ``dense_index`` over digest-prefix buckets produces), same
+        insert-if-absent content addressing. Two Spark actions total (leaf
+        hashes, exists check), each a broadcast semi-join collect with no
+        shuffle; the three appends are LocalRelations, costing no jobs."""
+        if self._fingerprint_gate(step, fingerprint):
+            return
+        import pandas as pd
+
+        apdf = getattr(assignments, "_mb_local_pdf", None)
+        if apdf is None:
+            apdf = assignments.toPandas()  # LocalRelation: Arrow, driver-side
+        if apdf.empty:
+            self.steps[step] = {
+                "type": "resolver",
+                "fingerprint": hash_to_base64(fingerprint),
+            }
+            return
+        parents: dict[int, set[int]] = {}
+        for p, c in zip(apdf["parent_id"].tolist(), apdf["child_id"].tolist()):
+            parents.setdefault(int(p), set()).add(int(c))
+
+        # job 1: member leaf hashes — O(members) to driver, bounded by the
+        # resolver's driver-path decision
+        leaf_ids = sorted({c for m in parents.values() for c in m})
+        ids_df = self.spark.createDataFrame(
+            pd.DataFrame({"cluster_id": pd.array(leaf_ids, dtype="int64")})
+        )
+        lpdf = self.clusters.join(
+            F.broadcast(ids_df), "cluster_id", "left_semi"
+        ).toPandas()
+        leaf_hash = {
+            int(i): bytes(h)
+            for i, h in zip(
+                lpdf["cluster_id"].tolist(), lpdf["cluster_hash"].tolist()
+            )
+        }
+        # mirror the distributed inner join: members missing from clusters
+        # drop from the member HASH but still land in contains
+        parent_hash = {
+            p: hash_cluster_leaves(
+                leaf_hash[c] for c in members if c in leaf_hash
+            )
+            for p, members in parents.items()
+        }
+
+        # job 2: insert-if-absent — which parent hashes already exist
+        hashes = sorted(set(parent_hash.values()))
+        hdf = self.spark.createDataFrame(
+            pd.DataFrame({"cluster_hash": hashes}), "cluster_hash binary"
+        )
+        epdf = self.clusters.join(
+            F.broadcast(hdf), "cluster_hash", "left_semi"
+        ).toPandas()
+        existing = {
+            bytes(h): int(i)
+            for h, i in zip(
+                epdf["cluster_hash"].tolist(), epdf["cluster_id"].tolist()
+            )
+        }
+
+        # dense deterministic ids for new hashes, ordered by hash bytes —
+        # dense_index's digest-prefix-bucket order IS byte order
+        new_hashes = [h for h in hashes if h not in existing]
+        root_of = dict(existing)
+        for i, h in enumerate(new_hashes):
+            root_of[h] = self._max_id + 1 + i
+        self._max_id += len(new_hashes)
+        self._last_assigned_n = len(new_hashes)
+
+        # Arrow-batched uploads (one transfer each, no per-row pickling —
+        # the driver path is licensed up to tens of millions of edges)
+        if new_hashes:
+            self._append(
+                "clusters",
+                self.spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "cluster_id": pd.array(
+                                [root_of[h] for h in new_hashes], dtype="int64"
+                            ),
+                            "cluster_hash": new_hashes,
+                        }
+                    ),
+                    _CLUSTERS,
+                ),
+                materialised=True,
+            )
+            self._clusters_empty = False
+
+        # first hierarchy insert: contains rows for ALL parents (none can
+        # pre-exist — contains is empty), root != leaf filtered like the
+        # distributed path
+        contains_rows = sorted(
+            {
+                (root_of[parent_hash[p]], leaf)
+                for p, members in parents.items()
+                for leaf in members
+                if root_of[parent_hash[p]] != leaf
+            }
+        )
+        if contains_rows:
+            self._append(
+                "contains",
+                self.spark.createDataFrame(
+                    pd.DataFrame(contains_rows, columns=["root", "leaf"]).astype(
+                        "int64"
+                    ),
+                    _CONTAINS,
+                ),
+                materialised=True,
+            )
+            self._contains_empty = False
+
+        rc_rows = sorted({(step, r) for r, _ in contains_rows})
+        rc = self.spark.createDataFrame(rc_rows or [], _RESOLVER)
+        if self._step_has_rows("resolver_clusters", "step", step):
+            self._commit_resolver_clusters(
+                self.resolver_clusters.where(F.col("step") != step).unionByName(rc)
+            )
+        else:
+            self._append("resolver_clusters", rc, materialised=True)
         self._step_rows["resolver_clusters"].add(step)
         self.steps[step] = {
             "type": "resolver",

@@ -474,10 +474,16 @@ class Components(ResolverMethod):
                 c: i + 1 for i, c in enumerate(sorted(lab["component"].unique()))
             }
             lab["parent_id"] = lab["component"].map(rank)
-            assignments = spark.createDataFrame(
-                lab[["parent_id", "child_id"]].astype("int64")
+            local = lab[["parent_id", "child_id"]].astype("int64")
+            assignments = conform(
+                spark.createDataFrame(local), SCHEMA_CLUSTERS
             )
-            return conform(assignments, SCHEMA_CLUSTERS)
+            # driver-resident marker: the catalog's local insert path reads
+            # this pandas frame directly instead of re-analysing and
+            # re-collecting the LocalRelation plan (one less plan analysis
+            # + one less job per resolver step)
+            assignments._mb_local_pdf = local
+            return assignments
 
         # the resolver's own probe already decided this graph exceeds the
         # driver — don't let connected_components re-probe (and re-collect)
