@@ -2427,6 +2427,145 @@ def j6_splink_compat(spark, sf):
     )
 
 
+def _j6c_oracle(iters: int = 3) -> str:
+    """Unrolled-CTE Fellegi–Sunter EM (the t12/g8 pattern): candidate pairs
+    → k=2 boolean gammas → pattern counts (≤4 rows), then ``iters`` exact
+    E/M steps as MATERIALIZED CTE pairs — each parameter row references the
+    previous posterior several times. Mirrors operators.probabilistic._em
+    term-for-term (same left-assoc products, same LEAST/GREATEST clamps,
+    same pm/(pm+pu) guard); float drift from summation order is ~1e-15,
+    absorbed by the shared float32+round(6) emit."""
+    parts = [
+        """WITH base AS MATERIALIZED (
+         SELECT c_custkey AS uid, c_name AS name, c_nationkey AS nk,
+                c_acctbal AS bal
+         FROM customer WHERE c_nationkey < 3
+       ),
+       rgt AS MATERIALIZED (
+         SELECT uid + 1000000 AS uid,
+                CASE WHEN uid % 4 = 0 THEN substr(name, 1, 100) || 'Z'
+                     ELSE name END AS name,
+                nk, bal
+         FROM base
+       ),
+       g AS MATERIALIZED (
+         SELECT l.uid AS lid, r.uid AS rid,
+                CASE WHEN l.name = r.name THEN 1 ELSE 0 END AS g0,
+                CASE WHEN abs(l.bal - r.bal) < 50 THEN 1 ELSE 0 END AS g1
+         FROM base l JOIN rgt r ON l.nk = r.nk
+       ),
+       counts AS MATERIALIZED (
+         SELECT g0, g1, COUNT(*) AS n FROM g GROUP BY g0, g1
+       ),
+       par0 AS MATERIALIZED (
+         SELECT CAST(0.1 AS DOUBLE) AS lam,
+                CAST(0.9 AS DOUBLE) AS m0, CAST(0.9 AS DOUBLE) AS m1,
+                CAST(0.1 AS DOUBLE) AS u0, CAST(0.1 AS DOUBLE) AS u1
+       )"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f""",
+       post{t} AS MATERIALIZED (
+         SELECT g0, g1, n,
+                CASE WHEN pm + pu > 0 THEN pm / (pm + pu) ELSE 0.0 END AS w
+         FROM (
+           SELECT g0, g1, n,
+                  lam * (CASE WHEN g0 = 1 THEN m0 ELSE 1 - m0 END)
+                      * (CASE WHEN g1 = 1 THEN m1 ELSE 1 - m1 END) AS pm,
+                  (1 - lam) * (CASE WHEN g0 = 1 THEN u0 ELSE 1 - u0 END)
+                            * (CASE WHEN g1 = 1 THEN u1 ELSE 1 - u1 END) AS pu
+           FROM counts CROSS JOIN par{t})
+       ),
+       par{t + 1} AS MATERIALIZED (
+         SELECT SUM(w * n) / SUM(n) AS lam,
+                LEAST(GREATEST(
+                  SUM(CASE WHEN g0 = 1 THEN w * n ELSE 0 END) / SUM(w * n),
+                  0.000001), 1 - 0.000001) AS m0,
+                LEAST(GREATEST(
+                  SUM(CASE WHEN g1 = 1 THEN w * n ELSE 0 END) / SUM(w * n),
+                  0.000001), 1 - 0.000001) AS m1,
+                LEAST(GREATEST(
+                  SUM(CASE WHEN g0 = 1 THEN (1 - w) * n ELSE 0 END)
+                    / (SUM(n) - SUM(w * n)),
+                  0.000001), 1 - 0.000001) AS u0,
+                LEAST(GREATEST(
+                  SUM(CASE WHEN g1 = 1 THEN (1 - w) * n ELSE 0 END)
+                    / (SUM(n) - SUM(w * n)),
+                  0.000001), 1 - 0.000001) AS u1
+         FROM post{t}
+       )"""
+        )
+    parts.append(
+        f""",
+       pattern_scores AS MATERIALIZED (
+         SELECT g0, g1,
+                CASE WHEN pm + pu > 0 THEN pm / (pm + pu) ELSE 0.0 END
+                  AS score_d
+         FROM (
+           SELECT c.g0, c.g1,
+                  lam * (CASE WHEN c.g0 = 1 THEN m0 ELSE 1 - m0 END)
+                      * (CASE WHEN c.g1 = 1 THEN m1 ELSE 1 - m1 END) AS pm,
+                  (1 - lam) * (CASE WHEN c.g0 = 1 THEN u0 ELSE 1 - u0 END)
+                            * (CASE WHEN c.g1 = 1 THEN u1 ELSE 1 - u1 END)
+                    AS pu
+           FROM counts c CROSS JOIN par{iters})
+       )
+       SELECT g.lid AS left_id, g.rid AS right_id,
+              ROUND(CAST(CAST(s.score_d AS REAL) AS DOUBLE), 6) AS score
+       FROM g JOIN pattern_scores s ON g.g0 = s.g0 AND g.g1 = s.g1
+       WHERE s.score_d >= 0.15
+       ORDER BY left_id, right_id"""
+    )
+    return "".join(parts)
+
+
+@_q("j6c_fs_em_unrolled", _j6c_oracle())
+def j6c_fs_em_unrolled(spark, sf):
+    """J6/EM: the TRAINED Fellegi–Sunter path driver-hash-checked end to
+    end (reference splinklinker.py:177-257 trains via splink's EM; here
+    operators.probabilistic.FellegiSunterLinker._em). Fixed-iteration run
+    (max_iter=3, tol=0 — never converges early) so the oracle can unroll
+    the E/M recurrence as MATERIALIZED CTEs over the ≤4 agreement-pattern
+    counts; the threshold (0.15) passes two posterior tiers, pinning λ/m/u
+    through two distinct pattern scores, not just the top one."""
+    from matchbox_spark.operators.probabilistic import FellegiSunterLinker
+
+    base = _t(spark, sf, "customer").where(F.col("c_nationkey") < 3).select(
+        F.col("c_custkey").alias("uid"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    right = base.select(
+        (F.col("uid") + 1_000_000).alias("uid"),
+        F.when(
+            F.col("uid") % 4 == 0,
+            F.concat(F.substring("name", 1, 100), F.lit("Z")),
+        ).otherwise(F.col("name")).alias("name"),
+        "nk",
+        "bal",
+    )
+    linker = FellegiSunterLinker(
+        left_id="uid",
+        right_id="uid",
+        blocking_rules=["l.nk = r.nk"],
+        comparisons=["l.name = r.name", "abs(l.bal - r.bal) < 50"],
+        threshold=0.15,
+        max_iter=3,
+        tol=0.0,
+    )
+    return (
+        linker.link(base, right)
+        .select(
+            "left_id",
+            "right_id",
+            F.round(F.col("score").cast("double"), 6).alias("score"),
+        )
+        .orderBy("left_id", "right_id")
+    )
+
+
 _J6B_DIST_SQL = (
     "2 * 6371 * asin(sqrt("
     "pow(sin(radians(ra - la) / 2), 2) "

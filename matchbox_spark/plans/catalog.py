@@ -667,11 +667,16 @@ class Catalog:
                 assigned.select("cluster_id", "cluster_hash"),
                 materialised=True,
             )
+            # per-array dedup, not a global dropDuplicates shuffle: the
+            # index is unique by hash and cluster_id↔hash is 1:1, so a
+            # duplicate (cluster_id, key) pair can only come from WITHIN
+            # one hash-group's array (two fully-identical source rows) —
+            # array_distinct is equivalent and exchange-free
             keys = assigned.select(
                 "cluster_id",
                 F.lit(step).alias("source"),
-                F.explode("keys").alias("key"),
-            ).dropDuplicates()
+                F.explode(F.array_distinct("keys")).alias("key"),
+            )
             keys_materialised = False  # shallow plan over the checkpoint;
             # _append's lazy checkpoint makes the dedup run once, not per read
         else:
@@ -707,13 +712,14 @@ class Catalog:
             self._release_assign_temp()
             self._append("clusters", assigned, materialised=True)
             keys = self._ckpt(
+                # array_distinct not dropDuplicates — see the first-insert
+                # branch (index unique by hash ⇒ in-array dedup suffices)
                 index.join(self.clusters, "cluster_hash")
                 .select(
                     "cluster_id",
                     F.lit(step).alias("source"),
-                    F.explode("keys").alias("key"),
-                )
-                .dropDuplicates(),
+                    F.explode(F.array_distinct("keys")).alias("key"),
+                ),
                 eager=True,  # materialise before the cached index is freed
             )
             index.unpersist()
@@ -768,13 +774,14 @@ class Catalog:
         self._bump_max_id(assigned)
 
         keys = (
+            # array_distinct not dropDuplicates — the delta index is unique
+            # by hash (groupBy output), so in-array dedup suffices
             index.join(self.clusters, "cluster_hash")
             .select(
                 "cluster_id",
                 F.lit(step).alias("source"),
-                F.explode("keys").alias("key"),
+                F.explode(F.array_distinct("keys")).alias("key"),
             )
-            .dropDuplicates()
         )
         if self._step_has_rows("cluster_keys", "source", step):
             keys = keys.join(
