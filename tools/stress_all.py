@@ -22,6 +22,7 @@ from concurrent.futures import ThreadPoolExecutor
 # name → (quick argv, full argv)
 HARNESSES: dict[str, tuple[list[str], list[str]]] = {
     "cc": (["200", "50"], []),                       # rings × ring_size
+    "cc_hub": (["--hub", "100000"], ["--hub", "10000000"]),  # power-law hub
     "dedup": (["5000", "20"], []),                   # docs, words
     "ann": (["5000", "10"], []),                     # vectors, queries
     "pipeline": (["50000", "10"], []),               # rows, group size
@@ -61,6 +62,7 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
 
 # harnesses that are not tools/stress_<name>.py
 SCRIPTS = {
+    "cc_hub": "tools/stress_cc.py",
     "plan_gate": "tools/plan_report.py",
     "simhash": "tools/stress_dedup.py",
     "embedding_dedupe": "tools/stress_dedup.py",

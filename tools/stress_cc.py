@@ -12,7 +12,19 @@ checkpoints are explicitly freed the moment the next round materialises
 ~2 rounds however many rounds the graph needs — before the fix, dead
 DISK_ONLY rounds accumulated until a driver GC happened to run.
 
+Round 11 adds ``--hub``: a power-law graph — the known large-star failure
+mode is a hub key receiving a degree-d fanout per round, the skew shape a
+real 100 TB web-domain graph has (rings+chords never stress one shuffle
+key). ``comp(i) = floor(M/(i+1))`` partitions M nodes into components with
+an exact Zipf(α=2) size law (component k has ~M/k² nodes, the largest M/2);
+each component is a star centred at its minimum node (so hub DEGREES are
+the same power law, max ~M/2) plus a chain over consecutive members (so
+contraction takes multiple rounds while the skew persists). Expected
+components/labels are closed-form from the same mapping — exactness is
+asserted, not sampled.
+
 Usage: python tools/stress_cc.py [n_rings] [ring_size]
+       python tools/stress_cc.py --hub [n_nodes]
 """
 
 from __future__ import annotations
@@ -62,7 +74,87 @@ class StorageMonitor:
         self._thread.join(timeout=5)
 
 
+def hub_main() -> int:
+    """Power-law hub rung: exact CC over Zipf(α=2) star+chain components."""
+    m = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+
+    import os as _os
+
+    edges_est = 2 * m
+    parts = max(_os.cpu_count() or 8, min(2048, edges_est // 500_000))
+    spark = get_spark(app_name="stress_cc_hub", shuffle_partitions=parts)
+
+    nodes = spark.range(m)
+    comp = F.floor(F.lit(m) / (F.col("id") + 1))
+    center = F.floor(F.lit(m) / (comp + 1))
+    mapping = nodes.select(
+        "id", comp.alias("comp"), center.alias("center")
+    )
+    # star: every non-centre member links to the centre (hub degree =
+    # component size - 1 — the Zipf law IS the degree law)
+    stars = mapping.where(F.col("id") != F.col("center")).select(
+        F.col("center").alias("src"), F.col("id").alias("dst")
+    )
+    # chain: consecutive nodes in the same component (comp(i) is monotone
+    # non-increasing in i, so comp(i)==comp(i+1) ⇔ same component) — keeps
+    # the giant component's diameter large enough for multiple rounds
+    chains = mapping.where(
+        F.floor(F.lit(m) / (F.col("id") + 2)) == F.col("comp")
+    ).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    graph = stars.union(chains)
+
+    t0 = time.time()
+    with StorageMonitor(spark) as mon:
+        cc = connected_components(graph, strategy="distributed").localCheckpoint(
+            eager=True
+        )
+    elapsed = time.time() - t0
+
+    n_edges = graph.count()
+    n_nodes = cc.count()
+    n_components = cc.select("component").distinct().count()
+    # singleton components (Zipf tail, size 1) have no edges and thus no CC
+    # rows — the exact expectation is the multi-node components only
+    sizes = mapping.groupBy("comp").agg(F.count("*").alias("sz"))
+    row = sizes.where(F.col("sz") >= 2).agg(
+        F.count("*").alias("n_comp"), F.sum("sz").alias("n_node")
+    ).collect()[0]
+    expected_components = int(row["n_comp"])
+    expected_nodes = int(row["n_node"])
+    # exact labelling: every node's component label must equal its
+    # component's minimum id — the centre, by construction
+    mislabelled = (
+        cc.join(mapping, "id")
+        .where(F.col("component") != F.col("center"))
+        .count()
+    )
+    hub_degree = (
+        graph.select(F.explode(F.array("src", "dst")).alias("n"))
+        .groupBy("n").count().agg(F.max("count")).collect()[0][0]
+    )
+
+    storage_ok = mon.max_rdds <= 4
+    ok = (
+        n_nodes == expected_nodes
+        and n_components == expected_components
+        and mislabelled == 0
+        and storage_ok
+    )
+    print(
+        f"HUB nodes={n_nodes:,}/{expected_nodes:,} of {m:,} "
+        f"edges={n_edges:,} max_degree={hub_degree:,} "
+        f"components={n_components:,} (expected {expected_components:,}) "
+        f"mislabelled={mislabelled} "
+        f"storage_hw={mon.max_rdds} rdds/{mon.max_bytes/1e6:.0f}MB (bound 4) "
+        f"time={elapsed:.1f}s ({elapsed*1e6/n_edges:.1f} us/edge) "
+        f"-> {'OK' if ok else 'FAIL'}"
+    )
+    return 0 if ok else 1
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--hub":
+        return hub_main()
     n_rings = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     ring_size = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     n = n_rings * ring_size
