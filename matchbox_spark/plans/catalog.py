@@ -79,6 +79,13 @@ class FingerprintMismatchError(RuntimeError):
     """Raised when a step's data no longer matches its stored fingerprint."""
 
 
+class ConcurrentWriterError(RuntimeError):
+    """Raised when ``save()`` detects another writer advanced the snapshot
+    pointer since this catalog last read it — the single-writer contract
+    was violated. Detection, not coordination: the losing save raises
+    instead of silently clobbering the other writer's snapshot."""
+
+
 _SCHEMAS = {
     "clusters": _CLUSTERS,
     "cluster_keys": _KEYS,
@@ -252,6 +259,11 @@ class Catalog:
         if not self.path:
             raise ValueError("catalog has no path")
         os.makedirs(self.path, exist_ok=True)
+        # CAS on the snapshot pointer (round 11): writers are single by
+        # contract, but a silent violation corrupts state — check the
+        # on-disk generation before the expensive table writes (fail fast)
+        # and again immediately before the pointer flip (the race window).
+        self._check_snapshot_generation()
         snap = self._snapshot_id + 1
         snaps_root = os.path.join(self.path, "snapshots")
         snap_dir = os.path.join(snaps_root, str(snap))
@@ -262,7 +274,11 @@ class Catalog:
             if parts:
                 writer = writer.partitionBy(*parts)
             writer.parquet(os.path.join(snap_dir, name))
-        # every table written — flip the ONE pointer atomically
+        # every table written — re-check the generation, then flip the ONE
+        # pointer atomically. A concurrent writer that flipped during our
+        # table writes is detected here; we lose loudly, leaving its
+        # snapshot live (our orphaned directory is GC'd by the next save).
+        self._check_snapshot_generation()
         meta = {"format": 2, "snapshot": snap, "steps": self.steps}
         tmp = os.path.join(self.path, "steps.json.tmp")
         with open(tmp, "w") as f:
@@ -383,6 +399,33 @@ class Catalog:
         cat._contains_empty = cat.contains.limit(1).isEmpty()
         cat._loaded_from_disk = True
         return cat
+
+    def _check_snapshot_generation(self) -> None:
+        """Raise if the on-disk snapshot pointer moved past what this
+        catalog last read or wrote (another writer got there first)."""
+        manifest = os.path.join(self.path, "steps.json")
+        if not os.path.exists(manifest):
+            if self._snapshot_id:
+                raise ConcurrentWriterError(
+                    f"catalog at {self.path!r}: snapshot manifest vanished "
+                    f"(this writer last saw snapshot {self._snapshot_id})"
+                )
+            return
+        try:
+            with open(manifest) as f:
+                data = json.load(f)
+        except (OSError, ValueError) as e:
+            raise ConcurrentWriterError(
+                f"catalog at {self.path!r}: snapshot manifest unreadable "
+                f"mid-save ({e}) — concurrent writer suspected"
+            ) from e
+        on_disk = data.get("snapshot") if isinstance(data, dict) else None
+        if isinstance(on_disk, int) and on_disk != self._snapshot_id:
+            raise ConcurrentWriterError(
+                f"catalog at {self.path!r}: on-disk snapshot is {on_disk} "
+                f"but this writer last saw {self._snapshot_id} — another "
+                "writer advanced the pointer (single-writer contract)"
+            )
 
     def _load(self) -> None:
         with open(os.path.join(self.path, "steps.json")) as f:

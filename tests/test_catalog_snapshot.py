@@ -107,3 +107,62 @@ def test_legacy_v1_layout_still_loads_and_upgrades(spark, tmp_path):
     assert meta["snapshot"] == 1
     assert not (p / "model_edges").exists()  # legacy dirs collected
     assert Catalog(spark, str(p)).model_edges.count() == 1
+
+
+def test_concurrent_writer_detected(spark, tmp_path):
+    """Round 11: two interleaved writers to one path — the second save must
+    raise ConcurrentWriterError instead of silently clobbering the first
+    writer's snapshot (the single-writer contract, now enforced)."""
+    import pytest
+
+    from matchbox_spark.plans.catalog import ConcurrentWriterError
+
+    p = tmp_path / "cat"
+    a = _mk(spark, p, score=0.5)
+    a.save()
+
+    # writer B opens the same path (sees snapshot 1), writer A saves again
+    # (pointer moves to 2), then B saves — B must lose loudly
+    b = Catalog(spark, str(p))
+    b.insert_model_edges("mb", spark.createDataFrame(
+        [(7, 8, 0.7)], "left_id long, right_id long, score float"
+    ))
+    a.insert_model_edges("ma", spark.createDataFrame(
+        [(5, 6, 0.6)], "left_id long, right_id long, score float"
+    ))
+    a.save()
+    with pytest.raises(ConcurrentWriterError, match="another\\s+writer"):
+        b.save()
+    # A's snapshot survives untouched
+    meta = json.loads((p / "steps.json").read_text())
+    assert meta["snapshot"] == 2 and set(meta["steps"]) == {"m", "ma"}
+    # A itself can keep saving (its view matches the pointer)
+    a.save()
+    assert json.loads((p / "steps.json").read_text())["snapshot"] == 3
+
+
+def test_concurrent_writer_detected_at_flip(spark, tmp_path):
+    """The race window between table writes and the pointer flip is also
+    guarded: a pointer that moves mid-save loses the flip."""
+    import pytest
+
+    from matchbox_spark.plans.catalog import ConcurrentWriterError
+
+    p = tmp_path / "cat"
+    a = _mk(spark, p, score=0.5)
+    a.save()
+    # simulate a concurrent flip landing between A's two generation checks
+    orig = type(a)._check_snapshot_generation
+    calls = {"n": 0}
+
+    def flip_between(self):
+        calls["n"] += 1
+        orig(self)
+        if calls["n"] == 1:  # after the fail-fast check passes...
+            meta = json.loads((p / "steps.json").read_text())
+            meta["snapshot"] = 99  # ...another writer flips the pointer
+            (p / "steps.json").write_text(json.dumps(meta))
+
+    a._check_snapshot_generation = flip_between.__get__(a)
+    with pytest.raises(ConcurrentWriterError):
+        a.save()
