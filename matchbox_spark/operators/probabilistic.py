@@ -232,7 +232,7 @@ _AMBIGUOUS_FUNCS = {
 }
 
 
-def splink_sql_to_spark(sql: str) -> str:
+def splink_sql_to_spark(sql: str, pair_suffixes: bool = False) -> str:
     """Transpile a Splink/DuckDB condition to Spark SQL.
 
     Handles the l./r. alias style with double-quoted identifiers
@@ -244,6 +244,15 @@ def splink_sql_to_spark(sql: str) -> str:
     spellings, and validates function names against the supported subset. Math builtins (``sin``/``cos``/``asin``/
     ``acos``/``radians``/``sqrt``/``pow`` — the distance_in_km template)
     share names across engines and pass through untouched.
+
+    ``pair_suffixes=True`` additionally accepts splink's OWN comparison
+    dialect: ``SettingsCreator.create_settings_dict()`` (the exact string
+    the reference's SplinkLinker serialises, splinklinker.py:170-175)
+    emits comparison-level conditions over the pairwise frame's suffixed
+    columns — ``"first_name_l" = "first_name_r"`` — not the l./r. aliases
+    blocking rules use. Suffixed identifiers (quoted or bare) rewrite to
+    the alias-qualified form; splink reserves the suffix convention on its
+    pairwise frame, so the rewrite is unambiguous in this context.
     """
     import re as _re
 
@@ -272,6 +281,15 @@ def splink_sql_to_spark(sql: str) -> str:
             seg = _re.sub(
                 rf"\b{duck}\s*\(", f"{spark_name}(", seg, flags=_re.IGNORECASE
             )
+        if pair_suffixes:
+            # bare suffixed identifiers: dob_l → l.`dob` (never a function
+            # name — the supported set has no _l/_r-suffixed functions; a
+            # following "(" is excluded anyway)
+            seg = _re.sub(
+                r"\b([A-Za-z_][A-Za-z0-9_]*)_([lr])\b(?!\s*\()",
+                lambda m: f"{m.group(2)}.`{m.group(1)}`",
+                seg,
+            )
         return seg
 
     out = []
@@ -281,8 +299,13 @@ def splink_sql_to_spark(sql: str) -> str:
         elif part.startswith('"'):
             # "col" → `col` (Spark identifier quoting); undo the "" escape
             # and double any embedded backtick (Spark's escape)
-            inner = part[1:-1].replace('""', '"').replace("`", "``")
-            out.append(f"`{inner}`")
+            raw = part[1:-1].replace('""', '"')
+            alias = ""
+            if pair_suffixes:
+                m = _re.fullmatch(r"(.+)_([lr])", raw, _re.DOTALL)
+                if m:
+                    raw, alias = m.group(1), f"{m.group(2)}."
+            out.append(f"{alias}`{raw.replace('`', '``')}`")
         else:
             out.append(part)  # string literal — verbatim
     return "".join(out)
@@ -329,7 +352,13 @@ def _parse_splink_comparisons(linker_settings: dict) -> list[_SplinkComparison]:
         for lvl in comp["comparison_levels"]:
             cond = lvl["sql_condition"].strip()
             levels.append(
-                "true" if cond.upper() == "ELSE" else splink_sql_to_spark(cond)
+                "true"
+                if cond.upper() == "ELSE"
+                # pair_suffixes: comparison conditions arrive in splink's
+                # pairwise-frame dialect ("col_l" = "col_r") when the
+                # settings came from SettingsCreator.create_settings_dict —
+                # the exact string the reference serialises
+                else splink_sql_to_spark(cond, pair_suffixes=True)
             )
             null_mask.append(bool(lvl.get("is_null_level", False)))
             m_probs.append(lvl.get("m_probability"))

@@ -293,3 +293,94 @@ def test_fixture_regenerates_identically():
     pd.testing.assert_frame_equal(
         scores.reset_index(drop=True), frozen.reset_index(drop=True)
     )
+
+
+def _real(name):
+    with open(os.path.join(FIXDIR, name)) as f:
+        return json.load(f)
+
+
+def test_real_dialect_settings_reproduce_frozen_scores(spark, fixture):
+    """Round 11 interop pin: the SAME model serialised the way splink
+    itself does — ``SettingsCreator.create_settings_dict("duckdb")``
+    boilerplate plus comparison conditions over the pairwise frame's
+    SUFFIXED columns (``"first_name_l" = "first_name_r"``), the exact
+    string the reference's SplinkLinker round-trips
+    (splinklinker.py:170-175). Must parse (unknown keys tolerated, suffix
+    dialect transpiled) and reproduce every frozen score."""
+    from matchbox_spark.operators.probabilistic import SplinkCompatLinker
+
+    settings = _real("splink_real_settings.json")
+    # the file really is in the suffix dialect, not the alias dialect
+    conds = [
+        lvl["sql_condition"]
+        for c in settings["comparisons"]
+        for lvl in c["comparison_levels"]
+    ]
+    assert any('_l"' in c for c in conds) and not any(
+        'l."' in c for c in conds
+    )
+    assert settings["sql_dialect"] == "duckdb"  # boilerplate present
+
+    left = spark.createDataFrame(fixture["left"])
+    right = spark.createDataFrame(fixture["right"])
+    linker = SplinkCompatLinker(linker_settings=settings, threshold=0.0)
+    assert linker._fixed_params is not None  # pre-trained path
+    got = {
+        (r["left_id"], r["right_id"]): r["score"]
+        for r in linker.link(left, right).collect()
+    }
+    expected = {
+        (int(r.left_id), int(r.right_id)): float(r.score)
+        for r in fixture["scores"].itertuples()
+    }
+    assert set(got) == set(expected)
+    worst = max(abs(got[k] - expected[k]) for k in expected)
+    assert worst < 5e-6, f"worst real-dialect divergence {worst}"
+
+
+def test_real_dialect_exotic_settings_reproduce_frozen_scores(
+    spark, exotic_fixture
+):
+    """Suffix dialect through the exotic templates too: DuckDB list
+    functions over suffixed array columns
+    (``list_intersect("emails_l", "emails_r")``) and the haversine level
+    with suffixed lat/lon — parsing + transpile + scoring pinned against
+    the same frozen parquet as the alias-dialect file."""
+    from matchbox_spark.operators.probabilistic import SplinkCompatLinker
+
+    settings = _real("splink_exotic_real_settings.json")
+    left, right = _exotic_spark_frames(spark, exotic_fixture)
+    linker = SplinkCompatLinker(linker_settings=settings, threshold=0.0)
+    assert linker._fixed_params is not None
+    got = {
+        (r["left_id"], r["right_id"]): r["score"]
+        for r in linker.link(left, right).collect()
+    }
+    expected = {
+        (int(r.left_id), int(r.right_id)): float(r.score)
+        for r in exotic_fixture["scores"].itertuples()
+    }
+    assert set(got) == set(expected)
+    worst = max(abs(got[k] - expected[k]) for k in expected)
+    assert worst < 5e-6, f"worst exotic real-dialect divergence {worst}"
+
+
+def test_real_dialect_files_regenerate_identically():
+    """to_real_dialect(SETTINGS/EXOTIC_SETTINGS) IS the committed file."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "mkfix",
+        os.path.join(
+            os.path.dirname(__file__), "..", "tools", "make_splink_fixture.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.to_real_dialect(mod.SETTINGS) == _real(
+        "splink_real_settings.json"
+    )
+    assert mod.to_real_dialect(mod.EXOTIC_SETTINGS) == _real(
+        "splink_exotic_real_settings.json"
+    )

@@ -707,6 +707,56 @@ def reference_predict_exotic(
     )
 
 
+def to_real_dialect(settings: dict) -> dict:
+    """Re-express a settings dict exactly as splink's
+    ``SettingsCreator.create_settings_dict("duckdb")`` serialises it — the
+    string the reference's SplinkLinker round-trips (splinklinker.py:170-175).
+
+    Two differences from the hand-written fixtures: comparison-level
+    conditions use the pairwise frame's SUFFIXED columns (``"name_l" =
+    "name_r"``) rather than l./r. aliases (blocking rules keep l./r. —
+    that is what ``block_on`` emits), and the dict carries the full
+    SettingsCreator boilerplate (retain flags, em_convergence,
+    unique_id_column_name, sql_dialect, per-comparison
+    ``comparison_description`` / per-level ``label_for_charts``) that a
+    real settings file contains and a compat parser must tolerate."""
+    import copy
+    import re
+
+    out = copy.deepcopy(settings)
+
+    def suffix(cond: str) -> str:
+        # l."col" → "col_l" (and r. → _r); operates only on the alias form
+        return re.sub(
+            r'\b([lr])\."((?:[^"]|"")+)"',
+            lambda m: f'"{m.group(2)}_{m.group(1)}"',
+            cond,
+        )
+
+    for comp in out.get("comparisons", []):
+        comp.setdefault(
+            "comparison_description",
+            f"{comp.get('output_column_name', 'cmp')} comparison",
+        )
+        for lvl in comp["comparison_levels"]:
+            if lvl["sql_condition"].strip().upper() != "ELSE":
+                lvl["sql_condition"] = suffix(lvl["sql_condition"])
+            lvl.setdefault("label_for_charts", lvl["sql_condition"][:40])
+    out.update(
+        {
+            "sql_dialect": "duckdb",
+            "unique_id_column_name": "uid",
+            "retain_matching_columns": True,
+            "retain_intermediate_calculation_columns": False,
+            "max_iterations": 25,
+            "em_convergence": 0.0001,
+            "additional_columns_to_retain": [],
+            "source_dataset_column_name": "source_dataset",
+        }
+    )
+    return out
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     left, right = make_records()
@@ -780,6 +830,16 @@ def main():
     }
     print(json.dumps(ecov, indent=2))
     assert all(v > 0 for v in ecov.values()), "exotic fixture misses a branch"
+
+    # real-dialect twins (round 11): the SAME models serialised the way
+    # splink itself does — suffixed comparison conditions + SettingsCreator
+    # boilerplate. Scores are identical by construction, so the frozen
+    # splink_scores / splink_exotic_scores parquet pins BOTH dialects.
+    with open(os.path.join(OUT, "splink_real_settings.json"), "w") as f:
+        json.dump(to_real_dialect(SETTINGS), f, indent=2)
+    with open(os.path.join(OUT, "splink_exotic_real_settings.json"), "w") as f:
+        json.dump(to_real_dialect(EXOTIC_SETTINGS), f, indent=2)
+    print("real-dialect settings written")
 
 
 if __name__ == "__main__":
