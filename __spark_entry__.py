@@ -4004,10 +4004,12 @@ def m5_real_decode(spark, sf):
     """REAL image decode, hash-verified end to end: each document synthesises
     an actual image — 24-bit BMP, binary PPM, a COMPRESSED PNG (zlib IDAT,
     Paeth-filtered scanlines, CRC'd chunks; rotating truecolour /
-    Adam7-interlaced / PNG8-palette / palette+interlace layouts), or a
+    Adam7-interlaced / PNG8-palette / palette+interlace layouts), a
     baseline sequential JPEG
-    (standard Huffman tables, restart markers, full entropy decode + IDCT)
-    rotating by doc_id — with solid colour + geometry derived from
+    (standard Huffman tables, restart markers, full entropy decode + IDCT),
+    a GIF, or a baseline TIFF (round 11: strip walk, uncompressed/PackBits,
+    little/big-endian) rotating by doc_id — with solid colour + geometry
+    derived from
     sha256(text), which decode_image_stats then decodes FOR REAL (header
     parse / inflate / un-filtering / Huffman + dequant + IDCT / row padding
     / BGR order / pixel means) through the Arrow mapInPandas stage. The
@@ -4032,6 +4034,7 @@ def m5_real_decode(spark, sf):
         encode_png,
         encode_ppm,
     )
+    from matchbox_spark.operators.tiff import encode_tiff
 
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 200).select(
         "doc_id", "text"
@@ -4044,8 +4047,22 @@ def m5_real_decode(spark, sf):
                 h = _hl.sha256(str(text).encode("utf-8")).digest()
                 w, ht = 4 + h[3] % 13, 4 + h[4] % 13
                 img = _np.full((ht, w, 3), (h[0], h[1], h[2]), dtype=_np.uint8)
-                c = int(doc_id) % 5
-                if c == 0:
+                c = int(doc_id) % 6
+                if c == 5:
+                    # TIFF (round 11): strip-based baseline decode; rotate
+                    # uncompressed/PackBits × little/big-endian containers —
+                    # the format-agnostic oracle certifies the sixth format
+                    # with zero SQL changes
+                    v = (int(doc_id) // 6) % 4
+                    payload, mt = (
+                        encode_tiff(
+                            img,
+                            packbits=bool(v & 1),
+                            big_endian=bool(v & 2),
+                        ),
+                        "image/tiff",
+                    )
+                elif c == 0:
                     payload, mt = encode_bmp(img), "image/bmp"
                 elif c == 1:
                     payload, mt = encode_ppm(img), "image/x-portable-pixmap"
@@ -4354,10 +4371,11 @@ def m7_decode_malformed(spark, sf):
                     payload, mt = encode_bmp(solid)[:10], "image/bmp"
                 elif c == 3:  # wrong magic for the declared type
                     payload, mt = b"XX" + h, "image/x-portable-pixmap"
-                elif c == 4:  # valid raster, but no pixel decoder for TIFF
-                    # (GIF grew a real decoder in round 10, so it no longer
-                    # serves as the unregistered-type case)
-                    payload, mt = encode_bmp(solid), "image/tiff"
+                elif c == 4:  # valid raster, but no pixel decoder for WEBP
+                    # (GIF grew a real decoder in round 10 and TIFF in
+                    # round 11, so neither serves as the unregistered-type
+                    # case any more)
+                    payload, mt = encode_bmp(solid), "image/webp"
                 else:  # REAL progressive JPEG: full SOF2 scan-script decode
                     payload, mt = (
                         encode_jpeg(solid, quality=100, progressive=True),

@@ -565,12 +565,33 @@ def decode_gif_pixels(payload: bytes):
     return _dec(payload)
 
 
+@register_decoder("image/tiff")
+def _tiff_decoder(payload: bytes) -> dict:
+    """Real TIFF probe: byte-order mark + first-IFD geometry (round 11)."""
+    from matchbox_spark.operators.tiff import tiff_frame_info
+
+    w, h = tiff_frame_info(payload)
+    return {"width": w, "height": h, "duration_ms": None}
+
+
+def decode_tiff_pixels(payload: bytes):
+    """Baseline TIFF → (H, W, 3) uint8 RGB (uncompressed + PackBits,
+    strip-based, both endiannesses; round 11).
+
+    Thin re-export of :func:`matchbox_spark.operators.tiff.decode_tiff_pixels`
+    so the pixel-decoder registry lives in one place."""
+    from matchbox_spark.operators.tiff import decode_tiff_pixels as _dec
+
+    return _dec(payload)
+
+
 _PIXEL_DECODERS = {
     "image/bmp": decode_bmp_pixels,
     "image/x-portable-pixmap": decode_ppm_pixels,
     "image/png": decode_png_pixels,
     "image/jpeg": decode_jpeg_pixels,
     "image/gif": decode_gif_pixels,
+    "image/tiff": decode_tiff_pixels,
 }
 
 

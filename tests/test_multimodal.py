@@ -367,7 +367,8 @@ def test_resize_decoded_images_real(spark):
         (1, bytearray(encode_bmp(img)), "image/bmp"),
         (2, bytearray(encode_jpeg(solid, quality=100)), "image/jpeg"),
         (3, bytearray(b"XX"), "image/bmp"),       # corrupt
-        (4, bytearray(encode_bmp(img)), "image/tiff"),  # no decoder
+        # webp, not tiff: TIFF grew a real decoder in round 11
+        (4, bytearray(encode_bmp(img)), "image/webp"),  # no decoder
         (5, None, "image/bmp"),                    # missing
     ]
     df = spark.createDataFrame(
