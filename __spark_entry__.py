@@ -1579,28 +1579,100 @@ def ev4_hopping(spark, sf):
 @_q(
     "m2_frame_sampling",
     """WITH h AS (
-         SELECT doc_id, text,
-                1000 + CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) * 37
-                    AS duration
+         SELECT doc_id,
+                CAST('0x' || substr(sha256(text), 1, 2) AS INT) AS b0,
+                CAST('0x' || substr(sha256(text), 3, 2) AS INT) AS b1,
+                CAST('0x' || substr(sha256(text), 5, 2) AS INT) AS b2,
+                CAST('0x' || substr(sha256(text), 7, 2) AS INT) AS b3,
+                CAST('0x' || substr(sha256(text), 9, 2) AS INT) AS b4,
+                CAST('0x' || substr(sha256(text), 11, 2) AS INT) AS b5,
+                CAST('0x' || substr(sha256(text), 13, 2) AS INT) AS b6
          FROM documents WHERE doc_id < 50
+       ),
+       p AS (
+         SELECT doc_id, b0, b1, b2,
+                4 + b3 % 13 AS w, 4 + b4 % 13 AS ht,
+                2 + b5 % 7 AS n_frames,
+                CAST(FLOOR(1000000 / (2 + b6 % 3)) AS BIGINT) AS upf
+         FROM h
+       ),
+       s AS (
+         SELECT doc_id, b0, b1, b2, w, ht, n_frames, upf, f.ts
+         FROM p, UNNEST(range(0,
+                CAST(FLOOR(n_frames * upf / 1000.0) AS BIGINT), 500)) AS f(ts)
        )
-       SELECT doc_id, f.ts AS frame_ts_ms,
-              sha256(text || CAST(f.ts AS VARCHAR)) AS frame_checksum
-       FROM h, UNNEST(range(0, CAST(duration AS BIGINT), 500)) AS f(ts)""",
+       SELECT doc_id, ts AS frame_ts_ms,
+              CAST(w AS INT) AS width, CAST(ht AS INT) AS height,
+              CAST((b0 + 11 * k) % 256 AS DOUBLE) AS mean_r,
+              CAST((b1 + 23 * k) % 256 AS DOUBLE) AS mean_g,
+              CAST((b2 + 31 * k) % 256 AS DOUBLE) AS mean_b
+       FROM (
+         SELECT *, LEAST(CAST(FLOOR(ts / (upf / 1000.0)) AS BIGINT),
+                         n_frames - 1) AS k
+         FROM s)""",
 )
 def m2_frames(spark, sf):
-    """Multimodal frame-sampling plumbing over stubbed media payloads.
+    """REAL video frame sampling (round 11): each document synthesises an
+    actual MJPEG-in-AVI container — RIFF/hdrl/movi/idx1, 2-8 solid-colour
+    q=100 4:4:4 JPEG frames whose colour steps deterministically per frame
+    index, at 2-4 fps — which sample_video_frames then demuxes FOR REAL
+    (RIFF chunk walk, avih geometry/interval, per-tick frame selection,
+    full T.81 entropy decode + IDCT of the sampled frame). The oracle
+    recomputes geometry, the frame schedule, AND the sampled frame's
+    channel means from sha256(text) in SQL, so a demux bug (wrong chunk
+    stride, off-by-one frame index, bad duration math) hash-mismatches.
+    Supersedes the round-10 checksum stub — same honesty upgrade m5 got."""
+    import hashlib as _hl
 
-    The synthetic frame schedule is deterministic from the payload checksum
-    (duration = 1000 + digest[2]*37 ms; checksum over payload + ascii(ts)),
-    so the mapInPandas expansion is pinned against a DuckDB generate-series
-    oracle — the Arrow batch shape AND the values are checked."""
-    from matchbox_spark.operators.multimodal import sample_frames
+    import numpy as _np
+    import pandas as _pd
+
+    from matchbox_spark.operators.avi import encode_avi_mjpeg
+    from matchbox_spark.operators.jpeg import encode_jpeg
+    from matchbox_spark.operators.multimodal import sample_video_frames
 
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 50).select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+        "doc_id", "text"
     )
-    return sample_frames(d, every_ms=500)
+
+    def _make(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = _hl.sha256(str(text).encode("utf-8")).digest()
+                w, ht = 4 + h[3] % 13, 4 + h[4] % 13
+                n_frames, fps = 2 + h[5] % 7, 2 + h[6] % 3
+                frames = [
+                    encode_jpeg(
+                        _np.full(
+                            (ht, w, 3),
+                            (
+                                (h[0] + 11 * k) % 256,
+                                (h[1] + 23 * k) % 256,
+                                (h[2] + 31 * k) % 256,
+                            ),
+                            dtype=_np.uint8,
+                        ),
+                        quality=100,
+                        subsampling="4:4:4",
+                    )
+                    for k in range(n_frames)
+                ]
+                rows.append(
+                    (int(doc_id), encode_avi_mjpeg(frames, fps=fps))
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = d.mapInPandas(_make, "doc_id long, payload binary")
+    return sample_video_frames(payloads, every_ms=500).select(
+        "doc_id",
+        "frame_ts_ms",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )
 
 
 # ===========================================================================
