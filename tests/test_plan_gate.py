@@ -66,3 +66,34 @@ def test_parse_plans_md_round_trips_committed_table():
     )
     assert set(m.AUDITED) <= set(parsed)
     assert all(v["flags"] == "none" for v in parsed.values())
+
+
+def test_gate_fails_on_grown_scan_count():
+    """Round 11: the r8 scan-count audit as a standing gate — a grown
+    parquet-scan count (lineage re-execution) fails; a shrunk one passes."""
+    m = _mod()
+    base = {"q1": {"scans": 2, "pushed": "yes", "flags": "none"}}
+    grown = [
+        {"name": "q1", "scans": 4, "exchanges": 2, "bhj": 0, "smj": 0,
+         "wsc": 1, "pushed": "yes", "flags": "none"}
+    ]
+    out = m.regressions(base, grown)
+    assert len(out) == 1 and "scan count grew 2 → 4" in out[0]
+    shrunk = [
+        {"name": "q1", "scans": 1, "exchanges": 2, "bhj": 0, "smj": 0,
+         "wsc": 1, "pushed": "yes", "flags": "none"}
+    ]
+    assert m.regressions(base, shrunk) == []
+
+
+def test_parse_plans_md_reads_scan_column(tmp_path):
+    m = _mod()
+    p = tmp_path / "PLANS.md"
+    p.write_text(
+        "| query | parquet scans | exchanges | broadcast joins | SMJ |"
+        " codegen spans | scan pushdown | red flags |\n"
+        "|---|---|---|---|---|---|---|---|\n"
+        "| q1 | 3 | 2 | 1 | 0 | 4 | yes | none |\n"
+    )
+    parsed = m.parse_plans_md(str(p))
+    assert parsed == {"q1": {"scans": 3, "pushed": "yes", "flags": "none"}}

@@ -79,6 +79,10 @@ def audit_rows(spark, qs, sf: str) -> list[dict]:
         rows.append(
             {
                 "name": name,
+                # one entry per parquet scan NODE in the executed plan: a
+                # multiply-referenced derived table whose lineage re-executes
+                # shows up as extra scans (the r8 audit class) — gated below
+                "scans": plan.count("Scan parquet"),
                 "exchanges": plan.count("Exchange"),
                 "bhj": plan.count("BroadcastHashJoin"),
                 "smj": plan.count("SortMergeJoin"),
@@ -100,14 +104,15 @@ def parse_plans_md(path: str = "PLANS.md") -> dict[str, dict]:
     with open(path) as f:
         for line in f:
             m = re.match(
-                r"\|\s*(\w+)\s*\|\s*\d+\s*\|\s*\d+\s*\|\s*\d+\s*\|\s*\d+\s*"
-                r"\|\s*([^|]+?)\s*\|\s*([^|]+?)\s*\|\s*$",
+                r"\|\s*(\w+)\s*\|\s*(\d+)\s*\|\s*\d+\s*\|\s*\d+\s*\|\s*\d+\s*"
+                r"\|\s*\d+\s*\|\s*([^|]+?)\s*\|\s*([^|]+?)\s*\|\s*$",
                 line,
             )
             if m:
                 out[m.group(1)] = {
-                    "pushed": m.group(2),
-                    "flags": m.group(3),
+                    "scans": int(m.group(2)),
+                    "pushed": m.group(3),
+                    "flags": m.group(4),
                 }
     return out
 
@@ -129,6 +134,16 @@ def regressions(
             continue
         if old["pushed"] == "yes" and r["pushed"] != "yes":
             problems.append(f"{name}: scan filter pushdown LOST")
+        if "scans" in old and r["scans"] > old["scans"]:
+            # round 11: the r8 scan-count audit as a standing gate — a
+            # multiply-referenced derived table re-executing its lineage
+            # multiplies parquet scans silently; an intentional plan change
+            # regenerates PLANS.md
+            problems.append(
+                f"{name}: parquet scan count grew {old['scans']} → "
+                f"{r['scans']} (lineage re-execution?) — if intentional, "
+                "regenerate PLANS.md"
+            )
     return problems
 
 
@@ -159,17 +174,17 @@ def main() -> None:
         f"Generated by `tools/plan_report.py` over `{sf}` plans "
         "(plan SHAPE is scale-independent; AQE re-plans sizes at runtime).",
         "",
-        "| query | exchanges | broadcast joins | SMJ | codegen spans |"
-        " scan pushdown | red flags |",
-        "|---|---|---|---|---|---|---|",
+        "| query | parquet scans | exchanges | broadcast joins | SMJ |"
+        " codegen spans | scan pushdown | red flags |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     flagged = []
     for r in rows:
         if r["flags"] != "none":
             flagged.append(r["name"])
         lines.append(
-            f"| {r['name']} | {r['exchanges']} | {r['bhj']} | {r['smj']} |"
-            f" {r['wsc']} | {r['pushed']} | {r['flags']} |"
+            f"| {r['name']} | {r['scans']} | {r['exchanges']} | {r['bhj']} |"
+            f" {r['smj']} | {r['wsc']} | {r['pushed']} | {r['flags']} |"
         )
     lines += [
         "",
@@ -179,8 +194,9 @@ def main() -> None:
         "state) are deliberate and not flagged. Codegen spans counted from "
         "`*(n)` markers; AQE-wrapped plans may under-report them until "
         "runtime re-planning. `tools/stress_all.py --quick` runs this audit "
-        "as a GATE (`--check`): a new red flag or lost scan pushdown vs "
-        "this committed table fails the suite.",
+        "as a GATE (`--check`): a new red flag, lost scan pushdown, or a "
+        "GROWN parquet-scan count (lineage re-execution — the r8 audit "
+        "class) vs this committed table fails the suite.",
         "",
     ]
     out = "\n".join(lines)
