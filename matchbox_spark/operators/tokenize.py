@@ -126,33 +126,59 @@ def bpe_train(
     """
     if n_merges < 1 or top_words < 1:
         raise ValueError("n_merges and top_words must be >= 1")
+    import shutil
+    import tempfile
+
     spark = docs.sparkSession
     vocab = _top_vocab(docs, text_col, top_words)
-    wd = vocab.select(
-        "word",
-        "freq",
-        F.expr("regexp_extract_all(word, '.', 0)").alias("syms"),
-    ).localCheckpoint(eager=True)
+    # Round materialisation is a PARQUET round-trip, not a localCheckpoint
+    # chain (round 11): chained per-round localCheckpoints on this plan
+    # shape degrade superlinearly after ~8 rounds in one session (measured
+    # 1.2 s → 14 s → 117 s per merge at a constant 19k-row vocabulary and a
+    # constant 6 KB plan; the identical round over a parquet-backed frame
+    # runs in ~1 s, flat through 14+ rounds). Parquet is also the
+    # scale-correct medium for a 1k-merge trainer: bounded disk (two
+    # alternating copies), zero cache pressure, hard lineage cut.
+    tmp = tempfile.mkdtemp(prefix="mbspark_bpe_")
+    try:
+        vocab.select(
+            "word",
+            "freq",
+            F.expr("regexp_extract_all(word, '.', 0)").alias("syms"),
+        ).write.parquet(f"{tmp}/wd_init")
+        wd = spark.read.parquet(f"{tmp}/wd_init")
 
-    merges: list[tuple[int, str, str, int]] = []
-    for it in range(n_merges):
-        pos, pairs = _pos_pairs(wd)
-        best_rows = (
-            pairs.groupBy("x", "y")
-            .agg(F.sum("freq").alias("c"))
-            .orderBy(F.desc("c"), F.asc("x"), F.asc("y"))
-            .limit(1)
-            .collect()
-        )
-        if not best_rows:
-            raise ValueError(f"no adjacent pairs left at merge {it}")
-        a, b, c = best_rows[0]["x"], best_rows[0]["y"], int(best_rows[0]["c"])
-        merges.append((it, a, b, c))
-        wd = _apply_merge(pos, pairs, a, b).localCheckpoint(eager=True)
+        merges: list[tuple[int, str, str, int]] = []
+        for it in range(n_merges):
+            pos, pairs = _pos_pairs(wd)
+            best_rows = (
+                pairs.groupBy("x", "y")
+                .agg(F.sum("freq").alias("c"))
+                .orderBy(F.desc("c"), F.asc("x"), F.asc("y"))
+                .limit(1)
+                .collect()
+            )
+            if not best_rows:
+                raise ValueError(f"no adjacent pairs left at merge {it}")
+            a, b, c = (
+                best_rows[0]["x"],
+                best_rows[0]["y"],
+                int(best_rows[0]["c"]),
+            )
+            merges.append((it, a, b, c))
+            # alternate two directories: round k reads wd{(k-1)%2} and
+            # writes wd{k%2}, so disk stays bounded at two vocab copies
+            path = f"{tmp}/wd{it % 2}"
+            _apply_merge(pos, pairs, a, b).write.mode("overwrite").parquet(
+                path
+            )
+            wd = spark.read.parquet(path)
 
-    total = wd.agg(
-        F.sum(F.size("syms") * F.col("freq")).cast("long").alias("n")
-    ).collect()[0]["n"]
+        total = wd.agg(
+            F.sum(F.size("syms") * F.col("freq")).cast("long").alias("n")
+        ).collect()[0]["n"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     out = merges + [(-1, "__symbols__", "", int(total))]
     return spark.createDataFrame(
         out, "it int, lhs string, rhs string, pair_freq long"
@@ -184,17 +210,34 @@ def bpe_encode(
     hundreds-of-merges scale; for vocab-scale merge tables (30k+) use
     :func:`bpe_encode_arrow`, which loops per word in one Arrow pass.
     """
+    import atexit
+    import shutil
+    import tempfile
+
+    spark = docs.sparkSession
     vocab = _top_vocab(docs, text_col, top_words)
-    wd = vocab.select(
+    # parquet round-trips, same rationale as bpe_train (round 11: chained
+    # localCheckpoints degrade superlinearly past ~8 rounds). The RETURNED
+    # frame lazily reads the final directory, so the temp tree is reaped at
+    # process exit, not here (the _materialize fallback's pattern).
+    tmp = tempfile.mkdtemp(prefix="mbspark_bpe_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    vocab.select(
         "word",
         "freq",
         F.expr("regexp_extract_all(word, '.', 0)").alias("syms"),
-    ).localCheckpoint(eager=True)
-    for a, b in merges:
+    ).write.parquet(f"{tmp}/wd_init")
+    wd = spark.read.parquet(f"{tmp}/wd_init")
+    for it, (a, b) in enumerate(merges):
         pos, pairs = _pos_pairs(wd)
-        wd = _apply_merge(pos, pairs, str(a), str(b)).localCheckpoint(
-            eager=True
-        )
+        # three rotating directories (not two): the frame returned to the
+        # caller must stay readable, so the final round's directory is
+        # never the one the next-to-last round overwrote
+        path = f"{tmp}/wd{it % 3}"
+        _apply_merge(pos, pairs, str(a), str(b)).write.mode(
+            "overwrite"
+        ).parquet(path)
+        wd = spark.read.parquet(path)
     return wd
 
 

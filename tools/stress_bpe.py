@@ -88,6 +88,73 @@ def main(n_words: int = 100_000, n_merges: int = 6) -> int:
     return 0
 
 
+def _gen_docs(spark, n_words: int):
+    """Shared synthetic corpus: n_words distinct words, Zipf-ish repeats."""
+    letters = "abcdefghijkl"
+    word = F.concat(
+        *[
+            F.substring(
+                F.lit(letters),
+                (F.xxhash64("id", F.lit(i)) % 12 + 12) % 12 + 1,
+                1,
+            )
+            for i in range(12)
+        ]
+    )
+    return spark.range(n_words).select(
+        F.concat_ws(
+            " ",
+            F.array_repeat(
+                F.substring(word, 1, (F.col("id") % 10 + 3).cast("int")),
+                (F.col("id") % 7 + 1).cast("int"),
+            ),
+        ).alias("text")
+    )
+
+
+def direct(n_words: int = 1_000_000, n_merges: int = 1000) -> int:
+    """Vocabulary-scale tier (round 11): ONE bpe_train run at a large
+    distinct vocabulary and merge count — per-merge cost must stay flat
+    (each merge is the same O(vocab) aggregate + rewrite) and the round
+    checkpoints must FREE as merges supersede them (the CC-round storage
+    lesson applied to the trainer): live cached RDDs stay ~2 however many
+    merges run, where the pre-r11 trainer leaked one per merge."""
+    import os as _os
+
+    parts = max(_os.cpu_count() or 8, min(512, n_words // 100_000 * 8))
+    spark = get_spark(app_name="stress_bpe_direct", shuffle_partitions=parts)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _gen_docs(spark, n_words)
+
+    t0 = time.monotonic()
+    out = bpe_train(docs, n_merges=n_merges, top_words=n_words).collect()
+    wall = time.monotonic() - t0
+    freqs = [r["pair_freq"] for r in out if r["it"] >= 0]
+    total = [r["pair_freq"] for r in out if r["it"] == -1][0]
+    cached = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    ok = (
+        len(freqs) == n_merges
+        and all(f > 0 for f in freqs)
+        and all(freqs[i] >= freqs[i + 1] for i in range(len(freqs) - 1))
+        and total > 0
+        and cached <= 4  # round-freed: not O(n_merges)
+    )
+    print(
+        f"BPE-DIRECT vocab={n_words:,} merges={n_merges} "
+        f"first/last freq={freqs[0]:,}/{freqs[-1]:,} symbols={total:,} "
+        f"cached_rdds_end={cached} (bound 4) "
+        f"wall={wall:.1f}s ({wall * 1e3 / n_merges:.0f} ms/merge, "
+        f"{wall * 1e6 / (n_merges * n_words):.3f} us/merge/word) "
+        f"-> {'OK' if ok else 'FAIL'}"
+    )
+    spark.stop()
+    return 0 if ok else 1
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--direct":
+        args = [int(a) for a in sys.argv[2:4]]
+        sys.exit(direct(*args))
     args = [int(a) for a in sys.argv[1:3]]
     sys.exit(main(*args))
