@@ -35,6 +35,12 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
     "plan_gate": (["--check"], ["--check"]),         # audit vs PLANS.md
     "serving": (["6", "50", "10"], ["24", "100", "10"]),  # batches, groups, rows
     "bpe": (["20000", "3"], ["100000", "6"]),        # vocab words, merges
+    # vocabulary-scale single-run tier (round 11): flat per-merge cost +
+    # bounded round storage at large vocab × merge count
+    "bpe_direct": (
+        ["--direct", "20000", "10"],
+        ["--direct", "1000000", "30"],
+    ),
     "sketches": (["1000000", "256"], ["10000000", "512"]),  # rows, k
     "probabilistic": (["50000", "10"], ["1000000", "10"]),  # records, block
     "blocking": (["200000", "5"], ["10000000", "5"]),  # rows, SNM window
@@ -62,6 +68,7 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
 
 # harnesses that are not tools/stress_<name>.py
 SCRIPTS = {
+    "bpe_direct": "tools/stress_bpe.py",
     "cc_hub": "tools/stress_cc.py",
     "plan_gate": "tools/plan_report.py",
     "simhash": "tools/stress_dedup.py",
