@@ -311,10 +311,10 @@ def connected_components(
             import pandas as pd
 
             pdf = e.toPandas()
-            mapping = connected_components_driver(
-                zip(pdf["src"].tolist(), pdf["dst"].tolist())
+            nodes, comps = connected_components_numpy(
+                pdf["src"].to_numpy(), pdf["dst"].to_numpy()
             )
-            lab = pd.DataFrame(mapping.items(), columns=["id", "component"])
+            lab = pd.DataFrame({"id": nodes, "component": comps})
             return spark.createDataFrame(
                 lab.astype("int64"), "id long, component long"
             )
@@ -358,6 +358,66 @@ def connected_components_driver(edge_rows: Iterable[tuple[int, int]]) -> dict[in
         for node in comp:
             out[node] = m
     return out
+
+
+def connected_components_numpy(src, dst):
+    """Exact driver-side CC over integer edge ARRAYS — vectorized.
+
+    Semantics identical to :func:`connected_components_driver` (node → min
+    member id), ~10× faster at the driver path's edge volumes (a Python
+    dict union-find walks ~2M edges/s; this label-propagation +
+    pointer-jumping loop does the same 900k-edge flagship graph in tens of
+    ms). Labels are INDICES into the sorted unique-node array, so the
+    minimum label is the minimum node id by construction. Converges in
+    O(log diameter) sweeps — ER components are near-cliques, so 2-3.
+
+    Returns ``(nodes, labels)`` numpy arrays: ``labels[i]`` is the min
+    member id of ``nodes[i]``'s component.
+    """
+    import numpy as np
+
+    import pandas as pd
+
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    if len(src) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # hash-based factorize + a sort of the (small) unique set — NOT
+    # np.unique(return_inverse=True), whose inverse path full-sorts the 2|E|
+    # endpoint array (measured 2.7 s at 1.8M endpoints on numpy 1.26 vs
+    # ~80 ms here). Labels must index the SORTED node array so the minimum
+    # label is the minimum node id.
+    codes, uniq = pd.factorize(np.concatenate([src, dst]), sort=False)
+    uniq = np.asarray(uniq, dtype=np.int64)
+    perm = np.argsort(uniq, kind="stable")
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[perm] = np.arange(len(uniq), dtype=np.int64)
+    nodes = uniq[perm]
+    inv = rank[codes]
+    a, b = inv[: len(src)], inv[len(src) :]
+    # CSR-style grouping built ONCE (edges never change): every node index
+    # appears as an endpoint, so the group array covers 0..n-1 densely and
+    # reduceat-min gives each node its neighbour-label minimum per sweep —
+    # np.minimum.at (unbuffered ufunc.at) is ~10× slower than this
+    ends = np.concatenate([a, b])
+    others = np.concatenate([b, a])
+    order = np.argsort(ends, kind="stable")
+    others_s = others[order]
+    starts = np.searchsorted(ends[order], np.arange(len(nodes)))
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = label
+        nbr_min = np.minimum.reduceat(label[others_s], starts)
+        label = np.minimum(label, nbr_min)
+        # pointer jumping to full compression
+        while True:
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(label, before):
+            break
+    return nodes, nodes[label]
 
 
 # ---------------------------------------------------------------------------
@@ -450,31 +510,34 @@ class Components(ResolverMethod):
             logger.info("Components: auto → %s union-find", method)
 
         if method == "driver":
-            # Arrow-batched collect (one transfer) + tight loop over numpy
-            # columns — orders of magnitude faster than row iteration. No
-            # pre-distinct: union-find absorbs duplicate edges for free,
-            # and skipping it saves a full shuffle.
-            if pdf is None:
-                pdf = unioned.toPandas()
-            mapping = connected_components_driver(
-                zip(pdf["src"].tolist(), pdf["dst"].tolist())
-            )
-            if not mapping:
-                return spark.createDataFrame([], SCHEMA_CLUSTERS)
-            # the data is driver-resident by definition of this path — the
-            # dense parent-id ranking happens here too (sorted components →
-            # 1..k), one Arrow upload of the final assignments, zero
-            # shuffles/windows on the cluster
+            # Arrow-batched collect (one transfer) + VECTORIZED union-find
+            # over the numpy edge columns (round 11 — the dict walk was
+            # 0.4 s of j7's floor at the flagship's 900k in-group edges;
+            # identical node → min-member semantics, pinned in pytest). No
+            # pre-distinct: CC absorbs duplicate edges for free, and
+            # skipping it saves a full shuffle.
+            import numpy as np
             import pandas as pd
 
-            lab = pd.DataFrame(
-                mapping.items(), columns=["child_id", "component"]
+            if pdf is None:
+                pdf = unioned.toPandas()
+            if len(pdf) == 0:
+                return spark.createDataFrame([], SCHEMA_CLUSTERS)
+            nodes, comps = connected_components_numpy(
+                pdf["src"].to_numpy(), pdf["dst"].to_numpy()
             )
-            rank = {
-                c: i + 1 for i, c in enumerate(sorted(lab["component"].unique()))
-            }
-            lab["parent_id"] = lab["component"].map(rank)
-            local = lab[["parent_id", "child_id"]].astype("int64")
+            # the data is driver-resident by definition of this path — the
+            # dense parent-id ranking happens here too (sorted components →
+            # 1..k; component labels are min member ids, so sorting them is
+            # the same order the dict path ranked), one Arrow upload of the
+            # final assignments, zero shuffles/windows on the cluster
+            uniq, rank_inv = np.unique(comps, return_inverse=True)
+            local = pd.DataFrame(
+                {
+                    "parent_id": (rank_inv + 1).astype("int64"),
+                    "child_id": nodes.astype("int64"),
+                }
+            )
             assignments = conform(
                 spark.createDataFrame(local), SCHEMA_CLUSTERS
             )

@@ -136,3 +136,32 @@ def test_driver_cc_edge_limit_env_override(spark, monkeypatch):
     assert 2_000_000 <= derived <= 50_000_000
     monkeypatch.setenv("MATCHBOX_SPARK_CC_EDGE_LIMIT", "1234")
     assert _driver_cc_edge_limit(spark) == 1234
+
+
+def test_numpy_cc_matches_dict_union_find():
+    """Round 11: the vectorized driver CC (factorize + reduceat-min +
+    pointer jumping) is semantically identical to the dict union-find —
+    random multigraphs, self-loop-free rings, singleton-free inputs."""
+    import numpy as np
+
+    from matchbox_spark.plans.resolvers import connected_components_numpy
+
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        n = int(rng.integers(1, 1500))
+        src = rng.integers(0, 400, n)
+        dst = rng.integers(0, 400, n)
+        expected = connected_components_driver(
+            zip(src.tolist(), dst.tolist())
+        )
+        nodes, comps = connected_components_numpy(src, dst)
+        assert dict(zip(nodes.tolist(), comps.tolist())) == expected
+    # high-diameter ring: pointer jumping must still converge to min id
+    src = np.arange(5000)
+    nodes, comps = connected_components_numpy(src, (src + 1) % 5000)
+    assert (comps == 0).all() and len(nodes) == 5000
+    # empty input
+    nodes, comps = connected_components_numpy(
+        np.empty(0, np.int64), np.empty(0, np.int64)
+    )
+    assert len(nodes) == 0 and len(comps) == 0
