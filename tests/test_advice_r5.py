@@ -138,7 +138,13 @@ def test_fingerprint_mismatch_leaves_no_cache(spark):
     )
     before = _n_cached(spark)
     cat.insert_source_index("src", idx)
+    # round 11: the bucketed-index cache is DEFERRED (the lazy id
+    # assignment folds into the next action; the next catalog mutation or
+    # an explicit release frees it) — it may still be live here, but an
+    # explicit release must leave nothing behind
+    cat._release_assign_temp()
     assert cat._assign_temp is None
+    assert _n_cached(spark) == before
     # same step, different data → gate raises; no cache entry may survive
     idx2 = spark.createDataFrame(
         [(b"h3", ["k3"])], "hash binary, keys array<string>"
