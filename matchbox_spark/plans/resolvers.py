@@ -311,10 +311,10 @@ def connected_components(
             import pandas as pd
 
             pdf = e.toPandas()
-            nodes, comps = connected_components_numpy(
+            mapping = _cc_driver_mapping(
                 pdf["src"].to_numpy(), pdf["dst"].to_numpy()
             )
-            lab = pd.DataFrame({"id": nodes, "component": comps})
+            lab = pd.DataFrame(mapping.items(), columns=["id", "component"])
             return spark.createDataFrame(
                 lab.astype("int64"), "id long, component long"
             )
@@ -358,6 +358,27 @@ def connected_components_driver(edge_rows: Iterable[tuple[int, int]]) -> dict[in
         for node in comp:
             out[node] = m
     return out
+
+
+# Below this edge count the dict union-find wins in practice: the numpy
+# path allocates several 2|E|-element arrays that glibc/numpy serve via
+# mmap, and on first-touch-lazy VMs the page faults cost more than the
+# vectorization saves (measured: dict stable at ~0.65 s for 900k edges;
+# numpy 0.3 s warm but 1.7-7 s on fault-heavy runs). Past a few million
+# edges the asymptotic win dominates the fault cost.
+_NUMPY_CC_MIN_EDGES = 2_000_000
+
+
+def _cc_driver_mapping(src, dst) -> dict[int, int]:
+    """Driver CC over integer edge arrays: node → min member id.
+
+    Picks the dict union-find below ``_NUMPY_CC_MIN_EDGES`` (stable
+    latency) and the vectorized path above it (asymptotically ~10×
+    faster); both are pinned semantically identical."""
+    if len(src) >= _NUMPY_CC_MIN_EDGES:
+        nodes, comps = connected_components_numpy(src, dst)
+        return dict(zip(nodes.tolist(), comps.tolist()))
+    return connected_components_driver(zip(src.tolist(), dst.tolist()))
 
 
 def connected_components_numpy(src, dst):
@@ -510,12 +531,11 @@ class Components(ResolverMethod):
             logger.info("Components: auto → %s union-find", method)
 
         if method == "driver":
-            # Arrow-batched collect (one transfer) + VECTORIZED union-find
-            # over the numpy edge columns (round 11 — the dict walk was
-            # 0.4 s of j7's floor at the flagship's 900k in-group edges;
-            # identical node → min-member semantics, pinned in pytest). No
-            # pre-distinct: CC absorbs duplicate edges for free, and
-            # skipping it saves a full shuffle.
+            # Arrow-batched collect (one transfer) + size-adaptive driver
+            # CC (round 11: dict union-find below ~2M edges for stable
+            # latency, vectorized above — identical node → min-member
+            # semantics, pinned in pytest). No pre-distinct: CC absorbs
+            # duplicate edges for free, and skipping it saves a shuffle.
             import numpy as np
             import pandas as pd
 
@@ -523,19 +543,20 @@ class Components(ResolverMethod):
                 pdf = unioned.toPandas()
             if len(pdf) == 0:
                 return spark.createDataFrame([], SCHEMA_CLUSTERS)
-            nodes, comps = connected_components_numpy(
+            mapping = _cc_driver_mapping(
                 pdf["src"].to_numpy(), pdf["dst"].to_numpy()
             )
             # the data is driver-resident by definition of this path — the
             # dense parent-id ranking happens here too (sorted components →
-            # 1..k; component labels are min member ids, so sorting them is
-            # the same order the dict path ranked), one Arrow upload of the
-            # final assignments, zero shuffles/windows on the cluster
+            # 1..k), one Arrow upload of the final assignments, zero
+            # shuffles/windows on the cluster
+            nodes = np.fromiter(mapping.keys(), np.int64, len(mapping))
+            comps = np.fromiter(mapping.values(), np.int64, len(mapping))
             uniq, rank_inv = np.unique(comps, return_inverse=True)
             local = pd.DataFrame(
                 {
                     "parent_id": (rank_inv + 1).astype("int64"),
-                    "child_id": nodes.astype("int64"),
+                    "child_id": nodes,
                 }
             )
             assignments = conform(
