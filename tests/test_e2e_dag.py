@@ -308,3 +308,42 @@ def test_dag_draw_tree_and_list(spark):
     # second run skips everything via fingerprint gates → ⏭️ in the render
     s.dag.run()
     assert "⏭️" in s.dag.draw(mode="list")
+
+
+def test_fast_then_distributed_resolver_content_addressing(spark, crn_parquet):
+    """Round 11: the FIRST resolver insert takes the driver-local fast path
+    (LocalRelation assignments + empty hierarchy); a SECOND resolver over
+    the same model must then go distributed (hierarchy non-empty) and
+    content-address to the SAME parent clusters — identical roots, no
+    duplicate contains rows, both steps claiming the same cluster ids."""
+    dag = _build_dag(spark, crn_parquet)
+    dag.resolver(
+        "resolve_again", Components(method="driver"),
+        model_inputs=["dedupe_crn"],
+    )
+    dag.run()
+    cat = dag.catalog
+
+    rc = cat.resolver_clusters.toPandas()
+    a = set(rc[rc["step"] == "resolve_crn"]["cluster_id"])
+    b = set(rc[rc["step"] == "resolve_again"]["cluster_id"])
+    assert a == b and len(a) == 10  # same content-addressed parents
+    # contains holds ONE copy of the hierarchy (second insert appended none)
+    contains = cat.contains.toPandas()
+    assert len(contains) == len(contains.drop_duplicates()) == 40
+    # both resolvers project every key to the IDENTICAL entity id
+    from matchbox_spark.plans.query import unified_query
+
+    q1 = {
+        (r["key"], r["id"])
+        for r in unified_query(
+            cat, ["resolve_crn"], ["crn"], level="key"
+        ).collect()
+    }
+    q2 = {
+        (r["key"], r["id"])
+        for r in unified_query(
+            cat, ["resolve_again"], ["crn"], level="key"
+        ).collect()
+    }
+    assert q1 == q2 and len(q1) == 40
