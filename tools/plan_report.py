@@ -55,6 +55,7 @@ AUDITED = [
     "g8_k_core",
     "j6_splink_compat",
     "j6b_splink_exotic",
+    "j6c_fs_em_unrolled",
     "e3_kmv_distinct",
     "e4_histogram_quantiles",
     "e5_bloom_semijoin",
