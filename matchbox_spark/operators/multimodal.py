@@ -848,6 +848,11 @@ def sample_video_frames(
     per-frame channel means — the m5 honesty bar applied to video. A
     corrupt container or frame yields ONE status row with null fields,
     never a task failure (the 100 TB heterogeneous-scan contract)."""
+    # caller-argument validation happens HERE, outside the per-row
+    # try/except — a bad every_ms must fail fast, not silently mark every
+    # document corrupt (ADVICE r11; mirrors bpe_train's n_merges guard)
+    if not isinstance(every_ms, int) or every_ms <= 0:
+        raise ValueError(f"every_ms must be a positive int, got {every_ms!r}")
     from matchbox_spark.operators.avi import avi_info, demux_mjpeg_frames
     from matchbox_spark.operators.jpeg import (
         UnsupportedJpegError,

@@ -265,6 +265,14 @@ def splink_sql_to_spark(sql: str, pair_suffixes: bool = False) -> str:
     parts = tok_re.split(sql)  # even indices: code; odd: quoted token
     scan_text = " ".join(parts[::2])
 
+    if pair_suffixes and _re.search(r"\b[lr]\s*\.", scan_text):
+        # The condition already speaks the l./r. alias dialect — the
+        # suffix rewrite would corrupt real column names that merely end
+        # in _l/_r (l."total_l" must stay l.`total_l`, not become
+        # l.l.`total`). The two dialects never mix within one level, so
+        # alias presence disables the rewrite for this condition only.
+        pair_suffixes = False
+
     for fn in _UNSUPPORTED_FUNCS:
         if _re.search(rf"\b{fn}\s*\(", scan_text, _re.IGNORECASE):
             raise ValueError(

@@ -218,9 +218,14 @@ def bpe_encode(
     vocab = _top_vocab(docs, text_col, top_words)
     # parquet round-trips, same rationale as bpe_train (round 11: chained
     # localCheckpoints degrade superlinearly past ~8 rounds). The RETURNED
-    # frame lazily reads the final directory, so the temp tree is reaped at
-    # process exit, not here (the _materialize fallback's pattern).
+    # frame lazily reads the FINAL round's directory only, so that one
+    # directory lives until process exit (or an explicit
+    # :func:`cleanup_bpe_temps` — after which previously returned frames
+    # are unreadable); every intermediate round is reaped eagerly below,
+    # bounding per-call disk residue to ONE vocab copy, not three
+    # (ADVICE r11).
     tmp = tempfile.mkdtemp(prefix="mbspark_bpe_")
+    _BPE_TMP_DIRS.append(tmp)
     atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     vocab.select(
         "word",
@@ -228,17 +233,52 @@ def bpe_encode(
         F.expr("regexp_extract_all(word, '.', 0)").alias("syms"),
     ).write.parquet(f"{tmp}/wd_init")
     wd = spark.read.parquet(f"{tmp}/wd_init")
-    for it, (a, b) in enumerate(merges):
-        pos, pairs = _pos_pairs(wd)
-        # three rotating directories (not two): the frame returned to the
-        # caller must stay readable, so the final round's directory is
-        # never the one the next-to-last round overwrote
-        path = f"{tmp}/wd{it % 3}"
-        _apply_merge(pos, pairs, str(a), str(b)).write.mode(
-            "overwrite"
-        ).parquet(path)
-        wd = spark.read.parquet(path)
+    final = f"{tmp}/wd_init"
+    try:
+        for it, (a, b) in enumerate(merges):
+            pos, pairs = _pos_pairs(wd)
+            # three rotating directories (not two): the frame feeding the
+            # next round must stay readable while that round writes, so a
+            # round never overwrites the directory it is reading from
+            path = f"{tmp}/wd{it % 3}"
+            _apply_merge(pos, pairs, str(a), str(b)).write.mode(
+                "overwrite"
+            ).parquet(path)
+            wd = spark.read.parquet(path)
+            final = path
+    finally:
+        # eager reap: everything except the directory the returned frame
+        # reads — a long-lived session calling bpe_encode repeatedly now
+        # accumulates one tree per call, not three
+        import os
+
+        for child in os.listdir(tmp):
+            full = f"{tmp}/{child}"
+            if full != final:
+                shutil.rmtree(full, ignore_errors=True)
     return wd
+
+
+#: temp roots created by :func:`bpe_encode`, newest last — each holds the
+#: single surviving parquet tree its returned DataFrame lazily reads
+_BPE_TMP_DIRS: list[str] = []
+
+
+def cleanup_bpe_temps() -> int:
+    """Reap every temp tree :func:`bpe_encode` has created this process.
+
+    DataFrames previously returned by ``bpe_encode`` become unreadable —
+    call this only once they are consumed (or materialised elsewhere).
+    Returns the number of trees removed. Without an explicit call the
+    trees are removed at interpreter exit via atexit.
+    """
+    import shutil
+
+    n = 0
+    while _BPE_TMP_DIRS:
+        shutil.rmtree(_BPE_TMP_DIRS.pop(), ignore_errors=True)
+        n += 1
+    return n
 
 
 def bpe_encode_arrow(

@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 from typing import Iterable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -259,10 +260,11 @@ class Catalog:
         if not self.path:
             raise ValueError("catalog has no path")
         os.makedirs(self.path, exist_ok=True)
-        # CAS on the snapshot pointer (round 11): writers are single by
-        # contract, but a silent violation corrupts state — check the
-        # on-disk generation before the expensive table writes (fail fast)
-        # and again immediately before the pointer flip (the race window).
+        # Snapshot-pointer conflict detection (round 11/12): writers are
+        # single by contract, but a silent violation corrupts state — check
+        # the on-disk generation before the expensive table writes (fail
+        # fast), again before the flip, and CONFIRM the flip with a unique
+        # writer token after it (the real CAS; see below).
         self._check_snapshot_generation()
         snap = self._snapshot_id + 1
         snaps_root = os.path.join(self.path, "snapshots")
@@ -275,15 +277,39 @@ class Catalog:
                 writer = writer.partitionBy(*parts)
             writer.parquet(os.path.join(snap_dir, name))
         # every table written — re-check the generation, then flip the ONE
-        # pointer atomically. A concurrent writer that flipped during our
-        # table writes is detected here; we lose loudly, leaving its
-        # snapshot live (our orphaned directory is GC'd by the next save).
+        # pointer and CONFIRM we won. The generation re-check alone is
+        # check-then-act (two writers can both pass it and race os.replace,
+        # ADVICE r11), so the manifest carries a per-write unique token:
+        # after our replace we re-read the manifest, and if the token on
+        # disk is not ours another writer clobbered the flip — we lose
+        # loudly instead of silently believing we won. A writer that flips
+        # AFTER our confirm produced a complete well-formed snapshot of its
+        # own, so last-writer-wins from there is safe; this closes the
+        # silent-clobber window, not the single-writer contract.
         self._check_snapshot_generation()
-        meta = {"format": 2, "snapshot": snap, "steps": self.steps}
-        tmp = os.path.join(self.path, "steps.json.tmp")
+        token = uuid.uuid4().hex
+        meta = {
+            "format": 2,
+            "snapshot": snap,
+            "steps": self.steps,
+            "writer_token": token,
+        }
+        manifest = os.path.join(self.path, "steps.json")
+        tmp = os.path.join(self.path, f"steps.json.tmp.{token}")
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=2, sort_keys=True)
-        os.replace(tmp, os.path.join(self.path, "steps.json"))
+        os.replace(tmp, manifest)
+        try:
+            with open(manifest) as f:
+                won = json.load(f).get("writer_token") == token
+        except (OSError, ValueError):
+            won = False
+        if not won:
+            raise ConcurrentWriterError(
+                f"catalog at {self.path!r}: another writer replaced the "
+                f"snapshot pointer during this save (snapshot {snap} "
+                "orphaned; the concurrent writer's snapshot is live)"
+            )
         self._snapshot_id = snap
         # every table is on disk — a deferred lazy-assignment cache (and
         # the plans reading it) is no longer needed by anything re-pointed
