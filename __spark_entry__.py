@@ -808,6 +808,158 @@ def j7_set_agg(spark, sf):
     )
 
 
+def _linked_dag(spark, sf):
+    """Build (once per sf_dir) the MULTI-RESOLVER pipeline exercising J7
+    lineage priority: two sources (customer, supplier), a dedupe resolver
+    per source, and a cross-source linker resolver stacked on both — the
+    reference's ``link`` scenario shape (scenarios.py) over real testdata.
+    Lineage depth 2: resolve_link at closure level 0, the two dedupe
+    resolvers below it (reference query.py:36-117, orm.py:326-405)."""
+    key = (id(spark), sf, "linked")
+    if key in _FLAGSHIP_CACHE:
+        return _FLAGSHIP_CACHE[key]
+    from matchbox_spark.plans.catalog import Catalog
+    from matchbox_spark.plans.dag import DAG
+    from matchbox_spark.plans.query import QueryConfig
+    from matchbox_spark.plans.resolvers import Components
+    from matchbox_spark.sources.source import SourceConfig
+
+    dag = DAG(spark, Catalog(spark))
+    custx = SourceConfig(
+        name="custx",
+        location=f"{sf}/customer.parquet",
+        key_field="c_custkey",
+        index_fields=["c_name", "c_nationkey", "c_mktsegment"],
+    )
+    suppx = SourceConfig(
+        name="suppx",
+        location=f"{sf}/supplier.parquet",
+        key_field="s_suppkey",
+        index_fields=["s_name", "s_nationkey"],
+    )
+    dag.source(custx)
+    dag.source(suppx)
+    # per-source dedupe: customers group by (nation, segment), suppliers by
+    # nation — singleton groups produce no edges, so those leaves fall
+    # through the COALESCE to a lower resolver or the leaf itself (the
+    # priority semantics under test)
+    dag.model(
+        "dedupe_cust",
+        NaiveDeduper(
+            id="id", unique_fields=["custx_c_nationkey", "custx_c_mktsegment"]
+        ),
+        QueryConfig(sources=[custx]),
+    )
+    dag.resolver("resolve_cust", Components(method="auto"), ["dedupe_cust"])
+    dag.model(
+        "dedupe_supp",
+        NaiveDeduper(id="id", unique_fields=["suppx_s_nationkey"]),
+        QueryConfig(sources=[suppx]),
+    )
+    dag.resolver("resolve_supp", Components(method="auto"), ["dedupe_supp"])
+    # cross-source link over RESOLVED entities: BUILDING-segment customer
+    # entities join supplier entities of the same nation, so only some
+    # keys are re-resolved at the top level — the rest must fall through
+    dag.model(
+        "link_cs",
+        DeterministicLinker(
+            left_id="id",
+            right_id="id",
+            comparisons=[
+                "l.custx_c_nationkey = r.suppx_s_nationkey "
+                "AND l.custx_c_mktsegment = 'BUILDING'"
+            ],
+        ),
+        QueryConfig(sources=[custx], resolvers=["resolve_cust"]),
+        QueryConfig(sources=[suppx], resolvers=["resolve_supp"]),
+    )
+    dag.resolver("resolve_link", Components(method="auto"), ["link_cs"])
+    dag.run()
+    _FLAGSHIP_CACHE[key] = dag
+    return dag
+
+
+# The oracle states the expected resolved entity per key from first
+# principles: a linked entity is {BUILDING customers of nation n} ∪
+# {suppliers of nation n} (it exists iff both sides are non-empty); a
+# non-BUILDING customer resolves to its (nation, segment) dedupe group; a
+# supplier in a nation with no BUILDING customers resolves to its nation
+# group. Representative = min member under an 'a:'-supplier / 'c:'-customer
+# prefixed encoding, so linked entities get the supplier-side minimum —
+# a WRONG coalesce priority (dedupe root winning over link root) changes
+# entity_rep on the customer side AND n_keys on both sides.
+_J7B_ORACLE = """
+WITH bc AS (
+  SELECT c_nationkey AS n, MIN(c_custkey) AS min_bcust, COUNT(*) AS n_bc
+  FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1
+),
+sn AS (
+  SELECT s_nationkey AS n, MIN(s_suppkey) AS min_supp, COUNT(*) AS n_supp
+  FROM supplier GROUP BY 1
+),
+cg AS (
+  SELECT c_nationkey AS n, c_mktsegment AS seg,
+         MIN(c_custkey) AS min_cust, COUNT(*) AS n_cust
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(c.c_custkey AS VARCHAR) AS key,
+       'custx' AS source,
+       CASE WHEN c.c_mktsegment = 'BUILDING' AND sn.n IS NOT NULL
+            THEN 'a:' || LPAD(CAST(sn.min_supp AS VARCHAR), 12, '0')
+            ELSE 'c:' || LPAD(CAST(cg.min_cust AS VARCHAR), 12, '0') END
+         AS entity_rep,
+       CASE WHEN c.c_mktsegment = 'BUILDING' AND sn.n IS NOT NULL
+            THEN cg.n_cust + sn.n_supp
+            ELSE cg.n_cust END AS n_keys
+FROM customer c
+JOIN cg ON cg.n = c.c_nationkey AND cg.seg = c.c_mktsegment
+LEFT JOIN sn ON sn.n = c.c_nationkey
+UNION ALL
+SELECT CAST(s.s_suppkey AS VARCHAR) AS key,
+       'suppx' AS source,
+       'a:' || LPAD(CAST(sn.min_supp AS VARCHAR), 12, '0') AS entity_rep,
+       CASE WHEN bc.n IS NOT NULL THEN sn.n_supp + bc.n_bc
+            ELSE sn.n_supp END AS n_keys
+FROM supplier s
+JOIN sn ON sn.n = s.s_nationkey
+LEFT JOIN bc ON bc.n = s.s_nationkey
+"""
+
+
+@_q("j7b_lineage_priority", _J7B_ORACLE)
+def j7b_lineage(spark, sf):
+    """J7 multi-resolver lineage priority (the reference's chained
+    per-resolver LEFT JOINs + COALESCE by closure level,
+    server/postgresql/utils/query.py:36-117 + orm.py:326-405): three
+    resolvers in the coalesce — resolve_link wins where the cross-source
+    link covered a key, else the per-source dedupe root, else the leaf.
+    Output is content-defined (min prefixed member + entity size) so the
+    DuckDB oracle can state the expected winner per key independently."""
+    from pyspark.sql import Window
+
+    from matchbox_spark.plans.query import unified_query
+
+    dag = _linked_dag(spark, sf)
+    lineage = dag.resolver_lineage("resolve_link")
+    assert lineage[0] == "resolve_link" and len(lineage) == 3, lineage
+    proj = unified_query(
+        dag.catalog, lineage, ["custx", "suppx"], level="key"
+    )
+    member = F.when(
+        F.col("source") == "suppx",
+        F.concat(F.lit("a:"), F.lpad("key", 12, "0")),
+    ).otherwise(F.concat(F.lit("c:"), F.lpad("key", 12, "0")))
+    # per-entity min + size as windows over one shuffle on id, not a
+    # groupBy + self-join (two shuffles and a join stage)
+    w = Window.partitionBy("id")
+    return proj.select(
+        "key",
+        "source",
+        F.min(member).over(w).alias("entity_rep"),
+        F.count(F.lit(1)).over(w).alias("n_keys"),
+    )
+
+
 # ===========================================================================
 # Events: windowed aggregation + sessionisation
 # ===========================================================================
