@@ -6281,6 +6281,107 @@ def ev7_nearest(spark, sf):
     )
 
 
+# ev8 fixture: a deterministic model + judgement set over real customers.
+# Edges chain each nation's customers in custkey order (score 0.9 when the
+# adjacent pair shares a segment, 0.4 otherwise); judgements endorse the
+# (nation, segment) partition of each nation cluster. The weighted net
+# counts then come out EXACTLY +1 for every same-segment pair and -1 for
+# every cross-segment pair (the per-row weights telescope), so the oracle
+# can state the sweep in closed form: t=0.3 clusters whole nations
+# (recall 1, precision = segment pairs / nation pairs); t=0.8 clusters
+# maximal same-segment RUNS in custkey order (precision 1, recall =
+# run pairs / segment pairs); t=0.95 clears every edge (all zeros).
+_EV8_ORACLE = """
+WITH c AS (
+  SELECT c_custkey AS k, c_nationkey AS n, c_mktsegment AS seg FROM customer
+),
+o AS (
+  SELECT k, n, seg, LAG(seg) OVER (PARTITION BY n ORDER BY k) AS prev_seg
+  FROM c
+),
+r AS (
+  SELECT k, n, seg,
+         SUM(CASE WHEN prev_seg IS NULL OR seg <> prev_seg THEN 1 ELSE 0 END)
+           OVER (PARTITION BY n ORDER BY k) AS run_id
+  FROM o
+),
+np AS (
+  SELECT COALESCE(SUM((cnt * (cnt - 1)) // 2), 0) AS np
+  FROM (SELECT n, COUNT(*) AS cnt FROM c GROUP BY n)
+),
+sp AS (
+  SELECT COALESCE(SUM((cnt * (cnt - 1)) // 2), 0) AS v
+  FROM (SELECT n, seg, COUNT(*) AS cnt FROM c GROUP BY n, seg)
+),
+rp AS (
+  SELECT COALESCE(SUM((cnt * (cnt - 1)) // 2), 0) AS rp
+  FROM (SELECT n, run_id, COUNT(*) AS cnt FROM r GROUP BY n, run_id)
+)
+SELECT 0.3 AS threshold,
+       CAST(np AS BIGINT) AS n_model_pairs,
+       CAST(v AS BIGINT) AS tp,
+       ROUND(CAST(v AS DOUBLE) / np, 9) AS precision,
+       1.0 AS recall,
+       ROUND(2.0 * (CAST(v AS DOUBLE) / np) * 1.0
+             / ((CAST(v AS DOUBLE) / np) + 1.0), 9) AS f1
+FROM np, sp
+UNION ALL
+SELECT 0.8,
+       CAST(rp AS BIGINT), CAST(rp AS BIGINT),
+       1.0,
+       ROUND(CAST(rp AS DOUBLE) / v, 9),
+       ROUND(2.0 * 1.0 * (CAST(rp AS DOUBLE) / v)
+             / (1.0 + CAST(rp AS DOUBLE) / v), 9)
+FROM rp, sp
+UNION ALL
+SELECT 0.95, 0, 0, 0.0, 0.0, 0.0
+"""
+
+
+@_q("ev8_threshold_sweep", _EV8_ORACLE)
+def ev8_threshold_sweep(spark, sf):
+    """eval.threshold_sweep (VERDICT r11 #9): P/R/F1 per model threshold
+    against weighted judgements — the real sweep machinery (per-threshold
+    connected components + judgement net counts) on a fixture whose
+    expected curve the oracle states in closed form (see _EV8_ORACLE)."""
+    from pyspark.sql import Window
+
+    from matchbox_spark.eval import threshold_sweep
+
+    c = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("n"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    w = Window.partitionBy("n").orderBy("k")
+    edges = (
+        c.withColumn("nxt_k", F.lead("k").over(w))
+        .withColumn("nxt_seg", F.lead("seg").over(w))
+        .where(F.col("nxt_k").isNotNull())
+        .select(
+            F.col("k").alias("left_id"),
+            F.col("nxt_k").alias("right_id"),
+            F.when(F.col("seg") == F.col("nxt_seg"), 0.9)
+            .otherwise(0.4)
+            .alias("score"),
+        )
+    )
+    groups = c.groupBy("n", "seg").agg(
+        F.sort_array(F.collect_list("k")).alias("leaves"),
+        F.min("k").alias("gid"),
+    )
+    nations = c.groupBy("n").agg(F.sort_array(F.collect_list("k")).alias("leaves"))
+    judgements = groups.select(
+        F.lit("u").alias("user_name"),
+        (-(F.col("n") + 1)).cast("long").alias("shown"),
+        F.col("gid").cast("long").alias("endorsed"),
+    )
+    expansion = nations.select(
+        (-(F.col("n") + 1)).cast("long").alias("root"), "leaves"
+    ).unionByName(groups.select(F.col("gid").cast("long").alias("root"), "leaves"))
+    return threshold_sweep(edges, judgements, expansion, [0.3, 0.8, 0.95])
+
+
 def _pr_iter_sql(prev: str, out: str) -> str:
     """One PageRank iteration as SQL CTEs: decimal-exact contribution sums
     (order-invariant), per-iteration rounding to 12 dp so both engines walk
@@ -7261,24 +7362,24 @@ def b2_hybrid(spark, sf):
     Both inputs are already top-k lists, so the fusion shuffles a few
     hundred candidate ids, never the corpus; the global fused_rank window
     is bounded by Σ per-list k by construction."""
-    from pyspark.sql import Window
-
-    from matchbox_spark.operators.search import bm25_scores, rrf_fuse
+    from matchbox_spark.operators.search import (
+        bm25_scores,
+        ranked_topk,
+        rrf_fuse,
+    )
     from matchbox_spark.operators.similarity import cosine_topk
 
     docs = _t(spark, sf, "documents")
     emb = _t(spark, sf, "embeddings")
-    lex = (
-        bm25_scores(docs, "doc_id", "text", ["hash", "merge", "spark"])
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("score"), F.asc("doc"))
-            ),
-        )
-        .where(F.col("rank") <= 100)
-        .select("doc", "rank")
-    )
+    # ranked_topk, not a bare global window: it stays under the
+    # WindowGroupLimit pushdown threshold (or pre-filters per partition
+    # above it), so the lexical arm can never silently single-partition a
+    # large match set (lesson-6 cliff; VERDICT r11)
+    lex = ranked_topk(
+        bm25_scores(docs, "doc_id", "text", ["hash", "merge", "spark"]),
+        [F.desc("score"), F.asc("doc")],
+        k=100,
+    ).select("doc", "rank")
     vec = (
         cosine_topk(emb, emb.where(F.col("vec_id") == 0), k=100)
         .select(F.col("neighbor").alias("doc"), "rank")

@@ -98,6 +98,51 @@ def bm25_scores(
     return scored
 
 
+def ranked_topk(
+    df: DataFrame,
+    order_cols: list,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Global top-k WITH rank values, safe at any k (round 12).
+
+    A bare ``row_number().over(Window.orderBy(...))`` single-partitions the
+    whole input; Spark only rescues it when the rank filter bound is at or
+    under ``spark.sql.window.group.limit.threshold`` (default 1000), where
+    the WindowGroupLimit rule pushes a per-partition top-k below the
+    exchange — the BASELINE.md lesson-6 cliff. This helper makes the cliff
+    impossible to hit silently:
+
+    - ``k`` ≤ threshold: the plain window + filter (WindowGroupLimit fires;
+      asserted in tests/test_search_rank_guard.py);
+    - ``k`` > threshold: an EXPLICIT per-partition pre-filter (row_number
+      partitioned by ``spark_partition_id()``) keeps ≤ k rows per input
+      partition before the global window, so the single-partition sort sees
+      at most ``k · n_partitions`` rows, never the corpus.
+
+    ``order_cols`` must define a total order (include a tiebreaker) for the
+    rank to be deterministic.
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    threshold = int(
+        df.sparkSession.conf.get("spark.sql.window.group.limit.threshold", "1000")
+    )
+    if threshold < 0:  # -1 disables the rule entirely → always pre-filter
+        threshold = 0
+    if k > threshold:
+        pre = Window.partitionBy(F.spark_partition_id()).orderBy(*order_cols)
+        df = df.withColumn("_pre_rank", F.row_number().over(pre)).where(
+            F.col("_pre_rank") <= k
+        )
+    out = df.withColumn(
+        rank_col, F.row_number().over(Window.orderBy(*order_cols))
+    ).where(F.col(rank_col) <= k)
+    return out.drop("_pre_rank") if k > threshold else out
+
+
 def rrf_fuse(
     ranked_lists: dict[str, DataFrame],
     k: int = 60,

@@ -12,7 +12,7 @@ from __future__ import annotations
 import logging
 from dataclasses import dataclass, field as dc_field
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from matchbox_spark.operators.dedupers import Deduper
@@ -23,6 +23,11 @@ from matchbox_spark.plans.resolvers import ResolverMethod
 from matchbox_spark.sources.source import SourceConfig
 
 logger = logging.getLogger(__name__)
+
+# sentinel embedded in the executor-side raise_error message so the driver
+# can recognise a P4 score-validation failure inside any wrapping
+# Py4J/Spark exception and re-raise it as ScoreError
+_SCORE_ERROR_MARKER = "MB_SCORE_ERROR"
 
 
 class CycleError(ValueError):
@@ -295,8 +300,38 @@ class DAG:
 
         Records per-step outcome in ``last_run_status`` (``done`` /
         ``skipped``) for ``draw``.
+
+        Score validation (P4) raises :class:`ScoreError` from whichever
+        action first materialises the offending model's edges — usually the
+        downstream resolver step; a model with no in-run consumer is forced
+        at the end of the run, so ``run()`` never returns with an invalid
+        score either way.
         """
+        from matchbox_spark.operators.results import ScoreError
+
         self.last_run_status: dict[str, str] = {}
+        self._pending_score_checks: list[tuple[str, DataFrame]] = []
+        try:
+            self._run_steps()
+            # force any model edges nothing consumed in-run: max(score)
+            # evaluates the raise_error guard on every row (count() would
+            # prune the score column away and skip it); on an already-
+            # materialised checkpoint this scans local blocks only
+            for _mname, medges in self._pending_score_checks:
+                medges.agg(F.max("score")).collect()
+        except Exception as e:  # noqa: BLE001 — translate executor raises
+            msg = str(e)
+            if _SCORE_ERROR_MARKER in msg:
+                detail = msg.split(_SCORE_ERROR_MARKER, 1)[1].splitlines()[0]
+                raise ScoreError(
+                    "invalid score outside [0,1] or null/NaN:" + detail
+                ) from e
+            raise
+        finally:
+            self._pending_score_checks = []
+        return self.catalog
+
+    def _run_steps(self) -> None:
         for name in self.sequence():
             step = self.steps[name]
             # "doing" until the step completes: a step that raises must not
@@ -325,32 +360,46 @@ class DAG:
                 else:
                     right = self._query_for_model(step.right_query)
                     edges = step.model.link(left, right)
-                # ONE materialisation pass: score validation (P4) rides the
-                # checkpoint job as an Observation instead of a second scan
-                # of the edge set — at 100 TB the saved pass is a full read
-                # of every scored pair
-                from pyspark.sql import Observation
-
-                from matchbox_spark.operators.results import ScoreError
+                # ZERO extra materialisation passes (round 12): score
+                # validation (P4) is woven into the `score` column itself
+                # via raise_error, and the checkpoint is LAZY — the first
+                # consumer (typically the next resolver's CC probe)
+                # computes the model plan, persists the checkpoint, and
+                # collects the edges in ONE job. The previous shape (eager
+                # checkpoint + Observation) forced a serial driver sync per
+                # model step and then re-read the checkpoint for the probe —
+                # at 100 TB that re-read is a full pass over every scored
+                # pair. raise_error lives inside the KEPT score column, so
+                # column pruning cannot drop the guard, and checkpoint
+                # materialisation computes full rows so it always fires.
                 from matchbox_spark.schemas import SCHEMA_MODEL_EDGES, conform
 
                 edges = conform(edges, SCHEMA_MODEL_EDGES)
-                obs = Observation()
                 bad = (
                     F.col("score").isNull()
                     | F.isnan("score")
                     | (F.col("score") < 0)
                     | (F.col("score") > 1)
                 )
-                edges = edges.observe(
-                    obs, F.sum(bad.cast("long")).alias("n_bad")
-                ).localCheckpoint(eager=True)
-                n_bad = int(obs.get["n_bad"] or 0)
-                if n_bad:
-                    example = edges.where(bad).first()
-                    raise ScoreError(
-                        f"invalid score outside [0,1] or null/NaN: {example}"
-                    )
+                guard = F.when(
+                    bad,
+                    F.raise_error(
+                        F.format_string(
+                            _SCORE_ERROR_MARKER
+                            + " step=%s left_id=%s right_id=%s score=%s",
+                            F.lit(name),
+                            F.col("left_id"),
+                            F.col("right_id"),
+                            F.col("score"),
+                        )
+                    ).cast("float"),
+                ).otherwise(F.col("score"))
+                edges = edges.withColumn("score", guard)
+                try:
+                    edges = edges.localCheckpoint(eager=False)
+                except Exception:  # noqa: BLE001 — rare AQE planning bug
+                    pass  # plain plan; the drain/consumer still validates
+                self._pending_score_checks.append((name, edges))
                 self.catalog.insert_model_edges(name, edges, fingerprint=fp)
             elif isinstance(step, ResolverStep):
                 logger.info("resolver step %s", name)
@@ -381,10 +430,24 @@ class DAG:
                 self.catalog.insert_resolver_clusters(
                     name, assignments, fingerprint=fp
                 )
+                # Components.compute_clusters filtered every input model's
+                # edges on score (and materialised any lazy checkpoint
+                # beneath), so each guard has fired over every row — drop
+                # those models from the end-of-run drain. A CUSTOM resolver
+                # method gets no such guarantee (it may never touch score),
+                # so its inputs stay pending.
+                from matchbox_spark.plans.resolvers import Components
+
+                if isinstance(step.method, Components):
+                    consumed = set(step.model_inputs)
+                    self._pending_score_checks = [
+                        (m, e)
+                        for m, e in self._pending_score_checks
+                        if m not in consumed
+                    ]
             else:  # pragma: no cover
                 raise TypeError(f"unknown step type {type(step)}")
             self.last_run_status[name] = "done"
-        return self.catalog
 
     # -- rendering (reference dags.py:384-470) ----------------------------------
 

@@ -366,15 +366,22 @@ def connected_components_driver(edge_rows: Iterable[tuple[int, int]]) -> dict[in
 # vectorization saves (measured: dict stable at ~0.65 s for 900k edges;
 # numpy 0.3 s warm but 1.7-7 s on fault-heavy runs). Past a few million
 # edges the asymptotic win dominates the fault cost.
-_NUMPY_CC_MIN_EDGES = 2_000_000
+# Crossover re-measured in round 12 (steady-state, best-of-3 per size):
+# the vectorized path wins 2-2.5x at every size from 50k edges up
+# (50k: 14 vs 35 ms; 400k: 130 vs 319 ms; 900k: 318 vs 602 ms); below
+# that both are <35 ms and the dict avoids pandas.factorize setup. The
+# old 2M threshold came from a one-off first-call-in-process measurement
+# that box-load noise inflated (re-runs show no structural first-call
+# penalty at these sizes).
+_NUMPY_CC_MIN_EDGES = 50_000
 
 
 def _cc_driver_mapping(src, dst) -> dict[int, int]:
     """Driver CC over integer edge arrays: node → min member id.
 
-    Picks the dict union-find below ``_NUMPY_CC_MIN_EDGES`` (stable
-    latency) and the vectorized path above it (asymptotically ~10×
-    faster); both are pinned semantically identical."""
+    Picks the dict union-find below ``_NUMPY_CC_MIN_EDGES`` (tiny graphs,
+    avoids vectorization setup) and the vectorized path at or above it
+    (2-10× faster); both are pinned semantically identical."""
     if len(src) >= _NUMPY_CC_MIN_EDGES:
         nodes, comps = connected_components_numpy(src, dst)
         return dict(zip(nodes.tolist(), comps.tolist()))

@@ -59,6 +59,18 @@ def get_spark(
         # still split at the advisory size, so scale behaviour is unchanged —
         # this only removes per-task overhead on small exchange stages.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # let AQE re-size the output partitioning of CACHED plans too
+        # (default false pins every persist() at spark.sql.shuffle.partitions,
+        # so each downstream stage over a small cached frame schedules
+        # core-count near-empty tasks — measured 430 → 223 tasks and ~25%
+        # wall on the j7 flagship at sf0.1). Nothing in the engine keys on
+        # a cached frame's partition ids: per-partition offset recipes
+        # (zip-with-index, _pid folds) always freeze their frame with a
+        # localCheckpoint first, and id assignment keys on content-derived
+        # buckets, not partition ids.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -60,6 +60,11 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
         ["--embedding", "1000000", "32"],
     ),
     "streaming_lsh": (["--lsh", "6", "100", "8"], ["--lsh"]),
+    # round 12: deep-lineage J7 tower (16 resolvers full), skewed-leaf J7
+    # rung (AQE skew split on the hierarchy join), 100+-batch catalog soak
+    "lineage": (["1024", "10"], ["65536", "16"]),
+    "skew_j7": (["300000", "30"], ["5000000", "30"]),
+    "catalog_soak": (["40", "2000", "10"], ["120", "5000", "10"]),
     "streaming_embedding": (
         ["--embedding", "6", "100", "8"],
         ["--embedding", "12", "300", "10"],
