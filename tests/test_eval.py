@@ -86,3 +86,46 @@ def test_empty_judgements_rejected(spark):
     model = spark.createDataFrame([(1, 2)], "root long, leaf long")
     with pytest.raises(ValueError):
         precision_recall([model], judgements, expansion)
+
+
+def test_threshold_sweep_curve(spark):
+    """Sweep over a 3-leaf chain: edge (1,2)=0.9 (true pair), (2,3)=0.5
+    (false pair per judgements). High t: precision 1, recall 1 (only the
+    true pair clusters). Low t: overmerge — all three leaves cluster,
+    precision 1/3, recall 1. Above every score: zeros, not a raise."""
+    from matchbox_spark.eval import threshold_sweep
+
+    edges = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.5)],
+        "left_id long, right_id long, score double",
+    )
+    judgements = spark.createDataFrame(
+        [("u", 101, 100), ("u", 102, 100)],
+        "user_name string, endorsed long, shown long",
+    )
+    expansion = spark.createDataFrame(
+        [(100, [1, 2, 3]), (101, [1, 2]), (102, [3])],
+        "root long, leaves array<long>",
+    )
+    out = {
+        r["threshold"]: r
+        for r in threshold_sweep(
+            edges, judgements, expansion, [0.3, 0.7, 0.99]
+        ).collect()
+    }
+    assert out[0.7]["precision"] == 1.0 and out[0.7]["recall"] == 1.0
+    assert out[0.3]["precision"] == pytest.approx(1 / 3)
+    assert out[0.3]["recall"] == 1.0
+    assert out[0.3]["n_model_pairs"] == 3 and out[0.3]["tp"] == 1
+    assert out[0.99]["n_model_pairs"] == 0
+    assert out[0.99]["precision"] == 0.0 and out[0.99]["f1"] == 0.0
+
+
+def test_threshold_sweep_requires_thresholds(spark):
+    from matchbox_spark.eval import threshold_sweep
+
+    df = spark.createDataFrame(
+        [(1, 2, 0.9)], "left_id long, right_id long, score double"
+    )
+    with pytest.raises(ValueError, match="at least one threshold"):
+        threshold_sweep(df, df, df, [])
