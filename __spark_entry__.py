@@ -4231,8 +4231,10 @@ def m5_real_decode(spark, sf):
     Adam7-interlaced / PNG8-palette / palette+interlace layouts), a
     baseline sequential JPEG
     (standard Huffman tables, restart markers, full entropy decode + IDCT),
-    a GIF, or a baseline TIFF (round 11: strip walk, uncompressed/PackBits,
-    little/big-endian) rotating by doc_id — with solid colour + geometry
+    a GIF, a baseline TIFF (round 11: strip walk, uncompressed/PackBits,
+    little/big-endian), or a lossless WebP (round 12: VP8L entropy decode
+    with rotating subtract-green / color-cache / LZ77-run encoder paths)
+    rotating by doc_id — with solid colour + geometry
     derived from
     sha256(text), which decode_image_stats then decodes FOR REAL (header
     parse / inflate / un-filtering / Huffman + dequant + IDCT / row padding
@@ -4259,6 +4261,7 @@ def m5_real_decode(spark, sf):
         encode_ppm,
     )
     from matchbox_spark.operators.tiff import encode_tiff
+    from matchbox_spark.operators.webp import encode_webp_lossless
 
     d = _t(spark, sf, "documents").where(F.col("doc_id") < 200).select(
         "doc_id", "text"
@@ -4271,8 +4274,24 @@ def m5_real_decode(spark, sf):
                 h = _hl.sha256(str(text).encode("utf-8")).digest()
                 w, ht = 4 + h[3] % 13, 4 + h[4] % 13
                 img = _np.full((ht, w, 3), (h[0], h[1], h[2]), dtype=_np.uint8)
-                c = int(doc_id) % 6
-                if c == 5:
+                c = int(doc_id) % 7
+                if c == 6:
+                    # WebP VP8L (round 12): full lossless pipeline —
+                    # rotate subtract-green / color-cache / LZ77-run
+                    # encoder paths so the oracle certifies the seventh
+                    # container's transform+cache+backref decode, again
+                    # with zero SQL changes
+                    v = (int(doc_id) // 7) % 4
+                    payload, mt = (
+                        encode_webp_lossless(
+                            img,
+                            subtract_green=bool(v & 1),
+                            cache_bits=4 if v & 2 else 0,
+                            use_lz77_runs=True,
+                        ),
+                        "image/webp",
+                    )
+                elif c == 5:
                     # TIFF (round 11): strip-based baseline decode; rotate
                     # uncompressed/PackBits × little/big-endian containers —
                     # the format-agnostic oracle certifies the sixth format
@@ -4595,11 +4614,12 @@ def m7_decode_malformed(spark, sf):
                     payload, mt = encode_bmp(solid)[:10], "image/bmp"
                 elif c == 3:  # wrong magic for the declared type
                     payload, mt = b"XX" + h, "image/x-portable-pixmap"
-                elif c == 4:  # valid raster, but no pixel decoder for WEBP
-                    # (GIF grew a real decoder in round 10 and TIFF in
-                    # round 11, so neither serves as the unregistered-type
-                    # case any more)
-                    payload, mt = encode_bmp(solid), "image/webp"
+                elif c == 4:  # valid payload, but no pixel decoder for MP3
+                    # (GIF grew a real decoder in round 10, TIFF in round
+                    # 11, and WebP in round 12 — compressed audio is the
+                    # remaining honest stub, so it serves as the
+                    # unregistered-type case)
+                    payload, mt = encode_bmp(solid), "audio/mpeg"
                 else:  # REAL progressive JPEG: full SOF2 scan-script decode
                     payload, mt = (
                         encode_jpeg(solid, quality=100, progressive=True),

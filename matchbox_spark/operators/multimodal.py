@@ -595,6 +595,33 @@ def decode_tiff_pixels(payload: bytes):
     return _dec(payload)
 
 
+@register_decoder("image/webp")
+def _webp_decoder(payload: bytes) -> dict:
+    """Real WebP (VP8L) probe: RIFF walk + 14-bit geometry header
+    (round 12)."""
+    from matchbox_spark.operators.webp import _LsbBitReader, _vp8l_chunk
+
+    data = _vp8l_chunk(payload)
+    if not data or data[0] != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    br = _LsbBitReader(data)
+    br.pos = 8
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    return {"width": w, "height": h, "duration_ms": None}
+
+
+def decode_webp_pixels(payload: bytes):
+    """Lossless WebP (VP8L) → (H, W, 3) uint8 RGB: full transform +
+    entropy pipeline (round 12).
+
+    Thin re-export of :func:`matchbox_spark.operators.webp.decode_webp_pixels`
+    so the pixel-decoder registry lives in one place."""
+    from matchbox_spark.operators.webp import decode_webp_pixels as _dec
+
+    return _dec(payload)
+
+
 _PIXEL_DECODERS = {
     "image/bmp": decode_bmp_pixels,
     "image/x-portable-pixmap": decode_ppm_pixels,
@@ -602,6 +629,7 @@ _PIXEL_DECODERS = {
     "image/jpeg": decode_jpeg_pixels,
     "image/gif": decode_gif_pixels,
     "image/tiff": decode_tiff_pixels,
+    "image/webp": decode_webp_pixels,
 }
 
 

@@ -79,7 +79,7 @@ def test_gif_through_decode_image_stats(spark):
         (1, bytearray(encode_gif(img)), "image/gif"),
         (2, bytearray(encode_gif(img, interlace=True)), "image/gif"),
         (3, bytearray(b"GIF89a junk"), "image/gif"),     # corrupt
-        (4, bytearray(encode_gif(img)), "image/webp"),   # no decoder (r11: tiff decodes)
+        (4, bytearray(encode_gif(img)), "audio/mpeg"),   # no decoder (r12: webp decodes)
         (5, None, "image/gif"),                           # missing
     ]
     df = spark.createDataFrame(

@@ -367,8 +367,8 @@ def test_resize_decoded_images_real(spark):
         (1, bytearray(encode_bmp(img)), "image/bmp"),
         (2, bytearray(encode_jpeg(solid, quality=100)), "image/jpeg"),
         (3, bytearray(b"XX"), "image/bmp"),       # corrupt
-        # webp, not tiff: TIFF grew a real decoder in round 11
-        (4, bytearray(encode_bmp(img)), "image/webp"),  # no decoder
+        # audio/mpeg, not webp: WebP grew a real decoder in round 12
+        (4, bytearray(encode_bmp(img)), "audio/mpeg"),  # no decoder
         (5, None, "image/bmp"),                    # missing
     ]
     df = spark.createDataFrame(
@@ -599,3 +599,35 @@ def test_png_palette_and_adam7_roundtrip():
         encode_png(
             rng.integers(0, 256, (32, 32, 3), dtype=np.uint8), palette=True
         )
+
+
+def test_webp_through_arrow_registry(spark):
+    """VP8L decode through the real mapInPandas stage: ok / corrupt /
+    missing rows, geometry + solid-colour means exact (round 12)."""
+    import numpy as np
+
+    from matchbox_spark.operators.multimodal import decode_image_stats
+    from matchbox_spark.operators.webp import encode_webp_lossless
+
+    img = np.full((6, 9, 3), (11, 22, 33), np.uint8)
+    good = encode_webp_lossless(
+        img, subtract_green=True, cache_bits=3, use_lz77_runs=True
+    )
+    rows = [
+        (1, bytearray(good), "image/webp"),
+        (2, bytearray(good[:16]), "image/webp"),  # truncated
+        (3, None, "image/webp"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    out = {r["doc_id"]: r for r in decode_image_stats(df).collect()}
+    assert out[1]["status"] == "ok"
+    assert (out[1]["width"], out[1]["height"]) == (9, 6)
+    assert (out[1]["mean_r"], out[1]["mean_g"], out[1]["mean_b"]) == (
+        11.0,
+        22.0,
+        33.0,
+    )
+    assert out[2]["status"] == "corrupt"
+    assert out[3]["status"] == "missing"
