@@ -201,9 +201,12 @@ def _read_prefix_code(br: _LsbBitReader, alphabet_size: int) -> _PrefixCode:
         sym1 = br.read(8)
         if sym1 >= alphabet_size or sym1 == sym0:
             raise ValueError("VP8L: bad simple-code symbol pair")
-        lengths = [0] * alphabet_size
-        lengths[sym0] = lengths[sym1] = 1
-        return _PrefixCode(lengths)
+        # spec assigns codes POSITIONALLY: first symbol read ↔ bit 0,
+        # second ↔ bit 1 — not by canonical (symbol-ascending) order
+        pc = _PrefixCode.__new__(_PrefixCode)
+        pc.single = None
+        pc.table = {(1, 0): sym0, (1, 1): sym1}
+        return pc
     # full form: code-length code first
     num_code_lengths = 4 + br.read(4)
     if num_code_lengths > 19:
@@ -430,7 +433,11 @@ def _cas_full(l: int, t: int, tl: int) -> int:  # noqa: E741
 def _cas_half(l: int, t: int, tl: int) -> int:  # noqa: E741
     def one(lc, tc, tlc):
         ave = (lc + tc) >> 1
-        return _clamp(ave + ((ave - tlc) >> 1))
+        # C integer division truncates toward zero ((a-b)/2 in libwebp),
+        # unlike >>1 which floors — differs when ave < tlc by an odd delta
+        delta = ave - tlc
+        half = abs(delta) >> 1
+        return _clamp(ave + (half if delta >= 0 else -half))
 
     return (
         (one(l >> 24, t >> 24, tl >> 24) << 24)
@@ -508,9 +515,12 @@ def _inv_color_transform(
     for y in range(height):
         for x in range(width):
             e = elems[(y >> size_bits) * mw + (x >> size_bits)]
-            g2r = _sgn(e >> 16 & 0xFF)  # stored in the red channel
-            g2b = _sgn(e >> 8 & 0xFF)  # green channel
-            r2b = _sgn(e & 0xFF)  # blue channel
+            # spec / libwebp ColorCodeToMultipliers: green_to_red lives in
+            # the BLUE channel (bits 0-7), green_to_blue in GREEN (8-15),
+            # red_to_blue in RED (16-23)
+            g2r = _sgn(e & 0xFF)
+            g2b = _sgn(e >> 8 & 0xFF)
+            r2b = _sgn(e >> 16 & 0xFF)
             i = y * width + x
             px = pix[i]
             g = px >> 8 & 0xFF

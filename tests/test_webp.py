@@ -280,15 +280,21 @@ def test_color_transform_roundtrip_via_forward_sim():
         new_r = (r - ((sgn(g2r) * sgn(g)) >> 5)) & 0xFF
         fwd.append((a << 24) | (new_r << 16) | (g << 8) | new_b)
     w, h = 2, 2
-    bw = _LsbBitWriter()
-    _header(bw, w, h)
-    bw.write(1, 1)
-    bw.write(1, 2)  # COLOR transform
-    bw.write(2, 3)  # size_bits 4 → one block
-    _emit_sub_image(bw, [_argb(g2r, g2b, r2b, 0)])
-    bw.write(0, 1)
-    _emit_argb_literals(bw, fwd)
-    out = decode_webp_pixels(_wrap_riff(bytes(bw.bytes)))
+
+    def decode_with_element(elem_px):
+        bw = _LsbBitWriter()
+        _header(bw, w, h)
+        bw.write(1, 1)
+        bw.write(1, 2)  # COLOR transform
+        bw.write(2, 3)  # size_bits 4 → one block
+        _emit_sub_image(bw, [elem_px])
+        bw.write(0, 1)
+        _emit_argb_literals(bw, fwd)
+        return decode_webp_pixels(_wrap_riff(bytes(bw.bytes)))
+
+    # spec element layout: red channel = red_to_blue, green = green_to_blue,
+    # blue = green_to_red (libwebp ColorCodeToMultipliers)
+    out = decode_with_element(_argb(r2b, g2b, g2r, 0))
     expect = np.array(
         [
             [
@@ -302,6 +308,71 @@ def test_color_transform_roundtrip_via_forward_sim():
         ],
         dtype=np.uint8,
     )
+    np.testing.assert_array_equal(out, expect)
+    # discrimination: the pre-r13 swapped layout (g2r in red, r2b in blue)
+    # must NOT restore the originals — the channel positions are load-bearing
+    swapped = decode_with_element(_argb(g2r, g2b, r2b, 0))
+    assert not np.array_equal(swapped, expect)
+
+
+def test_predictor_mode13_truncates_toward_zero():
+    """ClampAddSubtractHalf uses C division (truncate toward zero), not
+    a floor shift: left=10, top=20, tl=18 → ave=15, delta=-3 → pred 14
+    (floor semantics would give 13). Spec §predictor mode 13 / libwebp
+    ClampedAddSubtractHalf."""
+    w, h = 2, 2
+    bw = _LsbBitWriter()
+    _header(bw, w, h)
+    bw.write(1, 1)
+    bw.write(0, 2)  # PREDICTOR
+    bw.write(2, 3)  # size_bits 4 → one block
+    _emit_sub_image(bw, [_argb(0, 13, 0, 0)])  # mode 13 in green
+    bw.write(0, 1)
+    residuals = [
+        _argb(18, 18, 18, 0),  # (0,0): pred black → 18
+        _argb(2, 2, 2, 0),  # (1,0): left → 20
+        _argb(248, 248, 248, 0),  # (0,1): top → 10
+        _argb(1, 1, 1, 0),  # (1,1): mode13 pred 14 → 15
+    ]
+    _emit_argb_literals(bw, residuals)
+    out = decode_webp_pixels(_wrap_riff(bytes(bw.bytes)))
+    expect = np.array(
+        [[[18] * 3, [20] * 3], [[10] * 3, [15] * 3]], dtype=np.uint8
+    )
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_two_symbol_simple_code_positional():
+    """A simple prefix code listing the LARGER symbol first assigns bit 0
+    to that first-listed symbol (positional, per spec) — not to the
+    numerically smaller one (canonical order)."""
+    bw = _LsbBitWriter()
+    _header(bw, 2, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta-prefix
+    # green: simple, two symbols, listed 7 then 3 → bit0=7, bit1=3
+    bw.write(1, 1)  # simple form
+    bw.write(1, 1)  # num_symbols = 2
+    bw.write(1, 1)  # sym0 in 8 bits
+    bw.write(7, 8)
+    bw.write(3, 8)  # sym1 (always 8 bits)
+    # red, blue: single-symbol 0; alpha: single-symbol 255
+    for val, wide in ((0, False), (0, False), (255, True)):
+        bw.write(1, 1)  # simple
+        bw.write(0, 1)  # num_symbols = 1
+        bw.write(1 if wide else 0, 1)
+        bw.write(val, 8 if wide else 1)
+    # distance: single-symbol 0
+    bw.write(1, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    # pixel data: greens only (other channels are zero-bit codes)
+    bw.write(0, 1)  # pixel 0: green bit 0 → symbol 7
+    bw.write(1, 1)  # pixel 1: green bit 1 → symbol 3
+    out = decode_webp_pixels(_wrap_riff(bytes(bw.bytes)))
+    expect = np.array([[[0, 7, 0], [0, 3, 0]]], dtype=np.uint8)
     np.testing.assert_array_equal(out, expect)
 
 
