@@ -28,6 +28,33 @@ driver-record drift (6.76 → 9.62 s) was box state: today even r7-close
 code runs at ~9 s in the same windows. Consequence: bench.py now records
 a per-query MEDIAN across ≥3 fresh sessions (see bench.py docstring) so a
 single slow window cannot move the round record by 40%.
+
+## Recorded verdict (round 13, 2026-08-16, this box)
+
+r11-close (3d8d749) vs r12-close (9bec78b), two 3×3 interleaved runs,
+sf0.1, local[32] (VERDICT r12 item 1 — adjudicating the BENCH_r12
+18.089 s / j7 8.494 s driver record vs BENCH_r11 13.346 / 5.368):
+
+    run 1 (passes 1-2 shared the box with pytest/packaging work, load1 up to 8.6)
+      r11close: 12.52 11.22 7.96 | 7.72 8.04 8.36 | 6.76 5.61 6.14
+                mean 8.26 s, min 5.61 s
+      r12close: 20.27 10.46 8.95 | 9.03 5.86 6.05 | 6.76 6.17 5.39
+                mean 8.77 s, min 5.39 s
+    run 2 (passes 1-2 shared the box with a numpy grid search — the 25/28.7 s
+           outliers; pass 3 fully clean)
+      r11close: 10.56 9.13 10.47 | 15.51 28.73 24.05 | 7.89 6.33 6.04
+                mean 13.19 s, min 6.04 s
+      r12close: 12.10 9.11 25.08 | 15.98 11.79 17.85 | 5.87 4.57 5.34
+                mean 11.97 s, min 4.57 s
+
+**The code is FLAT-OR-BETTER at r12**: pooled means 10.7 (r11) vs 10.4 s
+(r12); quietest-window passes (both runs' pass 3, load1 ≤5) mean 6.46 vs
+5.69 s with r12 faster in both runs' pass 3; global min 4.57 s (r12) vs
+5.61 s (r11). The r11→r12 driver-record regression (5.37 → 8.49 s) was
+box state — on the same windows r11-close code runs no faster than
+r12-close. The r12 structural changes (lazy edge checkpoint,
+AQE-under-cache, 22→21 jobs) carry no runtime penalty and the sub-5 s
+sessions appear only on the r12 arm.
 """
 
 from __future__ import annotations
