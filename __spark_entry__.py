@@ -4797,6 +4797,128 @@ def m9_audio_stats(spark, sf):
     )
 
 
+@_q(
+    "m10_mp3_decode",
+    """WITH h AS (
+         SELECT doc_id,
+                CAST('0x' || substr(sha256(text), 13, 2) AS INT) AS b6,
+                doc_id % 6 AS c
+         FROM documents WHERE doc_id < 240
+       )
+       SELECT doc_id,
+         CAST(CASE WHEN c = 0 THEN 1152 * (1 + b6 % 3)
+                   WHEN c = 1 THEN 384 * (1 + b6 % 3)
+                   WHEN c = 2 THEN 2 * 1152 * (1 + b6 % 3)
+                   WHEN c = 3 THEN 1152 * (1 + b6 % 2) END AS BIGINT)
+           AS n_samples,
+         CAST(CASE WHEN c = 1 THEN 44100
+                   WHEN c <= 3 THEN 48000 END AS INT) AS sample_rate,
+         CAST(CASE WHEN c = 2 THEN 2
+                   WHEN c <= 3 THEN 1 END AS INT) AS channels,
+         CAST(CASE WHEN c <= 2 THEN 0 END AS INT) AS peak,
+         CAST(CASE WHEN c <= 2 THEN 0 END AS DOUBLE) AS mean,
+         CAST(CASE WHEN c <= 2 THEN 0 END AS DOUBLE) AS rms,
+         CAST(CASE WHEN c = 3 THEN 1 END AS INT) AS rms_ok,
+         CASE WHEN c <= 3 THEN 'ok'
+              WHEN c = 4 THEN 'corrupt'
+              ELSE 'no_decoder' END AS status
+       FROM h""",
+)
+def m10_mp3_decode(spark, sf):
+    """REAL MPEG-1 Layer I/II audio decode through the Arrow stage
+    (round 13, operators/mp3.py): per doc, synthesise a payload family —
+    Layer II / Layer I / stereo silence streams (which the codec
+    contract decodes to EXACTLY zero PCM: allocation 0 everywhere, so
+    peak/mean/rms pin to literal 0 and sample counts are
+    header-predictable), a Layer II sine-tone stream (lossy — the
+    decoded RMS must land within ±5% of the closed-form prediction
+    ``sqrt(sum(sig[:n-481]²)/n)``, the filterbank-delay-shifted source
+    RMS, measured worst case 0.31% — reported as the boolean
+    ``rms_ok``), a truncated frame ('corrupt'), and a Layer III header
+    (the honest 'no_decoder' stub). The oracle replays every
+    header-arithmetic fact relationally; the tone row's real
+    verification happens Spark-side in the rms_ok band test. Frame-walk
+    bugs, allocation-table errors, requantizer sign flips, or filterbank
+    scaling drift all mismatch."""
+    import hashlib as _hl
+
+    import numpy as _np
+    import pandas as _pd
+
+    from matchbox_spark.operators.mp3 import encode_mp3
+    from matchbox_spark.operators.multimodal import decode_audio_stats
+
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < 240).select(
+        "doc_id", "text"
+    )
+
+    def _make(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                hd = _hl.sha256(str(text).encode("utf-8")).digest()
+                c = i % 6
+                nf = 1 + hd[6] % 3
+                r0 = None
+                if c == 0:
+                    payload = encode_mp3(
+                        _np.zeros(1152 * nf, _np.int16), rate=48000, layer=2)
+                elif c == 1:
+                    payload = encode_mp3(
+                        _np.zeros(384 * nf, _np.int16), rate=44100, layer=1)
+                elif c == 2:
+                    payload = encode_mp3(
+                        _np.zeros(2 * 1152 * nf, _np.int16), rate=48000,
+                        layer=2, stereo=True)
+                elif c == 3:
+                    n = 1152 * (1 + hd[6] % 2)
+                    amp = 4000 + hd[7] * 20
+                    freq = 200 + (hd[8] % 40) * 100
+                    sig = _np.round(
+                        amp * _np.sin(
+                            2 * _np.pi * freq * _np.arange(n) / 48000.0)
+                    ).astype(_np.int16)
+                    payload = encode_mp3(sig, rate=48000, layer=2)
+                    r0 = float(_np.sqrt(
+                        _np.sum(sig[: n - 481].astype(_np.float64) ** 2) / n))
+                elif c == 4:  # valid first header, truncated frame body
+                    payload = encode_mp3(
+                        _np.zeros(1152, _np.int16), rate=48000, layer=2)[:64]
+                else:  # MPEG-1 Layer III header → UnsupportedMpegLayer
+                    payload = b"\xff\xfb\x90\x00" + b"\x00" * 16
+                rows.append((i, payload, "audio/mpeg", c, r0))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "payload", "media_type", "c", "r0"],
+            )
+
+    payloads = d.mapInPandas(
+        _make,
+        "doc_id long, payload binary, media_type string, c int, r0 double",
+    )
+    stats = decode_audio_stats(payloads)
+    joined = stats.join(
+        payloads.select("doc_id", "c", "r0"), "doc_id"
+    )
+    c = F.col("c")
+    return joined.select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        "channels",
+        F.when(c <= 2, F.col("peak")).cast("int").alias("peak"),
+        F.when(c <= 2, F.col("mean")).alias("mean"),
+        F.when(c <= 2, F.col("rms")).alias("rms"),
+        F.when(
+            c == 3,
+            (F.abs(F.col("rms") - F.col("r0")) <= 0.05 * F.col("r0"))
+            .cast("int"),
+        ).alias("rms_ok"),
+        "status",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 4: PII scrubbing, contamination detection, BM25 keyword search,
 # grouping-sets analytics, windowed running aggregates, exact percentiles,

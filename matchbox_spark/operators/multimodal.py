@@ -9,14 +9,17 @@ uncompressed 24-bit **BMP** and binary **PPM (P6)** images (header probe +
 full pixel decode via :func:`decode_image_stats`), compressed **PNG**
 (zlib IDAT, all five scanline filters) and baseline sequential **JPEG**
 (Huffman entropy decode, dequant, IDCT, chroma upsampling — see
-:mod:`matchbox_spark.operators.jpeg`), and PCM **WAV** audio (header
-probe → duration). Matching encoders (:func:`encode_bmp`,
-:func:`encode_ppm`, :func:`encode_png`, :func:`encode_wav`,
-:func:`~matchbox_spark.operators.jpeg.encode_jpeg`) generate real
+:mod:`matchbox_spark.operators.jpeg`), PCM **WAV** audio (header
+probe → duration), and MPEG-1 **Layer I/II audio** (frame walk,
+requantization, polyphase synthesis — see
+:mod:`matchbox_spark.operators.mp3`). Matching encoders
+(:func:`encode_bmp`, :func:`encode_ppm`, :func:`encode_png`,
+:func:`encode_wav`, :func:`~matchbox_spark.operators.jpeg.encode_jpeg`,
+:func:`~matchbox_spark.operators.mp3.encode_mp3`) generate real
 payloads for tests and fixtures. Codecs still out of pure-Python scope
-(MP3/H.264 …) stay behind the ``DECODERS`` registry for production to
-fill with torchaudio / pyav — signature unchanged; the deterministic
-``*/stub`` entries remain for plumbing tests.
+(MP3 Layer III / H.264) stay behind the ``DECODERS`` registry for
+production to fill with torchaudio / pyav — signature unchanged; the
+deterministic ``*/stub`` entries remain for plumbing tests.
 """
 
 from __future__ import annotations
@@ -611,6 +614,21 @@ def _webp_decoder(payload: bytes) -> dict:
     return {"width": w, "height": h, "duration_ms": None}
 
 
+@register_decoder("audio/mpeg")
+def _mp3_decoder(payload: bytes) -> dict:
+    """Real MPEG-1 audio probe (round 13): frame-sync walk, duration =
+    n_frames × samples-per-frame / rate. Layer I/II only; Layer III
+    raises UnsupportedMpegLayer → 'unsupported' status."""
+    from matchbox_spark.operators.mp3 import mp3_metadata
+
+    md = mp3_metadata(payload)
+    return {
+        "width": None,
+        "height": None,
+        "duration_ms": md["duration_ms"],
+    }
+
+
 def decode_webp_pixels(payload: bytes):
     """Lossless WebP (VP8L) → (H, W, 3) uint8 RGB: full transform +
     entropy pipeline (round 12).
@@ -745,6 +763,7 @@ def extract_media_metadata(
                 }
             )
             from matchbox_spark.operators.jpeg import UnsupportedJpegError
+            from matchbox_spark.operators.mp3 import UnsupportedMpegLayer
 
             n = len(pdf)
             width = [None] * n
@@ -771,8 +790,13 @@ def extract_media_metadata(
                     status[i] = "unsupported_frame"
                     continue
                 except NotImplementedError:
-                    # honest codec stubs (MP3/H.264): the format is known,
+                    # honest codec stubs (H.264): the format is known,
                     # the probe is not implemented in this environment
+                    status[i] = "unsupported"
+                    continue
+                except UnsupportedMpegLayer:
+                    # valid MPEG audio, but Layer III (the one remaining
+                    # honest audio stub — bit reservoir + Huffman + IMDCT)
                     status[i] = "unsupported"
                     continue
                 except (ValueError, struct.error):
@@ -1047,6 +1071,11 @@ def decode_audio_stats(
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from matchbox_spark.operators.mp3 import (
+            UnsupportedMpegLayer,
+            decode_mp3_samples,
+        )
+
         for pdf in batches:
             n = len(pdf)
             cols: dict = {
@@ -1058,11 +1087,18 @@ def decode_audio_stats(
                 if p is None:
                     status[i] = "missing"
                     continue
-                if mt != "audio/wav":
+                if mt == "audio/wav":
+                    decode = decode_wav_samples
+                elif mt == "audio/mpeg":  # real Layer I/II decode (round 13)
+                    decode = decode_mp3_samples
+                else:
                     status[i] = "no_decoder"
                     continue
                 try:
-                    samples, rate, ch = decode_wav_samples(bytes(p))
+                    samples, rate, ch = decode(bytes(p))
+                except UnsupportedMpegLayer:
+                    status[i] = "no_decoder"  # valid stream, Layer III stub
+                    continue
                 except (ValueError, struct.error):
                     status[i] = "corrupt"
                     continue

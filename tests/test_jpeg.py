@@ -442,7 +442,7 @@ class TestProgressiveClassification:
             (1, bytearray(good), "image/jpeg"),
             (2, bytearray(good[:10]), "image/jpeg"),
             (3, bytearray(prog), "image/jpeg"),
-            (4, bytearray(good), "audio/mpeg"),  # no decoder (r12: webp decodes)
+            (4, bytearray(good), "audio/flac"),  # no decoder (r13: mp3 decodes)
             (5, None, "image/jpeg"),
             (6, bytearray(self._lossless(img)), "image/jpeg"),
         ]

@@ -413,13 +413,21 @@ def test_audio_decode_and_resample_real(spark):
         resample_audio,
     )
 
+    from matchbox_spark.operators.mp3 import encode_mp3
+
     samples = np.array([0, 1000, -2000, 32767, -32768, 5, -5, 12], "<i2")
     wav = encode_wav(samples, sample_rate=16000)
+    # real MPEG-1 Layer II stream: silence decodes to EXACT zero PCM
+    mp3 = encode_mp3(np.zeros(1152 * 2, np.int16), rate=48000, layer=2)
     rows = [
         (1, bytearray(wav), "audio/wav"),
         (2, bytearray(b"RIFFxxxx"), "audio/wav"),   # corrupt
-        (3, bytearray(wav), "audio/mpeg"),           # no decoder here
+        (3, bytearray(wav), "audio/mpeg"),           # wrong container → corrupt
         (4, None, "audio/wav"),                      # missing
+        (5, bytearray(mp3), "audio/mpeg"),           # real L2 decode (r13)
+        (6, bytearray(wav), "audio/flac"),           # genuinely no decoder
+        # valid MPEG frame header, Layer III → honest no_decoder stub
+        (7, bytearray(b"\xff\xfb\x90\x00" + b"\x00" * 16), "audio/mpeg"),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, payload binary, media_type string"
@@ -434,8 +442,14 @@ def test_audio_decode_and_resample_real(spark):
         math.sqrt((s64 * s64).mean()) * 1e6 + 0.5
     ) / 1e6
     assert got[2]["status"] == "corrupt"
-    assert got[3]["status"] == "no_decoder"
+    assert got[3]["status"] == "corrupt"
     assert got[4]["status"] == "missing"
+    assert got[5]["status"] == "ok"
+    assert got[5]["n_samples"] == 1152 * 2
+    assert got[5]["sample_rate"] == 48000 and got[5]["channels"] == 1
+    assert (got[5]["peak"], got[5]["mean"], got[5]["rms"]) == (0, 0.0, 0.0)
+    assert got[6]["status"] == "no_decoder"
+    assert got[7]["status"] == "no_decoder"
 
     out = {r["doc_id"]: r for r in resample_audio(df, 2).collect()}
     assert out[1]["status"] == "ok"
