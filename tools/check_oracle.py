@@ -64,16 +64,20 @@ def _family(series: pd.Series) -> str:
 _ALLOWED_FAMILY_PAIRS = {frozenset({"float", "object"})}
 
 
-def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str | None:
+def compare_staged(
+    spark_df: pd.DataFrame, oracle_df: pd.DataFrame
+) -> tuple[str, str] | None:
+    """None when equal, else (stage, message) with stage in
+    'rows' | 'schema' | 'hash' — mirroring the driver's three verdicts."""
     if len(spark_df) != len(oracle_df):
-        return f"row count {len(spark_df)} vs {len(oracle_df)}"
+        return "rows", f"row count {len(spark_df)} vs {len(oracle_df)}"
     a, b = _normalise(spark_df), _normalise(oracle_df)
     if list(a.columns) != list(b.columns):
-        return f"columns {list(a.columns)} vs {list(b.columns)}"
+        return "schema", f"columns {list(a.columns)} vs {list(b.columns)}"
     for c in a.columns:
         fa, fb = _family(a[c]), _family(b[c])
         if fa != fb and frozenset({fa, fb}) not in _ALLOWED_FAMILY_PAIRS:
-            return (
+            return "schema", (
                 f"col {c} dtype family: spark={fa} ({a[c].dtype}) vs "
                 f"oracle={fb} ({b[c].dtype}) — value-equal results with "
                 f"mismatched physical types still hash-FAIL in the driver"
@@ -89,13 +93,24 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str | None:
                 or x == y
             )
             if not same:
-                return f"col {c} row {i}: {x!r} vs {y!r}"
+                return "hash", f"col {c} row {i}: {x!r} vs {y!r}"
     return None
 
 
+def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str | None:
+    staged = compare_staged(spark_df, oracle_df)
+    return None if staged is None else staged[1]
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     from matchbox_spark.session import get_spark
@@ -108,32 +123,56 @@ def main() -> int:
         )
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    # per-query records in the driver's CORRECTNESS_r{N}.json shape
+    records: dict[str, dict] = {}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        rec = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        records[name] = rec
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {str(e)[:200]}")
+            rec["err"] = f"spark error: {str(e)[:200]}"
+            print(f"FAIL  {name}: {rec['err']}")
             failures += 1
             continue
+        rec["spark_rows"] = len(sdf)
         if name not in oracles:
+            rec["rows_match"] = True
+            rec["err"] = "no_oracle"
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: oracle error: {str(e)[:200]}")
+            rec["err"] = f"oracle error: {str(e)[:200]}"
+            print(f"FAIL  {name}: {rec['err']}")
             failures += 1
             continue
-        diff = compare(sdf, odf)
-        if diff:
+        rec["oracle_rows"] = len(odf)
+        staged = compare_staged(sdf, odf)
+        if staged is None:
+            rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = True
+            print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+        else:
+            stage, diff = staged
+            rec["rows_match"] = stage != "rows"
+            rec["schema_match"] = (
+                None if stage == "rows" else stage != "schema"
+            )
+            rec["hash_match"] = False if stage == "hash" else None
+            rec["err"] = diff[:300]
             print(f"FAIL  {name}: {diff} [{time.time()-t0:.1f}s]")
             failures += 1
-        else:
-            print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(records, f, indent=1, sort_keys=True)
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
