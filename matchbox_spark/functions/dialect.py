@@ -40,6 +40,12 @@ _FN_RENAMES = {
     "list_value": "array",
     "regexp_matches": "rlike",
     "any_value": "any_value",
+    # DuckDB's len()/length() are polymorphic (strings AND lists); Spark
+    # splits them (length=string, size=array). The token rewriter cannot
+    # see types, so len→length keeps STRING semantics and array lengths
+    # must be written as array_length() (unambiguously array-typed in
+    # DuckDB) — pinned in tests/test_dialect_fuzz.py.
+    "array_length": "size",
 }
 
 _UNSUPPORTED = {"list_dot_product", "list_cosine_similarity", "unnest"}
