@@ -59,7 +59,9 @@ HARNESSES: dict[str, tuple[list[str], list[str]]] = {
         ["--embedding", "20000", "32"],
         ["--embedding", "1000000", "32"],
     ),
-    "streaming_lsh": (["--lsh", "6", "100", "8"], ["--lsh"]),
+    # full tier (round 13): 12 × 300k docs = 3.6M accumulated, the 10×
+    # rung over the recorded 12×30k flat ramp
+    "streaming_lsh": (["--lsh", "6", "100", "8"], ["--lsh", "12", "30000", "10"]),
     # round 12: deep-lineage J7 tower (16 resolvers full), skewed-leaf J7
     # rung (AQE skew split on the hierarchy join), 100+-batch catalog soak
     "lineage": (["1024", "10"], ["65536", "16"]),

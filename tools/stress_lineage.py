@@ -126,6 +126,35 @@ def main() -> int:
           f"({n_exchanges / depth:.1f}/level)")
     assert n_exchanges <= 4 * depth + 8, n_exchanges
 
+    # 4. timed RETRIEVAL through the COALESCE chain (VERDICT r12 #7):
+    # runtime, not just plan shape — full key→entity projection executed
+    # to a row count + entity count, best of 2 warm runs per depth. The
+    # per-depth wall must stay sub-linear in depth (each level adds a
+    # LocalRelation-backed broadcast join, not a shuffle of the data).
+    walls = {}
+    for d in sorted({max(2, depth // 4), depth // 2, depth}):
+        lineage = dag.resolver_lineage(f"r{d}")
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            got = (
+                unified_query(dag.catalog, lineage, ["t"], level="key")
+                .agg(
+                    F.count("*").alias("rows"),
+                    F.countDistinct("id").alias("entities"),
+                )
+                .collect()[0]
+            )
+            best = min(best, time.time() - t0)
+        assert got["rows"] == n and got["entities"] == n // (1 << d)
+        walls[d] = best
+        print(f"retrieval depth {d}: {best:.2f}s "
+              f"({got['entities']} entities)")
+    ds = sorted(walls)
+    deep_ratio = (walls[ds[-1]] / ds[-1]) / max(walls[ds[0]] / ds[0], 1e-9)
+    print(f"retrieval per-depth ratio deep/shallow = {deep_ratio:.2f}")
+    assert deep_ratio < 4.0, f"retrieval wall super-linear in depth: {deep_ratio:.2f}"
+
     print("OK")
     return 0
 

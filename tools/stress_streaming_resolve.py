@@ -182,11 +182,18 @@ def main_lsh(
     """
     from matchbox_spark.operators.lsh_linkers import MinHashDeduper
 
-    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    rows_per_batch = groups * rows_per_group
+    # session sized to the batch: the 12×300k tier (3.6M accumulated docs,
+    # VERDICT r12 #6) needs the full core count and wider shuffles; the
+    # historical small tiers keep their original sizing so recorded ramps
+    # stay comparable.
+    if rows_per_batch >= 100_000:
+        spark = get_spark(master="local[32]", shuffle_partitions=64)
+    else:
+        spark = get_spark(master="local[8]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="stress_resolve_lsh_")
     src, ckpt = f"{work}/in", f"{work}/ckpt"
-    rows_per_batch = groups * rows_per_group
     try:
         for b in range(n_batches):
             # doc(g, r) = 20 group-specific words + one variant word
