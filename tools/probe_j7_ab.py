@@ -55,6 +55,26 @@ box state — on the same windows r11-close code runs no faster than
 r12-close. The r12 structural changes (lazy edge checkpoint,
 AQE-under-cache, 22→21 jobs) carry no runtime penalty and the sub-5 s
 sessions appear only on the r12 arm.
+
+## Recorded verdict (round 13, 2026-08-16, this box): r12-close vs r13 CC cut
+
+r12-close (9bec78b) vs r13 HEAD (de96ed5 — int32-quicksort CSR +
+dict-free driver CC), one 3×3 interleaved run:
+
+    r12close: 12.48 10.28 7.89 | 5.26 5.02 4.52 | 27.77 15.76 16.61
+              mean 11.73 s, min 4.52 s
+    r13 HEAD:  7.28  4.89 4.71 | 8.05 9.20 10.28 | 9.21  6.42  7.83
+              mean  7.54 s, min 4.71 s
+
+Session-level verdict: INCONCLUSIVE-LEANING-FASTER — passes alternate
+winners (pass 3's r12 arm ate a 27.8 s external load spike), mins are
+equal within noise. The change's effect is instead pinned at the
+function level, where measurement is deterministic: the CSR build's
+argsort over 1.8M endpoints drops 1.04 → 0.07 s and steady-state
+connected_components_numpy 0.42 → 0.33 s on the 900k-edge flagship
+graph (micro-benchmark, no Spark in the loop). Box-state variance
+(±50% session swings) is larger than the ~0.5 s code effect, which is
+why both numbers are recorded.
 """
 
 from __future__ import annotations
