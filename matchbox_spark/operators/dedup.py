@@ -658,6 +658,40 @@ def auto_simhash_bits(
     return max(k, min(48, k * chunk))
 
 
+def auto_minhash_bands(
+    n_docs: int,
+    jaccard: float = 0.9,
+    rows_per_band: int = 4,
+    target_missed_docs: float = 0.01,
+    min_bands: int = 8,
+    max_bands: int = 32,
+) -> int:
+    """Corpus-derived MinHash band count (measured rule, round 13).
+
+    A doc joins its near-dup cluster only if ≥1 of ``bands`` band keys
+    collides with a partner's. Per partner the per-band collision
+    probability is ``jaccard^rows_per_band``, so a conservative
+    (single-partner) isolation bound is ``(1 - j^r)^bands`` per doc and
+    ``n · (1 - j^r)^bands`` expected isolated docs corpus-wide. Fixed
+    widths silently lose recall as the corpus grows — the 12×300k
+    streaming tier at the historical 8 bands isolated 4 of 3.6M docs
+    (expected ≈ n·1.9e-4 under the bound; observed lower because real
+    groups offer many partners). This derives the band count that keeps
+    the *bound* under ``target_missed_docs`` for the whole corpus:
+
+        bands = ceil( ln(target/n) / ln(1 - j^r) )
+
+    clamped to [min_bands, max_bands]; ``num_perm = bands ·
+    rows_per_band``. At j≈0.9: 4,800 docs derive 13 bands, 360k → 17,
+    3.6M → 19 (pinned in tests/test_dedup.py).
+    """
+    if not 0.0 < jaccard < 1.0:
+        raise ValueError("jaccard must be in (0, 1)")
+    miss = 1.0 - jaccard ** rows_per_band
+    need = math.log(target_missed_docs / max(n_docs, 2)) / math.log(miss)
+    return max(min_bands, min(max_bands, math.ceil(need)))
+
+
 def auto_embedding_bucket_dims(
     n_rows: int,
     vector_dim: int,

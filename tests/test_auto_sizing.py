@@ -57,6 +57,29 @@ def test_auto_simhash_bits_respects_chunk_count():
     assert auto_simhash_bits(10**9, max_hamming=7) == 48
 
 
+def test_auto_minhash_bands_tracks_corpus():
+    from matchbox_spark.operators.dedup import auto_minhash_bands
+
+    # pinned derivations at j=0.9, 4 rows/band (docstring values):
+    # bands = ceil(ln(0.01/n) / ln(1 - 0.9^4)), clamped to [8, 32]
+    assert auto_minhash_bands(4_800) == 13
+    assert auto_minhash_bands(360_000) == 17
+    assert auto_minhash_bands(3_600_000) == 19  # the 12×300k tier sizing
+    # tiny corpora keep the floor; the ceiling binds eventually
+    assert auto_minhash_bands(10) == 8
+    assert auto_minhash_bands(10**15) == 32
+    # the measured round-13 failure: 8 fixed bands at 3.6M docs bounded
+    # expected isolation at n·(1-0.9^4)^8 ≈ 690 docs (4 observed);
+    # the derived 19 bands bound it below 0.01
+    import math
+
+    miss = 1 - 0.9 ** 4
+    assert 3_600_000 * miss ** 8 > 1
+    assert 3_600_000 * miss ** auto_minhash_bands(3_600_000) < 0.01
+    with pytest.raises(ValueError):
+        auto_minhash_bands(100, jaccard=1.0)
+
+
 def test_auto_embedding_bucket_dims_tracks_corpus():
     # measured: 64 buckets over 36k vectors super-linear; 65,536 flat
     assert len(auto_embedding_bucket_dims(36_000, 64)) == 16
