@@ -425,6 +425,73 @@ def test_parameter_change_midstream_rejected():
         decode_mp3_samples(a + b)
 
 
+def test_intensity_stereo_bound_sharing():
+    """Joint stereo (mode 1): subbands below ``bound`` carry per-channel
+    allocation and samples; subbands at/above it share ONE allocation and
+    ONE sample stream but keep per-channel scalefactors (spec 2.4.1.6 /
+    A.3). Hand-built frame, parsed directly by _decode_layer2."""
+    from matchbox_spark.operators.mp3 import _decode_layer2
+
+    rate, bitrate = 48000, 384
+    tbl = _alloc_table(_l2_table_name(rate, bitrate, 2))
+    sblimit = len(tbl)
+    hdr = parse_frame_header(_header_bytes(2, bitrate, rate, 1), 0)
+    assert hdr["mode"] == 1 and hdr["nch"] == 2
+    bound = (hdr["mode_ext"] + 1) * 4
+    assert bound == 4
+
+    steps = tbl[0][1][1]  # allocation code 2 → 7 steps, ungrouped
+    c, d, nb, grouped = _quant_cd(steps)
+    assert not grouped
+    code_half = 0b110  # +0.5 fraction after MSB inversion
+
+    w = _MsbBitWriter()
+    # allocation: below bound per channel — sb0: ch0 code 2, ch1 none
+    w.write(2, tbl[0][0])
+    w.write(0, tbl[0][0])
+    for sb in range(1, bound):
+        w.write(0, tbl[sb][0])
+        w.write(0, tbl[sb][0])
+    # at/above bound: ONE allocation read per subband. sb4 sits in the
+    # B.2a nbal-4 *second* step family ([3,5,7,9,...]) where code 2 is
+    # the GROUPED 5-step quantizer — use code 3 (7 steps, ungrouped,
+    # same quantizer as sb0's code 2) so both streams share one shape.
+    assert tbl[bound][1][2] == steps
+    w.write(3, tbl[bound][0])
+    for sb in range(bound + 1, sblimit):
+        w.write(0, tbl[sb][0])
+    # scfsi then scalefactors, per (sb, ch) with nonzero allocation:
+    # sb0/ch0, then sb4/ch0 and sb4/ch1 (shared alloc applies to both)
+    for _ in range(3):
+        w.write(2, 2)  # scfsi 2: one scalefactor for all parts
+    w.write(3, 6)  # sb0 ch0 → scalefactor 1.0
+    w.write(3, 6)  # sb4 ch0 → 1.0
+    w.write(0, 6)  # sb4 ch1 → 2.0
+    for _gr in range(12):
+        for _s in range(3):
+            w.write(code_half, nb)  # sb0, ch0 only
+        for _s in range(3):
+            w.write(code_half, nb)  # sb4, shared single stream
+    payload = bytes(w.bytes)
+
+    from matchbox_spark.operators.mp3 import _MsbBitReader
+
+    out = _decode_layer2(_MsbBitReader(payload, 0), hdr)
+    v = c * (0.5 + d)
+    import numpy as np
+
+    # sb0: left-only
+    assert np.allclose(out[0][:, 0], v)
+    assert not out[1][:, 0].any()
+    # sb4: shared samples, per-channel scalefactors (right = 2× left)
+    assert np.allclose(out[0][:, 4], v)
+    assert np.allclose(out[1][:, 4], 2.0 * v)
+    # everything else silent
+    for sb in range(sblimit):
+        if sb not in (0, 4):
+            assert not out[0][:, sb].any() and not out[1][:, sb].any()
+
+
 def test_iter_frames_walk_is_contiguous():
     bs = encode_mp3(_tone(1152 * 3, 48000), rate=48000, layer=2)
     positions = [pos for pos, _ in iter_frames(bs)]
