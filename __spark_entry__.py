@@ -1025,7 +1025,7 @@ def ev1_window(spark, sf):
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(_dec6(F.col("value"))).cast("double").alias("total_value"),
+            _sum6(F.col("value")).cast("double").alias("total_value"),
         )
     )
 
@@ -1330,8 +1330,8 @@ def q5_region(spark, sf):
     return (
         joined.groupBy("n_name")
         .agg(
-            F.sum(
-                _dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            _sum6(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -1353,7 +1353,7 @@ def q18_large(spark, sf):
     return (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
         .groupBy("o_orderkey", "o_custkey")
-        .agg(F.sum(_dec6(F.col("l_quantity"))).alias("_tq"))
+        .agg(_sum6(F.col("l_quantity")).alias("_tq"))
         .where(F.col("_tq") > 150)
         .select(
             "o_orderkey", "o_custkey", F.col("_tq").cast("double").alias("total_qty")
@@ -1916,7 +1916,7 @@ def q6_forecast(spark, sf):
     return (
         l.where(F.col("l_discount").between(0.05, 0.07) & (F.col("l_quantity") < 24))
         .agg(
-            F.sum(_dec6(F.col("l_extendedprice") * F.col("l_discount")))
+            _sum6(F.col("l_extendedprice") * F.col("l_discount"))
             .cast("double")
             .alias("revenue")
         )
@@ -1965,7 +1965,7 @@ def q7_volume(spark, sf):
             F.year("l_shipdate").alias("l_year"),
         )
         .agg(
-            F.sum(_dec6(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            _sum6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             .cast("double")
             .alias("volume")
         )
@@ -1990,10 +1990,10 @@ def q11_brand_share(spark, sf):
     broadcast (literal-free cross join), never shuffled."""
     p = _t(spark, sf, "part")
     per_brand = p.groupBy("p_brand").agg(
-        F.sum(_dec6(F.col("p_retailprice"))).cast("double").alias("brand_value")
+        _sum6(F.col("p_retailprice")).cast("double").alias("brand_value")
     )
     total = p.agg(
-        (F.sum(_dec6(F.col("p_retailprice"))).cast("double") * F.lit(0.04)).alias(
+        (_sum6(F.col("p_retailprice")).cast("double") * F.lit(0.04)).alias(
             "_cut"
         )
     )
@@ -2077,7 +2077,7 @@ def q17_smallqty(spark, sf):
         (
             F.lit(0.2)
             * (
-                F.sum(_dec6(F.col("l_quantity"))).cast("double")
+                _sum6(F.col("l_quantity")).cast("double")
                 / F.count("*")
             )
         ).alias("_thr")
@@ -2087,7 +2087,7 @@ def q17_smallqty(spark, sf):
         .join(thresholds, l["l_partkey"] == thresholds["t_partkey"])
         .where(F.col("l_quantity") < F.col("_thr"))
         .agg(
-            (F.sum(_dec6(F.col("l_extendedprice"))) / F.lit(7.0))
+            (_sum6(F.col("l_extendedprice")) / F.lit(7.0))
             .cast("double")
             .alias("avg_yearly")
         )
@@ -2129,7 +2129,7 @@ def q19_disjunctive(spark, sf):
         )
         parts = branch if parts is None else parts.union(branch)
     return parts.agg(
-        F.sum(_dec6(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        _sum6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .cast("double")
         .alias("revenue")
     )
@@ -2152,7 +2152,7 @@ def q15_topsupp(spark, sf):
     exact equality is safe cross-engine)."""
     l = _t(spark, sf, "lineitem")  # noqa: E741
     rev = l.groupBy("l_suppkey").agg(
-        F.sum(_dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+        _sum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_rev"
         )
     )
@@ -2188,7 +2188,7 @@ def q22_idle(spark, sf):
     exact decimal sum / count, broadcast to the filter."""
     c = _t(spark, sf, "customer")
     thr = c.where(F.col("c_acctbal") > 0.0).agg(
-        (F.sum(_dec6(F.col("c_acctbal"))).cast("double") / F.count("*")).alias("_thr")
+        (_sum6(F.col("c_acctbal")).cast("double") / F.count("*")).alias("_thr")
     )
     o = (
         _t(spark, sf, "orders")
@@ -2204,7 +2204,7 @@ def q22_idle(spark, sf):
         )
         .agg(
             F.count("*").alias("numcust"),
-            F.sum(_dec6(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+            _sum6(F.col("c_acctbal")).cast("double").alias("totacctbal"),
         )
         .orderBy("cntry")
     )
@@ -2294,15 +2294,19 @@ def q8_market_share(spark, sf):
         )
     )
     zero = F.lit(0).cast("decimal(18,6)")
+    # volume is already on the decimal(18,6) grid — identity dec skips the
+    # redundant per-row re-round while keeping the long-carried accumulation
+    ident = lambda c: c  # noqa: E731
     return (
         rev.groupBy("o_year")
         .agg(
             F.round(
-                F.sum(
+                _sum6(
                     F.when(F.col("supp_nation") == "CHINA", F.col("volume"))
-                    .otherwise(zero)
+                    .otherwise(zero),
+                    dec=ident,
                 ).cast("double")
-                / F.sum("volume").cast("double"),
+                / _sum6(F.col("volume"), dec=ident).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -2380,8 +2384,8 @@ def q10_returned(spark, sf):
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.sum(
-                _dec6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            _sum6(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -5119,8 +5123,8 @@ def q23_rollup(spark, sf):
     into grouping sets inside the same hash aggregate."""
     l = _t(spark, sf, "lineitem")  # noqa: E741
     return l.rollup("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec6(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-        F.sum(_dec6(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        _sum6(F.col("l_quantity")).cast("double").alias("sum_qty"),
+        _sum6(F.col("l_extendedprice") * (1 - F.col("l_discount")))
         .cast("double")
         .alias("revenue"),
         F.count("*").alias("n"),
@@ -5140,7 +5144,7 @@ def q24_cube(spark, sf):
     aggregate — the OLAP cross-tab companion to q23's rollup."""
     l = _t(spark, sf, "lineitem")  # noqa: E741
     return l.cube("l_linenumber", "l_returnflag").agg(
-        F.sum(_dec6(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        _sum6(F.col("l_quantity")).cast("double").alias("sum_qty"),
         F.count("*").alias("n"),
     )
 
@@ -5448,7 +5452,7 @@ def v4_centroids(spark, sf):
             # ieee_round6: the mean is off the 6-dp grid; engine ROUNDs
             # disagree within an ulp of a boundary (hit at sf0.1)
             ieee_round6(
-                F.sum(_dec6(F.col("v"))).cast("double") / F.count("*")
+                _sum6(F.col("v")).cast("double") / F.count("*")
             ).alias("centroid"),
             F.count("*").alias("n"),
         )
@@ -5479,7 +5483,7 @@ def q26_pivot(spark, sf):
         .pivot("l_linestatus", ["F", "O"])
         .agg(
             F.count(F.lit(1)).alias("c"),
-            F.sum(_dec6(F.col("l_quantity"))).cast("double").alias("q"),
+            _sum6(F.col("l_quantity")).cast("double").alias("q"),
         )
     )
     return out.select(
@@ -5533,8 +5537,8 @@ def e2_moments(spark, sf):
     bit-stable. The same three sums feed mean/stddev/corr at 100 TB with
     one aggregate pass."""
     e = _t(spark, sf, "events")
-    s1 = F.sum(_dec6(F.col("value"))).cast("double")
-    s2 = F.sum(_dec6(F.col("value") * F.col("value"))).cast("double")
+    s1 = _sum6(F.col("value")).cast("double")
+    s2 = _sum6(F.col("value") * F.col("value")).cast("double")
     n = F.count("*")
     return (
         e.groupBy("event_type")
@@ -5957,8 +5961,8 @@ def t8_unigram_logprob(spark, sf):
             # _idec6 terms + ieee_round6 mean: ln() values are off the
             # 6-dp grid, where engine ROUNDs diverge (functions/numeric.py)
             ieee_round6(
-                F.sum(
-                    _idec6(F.log(F.col("c") / F.col("total")))
+                _sum6(
+                    F.log(F.col("c") / F.col("total")), dec=_idec6
                 ).cast("double")
                 / F.count("*")
             ).alias("mean_logprob"),
@@ -6972,7 +6976,7 @@ def q29_gsets(spark, sf):
         "l_returnflag",
         "l_linestatus",
     ).agg(
-        F.sum(_dec6(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+        _sum6(F.col("l_quantity")).cast("double").alias("sum_qty"),
         F.count("*").alias("n"),
     )
 
@@ -7105,7 +7109,7 @@ def ev9_gap_fill(spark, sf):
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(
         F.count("*").alias("n"),
-        F.sum(_dec6(F.col("value"))).cast("double").alias("total"),
+        _sum6(F.col("value")).cast("double").alias("total"),
     )
     spans = hourly.groupBy("user_id").agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
