@@ -688,6 +688,12 @@ class Catalog:
         """
         # index is groupBy-output (unique by hash) — no distinct needed
         self._release_assign_temp()  # deferred from a prior lazy assignment
+        if (
+            self._clusters_empty
+            and fingerprint is None
+            and self._insert_source_index_local(step, index)
+        ):
+            return
         if self._clusters_empty and fingerprint is None:
             # first insert into an empty catalog: every hash is new, so TWO
             # jobs do everything. Job 1 is one grouped aggregate over the
@@ -810,6 +816,148 @@ class Catalog:
             "type": "source",
             "fingerprint": hash_to_base64(fingerprint),
         }
+
+    def _insert_source_index_local(self, step: str, index: DataFrame) -> bool:
+        """Driver-scale first :meth:`insert_source_index` (empty catalog,
+        small index): ONE Spark job instead of three serial stage rounds.
+
+        The distributed first-insert branch pays a stats collect (bucket
+        counts + fingerprint) and then a "lazy" assignment checkpoint that
+        is not lazy under AQE — finalising the adaptive plan executes the
+        window's shuffle stages at checkpoint time, one more serial stage
+        round per source step (the j7 serial-action floor). When the
+        optimizer's size estimate for the index plan fits a driver budget,
+        collect ``(hash, keys, _h)`` once — the per-row xxhash64 stays
+        JVM-computed, so the fingerprint fold is over the identical
+        numbers — and do the rest driver-side. Byte-identical outcome:
+
+        - fingerprint: fold of (n, Σ_h, ⊕_h) over the collected signed
+          64-bit row hashes == the per-bucket ``unordered_stats_aggs``
+          fold (associative; a single global group is one valid grouping);
+        - ids: dense 1..n by unsigned bytewise hash order — the bucket is
+          the hash's first two bytes, so (bucket asc, hash asc) IS global
+          hash order (what ``dense_index`` over digest-prefix buckets +
+          per-bucket BinaryType windows produces);
+        - keys: per-array first-occurrence dedup (``array_distinct``).
+
+        The appends are LocalRelations (no jobs), which also lets every
+        downstream join against ``clusters``/``cluster_keys`` broadcast
+        without computing a plan. Returns False (caller falls through to
+        the distributed branch) when the estimate exceeds the budget —
+        the estimate is read from the optimized plan driver-side, so the
+        decision costs no job and a 100 TB index never collects.
+        ``MATCHBOX_SPARK_INDEX_DRIVER_BYTES`` overrides the budget
+        (0 disables the path)."""
+        import os
+
+        try:
+            limit = int(
+                os.environ.get(
+                    "MATCHBOX_SPARK_INDEX_DRIVER_BYTES", str(256 << 20)
+                )
+            )
+        except ValueError:
+            limit = 256 << 20
+        if limit <= 0:
+            return False
+        if self._step_has_rows("cluster_keys", "source", step):
+            # rare rewrite path (re-sync over disk-loaded or pre-existing
+            # step rows) — keep the distributed branch's filter semantics
+            return False
+        try:
+            est = int(
+                str(
+                    index._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:  # noqa: BLE001 — estimation only; general path
+            return False
+        if est > limit:
+            return False
+
+        import numpy as np
+        import pandas as pd
+
+        from matchbox_spark.functions.hashing import (
+            fold_unordered_stats,
+            row_hash_expr,
+        )
+
+        index = index.select(F.col("hash").alias("cluster_hash"), "keys")
+        h = row_hash_expr(index.schema, ["cluster_hash", "keys"], "xxhash64")
+        pdf = index.select("cluster_hash", "keys", h.alias("_h")).toPandas()
+
+        hs = [int(v) for v in pdf["_h"].tolist()]
+        x = 0
+        for v in hs:
+            x ^= v & 0xFFFFFFFFFFFFFFFF
+        if x >= 1 << 63:
+            x -= 1 << 64
+        fingerprint = fold_unordered_stats(
+            [{"n": len(hs), "s": sum(hs), "x": x}]
+        )
+        if self._fingerprint_gate(step, fingerprint):
+            return True
+
+        n = len(pdf)
+        if n:
+            hashes = np.frombuffer(
+                b"".join(bytes(b) for b in pdf["cluster_hash"]), dtype=np.uint8
+            ).reshape(n, -1)
+            # exact unsigned bytewise order (last lexsort key is primary)
+            order = np.lexsort(
+                tuple(hashes[:, i] for i in reversed(range(hashes.shape[1])))
+            )
+            rank = np.empty(n, dtype="int64")
+            rank[order] = np.arange(1, n + 1)
+            ids = rank + self._max_id
+            self._append(
+                "clusters",
+                self.spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "cluster_id": pd.array(ids, dtype="int64"),
+                            "cluster_hash": pdf["cluster_hash"].map(bytes),
+                        }
+                    ),
+                    _CLUSTERS,
+                ),
+                materialised=True,
+            )
+            key_ids: list[int] = []
+            key_vals: list = []
+            for cid, keys in zip(ids.tolist(), pdf["keys"].tolist()):
+                uniq = dict.fromkeys(
+                    keys.tolist() if hasattr(keys, "tolist") else keys
+                )
+                key_ids.extend([cid] * len(uniq))
+                key_vals.extend(uniq)
+            self._append(
+                "cluster_keys",
+                self.spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "cluster_id": pd.array(key_ids, dtype="int64"),
+                            "source": step,
+                            "key": key_vals,
+                        }
+                    ),
+                    _KEYS,
+                ),
+                materialised=True,
+            )
+        self._clusters_empty = False
+        self._last_assigned_n = n
+        self._max_id += n
+        self._step_rows["cluster_keys"].add(step)
+        self.steps[step] = {
+            "type": "source",
+            "fingerprint": hash_to_base64(fingerprint),
+        }
+        return True
 
     def insert_source_index_delta(self, step: str, index: DataFrame) -> None:
         """Streaming/merge insert: append a source-index DELTA under ``step``.
