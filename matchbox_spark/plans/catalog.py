@@ -118,6 +118,12 @@ class Catalog:
         self._assign_temp: DataFrame | None = None
         self._contains_empty = True
         self._clusters_empty = True
+        # False until a resolver insert lands: while every cluster row is a
+        # source-index LEAF hash, a freshly-computed H5 parent hash cannot
+        # legitimately pre-exist (insert-if-absent only matters for
+        # re-inserted resolver content), so the local resolver path may
+        # skip its exists-check job. Loaded catalogs pessimistically True.
+        self._has_parent_clusters = False
         # step values known to have rows, per step-keyed table — lets inserts
         # take the pure-append path instead of a filter-rewrite. A catalog
         # loaded from disk can't know, so it pessimistically rewrites.
@@ -423,6 +429,7 @@ class Catalog:
         cat._max_id = int(row["m"] or 0)
         cat._clusters_empty = int(row["n"]) == 0
         cat._contains_empty = cat.contains.limit(1).isEmpty()
+        cat._has_parent_clusters = not cat._clusters_empty
         cat._loaded_from_disk = True
         return cat
 
@@ -483,6 +490,7 @@ class Catalog:
         self._max_id = int(row["m"] or 0)
         self._clusters_empty = int(row["n"]) == 0
         self._contains_empty = self.contains.limit(1).isEmpty()
+        self._has_parent_clusters = not self._clusters_empty
         self._loaded_from_disk = True
 
     # -- helpers -------------------------------------------------------------
@@ -1259,20 +1267,28 @@ class Catalog:
             for p, members in parents.items()
         }
 
-        # job 2: insert-if-absent — which parent hashes already exist
+        # job 2: insert-if-absent — which parent hashes already exist.
+        # Skipped while no resolver has ever inserted: every cluster row is
+        # then a source-index LEAF hash, and a fresh H5 member-set hash
+        # matching one is a sha256 collision across structurally different
+        # preimages — below the collision floor the content addressing
+        # already rests on. One serial driver job saved per first-resolver
+        # step (the common single-resolver pipeline shape).
         hashes = sorted(set(parent_hash.values()))
-        hdf = self.spark.createDataFrame(
-            pd.DataFrame({"cluster_hash": hashes}), "cluster_hash binary"
-        )
-        epdf = self.clusters.join(
-            F.broadcast(hdf), "cluster_hash", "left_semi"
-        ).toPandas()
-        existing = {
-            bytes(h): int(i)
-            for h, i in zip(
-                epdf["cluster_hash"].tolist(), epdf["cluster_id"].tolist()
+        existing: dict[bytes, int] = {}
+        if self._has_parent_clusters:
+            hdf = self.spark.createDataFrame(
+                pd.DataFrame({"cluster_hash": hashes}), "cluster_hash binary"
             )
-        }
+            epdf = self.clusters.join(
+                F.broadcast(hdf), "cluster_hash", "left_semi"
+            ).toPandas()
+            existing = {
+                bytes(h): int(i)
+                for h, i in zip(
+                    epdf["cluster_hash"].tolist(), epdf["cluster_id"].tolist()
+                )
+            }
 
         # dense deterministic ids for new hashes, ordered by hash bytes —
         # dense_index's digest-prefix-bucket order IS byte order
@@ -1302,6 +1318,7 @@ class Catalog:
                 materialised=True,
             )
             self._clusters_empty = False
+            self._has_parent_clusters = True
 
         # first hierarchy insert: contains rows for ALL parents (none can
         # pre-exist — contains is empty), root != leaf filtered like the
@@ -1456,6 +1473,7 @@ class Catalog:
             )
         self._append("contains", new_contains)
         self._contains_empty = False
+        self._has_parent_clusters = True
         return batch_contains
 
     def merge_resolver_clusters_delta(

@@ -53,19 +53,24 @@ def _transpile(sql: str) -> str:
 
 
 def resolver_assignments(catalog: Catalog, resolver_step: str) -> DataFrame:
-    """leaf_id → root_id map claimed by one resolver (the J7 subquery)."""
+    """leaf_id → root_id map claimed by one resolver (the J7 subquery).
+
+    No dedup exchange: ``contains`` rows are globally unique by the
+    append-only insert contract (only newly-assigned roots ever append —
+    catalog._hierarchy_insert / _insert_resolver_clusters_local), and
+    ``resolver_clusters`` filtered to one step is unique by ``cluster_id``,
+    so the inner join's ``(leaf_id, root_id)`` output is already distinct.
+    The former ``dropDuplicates()`` cost two Exchanges + an aggregate per
+    resolver level inside EVERY unified_query plan (3 levels deep in the
+    j7b lineage query)."""
     rc = catalog.resolver_clusters.where(F.col("step") == resolver_step)
     # bind the property ONCE: each access builds a new DataFrame, and a
     # join condition mixing attribute instances from two accesses fails
     # analysis (MISSING_ATTRIBUTES) when the table is empty
     contains = catalog.contains
-    return (
-        contains.join(
-            rc, contains["root"] == rc["cluster_id"], "inner"
-        )
-        .select(F.col("leaf").alias("leaf_id"), F.col("root").alias("root_id"))
-        .dropDuplicates()
-    )
+    return contains.join(
+        rc, contains["root"] == rc["cluster_id"], "inner"
+    ).select(F.col("leaf").alias("leaf_id"), F.col("root").alias("root_id"))
 
 
 def unified_query(
