@@ -50,6 +50,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Re-spread an under-parallel scan before heavy per-row compute.
+
+    The testdata tables are single-row-group parquet files, so a scan is
+    ONE task and everything fused into the scan stage (shingle hashing,
+    per-pair vector folds) runs on one core. Guide §2.5 "input skew: one
+    huge unsplittable file — repartition immediately after the read":
+    round-robin to the session's core count, but ONLY when the scan's
+    split count is below it — a corpus that already scans wide (the 100 TB
+    case) passes through untouched, so this never adds a shuffle at
+    scale. Core count comes from the session (defaultParallelism), not a
+    constant, so the driver's lower-core bench runs stay comparable.
+    """
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def _resolve_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalise an event-time column to TIMESTAMP whatever physical type the
     parquet stores in this environment: TIMESTAMP(NANOS) read as bigint under
@@ -1291,7 +1310,7 @@ def d2_ngram_jaccard(spark, sf):
 def v1_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
-    return cosine_topk(emb, q, k=5)
+    return cosine_topk(_spread(spark, emb), q, k=5)
 
 
 @_q(
@@ -1483,7 +1502,7 @@ _MA, _MB = DD.minhash_params(8)
 )
 def d3_minhash(spark, sf):
     return DD.minhash_lsh_candidates(
-        _t(spark, sf, "documents"), "doc_id", "text",
+        _spread(spark, _t(spark, sf, "documents")), "doc_id", "text",
         num_perm=8, bands=4, shingle_n=2,
     )
 

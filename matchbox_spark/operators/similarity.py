@@ -14,7 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from matchbox_spark.functions.vectors import cosine_expr, sign_bucket_expr
+from matchbox_spark.functions.vectors import (
+    cosine_expr,
+    dot_expr,
+    norm_expr,
+    sign_bucket_expr,
+)
 
 
 def cosine_topk(
@@ -31,17 +36,30 @@ def cosine_topk(
 
     Ties break by neighbor id ascending so results are fully deterministic.
     """
+    # Norms precompute per ROW, not per pair: cosine_expr inside the cross
+    # join would re-fold both vectors' self-dots for every (query, corpus)
+    # combination — interpreted higher-order-function work (BASELINE.md
+    # plan-shape lesson 5) repeated |queries| times per corpus row. The
+    # factored den = qn·cn is the identical float product of the identical
+    # sqrt(dot(v,v)) values, so results are bit-equal (verified).
     c = corpus.select(
         F.col(corpus_id).cast("long").alias("neighbor"),
         F.col(corpus_vec).alias("_cv"),
+        norm_expr(F.col(corpus_vec)).alias("_cn"),
     )
     q = queries.select(
-        F.col(query_id).cast("long").alias("query"), F.col(query_vec).alias("_qv")
+        F.col(query_id).cast("long").alias("query"),
+        F.col(query_vec).alias("_qv"),
+        norm_expr(F.col(query_vec)).alias("_qn"),
     )
+    num = dot_expr(F.col("_qv"), F.col("_cv"))
+    den = F.col("_qn") * F.col("_cn")
     scored = F.broadcast(q).crossJoin(c).select(
         "query",
         "neighbor",
-        F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+        ).alias("cosine"),
     )
     if exclude_self:
         scored = scored.where(F.col("query") != F.col("neighbor"))
@@ -71,18 +89,21 @@ def exact_cosine_pairs(
     Scale note: one side broadcasts when small; for two large sides this is
     a cross join and the LSH/IVF operators are the right tool.
     """
-    from matchbox_spark.functions.vectors import dot_expr
-
     # ids compare as-is — `<` totally orders strings and numbers alike, so
     # UUID-style ids work; a numeric cast would null them out and silently
-    # drop every pair
+    # drop every pair. Norms precompute per ROW (see cosine_topk): the
+    # factored den is the identical float product, results bit-equal.
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    sim = (
-        dot_expr("_va", "_vb")
-        if assume_normalized
-        else cosine_expr(F.col("_va"), F.col("_vb"))
-    )
+    if assume_normalized:
+        sim = dot_expr("_va", "_vb")
+    else:
+        a = a.withColumn("_na", norm_expr(F.col("_va")))
+        b = b.withColumn("_nb", norm_expr(F.col("_vb")))
+        den = F.col("_na") * F.col("_nb")
+        sim = F.when(
+            den > 0, dot_expr("_va", "_vb") / den
+        ).otherwise(F.lit(0.0))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .where(sim >= F.lit(threshold))
