@@ -39,13 +39,30 @@ def pairs_expr(arr: Column) -> Column:
 
 
 def cluster_pairs(root_leaf: DataFrame) -> DataFrame:
-    """Implied pairwise connections of a (root, leaf) clustering."""
+    """Implied pairwise connections of a (root, leaf) clustering.
+
+    Combinations expand through the dedupers' codegen'd posexplode/
+    tail-slice, not ``pairs_expr`` — the interpreted nested-transform
+    (which additionally re-scans the whole array with ``F.filter`` per
+    element, O(g²) lambda invocations per group) dominated the ev8
+    threshold sweep at ~600-leaf components. Same (a < b) pair set:
+    leaves are sorted distinct per group. ``dropDuplicates`` stays — a
+    proper clustering partitions the leaves so it is a no-op shuffle on
+    CC output, but the helper's contract accepts any (root, leaf) frame."""
     groups = root_leaf.groupBy("root").agg(
-        F.sort_array(F.collect_set("leaf")).alias("leaves")
+        F.sort_array(F.collect_set("leaf")).alias("members")
     )
+    from matchbox_spark.operators.dedupers import _tail_slice_explode
+
+    # spread the (few, small) group rows before the quadratic explosion:
+    # AQE coalesces the tiny aggregate to one partition, which would run
+    # the entire O(Σ g²) pair fan-out on one core (guide §2.5 — the
+    # explode side of input skew). An explicit repartition is exempt from
+    # AQE coalescing; the shuffled rows are one array per cluster.
+    n = root_leaf.sparkSession.sparkContext.defaultParallelism
     return (
-        groups.select(F.explode(pairs_expr(F.col("leaves"))).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        _tail_slice_explode(groups.repartition(n))
+        .select(F.col("lid").alias("a"), F.col("rid").alias("b"))
         .dropDuplicates()
     )
 
@@ -87,21 +104,36 @@ def judgement_net_counts(judgements: DataFrame, expansion: DataFrame) -> DataFra
     per judgement row (a >6-minute straggler at sf0.1, round 12); the
     telescoped form is two linear explodes into one map-side-combinable
     groupBy."""
+    from matchbox_spark.operators.dedupers import _tail_slice_explode
+
     ex = expand_judgements(judgements, expansion)
+    # spread the judgement rows before the quadratic pair fan-out — the
+    # judgement frame is sample-sized (often fewer rows than cores), so
+    # without this the whole explosion lands on one or two tasks
+    ex = ex.repartition(ex.sparkSession.sparkContext.defaultParallelism)
     ex = ex.withColumn("n_shown", F.size("shown_leaves")).withColumn(
         "n_endorsed", F.size("endorsed_leaves")
     )
-    pos = ex.select(
-        F.explode(pairs_expr(F.array_sort("endorsed_leaves"))).alias("p"),
-        F.lit(2.0).alias("w"),
+    # combinations via the dedupers' codegen'd posexplode/tail-slice (the
+    # per-row weight rides along) — pairs_expr's interpreted nested
+    # transform re-scans the whole array per element (O(g²) lambda
+    # invocations); at ev8's ~120-leaf shown clusters it was 25 s of the
+    # 72 s sweep. Same (a < b) multiset from the sorted arrays.
+    pos = _tail_slice_explode(
+        ex.select(
+            F.array_sort("endorsed_leaves").alias("members"),
+            F.lit(2.0).alias("w"),
+        )
     )
-    neg = ex.select(
-        F.explode(pairs_expr(F.array_sort("shown_leaves"))).alias("p"),
-        (-(F.col("n_endorsed") / F.col("n_shown"))).alias("w"),
+    neg = _tail_slice_explode(
+        ex.select(
+            F.array_sort("shown_leaves").alias("members"),
+            (-(F.col("n_endorsed") / F.col("n_shown"))).alias("w"),
+        )
     )
     return (
         pos.unionByName(neg)
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "w")
+        .select(F.col("lid").alias("a"), F.col("rid").alias("b"), "w")
         .groupBy("a", "b")
         .agg(F.round(F.sum("w"), 9).alias("net"))
     )
@@ -222,16 +254,25 @@ def threshold_sweep(
                 < F.lit(bound)
             )
             edges = edges.localCheckpoint(eager=False)
-    net = judgement_net_counts(judgements, expansion).localCheckpoint(
-        eager=True
+    # The judgement-side state is sample-bounded by construction (the eval
+    # queue caps at ~100 clusters — module doc), but a localCheckpoint
+    # erases size statistics (LogicalRDD reports the default "huge"
+    # sizeInBytes), so WITHOUT explicit broadcast hints every
+    # per-threshold join below degrades to a sort-merge join that
+    # shuffles the O(cluster-pairs) model side — measured 17+16 s per
+    # threshold at sf0.1 vs ~3 s broadcast.
+    net = F.broadcast(
+        judgement_net_counts(judgements, expansion).localCheckpoint(
+            eager=True
+        )
     )
-    judged_leaves = (
+    judged_leaves = F.broadcast(
         expand_judgements(judgements, expansion)
         .select(F.explode("shown_leaves").alias("l"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    validation = (
+    validation = F.broadcast(
         net.where(F.col("net") > 0)
         .join(judged_leaves.withColumnRenamed("l", "a"), "a")
         .join(judged_leaves.withColumnRenamed("l", "b"), "b")
@@ -261,8 +302,20 @@ def threshold_sweep(
             .where(F.col("net") != 0)
             .select("a", "b")
         )
-        n_model = mp.count()
-        tp = mp.join(validation, ["a", "b"]).count() if n_model else 0
+        # one action per threshold, not two: the left join against the
+        # (unique-by-pair) validation set counts model pairs and true
+        # positives together — the former count() + join().count() pair
+        # computed the whole mp plan twice
+        c = (
+            mp.join(
+                validation.withColumn("_v", F.lit(1)), ["a", "b"], "left"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("nm"), F.count("_v").alias("tp")
+            )
+            .collect()[0]
+        )
+        n_model, tp = int(c["nm"]), int(c["tp"])
         precision = tp / n_model if n_model else 0.0
         recall = tp / n_validation
         f1 = (

@@ -46,9 +46,17 @@ def _tail_slice_pairs(grouped: DataFrame) -> DataFrame:
 
 
 def _tail_slice_explode(grouped: DataFrame) -> DataFrame:
-    """Raw ``(lid, rid)`` positional combinations (i < j) of ``members``."""
-    e1 = grouped.select("members", F.posexplode("members").alias("i", "lid"))
+    """Raw ``(lid, rid)`` positional combinations (i < j) of ``members``.
+
+    Every column other than ``members`` rides along unchanged (per-row
+    weights, group keys); unused passengers are column-pruned by Catalyst
+    before any exchange."""
+    extra = [c for c in grouped.columns if c != "members"]
+    e1 = grouped.select(
+        *extra, "members", F.posexplode("members").alias("i", "lid")
+    )
     return e1.select(
+        *extra,
         "lid",
         F.explode(
             F.slice(

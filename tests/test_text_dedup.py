@@ -156,6 +156,36 @@ def test_ngram_jaccard_pairs(near_dup_docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_ngram_jaccard_max_shingle_freq(spark):
+    """The stop-shingle cap drops ubiquitous shingles BEFORE per-doc sizes
+    are counted (the jaccard denominators must reflect the filtered edge
+    list — the invariant the posting-list rewrite has to preserve)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "a x y")],
+        "doc_id long, text string",
+    )
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=1, threshold=0.0, max_shingle_freq=2
+        ).collect()
+    }
+    # 'a' (freq 3) drops: sizes become 2/2/2; only (1,2) share 'b' →
+    # jaccard 1/(2+2-1) = 1/3; the (1,3)/(2,3) pairs vanish entirely
+    assert capped == {(1, 2): round(1 / 3, 6)}
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=1, threshold=0.0
+        ).collect()
+    }
+    assert uncapped == {
+        (1, 2): 0.5,
+        (1, 3): 0.2,
+        (2, 3): 0.2,
+    }
+
+
 def test_minhash_lsh_finds_near_dups(near_dup_docs):
     cands = DD.minhash_lsh_candidates(
         near_dup_docs, "doc_id", "text", num_perm=32, bands=8
