@@ -797,16 +797,23 @@ def simhash_pairs_from_values(
     b = halves.select(
         F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"), "hi", "hv"
     )
+    # Hamming filter BEFORE the pair dedup (guide §2.3 — shuffle fewer
+    # bytes): bit_count(xor) is a two-instruction codegen evaluation, so
+    # running it on every raw candidate costs nothing, while the
+    # dropDuplicates exchange shrinks from the full candidate multiset
+    # (12.4M rows at the sf0.1 auto-width, a hot chunk bucket is
+    # quadratic) to just the surviving near-pairs (~25k). Identical
+    # output: hamming is a pure function of the pair, so filter and
+    # distinct commute, and duplicates carry equal hamming values.
     return (
         a.join(b, ["hi", "hv"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .dropDuplicates(["doc_a", "doc_b"])
         .withColumn(
             "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
         )
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
