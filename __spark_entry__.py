@@ -164,12 +164,42 @@ def _sum6(col, dec=None):
 
     ``dec`` overrides the per-row grid (pass ``_idec6`` for off-grid
     terms); the oracle SQL is untouched — this changes only how the same
-    per-row decimal values are accumulated."""
-    d = (dec or _dec6)(col)
-    micro = (d * 1000000).cast("long")
-    high = d.cast("long")
-    low = micro % 1000000
-    exact = F.sum(high).cast("decimal(38,0)") * 1000000 + F.sum(low).cast(
+    per-row decimal values are accumulated.
+
+    r13 fast default grid: the round→decimal→multiply→cast chain above
+    still paid a per-row ``BigDecimal`` allocation inside ``F.round``
+    (isolated: ~0.9 s of q1's 1.2 s at sf0.1 was the three rounds alone —
+    the scan is one task, guide §1.2 "per-task work"). When no ``dec``
+    hook is given, the micro count is taken directly as
+    ``floor(x*1e6 + 0.5)`` — the same IEEE-exact primitive
+    :func:`ieee_round6` already uses for cross-engine 6-dp rounding, so
+    the engine's existing empirical contract ("floor half-up at 1e6
+    matches the engines' ROUND on this data") is unchanged, just applied
+    one step earlier. Equivalence ``floor(x*1e6+0.5) ==
+    (round(x,6)::decimal(18,6)*1e6)::long`` holds whenever x sits within
+    float error of a ≤6-dp grid point (all monetary columns and their
+    products) and is verified bitwise per call-site query at all three
+    SFs (tools/verify_sum6.py); off-grid terms keep their explicit
+    ``dec`` hook and the decimal path. The long split moves to base 2^20
+    (arithmetic shift + mask — two's-complement exact for negatives, no
+    division): low ∈ [0, 2^20) sums exactly to ~8.8e12 rows/group,
+    |high| ≈ |value|·0.95 keeps the same ~9e12-row envelope; the
+    recombination divides total micros by 10^6 at scale 8, exact as
+    before. Per-row cost: mul, add, floor, shift, mask — all primitive
+    codegen (q1 1.22 → 0.48 s med)."""
+    if dec is not None:
+        d = dec(col)
+        micro = (d * 1000000).cast("long")
+        high = d.cast("long")
+        low = micro % 1000000
+        exact = F.sum(high).cast("decimal(38,0)") * 1000000 + F.sum(low).cast(
+            "decimal(38,0)"
+        )
+        return (exact / 1000000).cast("decimal(28,6)")
+    m = F.floor(col * F.lit(1000000.0) + F.lit(0.5))
+    low = m.bitwiseAND(F.lit(1048575))
+    high = F.shiftright(m, 20)
+    exact = F.sum(high).cast("decimal(38,0)") * 1048576 + F.sum(low).cast(
         "decimal(38,0)"
     )
     return (exact / 1000000).cast("decimal(28,6)")

@@ -224,6 +224,30 @@ class WeightedDeterministicLinker(Linker):
         for other in tagged[1:]:
             unioned = unioned.union(other)
 
+        # Low-parallelism rescue (r13, guide §2.5): when the rule joins run
+        # over narrow scans (broadcast joins over a single-row-group file
+        # produce ONE map task per branch), the pair groupBy's map-side
+        # partial aggregation builds its whole hash table on 1-2 cores —
+        # and by construction it reduces almost nothing here: each branch's
+        # (pair, rule) rows are distinct whenever side ids are unique, and
+        # different branches never share a map task, so the exchange
+        # carries ~every row either way. Repartitioning by the pair key
+        # first is the SAME single exchange (groupBy reuses the hash
+        # partitioning), but the aggregation hash tables build post-shuffle
+        # on every core (j5 agg 1.09 → 0.46 s med at sf0.1). A wide input
+        # (the 100 TB case) passes through untouched and keeps map-side
+        # partials.
+        # N must be EXPLICIT: a bare repartition(cols) is AQE-coalescible,
+        # and this exchange is tiny in bytes (three longs/row) but heavy in
+        # per-row agg work — AQE's 64 MB advisory folds it back to one
+        # partition, which is exactly the serialisation being removed. The
+        # count follows the session (defaultParallelism), never a constant.
+        sc = unioned.sparkSession.sparkContext
+        if unioned.rdd.getNumPartitions() < sc.defaultParallelism:
+            unioned = unioned.repartition(
+                sc.defaultParallelism, "left_id", "right_id"
+            )
+
         if use_mask:
             score_num = None
             for i, wc in enumerate(s.weighted_comparisons):
