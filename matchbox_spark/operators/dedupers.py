@@ -141,6 +141,11 @@ class NaiveDeduper(Deduper):
             return self._dedupe_chunked(data, rows)
 
         # One shuffle: group identical field tuples, collect member ids.
+        # (r13: an explicit-N keyed repartition before the groupBy — the
+        # j5-style low-parallelism rescue — was TESTED here and lost: j2
+        # 0.38 → 0.46 s med at sf0.1. The 900k-pair explode is ~0.2 s of
+        # primitive codegen on one core; spreading it pays more in exchange
+        # + scheduling than it saves, unlike j5's heavy per-row agg.)
         # Member ids are DISTINCT'd inside the group array: rows sharing an
         # id (true duplicates of one entity) would otherwise emit the same
         # unordered pair repeatedly, forcing a full extra shuffle

@@ -68,6 +68,23 @@ def _is_local_plan(df: DataFrame) -> bool:
     except Exception:  # noqa: BLE001 — detection only; fall to general path
         return False
 
+
+def _is_driver_resident(df: DataFrame) -> bool:
+    """Whether every LEAF of ``df``'s optimized plan is a LocalRelation —
+    i.e. the frame is pure driver-resident data (possibly unioned), with no
+    cluster compute in its lineage. Unlike :func:`_is_local_plan` this
+    accepts Union trees: Spark does not collapse Union(LocalRelation, …)
+    into one LocalRelation, but such a tree still has nothing to
+    checkpoint-truncate and keeps an exact size estimate."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        for i in range(leaves.size()):
+            if leaves.apply(i).getClass().getSimpleName() != "LocalRelation":
+                return False
+        return True
+    except Exception:  # noqa: BLE001 — detection only; fall to general path
+        return False
+
 _CLUSTERS = "cluster_id long, cluster_hash binary"
 _KEYS = "cluster_id long, source string, key string"
 _CONTAINS = "root long, leaf long"
@@ -124,6 +141,23 @@ class Catalog:
         # re-inserted resolver content), so the local resolver path may
         # skip its exists-check job. Loaded catalogs pessimistically True.
         self._has_parent_clusters = False
+        # Complete driver-side mirror of the clusters table content
+        # (cluster_id → cluster_hash), maintained ONLY while every clusters
+        # mutation went through a driver-local insert (which already holds
+        # the rows it appends). Lets the local resolver insert resolve leaf
+        # hashes and the exists-check by dict lookup — zero Spark jobs —
+        # instead of two broadcast semi-join collects. Any other clusters
+        # mutation (distributed insert, delta merge, snapshot re-point)
+        # invalidates it to None via _append/_commit/_load; lookups then
+        # fall back to the distributed jobs. Invariant: non-None ⇒ the dict
+        # equals the full clusters table, so a dict miss IS a table miss.
+        # A fresh catalog is empty, so the empty dict IS a complete mirror.
+        self._driver_cluster_hashes: dict[int, bytes] | None = {}
+        # Same contract for contains (root → sorted leaf tuple): complete
+        # while every contains mutation was a driver-local resolver insert.
+        # Lets the local resolver path G4-expand root children driver-side
+        # instead of falling to the distributed hierarchy insert.
+        self._driver_contains: dict[int, tuple[int, ...]] | None = {}
         # step values known to have rows, per step-keyed table — lets inserts
         # take the pure-append path instead of a filter-rewrite. A catalog
         # loaded from disk can't know, so it pessimistically rewrites.
@@ -430,6 +464,8 @@ class Catalog:
         cat._clusters_empty = int(row["n"]) == 0
         cat._contains_empty = cat.contains.limit(1).isEmpty()
         cat._has_parent_clusters = not cat._clusters_empty
+        cat._driver_cluster_hashes = None  # disk content: mirrors unknown
+        cat._driver_contains = None
         cat._loaded_from_disk = True
         return cat
 
@@ -491,6 +527,8 @@ class Catalog:
         self._clusters_empty = int(row["n"]) == 0
         self._contains_empty = self.contains.limit(1).isEmpty()
         self._has_parent_clusters = not self._clusters_empty
+        self._driver_cluster_hashes = None  # disk content: mirrors unknown
+        self._driver_contains = None
         self._loaded_from_disk = True
 
     # -- helpers -------------------------------------------------------------
@@ -533,7 +571,17 @@ class Catalog:
         compacted base, under the old _COMPACT_WIDTH bound in practice
         (the bound remains as a backstop for pathological weight states).
         """
-        if not materialised:
+        if name == "clusters":
+            # blanket invalidation of the driver clusters mirror: the two
+            # driver-local insert paths re-set/extend it right after their
+            # own append (they hold the appended rows), every other mutator
+            # drops it here so no path can forget
+            self._driver_cluster_hashes = None
+        elif name == "contains":
+            self._driver_contains = None  # same contract
+        if not materialised and not _is_driver_resident(delta):
+            # driver-resident deltas have no lineage worth truncating, and
+            # checkpointing would throw away their exact size estimate
             delta = self._ckpt(delta, eager=False)
         parts = self._parts[name]
         weights = self._sync_weights(name)
@@ -557,7 +605,14 @@ class Catalog:
         ):
             w2, w1 = weights.pop(), weights.pop()
             p2, p1 = frames.pop(), frames.pop()
-            frames.append(self._ckpt(p1.unionByName(p2), eager=False))
+            merged = p1.unionByName(p2)
+            # keep driver-resident runs un-checkpointed (r13): a union of
+            # LocalRelations has no lineage to truncate, and checkpointing
+            # would demote it to an RDD scan whose UNKNOWN size estimate
+            # forces sort-merge joins onto every downstream retrieval plan
+            if not (_is_driver_resident(p1) and _is_driver_resident(p2)):
+                merged = self._ckpt(merged, eager=False)
+            frames.append(merged)
             weights.append(w1 + w2)
 
     def _commit(self, name: str, df: DataFrame) -> None:
@@ -567,6 +622,10 @@ class Catalog:
         Append paths should use ``_append``; this exists for the rare
         filter-out-a-step mutations and external callers (streaming merge).
         """
+        if name == "clusters":
+            self._driver_cluster_hashes = None  # see _append
+        elif name == "contains":
+            self._driver_contains = None
         self._parts[name] = [self._ckpt(df, eager=False)]
         self._part_weights[name] = [1 << 30]  # fully-compacted run
 
@@ -697,7 +756,7 @@ class Catalog:
         # index is groupBy-output (unique by hash) — no distinct needed
         self._release_assign_temp()  # deferred from a prior lazy assignment
         if (
-            self._clusters_empty
+            (self._clusters_empty or self._driver_cluster_hashes is not None)
             and fingerprint is None
             and self._insert_source_index_local(step, index)
         ):
@@ -826,8 +885,16 @@ class Catalog:
         }
 
     def _insert_source_index_local(self, step: str, index: DataFrame) -> bool:
-        """Driver-scale first :meth:`insert_source_index` (empty catalog,
-        small index): ONE Spark job instead of three serial stage rounds.
+        """Driver-scale :meth:`insert_source_index` (empty catalog OR live
+        driver clusters mirror, small index): ONE Spark job instead of
+        three serial stage rounds.
+
+        r13 extension beyond the first insert: while the clusters mirror is
+        complete (every prior clusters mutation was itself driver-local),
+        the subsequent-insert anti-join against existing clusters and the
+        keys→cluster-id join are dict lookups over the mirror — identical
+        answers by the completeness invariant — so a multi-source pipeline
+        (the j7b linked DAG) keeps the one-job shape for every source.
 
         The distributed first-insert branch pays a stats collect (bucket
         counts + fingerprint) and then a "lazy" assignment checkpoint that
@@ -872,6 +939,11 @@ class Catalog:
             # rare rewrite path (re-sync over disk-loaded or pre-existing
             # step rows) — keep the distributed branch's filter semantics
             return False
+        cmirror = self._driver_cluster_hashes
+        if cmirror is None:
+            # no complete mirror: the anti-join against existing clusters
+            # needs the cluster table — fall through to distributed
+            return False
         try:
             est = int(
                 str(
@@ -911,33 +983,45 @@ class Catalog:
             return True
 
         n = len(pdf)
-        if n:
-            hashes = np.frombuffer(
-                b"".join(bytes(b) for b in pdf["cluster_hash"]), dtype=np.uint8
-            ).reshape(n, -1)
+        hash_bytes = [bytes(b) for b in pdf["cluster_hash"]]
+        # anti-join vs existing clusters as a mirror lookup (first insert:
+        # empty mirror ⇒ every hash is new, identical to the old body)
+        rev = {h: i for i, h in cmirror.items()}
+        new_pos = [j for j, h in enumerate(hash_bytes) if h not in rev]
+        n_new = len(new_pos)
+        id_of = rev
+        if n_new:
+            nh = [hash_bytes[j] for j in new_pos]
+            hashes = np.frombuffer(b"".join(nh), dtype=np.uint8).reshape(
+                n_new, -1
+            )
             # exact unsigned bytewise order (last lexsort key is primary)
             order = np.lexsort(
                 tuple(hashes[:, i] for i in reversed(range(hashes.shape[1])))
             )
-            rank = np.empty(n, dtype="int64")
-            rank[order] = np.arange(1, n + 1)
-            ids = rank + self._max_id
+            rank = np.empty(n_new, dtype="int64")
+            rank[order] = np.arange(1, n_new + 1)
+            new_ids = rank + self._max_id
             self._append(
                 "clusters",
                 self.spark.createDataFrame(
                     pd.DataFrame(
                         {
-                            "cluster_id": pd.array(ids, dtype="int64"),
-                            "cluster_hash": pdf["cluster_hash"].map(bytes),
+                            "cluster_id": pd.array(new_ids, dtype="int64"),
+                            "cluster_hash": nh,
                         }
                     ),
                     _CLUSTERS,
                 ),
                 materialised=True,
             )
+            id_of = dict(rev)
+            id_of.update(zip(nh, new_ids.tolist()))
+        if n:
             key_ids: list[int] = []
             key_vals: list = []
-            for cid, keys in zip(ids.tolist(), pdf["keys"].tolist()):
+            for hb, keys in zip(hash_bytes, pdf["keys"].tolist()):
+                cid = id_of[hb]
                 uniq = dict.fromkeys(
                     keys.tolist() if hasattr(keys, "tolist") else keys
                 )
@@ -957,9 +1041,18 @@ class Catalog:
                 ),
                 materialised=True,
             )
-        self._clusters_empty = False
-        self._last_assigned_n = n
-        self._max_id += n
+        # (re)establish the driver clusters mirror AFTER the appends (which
+        # blanket-invalidate): prior mirror + exactly the appended new rows
+        # is again the whole table — the local resolver insert can then
+        # resolve leaf hashes / exists-checks by dict lookup, no jobs
+        if n_new:
+            cmirror.update(
+                (int(i), h) for h, i in zip(nh, new_ids.tolist())
+            )
+            self._clusters_empty = False
+        self._driver_cluster_hashes = cmirror
+        self._last_assigned_n = n_new
+        self._max_id += n_new
         self._step_rows["cluster_keys"].add(step)
         self.steps[step] = {
             "type": "source",
@@ -1158,22 +1251,27 @@ class Catalog:
         self._release_assign_temp()  # deferred from a prior lazy assignment
         if (
             fingerprint is not None
-            and self._contains_empty
+            and self._driver_contains is not None
+            and self._driver_cluster_hashes is not None
             and (
                 getattr(assignments, "_mb_local_pdf", None) is not None
                 or _is_local_plan(assignments)
             )
         ):
             # the resolver's auto probe already ran union-find on the
-            # driver (assignments is a LocalRelation) and no hierarchy
-            # exists yet (every child is a leaf — no expansion join):
-            # content-address driver-side in two shallow broadcast-join
-            # collects instead of ~18 serial AQE stage-jobs of distributed
-            # groupBys — the j7 serial-action floor VERDICT r10 flagged.
-            # Scale-safe by construction: the data volume is bounded by the
-            # resolver's own driver-path decision. The distributed path
-            # below stays the general case (distributed assignments, prior
-            # hierarchy, or fingerprint not precomputed).
+            # driver (assignments is a LocalRelation) and the whole
+            # hierarchy so far is driver-mirrored (complete contains +
+            # clusters dicts — r13 extension; previously first-insert
+            # only): content-address driver-side — G4 expansion, H5 member
+            # hashes, insert-if-absent — with ZERO Spark jobs instead of
+            # ~18 serial AQE stage-jobs of distributed groupBys, the j7
+            # serial-action floor VERDICT r10 flagged. Scale-safe by
+            # construction: the data volume is bounded by the resolver's
+            # own driver-path decision, and the mirrors exist only while
+            # every prior mutation was itself driver-local. The
+            # distributed path below stays the general case (distributed
+            # assignments, distributed prior hierarchy, or fingerprint
+            # not precomputed).
             self._insert_resolver_clusters_local(step, assignments, fingerprint)
             return
         # caches (not checkpoints): reused by several derivations below, then
@@ -1216,16 +1314,19 @@ class Catalog:
     def _insert_resolver_clusters_local(
         self, step: str, assignments: DataFrame, fingerprint: bytes
     ) -> None:
-        """Driver-scale :meth:`insert_resolver_clusters` (first hierarchy
-        insert, LocalRelation assignments, precomputed fingerprint).
+        """Driver-scale :meth:`insert_resolver_clusters` (driver-mirrored
+        hierarchy, LocalRelation assignments, precomputed fingerprint).
 
-        Byte-identical outcome to the distributed path: same H5 member
-        hashes (``hash_cluster_leaves`` is the driver twin of
-        ``leaf_set_hash_expr``), same dense id order (sorted hash bytes —
-        what ``dense_index`` over digest-prefix buckets produces), same
-        insert-if-absent content addressing. Two Spark actions total (leaf
-        hashes, exists check), each a broadcast semi-join collect with no
-        shuffle; the three appends are LocalRelations, costing no jobs."""
+        Byte-identical outcome to the distributed path: same G4 expansion
+        (a child that is a prior root expands to its contains leaves — the
+        contains mirror is complete, so a dict miss IS "child is a leaf"),
+        same H5 member hashes (``hash_cluster_leaves`` is the driver twin
+        of ``leaf_set_hash_expr``), same dense id order (sorted hash bytes
+        — what ``dense_index`` over digest-prefix buckets produces), same
+        insert-if-absent content addressing, same append-only contains
+        (only newly-assigned roots contribute rows). ZERO Spark actions
+        (r13: the former leaf-hash and exists-check semi-join collects are
+        mirror lookups); the appends are LocalRelations, costing no jobs."""
         if self._fingerprint_gate(step, fingerprint):
             return
         import pandas as pd
@@ -1243,28 +1344,30 @@ class Catalog:
         for p, c in zip(apdf["parent_id"].tolist(), apdf["child_id"].tolist()):
             parents.setdefault(int(p), set()).add(int(c))
 
-        # job 1: member leaf hashes — O(members) to driver, bounded by the
-        # resolver's driver-path decision
-        leaf_ids = sorted({c for m in parents.values() for c in m})
-        ids_df = self.spark.createDataFrame(
-            pd.DataFrame({"cluster_id": pd.array(leaf_ids, dtype="int64")})
-        )
-        lpdf = self.clusters.join(
-            F.broadcast(ids_df), "cluster_id", "left_semi"
-        ).toPandas()
-        leaf_hash = {
-            int(i): bytes(h)
-            for i, h in zip(
-                lpdf["cluster_id"].tolist(), lpdf["cluster_hash"].tolist()
-            )
+        # G4 expansion via the complete contains mirror (the distributed
+        # path's left join + coalesce): a child claimed as a prior root
+        # expands to its leaves, anything else is its own leaf
+        kmirror = self._driver_contains
+        first_hierarchy_insert = self._contains_empty
+        expanded = {
+            p: {
+                leaf
+                for c in members
+                for leaf in (kmirror.get(c) or (c,))
+            }
+            for p, members in parents.items()
         }
-        # mirror the distributed inner join: members missing from clusters
-        # drop from the member HASH but still land in contains
+
+        # member leaf hashes from the complete clusters mirror — a mirror
+        # miss IS a table miss, mirroring the distributed inner join:
+        # members missing from clusters drop from the member HASH but
+        # still land in contains
+        cmirror = self._driver_cluster_hashes
         parent_hash = {
             p: hash_cluster_leaves(
-                leaf_hash[c] for c in members if c in leaf_hash
+                cmirror[c] for c in leaves if c in cmirror
             )
-            for p, members in parents.items()
+            for p, leaves in expanded.items()
         }
 
         # job 2: insert-if-absent — which parent hashes already exist.
@@ -1277,18 +1380,26 @@ class Catalog:
         hashes = sorted(set(parent_hash.values()))
         existing: dict[bytes, int] = {}
         if self._has_parent_clusters:
-            hdf = self.spark.createDataFrame(
-                pd.DataFrame({"cluster_hash": hashes}), "cluster_hash binary"
-            )
-            epdf = self.clusters.join(
-                F.broadcast(hdf), "cluster_hash", "left_semi"
-            ).toPandas()
-            existing = {
-                bytes(h): int(i)
-                for h, i in zip(
-                    epdf["cluster_hash"].tolist(), epdf["cluster_id"].tolist()
+            if cmirror is not None:
+                # exists-check via the mirror (invert id→hash once): same
+                # insert-if-absent answer as the semi-join, zero jobs
+                want = set(hashes)
+                existing = {
+                    h: i for i, h in cmirror.items() if h in want
+                }
+            else:
+                hdf = self.spark.createDataFrame(
+                    pd.DataFrame({"cluster_hash": hashes}), "cluster_hash binary"
                 )
-            }
+                epdf = self.clusters.join(
+                    F.broadcast(hdf), "cluster_hash", "left_semi"
+                ).toPandas()
+                existing = {
+                    bytes(h): int(i)
+                    for h, i in zip(
+                        epdf["cluster_hash"].tolist(), epdf["cluster_id"].tolist()
+                    )
+                }
 
         # dense deterministic ids for new hashes, ordered by hash bytes —
         # dense_index's digest-prefix-bucket order IS byte order
@@ -1317,19 +1428,32 @@ class Catalog:
                 ),
                 materialised=True,
             )
+            if cmirror is not None:
+                # keep the mirror complete across the append it just
+                # invalidated: these parent rows are exactly the delta
+                cmirror.update({root_of[h]: h for h in new_hashes})
+                self._driver_cluster_hashes = cmirror
             self._clusters_empty = False
             self._has_parent_clusters = True
 
-        # first hierarchy insert: contains rows for ALL parents (none can
-        # pre-exist — contains is empty), root != leaf filtered like the
-        # distributed path
-        contains_rows = sorted(
+        # the batch's hierarchy rows over EXPANDED leaves, root != leaf
+        # filtered like the distributed path; append-only contains — rows
+        # whose root pre-existed are guaranteed already present and
+        # identical (content addressing), so only newly-assigned roots
+        # contribute appended rows (exactly _hierarchy_insert's semi-join)
+        batch_rows = sorted(
             {
                 (root_of[parent_hash[p]], leaf)
-                for p, members in parents.items()
-                for leaf in members
+                for p, leaves in expanded.items()
+                for leaf in leaves
                 if root_of[parent_hash[p]] != leaf
             }
+        )
+        new_roots = {root_of[h] for h in new_hashes}
+        contains_rows = (
+            batch_rows
+            if first_hierarchy_insert
+            else [rl for rl in batch_rows if rl[0] in new_roots]
         )
         if contains_rows:
             self._append(
@@ -1342,10 +1466,36 @@ class Catalog:
                 ),
                 materialised=True,
             )
+            # keep the contains mirror complete across the append it just
+            # invalidated: these rows are exactly the delta
+            per_root: dict[int, list[int]] = {}
+            for r, l in contains_rows:
+                per_root.setdefault(r, []).append(l)
+            kmirror.update(
+                (r, tuple(sorted(ls))) for r, ls in per_root.items()
+            )
+            self._driver_contains = kmirror
             self._contains_empty = False
 
-        rc_rows = sorted({(step, r) for r, _ in contains_rows})
-        rc = self.spark.createDataFrame(rc_rows or [], _RESOLVER)
+        # resolver claims cover EVERY root of the batch (pre-existing ones
+        # included — _hierarchy_insert's rc comes from batch_contains, not
+        # from the appended delta)
+        rc_rows = sorted({(step, r) for r, _ in batch_rows})
+        # via pandas, not a plain list: the Arrow/pandas path lands as a
+        # LocalRelation (LocalTableScan) with a REAL size estimate, while a
+        # list lands as an RDD scan whose unknown (max) size estimate
+        # forces sort-merge plans onto every downstream retrieval join
+        rc = self.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "step": [r[0] for r in rc_rows],
+                    "cluster_id": pd.array(
+                        [r[1] for r in rc_rows], dtype="int64"
+                    ),
+                }
+            ),
+            _RESOLVER,
+        )
         if self._step_has_rows("resolver_clusters", "step", step):
             self._commit_resolver_clusters(
                 self.resolver_clusters.where(F.col("step") != step).unionByName(rc)

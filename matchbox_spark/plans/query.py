@@ -68,8 +68,14 @@ def resolver_assignments(catalog: Catalog, resolver_step: str) -> DataFrame:
     # join condition mixing attribute instances from two accesses fails
     # analysis (MISSING_ATTRIBUTES) when the table is empty
     contains = catalog.contains
+    # LEFT SEMI, not inner (r13): rc filtered to one step is unique by
+    # cluster_id and contributes no output columns, so the semi join is
+    # row-identical — but its size ESTIMATE is size(contains) instead of
+    # the inner join's size product, which inflated past the broadcast
+    # threshold and forced a sort-merge + two exchanges onto every
+    # unified_query hierarchy level even when the hierarchy is tiny.
     return contains.join(
-        rc, contains["root"] == rc["cluster_id"], "inner"
+        rc, contains["root"] == rc["cluster_id"], "left_semi"
     ).select(F.col("leaf").alias("leaf_id"), F.col("root").alias("root_id"))
 
 

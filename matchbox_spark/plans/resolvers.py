@@ -570,7 +570,23 @@ class Components(ResolverMethod):
             if pdf is None:
                 pdf = unioned.toPandas()
             if len(pdf) == 0:
-                return spark.createDataFrame([], SCHEMA_CLUSTERS)
+                # mark the empty result driver-resident too (r13): without
+                # the marker an all-singleton model (zero edges) pushed the
+                # resolver insert down the DISTRIBUTED branch — ~15 serial
+                # stage-jobs to insert nothing, and the catalog's driver
+                # mirrors (hence every later local insert) were lost
+                empty = pd.DataFrame(
+                    {
+                        "parent_id": pd.array([], dtype="int64"),
+                        "child_id": pd.array([], dtype="int64"),
+                    }
+                )
+                assignments = conform(
+                    spark.createDataFrame(empty, "parent_id long, child_id long"),
+                    SCHEMA_CLUSTERS,
+                )
+                assignments._mb_local_pdf = empty
+                return assignments
             nodes, comps = _cc_driver_arrays(
                 pdf["src"].to_numpy(), pdf["dst"].to_numpy()
             )
