@@ -103,37 +103,69 @@ def judgement_net_counts(judgements: DataFrame, expansion: DataFrame) -> DataFra
     at a 600-member shown cluster that was 180k × 36k struct comparisons
     per judgement row (a >6-minute straggler at sf0.1, round 12); the
     telescoped form is two linear explodes into one map-side-combinable
-    groupBy."""
+    groupBy.
+
+    Fan-out shape (optimization r13, guide §2.3 "aggregate before you
+    shuffle"): the pair set a judgement explodes depends ONLY on its
+    shown/endorsed root (expansion is a root → leaves function), so
+    judgements sharing a root are pre-summed to one weight per root
+    BEFORE the quadratic pair fan-out. Each root's g·(g−1)/2 pairs now
+    explode once total instead of once per judgement — at ev8's 5×
+    re-judged nation clusters that is 23.4M → 5.4M exploded rows feeding
+    the same groupBy. Net is unchanged: Σ_judgements w_j·[pair ∈ root_j]
+    = Σ_roots (Σ_j∈root w_j)·[pair ∈ root] — the same terms, summed
+    per-root first (float order was already partition-dependent; ``net``
+    rounds to 9 dp)."""
     from matchbox_spark.operators.dedupers import _tail_slice_explode
 
     ex = expand_judgements(judgements, expansion)
-    # spread the judgement rows before the quadratic pair fan-out — the
-    # judgement frame is sample-sized (often fewer rows than cores), so
-    # without this the whole explosion lands on one or two tasks
-    ex = ex.repartition(ex.sparkSession.sparkContext.defaultParallelism)
     ex = ex.withColumn("n_shown", F.size("shown_leaves")).withColumn(
         "n_endorsed", F.size("endorsed_leaves")
+    )
+    # one row per distinct root with the summed weight; every judgement
+    # row for a root carries the identical leaves array (root → leaves is
+    # a function, and the singleton fallback is keyed by the root too), so
+    # first() is deterministic in value
+    pos_roots = ex.groupBy("endorsed").agg(
+        F.sum(F.lit(2.0)).alias("w"),
+        F.first("endorsed_leaves").alias("leaves"),
+    )
+    neg_roots = ex.groupBy("shown").agg(
+        F.sum(-(F.col("n_endorsed") / F.col("n_shown"))).alias("w"),
+        F.first("shown_leaves").alias("leaves"),
+    )
+    # spread the root rows before the quadratic pair fan-out — the root
+    # frame is sample-sized (often fewer rows than cores), so without this
+    # the whole explosion lands on one or two tasks
+    roots = (
+        pos_roots.select("w", "leaves")
+        .unionByName(neg_roots.select("w", "leaves"))
+        .repartition(judgements.sparkSession.sparkContext.defaultParallelism)
     )
     # combinations via the dedupers' codegen'd posexplode/tail-slice (the
     # per-row weight rides along) — pairs_expr's interpreted nested
     # transform re-scans the whole array per element (O(g²) lambda
     # invocations); at ev8's ~120-leaf shown clusters it was 25 s of the
     # 72 s sweep. Same (a < b) multiset from the sorted arrays.
-    pos = _tail_slice_explode(
-        ex.select(
-            F.array_sort("endorsed_leaves").alias("members"),
-            F.lit(2.0).alias("w"),
-        )
-    )
-    neg = _tail_slice_explode(
-        ex.select(
-            F.array_sort("shown_leaves").alias("members"),
-            (-(F.col("n_endorsed") / F.col("n_shown"))).alias("w"),
-        )
+    pairs = _tail_slice_explode(
+        roots.select(F.array_sort("leaves").alias("members"), "w")
     )
     return (
-        pos.unionByName(neg)
-        .select(F.col("lid").alias("a"), F.col("rid").alias("b"), "w")
+        pairs.select(F.col("lid").alias("a"), F.col("rid").alias("b"), "w")
+        # pre-shuffle on the group keys (optimization r13, guide §2.4/§2.5):
+        # the pair weights are nearly unique by (a, b), so the partial agg
+        # barely shrinks the exchange while AQE — seeing only the modest
+        # partial-row BYTES, not the millions of keys — coalesced the final
+        # aggregate to ~3 tasks (measured 1.5M keys/task, 8.9 → 4.4 s at
+        # ev8's 4.5M judged pairs). An explicit key repartition is exempt
+        # from AQE coalescing and the groupBy reuses its partitioning (no
+        # second exchange); the partition count follows the session's core
+        # count. Per-key float-sum order changes only for pairs judged ≥3
+        # times, where it was already partition-layout-dependent (the bench
+        # runs at multiple core counts); ``net`` rounds to 9 dp either way.
+        .repartition(
+            judgements.sparkSession.sparkContext.defaultParallelism, "a", "b"
+        )
         .groupBy("a", "b")
         .agg(F.round(F.sum("w"), 9).alias("net"))
     )
@@ -232,7 +264,10 @@ def threshold_sweep(
     """
     if not thresholds:
         raise ValueError("threshold_sweep requires at least one threshold")
-    from matchbox_spark.plans.resolvers import connected_components
+    from matchbox_spark.plans.resolvers import (
+        _free_checkpoint,
+        connected_components,
+    )
 
     spark = edges.sparkSession
     if max_edges is not None:
@@ -254,33 +289,228 @@ def threshold_sweep(
                 < F.lit(bound)
             )
             edges = edges.localCheckpoint(eager=False)
-    # The judgement-side state is sample-bounded by construction (the eval
-    # queue caps at ~100 clusters — module doc), but a localCheckpoint
-    # erases size statistics (LogicalRDD reports the default "huge"
-    # sizeInBytes), so WITHOUT explicit broadcast hints every
-    # per-threshold join below degrades to a sort-merge join that
-    # shuffles the O(cluster-pairs) model side — measured 17+16 s per
-    # threshold at sf0.1 vs ~3 s broadcast.
-    net = F.broadcast(
-        judgement_net_counts(judgements, expansion).localCheckpoint(
-            eager=True
-        )
+    # Driver fast path (optimization r13, guide §1.2 "the distributed
+    # algorithm"): when the edge set fits the SAME size-adaptive budget the
+    # resolver CC escape uses, the whole sweep loop runs driver-side — one
+    # Arrow collect of the edges plus one each of net counts and the
+    # judged-leaf universe, replacing |thresholds| × (CC + cluster-pair
+    # fan-out + three joins + agg) Spark job chains. The probe runs BEFORE
+    # any judgement-side scaffolding so the fast path never builds the
+    # distributed loop's eager checkpoints or broadcast relations at all
+    # (three pinned localCheckpoints + a ~4.5M-row broadcast hash relation
+    # at ev8 scale — measured as the bulk of the per-call cost AND a
+    # per-call storage leak, since nothing ever unpersisted them);
+    # n_validation falls out of the same numpy arrays for free.
+    #
+    # Exactness by reframing (the key identity): the distributed loop's
+    # model-pair set is  cluster_pairs(CC) ⋈ judged ⋈ judged ⋈ net,
+    # i.e. a SUBSET of net's rows — so instead of generating every pair of
+    # every component (Σ g² work per threshold), test each net pair for
+    # same-component membership. Both sides are unique canonical (a < b)
+    # pairs (net folds sorted arrays; cluster_pairs sorts members), so the
+    # key-exact join ≡ this membership test row for row:
+    #   n_model = |{(a,b) ∈ net : net≠0, a,b judged, comp(a)=comp(b)}|
+    #   tp      = the same with net>0 (validation = net>0 & judged², so
+    #             intersecting mp with it adds exactly that condition)
+    # with comp() the numpy union-find's partition — identical to
+    # connected_components (both are exact CC; a pair is "same component"
+    # under one iff under the other). All tests vectorize (searchsorted
+    # into the sorted node array), so a threshold costs O((|net|+|edges|)
+    # · log |nodes|) flat array work, no per-pair Python. The P/R/F1
+    # arithmetic below already ran in driver Python on both paths.
+    # Non-integer ids or an over-budget edge set fall through to the
+    # distributed loop unchanged (a warehouse-scale sweep never collects).
+    import numpy as np
+
+    from matchbox_spark.plans.resolvers import (
+        _cc_driver_arrays,
+        _driver_cc_edge_limit,
     )
-    judged_leaves = F.broadcast(
+
+    import pyarrow as pa
+
+    limit = _driver_cc_edge_limit(spark)
+    etbl = (
+        edges.select("left_id", "right_id", "score").limit(limit + 1).toArrow()
+    )
+    def _int_cols(tbl, cols) -> bool:
+        return all(
+            pa.types.is_integer(tbl.schema.field(c).type)
+            and tbl.column(c).null_count == 0
+            for c in cols
+        )
+
+    driver_ok = etbl.num_rows <= limit and _int_cols(
+        etbl, ("left_id", "right_id")
+    )
+    if driver_ok:
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        _id_types = (ByteType, ShortType, IntegerType, LongType)
+        net = judgement_net_counts(judgements, expansion)
+        jl = (
+            expand_judgements(judgements, expansion)
+            .select(F.explode("shown_leaves").alias("l"))
+            .distinct()
+        )
+        driver_ok = (
+            isinstance(net.schema["a"].dataType, _id_types)
+            and isinstance(net.schema["b"].dataType, _id_types)
+            and isinstance(jl.schema["l"].dataType, _id_types)
+        )
+    if driver_ok:
+        src = etbl.column("left_id").to_numpy()
+        dst = etbl.column("right_id").to_numpy()
+        sc = etbl.column("score").to_numpy()
+        # The keep-filter (net≠0, both endpoints judged) and the id→index
+        # mapping into the edge-node universe run IN SPARK (guide §5: the
+        # driver does almost no data work): the bounded node universe ships
+        # back as a broadcast index, and the driver collects only
+        # (idx_a:int32, idx_b:int32, net>0:bool) — ~9 bytes/pair instead of
+        # three full id/net columns, and none of the driver-side sort /
+        # membership / binary-search passes over |net|-sized arrays (those
+        # measured multi-second and allocation-jittery at ev8's 4.5M pairs).
+        # Index sentinel ``nfull`` = "endpoint not in any edge" (such a
+        # pair still counts toward n_validation but can never be
+        # same-component, exactly as in the distributed join).
+        full_nodes = np.unique(np.concatenate([src, dst]))
+        nfull = len(full_nodes)
+        kept = (
+            net.where(F.col("net") != 0)
+            .join(
+                F.broadcast(jl.withColumnRenamed("l", "a")), "a", "left_semi"
+            )
+            .join(
+                F.broadcast(jl.withColumnRenamed("l", "b")), "b", "left_semi"
+            )
+        )
+        if nfull:
+            nodes_tbl = pa.table(
+                {
+                    "nid": pa.array(full_nodes, type=pa.int64()),
+                    "idx": pa.array(
+                        np.arange(nfull, dtype=np.int32), type=pa.int32()
+                    ),
+                }
+            )
+            nodes_df = spark.createDataFrame(nodes_tbl.to_pandas())
+            kept = kept.join(
+                F.broadcast(
+                    nodes_df.select(
+                        F.col("nid").alias("a"), F.col("idx").alias("ia")
+                    )
+                ),
+                "a",
+                "left",
+            ).join(
+                F.broadcast(
+                    nodes_df.select(
+                        F.col("nid").alias("b"), F.col("idx").alias("ib")
+                    )
+                ),
+                "b",
+                "left",
+            )
+        else:  # no edges at all: every endpoint maps to the sentinel
+            kept = kept.withColumn("ia", F.lit(None).cast("int")).withColumn(
+                "ib", F.lit(None).cast("int")
+            )
+        kept = kept.select(
+            F.coalesce("ia", F.lit(nfull)).alias("ia"),
+            F.coalesce("ib", F.lit(nfull)).alias("ib"),
+            (F.col("net") > 0).alias("pos"),
+        )
+        ktbl = kept.toArrow()
+        pa_idx = ktbl.column("ia").to_numpy()
+        pb_idx = ktbl.column("ib").to_numpy()
+        kpos = ktbl.column("pos").to_numpy()
+        # validation = net>0 & both endpoints judged — kpos counts exactly
+        # the distributed validation frame's rows
+        n_validation = int(kpos.sum())
+        if n_validation == 0:
+            raise ValueError("Validation data has no pairs to evaluate.")
+
+        rows = []
+        for t in sorted(thresholds):
+            mask = sc >= float(t)
+            n_model = tp = 0
+            if mask.any() and len(pa_idx):
+                nodes, comps = _cc_driver_arrays(src[mask], dst[mask])
+                # nodes ⊆ full_nodes, both distinct: exact positions
+                slot = np.searchsorted(full_nodes, nodes)
+                comp_full = np.full(nfull + 1, -1, np.int64)
+                present = np.zeros(nfull + 1, dtype=bool)
+                comp_full[slot] = comps
+                present[slot] = True
+                same = (
+                    present[pa_idx]
+                    & present[pb_idx]
+                    & (comp_full[pa_idx] == comp_full[pb_idx])
+                )
+                n_model = int(same.sum())
+                tp = int((same & kpos).sum())
+            precision = tp / n_model if n_model else 0.0
+            recall = tp / n_validation
+            f1 = (
+                2 * precision * recall / (precision + recall)
+                if precision + recall
+                else 0.0
+            )
+            rows.append(
+                (
+                    float(t),
+                    n_model,
+                    tp,
+                    round(precision, 9),
+                    round(recall, 9),
+                    round(f1, 9),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "threshold double, n_model_pairs long, tp long, "
+            "precision double, recall double, f1 double",
+        )
+
+    # Distributed path. The judgement-side state is sample-bounded by
+    # construction (the eval queue caps at ~100 clusters — module doc), but
+    # a localCheckpoint erases size statistics (LogicalRDD reports the
+    # default "huge" sizeInBytes), so WITHOUT explicit broadcast hints
+    # every per-threshold join below degrades to a sort-merge join that
+    # shuffles the O(cluster-pairs) model side — measured 17+16 s per
+    # threshold at sf0.1 vs ~3 s broadcast. The bare checkpoints are kept
+    # so their blocks can be freed before returning (the result rows are
+    # already local — r13: three pinned checkpoints per call leaked until
+    # driver GC and degraded repeated sweeps measurably).
+    net_ckpt = judgement_net_counts(judgements, expansion).localCheckpoint(
+        eager=True
+    )
+    net = F.broadcast(net_ckpt)
+    judged_ckpt = (
         expand_judgements(judgements, expansion)
         .select(F.explode("shown_leaves").alias("l"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    validation = F.broadcast(
+    judged_leaves = F.broadcast(judged_ckpt)
+    validation_ckpt = (
         net.where(F.col("net") > 0)
         .join(judged_leaves.withColumnRenamed("l", "a"), "a")
         .join(judged_leaves.withColumnRenamed("l", "b"), "b")
         .select("a", "b")
         .localCheckpoint(eager=True)
     )
+    validation = F.broadcast(validation_ckpt)
     n_validation = validation.count()
     if n_validation == 0:
+        _free_checkpoint(validation_ckpt)
+        _free_checkpoint(judged_ckpt)
+        _free_checkpoint(net_ckpt)
         raise ValueError("Validation data has no pairs to evaluate.")
 
     rows = []
@@ -333,6 +563,11 @@ def threshold_sweep(
                 round(f1, 9),
             )
         )
+    # every result row is already local — release the pinned judgement
+    # state instead of waiting for driver GC (r13 leak fix; see above)
+    _free_checkpoint(validation_ckpt)
+    _free_checkpoint(judged_ckpt)
+    _free_checkpoint(net_ckpt)
     return spark.createDataFrame(
         rows,
         "threshold double, n_model_pairs long, tp long, "

@@ -123,6 +123,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
+    spread_pairs: bool | None = None,
 ) -> DataFrame:
     """Pairs with shingle-set Jaccard ≥ threshold.
 
@@ -143,9 +144,33 @@ def ngram_jaccard_pairs(
     skew class is unchanged: a hot shingle's combinations expand inside
     its own posting task, exactly the rows the former join emitted in
     that shingle's partition — the freq cap is the guard in both shapes.
+
+    ``spread_pairs`` (optimization r13, guide §2.5 — the explode side of
+    input skew, which AQE cannot see): the posting table is one row per
+    DISTINCT shingle, so its byte size never reflects the quadratic pair
+    fan-out it feeds — AQE coalesces the posting exchange by those tiny
+    bytes (~1 partition on a dense-vocabulary corpus), which then runs the
+    entire Σ freq² expansion AND the partial count aggregate on one core
+    (measured: 14.4 of d2's 17.1 s at sf0.1 in that single task). With the
+    default on, the expansion splits between its two generators: the
+    per-position tail slices compute map-side, round-robin-repartition
+    across the session's cores, and explode after the exchange — a
+    length-L posting's L·(L−1)/2 pairs now spread over L tasks, so even a
+    corpus-wide hot shingle parallelises (positional splitting of a hot
+    key, guide §2.5 — AQE skew handling applies only to joins). Pair
+    counts are invariant to row placement, so output is identical. Cost
+    at any scale: one extra exchange carrying exactly the tail arrays —
+    the same elements the count exchange already moves — i.e. ≤1× the
+    operator's existing shuffle volume, bounded by ``max_shingle_freq``
+    like the fan-out itself; a sparse-vocabulary corpus whose postings are
+    short can turn it off.
     """
     from matchbox_spark.operators.dedupers import _tail_slice_explode
 
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if spread_pairs is None:
+        spread_pairs = True
     sh = _doc_shingles(df, id_col, text_col, n)
     posts = sh.groupBy("sh").agg(
         F.sort_array(F.collect_list("doc")).alias("members")
@@ -162,8 +187,25 @@ def ngram_jaccard_pairs(
             .groupBy("doc")
             .agg(F.count("*").alias("sz"))
         )
+    big = posts.where(F.size("members") >= 2)
+    if spread_pairs:
+        expanded = (
+            big.select("members", F.posexplode("members").alias("i", "lid"))
+            .select(
+                "lid",
+                F.slice(
+                    F.col("members"),
+                    F.col("i") + 2,
+                    F.size("members") - F.col("i") - 1,
+                ).alias("tail"),
+            )
+            .repartition(cores)
+            .select("lid", F.explode("tail").alias("rid"))
+        )
+    else:
+        expanded = _tail_slice_explode(big).select("lid", "rid")
     inter = (
-        _tail_slice_explode(posts.where(F.size("members") >= 2))
+        expanded
         .groupBy(F.col("lid").alias("doc_a"), F.col("rid").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )

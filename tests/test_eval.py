@@ -194,3 +194,52 @@ def test_threshold_sweep_max_edges_sampling_deterministic(spark):
 
     with pytest.raises(ValueError, match="max_edges must be positive"):
         threshold_sweep(edges, judgements, expansion, ts, max_edges=0)
+
+
+def test_threshold_sweep_driver_matches_distributed(spark, monkeypatch):
+    """The r13 driver fast path (vectorized same-component membership over
+    the net pairs) must emit exactly the distributed loop's rows. The env
+    override forces the distributed branch (limit 0 → the probe always
+    overflows); the default path on this fixture takes the driver branch."""
+    from matchbox_spark.eval import threshold_sweep
+
+    edges, judgements, expansion = _sweep_fixture(spark)
+    ts = [0.3, 0.7, 0.99]
+    driver = sorted(
+        threshold_sweep(edges, judgements, expansion, ts).collect()
+    )
+    monkeypatch.setenv("MATCHBOX_SPARK_CC_EDGE_LIMIT", "0")
+    dist = sorted(
+        threshold_sweep(edges, judgements, expansion, ts).collect()
+    )
+    assert driver == dist
+
+
+def test_threshold_sweep_driver_sparse_id_universe(spark):
+    """Ids far apart (≥2^60) and judged leaves outside the edge universe:
+    the driver path's Spark-side id→index join must map the out-of-universe
+    endpoint to the sentinel (never same-component) while the pair still
+    counts toward the validation denominator."""
+    from matchbox_spark.eval import threshold_sweep
+
+    big = 1 << 60
+    edges = spark.createDataFrame(
+        [(big + 1, big + 2, 0.9), (big + 2, 3, 0.5)],
+        "left_id long, right_id long, score double",
+    )
+    judgements = spark.createDataFrame(
+        [("u", 101, 100), ("u", 102, 100)],
+        "user_name string, endorsed long, shown long",
+    )
+    expansion = spark.createDataFrame(
+        [(100, [big + 1, big + 2, 3]), (101, [big + 1, big + 2]), (102, [3])],
+        "root long, leaves array<long>",
+    )
+    out = {
+        r["threshold"]: r
+        for r in threshold_sweep(
+            edges, judgements, expansion, [0.3, 0.7]
+        ).collect()
+    }
+    assert out[0.7]["precision"] == 1.0 and out[0.7]["recall"] == 1.0
+    assert out[0.3]["n_model_pairs"] == 3 and out[0.3]["tp"] == 1
