@@ -158,6 +158,26 @@ class Catalog:
         # Lets the local resolver path G4-expand root children driver-side
         # instead of falling to the distributed hierarchy insert.
         self._driver_contains: dict[int, tuple[int, ...]] | None = {}
+        # Same contract for cluster_keys, per source step (step → set of
+        # (cluster_id, key) pairs): complete while every cluster_keys
+        # mutation was driver-local. Lets the streaming source-index delta
+        # insert answer its pair-level insert-if-absent anti-join by set
+        # lookup. Non-None ⇒ it covers EVERY step with rows.
+        self._driver_step_keys: dict[str, set] | None = {}
+        # Same contract for resolver claims, per resolver step (step → set
+        # of claimed cluster_ids AS THE VIEW SHOWS THEM, i.e. appends minus
+        # tombstones): complete while every resolver_clusters mutation was
+        # driver-local. Lets the streaming merge delta answer its claim
+        # anti-join and lets _touched_star_edges rebuild prior assignments
+        # driver-side.
+        self._driver_rc: dict[str, set] | None = {}
+        # Same contract for model edges, per model step (step → SORTED
+        # structured numpy array of (left_id, right_id) pairs): complete
+        # while every model_edges mutation was driver-local. Lets the
+        # streaming edge delta insert answer its pair-level anti-join with
+        # one vectorized searchsorted. Size-capped by the driver CC edge
+        # budget — an over-cap step invalidates the dict.
+        self._driver_step_edges: dict | None = {}
         # step values known to have rows, per step-keyed table — lets inserts
         # take the pure-append path instead of a filter-rewrite. A catalog
         # loaded from disk can't know, so it pessimistically rewrites.
@@ -466,6 +486,9 @@ class Catalog:
         cat._has_parent_clusters = not cat._clusters_empty
         cat._driver_cluster_hashes = None  # disk content: mirrors unknown
         cat._driver_contains = None
+        cat._driver_step_keys = None
+        cat._driver_rc = None
+        cat._driver_step_edges = None
         cat._loaded_from_disk = True
         return cat
 
@@ -529,6 +552,9 @@ class Catalog:
         self._has_parent_clusters = not self._clusters_empty
         self._driver_cluster_hashes = None  # disk content: mirrors unknown
         self._driver_contains = None
+        self._driver_step_keys = None
+        self._driver_rc = None
+        self._driver_step_edges = None
         self._loaded_from_disk = True
 
     # -- helpers -------------------------------------------------------------
@@ -579,6 +605,12 @@ class Catalog:
             self._driver_cluster_hashes = None
         elif name == "contains":
             self._driver_contains = None  # same contract
+        elif name == "cluster_keys":
+            self._driver_step_keys = None  # same contract
+        elif name == "resolver_clusters":
+            self._driver_rc = None  # same contract
+        elif name == "model_edges":
+            self._driver_step_edges = None  # same contract
         if not materialised and not _is_driver_resident(delta):
             # driver-resident deltas have no lineage worth truncating, and
             # checkpointing would throw away their exact size estimate
@@ -626,6 +658,12 @@ class Catalog:
             self._driver_cluster_hashes = None  # see _append
         elif name == "contains":
             self._driver_contains = None
+        elif name == "cluster_keys":
+            self._driver_step_keys = None
+        elif name == "resolver_clusters":
+            self._driver_rc = None
+        elif name == "model_edges":
+            self._driver_step_edges = None
         self._parts[name] = [self._ckpt(df, eager=False)]
         self._part_weights[name] = [1 << 30]  # fully-compacted run
 
@@ -1017,9 +1055,10 @@ class Catalog:
             )
             id_of = dict(rev)
             id_of.update(zip(nh, new_ids.tolist()))
+        skmirror = self._driver_step_keys
+        key_ids: list[int] = []
+        key_vals: list = []
         if n:
-            key_ids: list[int] = []
-            key_vals: list = []
             for hb, keys in zip(hash_bytes, pdf["keys"].tolist()):
                 cid = id_of[hb]
                 uniq = dict.fromkeys(
@@ -1041,6 +1080,14 @@ class Catalog:
                 ),
                 materialised=True,
             )
+        if skmirror is not None:
+            # re-establish the per-step keys mirror AFTER the append (which
+            # blanket-invalidates): the step had no prior rows (gated
+            # above), so its full pair set is exactly the appended rows
+            skmirror[step] = {
+                (int(i), str(k)) for i, k in zip(key_ids, key_vals)
+            }
+            self._driver_step_keys = skmirror
         # (re)establish the driver clusters mirror AFTER the appends (which
         # blanket-invalidate): prior mirror + exactly the appended new rows
         # is again the whole table — the local resolver insert can then
@@ -1060,6 +1107,153 @@ class Catalog:
         }
         return True
 
+    def _insert_source_index_delta_local(
+        self, step: str, index: DataFrame
+    ) -> bool:
+        """Driver-scale :meth:`insert_source_index_delta` (live clusters +
+        per-step keys mirrors, small delta): ONE Spark job (the Arrow
+        collect of the batch index) instead of the distributed path's
+        persist + anti-join/assignment checkpoint + keys checkpoint serial
+        stage rounds — the dominant per-micro-batch indexing cost in
+        ``incremental_resolve_stream`` (optimization r13, guide §5 "the
+        driver should do almost no data work" inverted: at micro-batch
+        scale the JOBS are the cost, and the rows already fit the same
+        driver budget the non-delta local insert uses).
+
+        Byte-identical outcome to the distributed delta path:
+
+        - new hashes = delta hashes absent from the clusters mirror (the
+          anti-join; a mirror miss IS a table miss by completeness);
+        - ids dense by unsigned bytewise hash order over the new set
+          (what ``_assign_ids``'s digest-prefix buckets + per-bucket
+          BinaryType windows produce);
+        - keys: per-array first-occurrence dedup (``array_distinct``
+          twin), then pair-level insert-if-absent against the step's
+          (cluster_id, key) mirror — the delta path's anti-join.
+
+        Gated like :meth:`_insert_source_index_local`: the optimizer's
+        size estimate for the delta plan must fit
+        ``MATCHBOX_SPARK_INDEX_DRIVER_BYTES`` (read driver-side, no job —
+        a 100 TB delta never collects), and every mirror it reads must be
+        live (any prior distributed mutation invalidated them and this
+        returns False). Idempotent under batch replay like the distributed
+        path: replayed hashes hit the mirror, replayed pairs hit the step
+        set, nothing appends."""
+        import os
+
+        try:
+            limit = int(
+                os.environ.get(
+                    "MATCHBOX_SPARK_INDEX_DRIVER_BYTES", str(256 << 20)
+                )
+            )
+        except ValueError:
+            limit = 256 << 20
+        if limit <= 0:
+            return False
+        cmirror = self._driver_cluster_hashes
+        skmirror = self._driver_step_keys
+        if cmirror is None or skmirror is None:
+            return False
+        try:
+            est = int(
+                str(
+                    index._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:  # noqa: BLE001 — estimation only; general path
+            return False
+        if est > limit:
+            return False
+
+        import numpy as np
+        import pandas as pd
+
+        pdf = index.select(
+            F.col("hash").alias("cluster_hash"), "keys"
+        ).toPandas()
+        hash_bytes = [bytes(b) for b in pdf["cluster_hash"]]
+
+        rev = {h: i for i, h in cmirror.items()}
+        new_pos = [j for j, h in enumerate(hash_bytes) if h not in rev]
+        n_new = len(new_pos)
+        id_of = rev
+        if n_new:
+            nh = [hash_bytes[j] for j in new_pos]
+            hashes = np.frombuffer(b"".join(nh), dtype=np.uint8).reshape(
+                n_new, -1
+            )
+            order = np.lexsort(
+                tuple(hashes[:, i] for i in reversed(range(hashes.shape[1])))
+            )
+            rank = np.empty(n_new, dtype="int64")
+            rank[order] = np.arange(1, n_new + 1)
+            new_ids = rank + self._max_id
+            self._append(
+                "clusters",
+                self.spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "cluster_id": pd.array(new_ids, dtype="int64"),
+                            "cluster_hash": nh,
+                        }
+                    ),
+                    _CLUSTERS,
+                ),
+                materialised=True,
+            )
+            id_of = dict(rev)
+            id_of.update(zip(nh, (int(i) for i in new_ids)))
+            cmirror.update(
+                (int(i), h) for h, i in zip(nh, new_ids.tolist())
+            )
+            self._clusters_empty = False
+        self._driver_cluster_hashes = cmirror
+        self._last_assigned_n = n_new
+        self._max_id += n_new
+
+        stepset = skmirror.setdefault(step, set())
+        key_ids: list[int] = []
+        key_vals: list = []
+        for hb, keys in zip(hash_bytes, pdf["keys"].tolist()):
+            cid = int(id_of[hb])
+            uniq = dict.fromkeys(
+                keys.tolist() if hasattr(keys, "tolist") else keys
+            )
+            for k in uniq:
+                if (cid, k) not in stepset:
+                    key_ids.append(cid)
+                    key_vals.append(k)
+        if key_ids:
+            self._append(
+                "cluster_keys",
+                self.spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "cluster_id": pd.array(key_ids, dtype="int64"),
+                            "source": step,
+                            "key": key_vals,
+                        }
+                    ),
+                    _KEYS,
+                ),
+                materialised=True,
+            )
+            stepset.update(zip(key_ids, key_vals))
+        # the appends invalidated the keys mirror; stepset was updated with
+        # exactly the appended delta, so the dict is complete again
+        self._driver_step_keys = skmirror
+        self._step_rows["cluster_keys"].add(step)
+        self.steps[step] = {
+            "type": "source",
+            "fingerprint": hash_to_base64(b"streaming"),
+            "streaming": True,
+        }
+        return True
+
     def insert_source_index_delta(self, step: str, index: DataFrame) -> None:
         """Streaming/merge insert: append a source-index DELTA under ``step``.
 
@@ -1076,6 +1270,8 @@ class Catalog:
         The step is not fingerprint-gated — a streaming step is perpetually
         amendable; its metadata records ``streaming: True``.
         """
+        if self._insert_source_index_delta_local(step, index):
+            return
         index = index.select(
             F.col("hash").alias("cluster_hash"), F.col("keys")
         ).persist()
@@ -1125,7 +1321,76 @@ class Catalog:
         existing edge set is never dropped or rewritten. Assumes the model is
         deterministic, so a re-derived pair carries the same score as the
         stored one. Idempotent under batch replay.
+
+        Driver fast path (optimization r13): when the edges are already
+        driver-resident (the streaming delta-link collects each batch's
+        edge set under the CC driver budget anyway) and the per-step edge
+        mirror is live, the pair anti-join is a set lookup and the append
+        a LocalRelation — zero extra jobs. The mirror is capped by the
+        same budget; a step outgrowing it invalidates the mirror BEFORE
+        mutating, so this batch and all later ones take the distributed
+        branch below.
         """
+        epdf = getattr(edges, "_mb_local_pdf", None)
+        emirror = self._driver_step_edges
+        if epdf is not None and emirror is not None:
+            import numpy as np
+            import pandas as pd
+
+            from matchbox_spark.plans.resolvers import _driver_cc_edge_limit
+
+            # the mirror is a SORTED structured (l, r) array per step —
+            # vectorized searchsorted membership, no per-pair Python
+            acc = emirror.get(step)
+            n_acc = 0 if acc is None else len(acc)
+            if n_acc + len(epdf) > _driver_cc_edge_limit(self.spark):
+                self._driver_step_edges = None
+            else:
+                pair_t = np.dtype([("l", "<i8"), ("r", "<i8")])
+                pairs = np.empty(len(epdf), dtype=pair_t)
+                pairs["l"] = epdf["left_id"].to_numpy(dtype="int64")
+                pairs["r"] = epdf["right_id"].to_numpy(dtype="int64")
+                if n_acc:
+                    pos = np.minimum(
+                        np.searchsorted(acc, pairs), n_acc - 1
+                    )
+                    keep = np.nonzero(acc[pos] != pairs)[0]
+                else:
+                    keep = np.arange(len(pairs))
+                if len(keep):
+                    sub = epdf.iloc[keep]
+                    self._append(
+                        "model_edges",
+                        self.spark.createDataFrame(
+                            pd.DataFrame(
+                                {
+                                    "step": [step] * len(keep),
+                                    "left_id": sub["left_id"].astype("int64").values,
+                                    "right_id": sub["right_id"].astype("int64").values,
+                                    "score": sub["score"].astype("float32").values,
+                                }
+                            ),
+                            _EDGES,
+                        ),
+                        materialised=True,
+                    )
+                    merged = (
+                        np.unique(np.concatenate([acc, pairs[keep]]))
+                        if n_acc
+                        else np.unique(pairs[keep])
+                    )
+                    emirror[step] = merged
+                # the append invalidated the mirror; the step entry was
+                # merged with exactly the appended delta, so it is
+                # complete (and sorted) again
+                self._driver_step_edges = emirror
+                self._step_rows["model_edges"].add(step)
+                self.steps[step] = {
+                    "type": "model",
+                    "fingerprint": hash_to_base64(b"streaming"),
+                    "streaming": True,
+                }
+                return
         tagged = edges.select(
             F.lit(step).alias("step"), "left_id", "right_id", "score"
         )
@@ -1496,12 +1761,22 @@ class Catalog:
             ),
             _RESOLVER,
         )
+        rcmirror = self._driver_rc
         if self._step_has_rows("resolver_clusters", "step", step):
             self._commit_resolver_clusters(
                 self.resolver_clusters.where(F.col("step") != step).unionByName(rc)
             )
         else:
             self._append("resolver_clusters", rc, materialised=True)
+        if rcmirror is not None:
+            # re-establish the claim mirror AFTER the mutation (which
+            # blanket-invalidates): the append branch adds exactly rc_rows
+            # for a step with no prior claims; the rewrite branch replaces
+            # the step's claims with exactly rc_rows while every other
+            # step's VIEW content (and hence mirror entry) is unchanged —
+            # the folded-in tombstones were already subtracted from it
+            rcmirror[step] = {int(r[1]) for r in rc_rows}
+            self._driver_rc = rcmirror
         self._step_rows["resolver_clusters"].add(step)
         self.steps[step] = {
             "type": "resolver",
@@ -1626,6 +1901,192 @@ class Catalog:
         self._has_parent_clusters = True
         return batch_contains
 
+    def _merge_resolver_clusters_delta_local(
+        self,
+        step: str,
+        assignments: DataFrame,
+        candidate_roots: DataFrame | None,
+    ) -> bool:
+        """Driver-scale :meth:`merge_resolver_clusters_delta` (driver-
+        resident assignments + candidate roots, live mirrors): ZERO Spark
+        jobs instead of the distributed path's three eager checkpoints +
+        appends per micro-batch — the dominant per-batch resolver cost in
+        ``incremental_resolve_stream`` (optimization r13; with the driver
+        CC escape the assignments are already on the driver, so the
+        hierarchy insert's expansion/hash/anti-join jobs re-derive what
+        the mirrors already hold).
+
+        Byte-identical outcome to the distributed path: same G4 expansion
+        (contains mirror), same H5 member hashes over leaves present in
+        clusters — a parent with NO member in clusters drops entirely,
+        exactly the distributed inner join — same insert-if-absent ids
+        dense by hash byte order, same append-only contains (only
+        newly-assigned roots), same claim delta (anti-join via the
+        step's claim mirror, which tracks the VIEW: appends minus
+        tombstones), same O(touched) tombstone retirement through the
+        same ``_tier`` carry. Falls back (returns False) whenever the
+        assignments or candidate roots are not driver-resident or any
+        mirror is dead — a warehouse-scale merge never collects here.
+        Idempotent under batch replay like the distributed path."""
+        apdf = getattr(assignments, "_mb_local_pdf", None)
+        cmirror = self._driver_cluster_hashes
+        kmirror = self._driver_contains
+        rcmirror = self._driver_rc
+        if apdf is None or cmirror is None or kmirror is None or rcmirror is None:
+            return False
+        rpdf = None
+        if candidate_roots is not None:
+            rpdf = getattr(candidate_roots, "_mb_local_pdf", None)
+            if rpdf is None:
+                return False
+        meta = {
+            "type": "resolver",
+            "fingerprint": hash_to_base64(b"streaming"),
+            "streaming": True,
+        }
+        if apdf.empty:
+            # quiet batch — nothing appended, nothing can have retired
+            self.steps[step] = meta
+            return True
+
+        import pandas as pd
+
+        parents: dict[int, set[int]] = {}
+        for p, c in zip(apdf["parent_id"].tolist(), apdf["child_id"].tolist()):
+            parents.setdefault(int(p), set()).add(int(c))
+        first_hierarchy_insert = self._contains_empty
+        expanded = {
+            p: {leaf for c in members for leaf in (kmirror.get(c) or (c,))}
+            for p, members in parents.items()
+        }
+        # member hashes via the clusters mirror; a parent with zero member
+        # hashes has no root in the distributed inner join — drop it
+        parent_hash = {}
+        for p, leaves in expanded.items():
+            member = [cmirror[c] for c in leaves if c in cmirror]
+            if member:
+                parent_hash[p] = hash_cluster_leaves(member)
+
+        hashes = sorted(set(parent_hash.values()))
+        existing: dict[bytes, int] = {}
+        if not self._clusters_empty:
+            want = set(hashes)
+            existing = {h: i for i, h in cmirror.items() if h in want}
+        new_hashes = [h for h in hashes if h not in existing]
+        root_of = dict(existing)
+        for i, h in enumerate(new_hashes):
+            root_of[h] = self._max_id + 1 + i
+        self._max_id += len(new_hashes)
+        self._last_assigned_n = len(new_hashes)
+
+        if new_hashes:
+            self._append(
+                "clusters",
+                self.spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "cluster_id": pd.array(
+                                [root_of[h] for h in new_hashes], dtype="int64"
+                            ),
+                            "cluster_hash": new_hashes,
+                        }
+                    ),
+                    _CLUSTERS,
+                ),
+                materialised=True,
+            )
+            cmirror.update({root_of[h]: h for h in new_hashes})
+            self._clusters_empty = False
+            self._has_parent_clusters = True
+
+        batch_rows = sorted(
+            {
+                (root_of[parent_hash[p]], leaf)
+                for p in parent_hash
+                for leaf in expanded[p]
+                if root_of[parent_hash[p]] != leaf
+            }
+        )
+        new_roots = {root_of[h] for h in new_hashes}
+        contains_rows = (
+            batch_rows
+            if first_hierarchy_insert
+            else [rl for rl in batch_rows if rl[0] in new_roots]
+        )
+        if contains_rows:
+            self._append(
+                "contains",
+                self.spark.createDataFrame(
+                    pd.DataFrame(contains_rows, columns=["root", "leaf"]).astype(
+                        "int64"
+                    ),
+                    _CONTAINS,
+                ),
+                materialised=True,
+            )
+            per_root: dict[int, list[int]] = {}
+            for r, l in contains_rows:
+                per_root.setdefault(r, []).append(l)
+            kmirror.update(
+                (r, tuple(sorted(ls))) for r, ls in per_root.items()
+            )
+            self._contains_empty = False
+
+        formed = {r for r, _ in batch_rows}
+        stepset = rcmirror.setdefault(step, set())
+        if self._step_has_rows("resolver_clusters", "step", step):
+            new_rc = sorted(r for r in formed if r not in stepset)
+        else:
+            new_rc = sorted(formed)
+        if new_rc:
+            self._append(
+                "resolver_clusters",
+                self.spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "step": [step] * len(new_rc),
+                            "cluster_id": pd.array(new_rc, dtype="int64"),
+                        }
+                    ),
+                    _RESOLVER,
+                ),
+                materialised=True,
+            )
+            stepset.update(new_rc)
+        self._step_rows["resolver_clusters"].add(step)
+
+        if rpdf is not None:
+            retired = sorted(
+                {int(r) for r in rpdf["root_id"].tolist()} - formed
+            )
+            if retired:
+                self._tier(
+                    self._rc_tombstones,
+                    self._rc_tomb_weights,
+                    self.spark.createDataFrame(
+                        pd.DataFrame(
+                            {
+                                "step": [step] * len(retired),
+                                "cluster_id": pd.array(retired, dtype="int64"),
+                            }
+                        ),
+                        _RESOLVER,
+                    ),
+                )
+                stepset.difference_update(retired)
+                if len(self._rc_tombstones) > _COMPACT_WIDTH:
+                    # fold tombstones into the base (backstop); the view's
+                    # content — hence the mirror — is unchanged by the fold
+                    self._commit_resolver_clusters(self.resolver_clusters)
+
+        # re-establish every mirror the appends blanket-invalidated: each
+        # was updated with exactly its appended/retired delta above
+        self._driver_cluster_hashes = cmirror
+        self._driver_contains = kmirror
+        self._driver_rc = rcmirror
+        self.steps[step] = meta
+        return True
+
     def merge_resolver_clusters_delta(
         self,
         step: str,
@@ -1654,6 +2115,10 @@ class Catalog:
         claims anti-join to nothing and re-derived tombstones are
         duplicates the anti-join ignores.
         """
+        if self._merge_resolver_clusters_delta_local(
+            step, assignments, candidate_roots
+        ):
+            return
         assignments = assignments.persist()
         if assignments.isEmpty():
             # quiet batch: nothing was recomputed, so there is nothing to

@@ -547,15 +547,60 @@ class Components(ResolverMethod):
         method = s.method
         pdf = None
         if method == "auto":
-            # single-job probe: pull at most limit+1 edges — fits → that IS
-            # the driver collect (no separate count pass); overflows → go
-            # distributed (the count job told us nothing we'd reuse anyway)
             limit = s.driver_edge_limit or _driver_cc_edge_limit(spark)
-            probe = unioned.limit(limit + 1).toPandas()
-            if len(probe) <= limit:
-                method, pdf = "driver", probe
+            # driver-resident shortcut (optimization r13): when every
+            # model's edge frame already lives on the driver (the streaming
+            # delta-link collects each batch's bounded edge set), threshold
+            # and union in pandas — zero probe job. The float32 scores cast
+            # to float64 before comparing, exactly Spark's promotion for
+            # `float >= double-literal`, so the kept set is identical.
+            local_parts = []
+            for name, edges in model_edges.items():
+                p = getattr(edges, "_mb_local_pdf", None)
+                if p is None:
+                    local_parts = None
+                    break
+                local_parts.append((p, float(s.thresholds.get(name, 0.0))))
+            if local_parts is not None:
+                import numpy as np
+                import pandas as pd
+
+                cols = []
+                for p, t in local_parts:
+                    if len(p):
+                        m = p["score"].to_numpy().astype("float64") >= t
+                        cols.append(
+                            pd.DataFrame(
+                                {
+                                    "src": p["left_id"].to_numpy()[m],
+                                    "dst": p["right_id"].to_numpy()[m],
+                                }
+                            )
+                        )
+                pdf = (
+                    pd.concat(cols, ignore_index=True)
+                    if cols
+                    else pd.DataFrame(
+                        {
+                            "src": pd.array([], dtype="int64"),
+                            "dst": pd.array([], dtype="int64"),
+                        }
+                    )
+                )
+                if len(pdf) <= limit:
+                    method = "driver"
+                else:
+                    method, pdf = "distributed", None
             else:
-                method = "distributed"
+                # single-job probe: pull at most limit+1 edges — fits → that
+                # IS the driver collect (no separate count pass); overflows →
+                # go distributed (the count job told us nothing we'd reuse
+                # anyway)
+                probe = unioned.limit(limit + 1).toPandas()
+                if len(probe) <= limit:
+                    method, pdf = "driver", probe
+                else:
+                    method = "distributed"
             logger.info("Components: auto → %s union-find", method)
 
         if method == "driver":

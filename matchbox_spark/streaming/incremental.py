@@ -155,6 +155,65 @@ def _touched_star_edges(
     """
     if resolver_step not in catalog.steps:
         return None, None
+
+    # Driver fast path (optimization r13): while the catalog's claim +
+    # contains mirrors are live (every resolver mutation so far was
+    # driver-local), the prior assignment map IS {(root, leaf) for root in
+    # claims[step] for leaf in contains_mirror[root]} — so one bounded
+    # collect of the batch-leaf ids (the same size-adaptive budget the CC
+    # escape uses; an over-budget blocked superset falls through to the
+    # distributed semi-joins) replaces the touched-roots checkpoint job,
+    # and the stars + roots upload as LocalRelations that the catalog's
+    # merge twin consumes without further jobs. Same semantics row for
+    # row: touched = claimed roots whose leaf set intersects the batch
+    # leaves; stars = (min leaf, other leaf) per touched root.
+    rcmirror = getattr(catalog, "_driver_rc", None)
+    kmirror = getattr(catalog, "_driver_contains", None)
+    if rcmirror is not None and kmirror is not None:
+        from matchbox_spark.plans.resolvers import _driver_cc_edge_limit
+
+        spark = batch_leaves.sparkSession
+        limit = _driver_cc_edge_limit(spark)
+        pdf = batch_leaves.limit(limit + 1).toPandas()
+        if len(pdf) <= limit:
+            import pandas as pd
+
+            leafset = {int(v) for v in pdf[pdf.columns[0]].tolist()}
+            rc_set = rcmirror.get(resolver_step, set())
+            star_rows: list[tuple[int, int]] = []
+            troots: list[int] = []
+            for r in sorted(rc_set):
+                leaves = kmirror.get(r, ())
+                if any(l in leafset for l in leaves):
+                    troots.append(r)
+                    rep = min(leaves)
+                    star_rows.extend(
+                        (rep, leaf) for leaf in leaves if leaf != rep
+                    )
+            tr_pdf = pd.DataFrame(
+                {"root_id": pd.array(troots, dtype="int64")}
+            )
+            touched_roots = spark.createDataFrame(tr_pdf, "root_id long")
+            touched_roots._mb_local_pdf = tr_pdf
+            st_pdf = pd.DataFrame(
+                {
+                    "left_id": pd.array(
+                        [s[0] for s in star_rows], dtype="int64"
+                    ),
+                    "right_id": pd.array(
+                        [s[1] for s in star_rows], dtype="int64"
+                    ),
+                    "score": pd.array(
+                        [1.0] * len(star_rows), dtype="float32"
+                    ),
+                }
+            )
+            stars = spark.createDataFrame(
+                st_pdf, "left_id long, right_id long, score float"
+            )
+            stars._mb_local_pdf = st_pdf
+            return stars, touched_roots
+
     from matchbox_spark.plans.query import resolver_assignments
 
     prev = resolver_assignments(catalog, resolver_step)
@@ -183,6 +242,60 @@ def _touched_star_edges(
         )
     )
     return stars, touched_roots
+
+
+def _collect_edges_if_small(edges: DataFrame):
+    """Bounded Arrow collect of one batch's scored edges (optimization r13).
+
+    The delta loop used to materialise each batch's edge set up to three
+    times — eager checkpoint, edge-delta anti-join, driver-CC probe
+    collect. When the edge schema is the canonical ``(left_id long,
+    right_id long, score float)`` and the row count fits the SAME driver
+    budget the CC escape uses, collect ONCE and hand the driver-resident
+    frame to all three consumers (the catalog's edge-delta twin, the star
+    union, the CC pandas shortcut) — a LocalRelation needs no checkpoint
+    and costs no further jobs. Over-budget or non-canonical edges keep
+    the eager-checkpoint shape unchanged. Returns ``(frame, pdf | None)``.
+    """
+    from matchbox_spark.plans.resolvers import _driver_cc_edge_limit
+
+    spark = edges.sparkSession
+    ckpt = edges.localCheckpoint(eager=True)
+    fields = ckpt.schema.fields
+    if [f.name for f in fields] != ["left_id", "right_id", "score"] or [
+        f.dataType.simpleString() for f in fields
+    ] != ["bigint", "bigint", "float"]:
+        return ckpt, None
+    # count over the just-materialised blocks is one cheap job, and the
+    # full collect stays a PARALLEL Arrow transfer — a limit(n+1).toPandas
+    # probe would funnel through CollectLimitExec's single partition and
+    # convert single-threaded (measured ~3x slower at 900k edges)
+    if ckpt.count() > _driver_cc_edge_limit(spark):
+        return ckpt, None
+    pdf = ckpt.toPandas()
+    ckpt._mb_local_pdf = pdf
+    return ckpt, pdf
+
+
+def _attach_cc_pdf(cc_edges, epdf, stars):
+    """Mark the (new edges ∪ stars) union driver-resident when both parts
+    are — the CC pandas shortcut then skips its probe job. The attached
+    frame holds exactly the union's rows, so a distributed fallback (over
+    the plan) and the shortcut (over the pandas) see the same edge set."""
+    if epdf is None:
+        return cc_edges
+    if stars is None:
+        cc_edges._mb_local_pdf = epdf
+        return cc_edges
+    spdf = getattr(stars, "_mb_local_pdf", None)
+    if spdf is None:
+        return cc_edges
+    import pandas as pd
+
+    cc_edges._mb_local_pdf = (
+        pd.concat([epdf, spdf], ignore_index=True) if len(spdf) else epdf
+    )
+    return cc_edges
 
 
 def _full_resolve(
@@ -436,23 +549,49 @@ def incremental_resolve_stream(
                 f[len(prefix):] if f.startswith(prefix) else f
                 for f in blocking_fields
             ]
-            touched_parts = []
-            for q, r in zip(blocking_fields, raw):
-                vals = batch.select(F.col(r).alias(q)).distinct()
-                touched_parts.append(
-                    data.join(F.broadcast(vals), q, "left_semi")
-                )
-            data = touched_parts[0]
-            for part in touched_parts[1:]:
-                data = data.unionByName(part)
-            if len(touched_parts) > 1:
-                data = data.dropDuplicates()
+            # one collect_set job + an OR-of-isin filter (optimization r13)
+            # instead of per-field distinct + broadcast-semi-join + union +
+            # dropDuplicates — the same batch blocking values the old path
+            # broadcast now drive a plain filter, so the superset
+            # checkpoint below is one scan+join+filter with no union/dedup
+            # exchange and no per-field job. Row-identical: OR of
+            # memberships == the deduplicated union of per-field
+            # semi-joins, and isin's null-in-data handling (NULL → filter
+            # drops) matches the semi-join's null-key behaviour. A batch
+            # whose distinct value set is too large for an expression
+            # literal falls back to the semi-join shape — the value set is
+            # exactly what the old path collected into its broadcasts.
+            sets = batch.agg(
+                *[F.collect_set(r).alias(q) for q, r in zip(blocking_fields, raw)]
+            ).collect()[0]
+            vals_by_field = {q: sets[q] for q in blocking_fields}
+            if sum(len(v) for v in vals_by_field.values()) <= 100_000:
+                cond = None
+                for q in blocking_fields:
+                    vals = vals_by_field[q]
+                    if not vals:
+                        continue
+                    c = F.col(q).isin(list(vals))
+                    cond = c if cond is None else (cond | c)
+                data = data.where(cond if cond is not None else F.lit(False))
+            else:
+                touched_parts = []
+                for q, r in zip(blocking_fields, raw):
+                    vals = batch.select(F.col(r).alias(q)).distinct()
+                    touched_parts.append(
+                        data.join(F.broadcast(vals), q, "left_semi")
+                    )
+                data = touched_parts[0]
+                for part in touched_parts[1:]:
+                    data = data.unionByName(part)
+                if len(touched_parts) > 1:
+                    data = data.dropDuplicates()
             # materialise the superset ONCE: both the model and the
             # batch_leaves set below consume it, and without the pin each
             # would re-run the query_data join + per-field semi-joins over
             # the accumulated index (the dominant per-batch scan)
             data = data.localCheckpoint(eager=True)
-            new_edges = model.dedupe(data).localCheckpoint(eager=True)
+            new_edges, epdf = _collect_edges_if_small(model.dedupe(data))
             catalog.insert_model_edges_delta(model_step, new_edges)
             _batch_locals = [data, new_edges]
             # only components holding a leaf the model could touch this
@@ -463,8 +602,10 @@ def incremental_resolve_stream(
             stars, touched_roots = _touched_star_edges(
                 catalog, resolver_step, batch_leaves
             )
-            cc_edges = (
-                new_edges if stars is None else new_edges.unionByName(stars)
+            cc_edges = _attach_cc_pdf(
+                new_edges if stars is None else new_edges.unionByName(stars),
+                epdf,
+                stars,
             )
             assignments = resolver_method.compute_clusters(
                 {model_step: cc_edges}
@@ -543,13 +684,15 @@ def incremental_resolve_stream(
                 id_col,
                 "left_semi",
             ).localCheckpoint(eager=True)
-            new_edges = model.dedupe(data).localCheckpoint(eager=True)
+            new_edges, epdf = _collect_edges_if_small(model.dedupe(data))
             catalog.insert_model_edges_delta(model_step, new_edges)
             stars, touched_roots = _touched_star_edges(
                 catalog, resolver_step, touched_leaves
             )
-            cc_edges = (
-                new_edges if stars is None else new_edges.unionByName(stars)
+            cc_edges = _attach_cc_pdf(
+                new_edges if stars is None else new_edges.unionByName(stars),
+                epdf,
+                stars,
             )
             assignments = resolver_method.compute_clusters(
                 {model_step: cc_edges}

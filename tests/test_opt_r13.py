@@ -237,3 +237,90 @@ def test_overlapping_hash_insert_local_matches_distributed(spark, monkeypatch):
     dist = _overlap_catalogs(spark)
     assert dist._driver_cluster_hashes is None
     assert local_state == _catalog_state(dist)
+
+
+def _delta_stream_catalog(spark, tmp_path, name):
+    """st7's shape in miniature: 3 micro-batches through the delta-link
+    loop (index delta → blocked superset → model → edge delta → star
+    union → CC → claim merge), including a cross-batch merge so the
+    tombstone path fires."""
+    from matchbox_spark.operators.dedupers import NaiveDeduper
+    from matchbox_spark.plans.catalog import Catalog
+    from matchbox_spark.plans.resolvers import Components
+    from matchbox_spark.streaming.incremental import incremental_resolve_stream
+
+    schema = "k long, a string, u string"
+    batches = [
+        [(1, "A1", "u1"), (2, "A1", "u2"), (10, "Z1", "u10")],
+        [(3, "A2", "u3"), (4, "A2", "u4"), (11, "Z1", "u11")],
+        [(5, "A1", "u5"), (6, "A2", "u6")],
+    ]
+    data_dir = tmp_path / f"data_{name}"
+    data_dir.mkdir()
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(data_dir))
+    cat = Catalog(spark)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(data_dir))
+    )
+    q = incremental_resolve_stream(
+        stream,
+        cat,
+        source_step="s",
+        key_field="k",
+        index_fields=["a", "u"],
+        model=NaiveDeduper(id="id", unique_fields=["s_a"]),
+        resolver_method=Components(method="auto"),
+        checkpoint_dir=str(tmp_path / f"ckpt_{name}"),
+        source_location=str(data_dir),
+    )
+    q.awaitTermination(600)
+    return cat
+
+
+def test_streaming_delta_twins_byte_identical_to_distributed(
+    spark, tmp_path, monkeypatch
+):
+    """The r13 driver twins for the streaming delta inserts
+    (_insert_source_index_delta_local, insert_model_edges_delta's mirror
+    path, _merge_resolver_clusters_delta_local, the driver star edges and
+    the pandas CC shortcut) produce a byte-identical catalog to the
+    distributed loop they replace."""
+    local = _delta_stream_catalog(spark, tmp_path, "twin")
+    cat = local
+    assert cat._driver_cluster_hashes is not None  # twins stayed live
+    assert cat._driver_step_keys is not None
+    assert cat._driver_rc is not None
+    assert cat._driver_step_edges is not None
+    local_state = _catalog_state(cat)
+
+    # mirror completeness: each mirror equals its table / view
+    keys_rows = {
+        (r["cluster_id"], r["key"])
+        for r in cat.cluster_keys.where(F.col("source") == "s").collect()
+    }
+    assert cat._driver_step_keys["s"] == keys_rows
+    rc_rows = {
+        r["cluster_id"]
+        for r in cat.resolver_clusters.where(
+            F.col("step") == "s_resolve"
+        ).collect()
+    }
+    assert cat._driver_rc["s_resolve"] == rc_rows
+    edge_rows = {
+        (r["left_id"], r["right_id"])
+        for r in cat.model_edges.where(F.col("step") == "s_model").collect()
+    }
+    acc = cat._driver_step_edges["s_model"]
+    assert {(int(p["l"]), int(p["r"])) for p in acc} == edge_rows
+
+    # force the legacy distributed loop end to end and compare
+    monkeypatch.setenv("MATCHBOX_SPARK_INDEX_DRIVER_BYTES", "0")
+    monkeypatch.setenv("MATCHBOX_SPARK_CC_EDGE_LIMIT", "0")
+    dist = _delta_stream_catalog(spark, tmp_path, "dist")
+    assert dist._driver_cluster_hashes is None  # loop went distributed
+    assert local_state == _catalog_state(dist)
