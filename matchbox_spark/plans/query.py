@@ -62,7 +62,54 @@ def resolver_assignments(catalog: Catalog, resolver_step: str) -> DataFrame:
     so the inner join's ``(leaf_id, root_id)`` output is already distinct.
     The former ``dropDuplicates()`` cost two Exchanges + an aggregate per
     resolver level inside EVERY unified_query plan (3 levels deep in the
-    j7b lineage query)."""
+    j7b lineage query).
+
+    Mirror-native path (optimization r13, guide §1.2 "the distributed
+    algorithm"): while the catalog's claim + contains mirrors are live
+    (every resolver/contains mutation so far was driver-local), the map
+    IS {(leaf, root) : root ∈ claims[step], leaf ∈ contains[root]} — so
+    it uploads as ONE LocalRelation instead of a contains⋈claims join.
+    This is not only cheaper, it avoids a quadratic plan blow-up the
+    join shape hits on deep lineages: Catalyst pushes the broadcast
+    LeftSemi below the contains part-Union, so a d-level catalog's
+    depth-d retrieval embedded d parts × d levels = d² semi-joins, each
+    re-scanning a full contains part and building its own broadcast
+    relation (measured: exchanges = d(d+1) at the 16-resolver tower —
+    an 8 GB heap OOM at 65,536 keys — vs 3/level for the pre-mirror
+    sort-merge shape, whose single shuffle stayed ABOVE the union). The
+    LocalRelation path is O(1) scans per level with no join at all.
+    Identical rows by mirror completeness; a dead mirror (distributed or
+    disk-loaded catalog) or a fan-out above the row cap falls through to
+    the join, so warehouse-scale catalogs are untouched."""
+    rcmirror = getattr(catalog, "_driver_rc", None)
+    kmirror = getattr(catalog, "_driver_contains", None)
+    if (
+        rcmirror is not None
+        and kmirror is not None
+        and resolver_step in rcmirror
+    ):
+        rc_set = rcmirror[resolver_step]
+        total = sum(len(kmirror.get(r, ())) for r in rc_set)
+        if total <= 5_000_000:
+            import pandas as pd
+
+            leaves: list[int] = []
+            roots: list[int] = []
+            for r in sorted(rc_set):
+                ls = kmirror.get(r, ())
+                leaves.extend(ls)
+                roots.extend([r] * len(ls))
+            pdf = pd.DataFrame(
+                {
+                    "leaf_id": pd.array(leaves, dtype="int64"),
+                    "root_id": pd.array(roots, dtype="int64"),
+                }
+            )
+            out = catalog.spark.createDataFrame(
+                pdf, "leaf_id long, root_id long"
+            )
+            out._mb_local_pdf = pdf
+            return out
     rc = catalog.resolver_clusters.where(F.col("step") == resolver_step)
     # bind the property ONCE: each access builds a new DataFrame, and a
     # join condition mixing attribute instances from two accesses fails

@@ -324,3 +324,30 @@ def test_streaming_delta_twins_byte_identical_to_distributed(
     dist = _delta_stream_catalog(spark, tmp_path, "dist")
     assert dist._driver_cluster_hashes is None  # loop went distributed
     assert local_state == _catalog_state(dist)
+
+
+def test_resolver_assignments_mirror_path_matches_join(spark, sf_dir):
+    """The r13 mirror-native resolver_assignments (one LocalRelation built
+    from the claim + contains mirrors, replacing the contains⋈claims join
+    whose broadcast-semi pushdown below the part-Union went quadratic on
+    deep lineages) returns exactly the join path's rows."""
+    from matchbox_spark.plans.query import resolver_assignments
+
+    dag = _linked_catalog(spark, sf_dir)
+    cat = dag.catalog
+    assert cat._driver_rc is not None
+    for step in ("resolve_cust", "resolve_supp", "resolve_link"):
+        assert step in cat._driver_rc
+        mirror_rows = {
+            (r.leaf_id, r.root_id)
+            for r in resolver_assignments(cat, step).collect()
+        }
+        saved = cat._driver_rc
+        cat._driver_rc = None
+        join_rows = {
+            (r.leaf_id, r.root_id)
+            for r in resolver_assignments(cat, step).collect()
+        }
+        cat._driver_rc = saved
+        assert mirror_rows == join_rows
+        assert mirror_rows, step
