@@ -1600,6 +1600,14 @@ class Catalog:
         if apdf is None:
             apdf = assignments.toPandas()  # LocalRelation: Arrow, driver-side
         if apdf.empty:
+            # an all-singleton resolver step legitimately claims nothing,
+            # but it must still register in the claim mirror (empty set)
+            # and the step-row inventory like the distributed path does —
+            # otherwise resolver_assignments falls off the mirror-native
+            # path onto the join fallback for this lineage level forever
+            if self._driver_rc is not None:
+                self._driver_rc[step] = set()
+            self._step_rows["resolver_clusters"].add(step)
             self.steps[step] = {
                 "type": "resolver",
                 "fingerprint": hash_to_base64(fingerprint),
@@ -1945,7 +1953,10 @@ class Catalog:
             "streaming": True,
         }
         if apdf.empty:
-            # quiet batch — nothing appended, nothing can have retired
+            # quiet batch — nothing appended, nothing can have retired;
+            # still register the (possibly empty) claim mirror entry so a
+            # quiet FIRST batch keeps the step mirror-native
+            rcmirror.setdefault(step, set())
             self.steps[step] = meta
             return True
 

@@ -568,7 +568,11 @@ class Components(ResolverMethod):
                 cols = []
                 for p, t in local_parts:
                     if len(p):
-                        m = p["score"].to_numpy().astype("float64") >= t
+                        # Spark SQL orders NaN above every double, so a
+                        # NaN-scored edge passes `score >= t` distributed;
+                        # numpy compares NaN False — keep them explicitly
+                        s = p["score"].to_numpy().astype("float64")
+                        m = (s >= t) | np.isnan(s)
                         cols.append(
                             pd.DataFrame(
                                 {

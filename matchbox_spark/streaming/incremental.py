@@ -174,8 +174,14 @@ def _touched_star_edges(
 
         spark = batch_leaves.sparkSession
         limit = _driver_cc_edge_limit(spark)
-        pdf = batch_leaves.limit(limit + 1).toPandas()
-        if len(pdf) <= limit:
+        # count-then-collect, not limit(n+1).toPandas(): the limit probe
+        # funnels through CollectLimitExec's single partition and converts
+        # single-threaded (~3x slower at ~900k rows — same measurement as
+        # _collect_edges_if_small); both call sites pass frames derived
+        # from eagerly-checkpointed batch state, so the count is one cheap
+        # job and the collect stays a parallel Arrow transfer
+        if batch_leaves.count() <= limit:
+            pdf = batch_leaves.toPandas()
             import pandas as pd
 
             leafset = {int(v) for v in pdf[pdf.columns[0]].tolist()}

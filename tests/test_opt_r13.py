@@ -336,7 +336,13 @@ def test_resolver_assignments_mirror_path_matches_join(spark, sf_dir):
     dag = _linked_catalog(spark, sf_dir)
     cat = dag.catalog
     assert cat._driver_rc is not None
+    nonempty = 0
     for step in ("resolve_cust", "resolve_supp", "resolve_link"):
+        # EVERY driver-local insert registers its step — including a
+        # legitimately empty one (sf0.001's dedupe_supp yields zero pairs,
+        # so resolve_supp claims nothing); an absent key would push the
+        # step onto the join fallback forever (r14 fix, catalog.py
+        # _insert_resolver_clusters_local empty branch)
         assert step in cat._driver_rc
         mirror_rows = {
             (r.leaf_id, r.root_id)
@@ -350,4 +356,6 @@ def test_resolver_assignments_mirror_path_matches_join(spark, sf_dir):
         }
         cat._driver_rc = saved
         assert mirror_rows == join_rows
-        assert mirror_rows, step
+        nonempty += bool(mirror_rows)
+    # the mirror path must be exercised with real rows somewhere
+    assert nonempty >= 2
