@@ -122,6 +122,36 @@ class NaiveDeduper(Deduper):
         mode through that flat delta path."""
         return list(self.settings.unique_fields)
 
+    def delta_pairwise_contract(self) -> dict | None:
+        """Model-level streaming DELTA-PAIR contract (optimization r14).
+
+        Declares that this model's edge set is exactly {every unordered
+        pair of distinct non-null ids within a group of equal, non-null
+        unique-field tuples}, each scored 1.0 — a pure function of the two
+        rows. Under that contract a micro-batch can only CREATE pairs that
+        touch a new row: an old×old pair was already created by the batch
+        that delivered the later of its two rows (the blocked superset at
+        that batch contained every accumulated member of the touched
+        group). ``incremental_resolve_stream`` uses this to maintain a
+        driver-resident tuple→member-id map and emit each batch's delta
+        pairs directly — no O(accumulated) superset rebuild and no
+        re-expansion of old×old pairs per batch. ``max_group_size``
+        transfers: the distributed path drops a group from a batch's pair
+        output whenever its ACCUMULATED distinct-member count exceeds the
+        cap (pairs appended by earlier, smaller incarnations of the group
+        persist), which is exactly what an incremental emitter does when
+        it stops emitting the moment the map entry crosses the cap.
+        Returns None when the contract does not hold (chunked mode is a
+        physically different plan — same pair set, but keep the map path
+        conservative)."""
+        if self.settings.chunk_size is not None:
+            return None
+        return {
+            "score": 1.0,
+            "fields": list(self.settings.unique_fields),
+            "max_group_size": self.settings.max_group_size,
+        }
+
     def dedupe(self, data: DataFrame) -> DataFrame:
         s = self.settings
         if not s.unique_fields:

@@ -75,15 +75,26 @@ def _is_driver_resident(df: DataFrame) -> bool:
     cluster compute in its lineage. Unlike :func:`_is_local_plan` this
     accepts Union trees: Spark does not collapse Union(LocalRelation, …)
     into one LocalRelation, but such a tree still has nothing to
-    checkpoint-truncate and keeps an exact size estimate."""
+    checkpoint-truncate and keeps an exact size estimate.
+
+    The JVM probe triggers analysis+optimization of the frame's plan —
+    ~0.1-0.2 s on the union trees the catalog's tiered parts grow into
+    (measured on st7's per-batch appends, r14) — so the verdict is CACHED
+    on the DataFrame object and ``_tier`` propagates it across merges;
+    each frame pays the probe at most once."""
+    cached = getattr(df, "_mb_driver_resident", None)
+    if cached is not None:
+        return cached
     try:
         leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
-        for i in range(leaves.size()):
-            if leaves.apply(i).getClass().getSimpleName() != "LocalRelation":
-                return False
-        return True
+        out = all(
+            leaves.apply(i).getClass().getSimpleName() == "LocalRelation"
+            for i in range(leaves.size())
+        )
     except Exception:  # noqa: BLE001 — detection only; fall to general path
-        return False
+        out = False
+    df._mb_driver_resident = out
+    return out
 
 _CLUSTERS = "cluster_id long, cluster_hash binary"
 _KEYS = "cluster_id long, source string, key string"
@@ -642,7 +653,12 @@ class Catalog:
             # LocalRelations has no lineage to truncate, and checkpointing
             # would demote it to an RDD scan whose UNKNOWN size estimate
             # forces sort-merge joins onto every downstream retrieval plan
-            if not (_is_driver_resident(p1) and _is_driver_resident(p2)):
+            if _is_driver_resident(p1) and _is_driver_resident(p2):
+                # a union of driver-resident runs is driver-resident;
+                # propagating the verdict saves the JVM plan probe when
+                # this merged run itself merges later (r14)
+                merged._mb_driver_resident = True
+            else:
                 merged = self._ckpt(merged, eager=False)
             frames.append(merged)
             weights.append(w1 + w2)
@@ -674,6 +690,16 @@ class Catalog:
         default there."""
         del col
         return self._loaded_from_disk or step in self._step_rows[table]
+
+
+    def _local_df(self, pdf, schema):
+        """createDataFrame for a driver-resident pandas delta, pre-tagged
+        driver-resident so ``_tier`` merges never pay the JVM plan probe
+        (optimization r14 — the probe ran analysis+optimization per part,
+        ~0.1-0.2 s each on streaming micro-batches)."""
+        df = self.spark.createDataFrame(pdf, schema)
+        df._mb_driver_resident = True
+        return df
 
     # Digest-prefix bucket: the first two bytes of a hash digest are uniform,
     # so fixed-width buckets on them give balanced ORDERED ranges with zero
@@ -1042,7 +1068,7 @@ class Catalog:
             new_ids = rank + self._max_id
             self._append(
                 "clusters",
-                self.spark.createDataFrame(
+                self._local_df(
                     pd.DataFrame(
                         {
                             "cluster_id": pd.array(new_ids, dtype="int64"),
@@ -1068,7 +1094,7 @@ class Catalog:
                 key_vals.extend(uniq)
             self._append(
                 "cluster_keys",
-                self.spark.createDataFrame(
+                self._local_df(
                     pd.DataFrame(
                         {
                             "cluster_id": pd.array(key_ids, dtype="int64"),
@@ -1107,9 +1133,25 @@ class Catalog:
         }
         return True
 
+    def insert_source_index_delta_mapped(self, step: str, index: DataFrame):
+        """Driver-local delta index insert that RETURNS the batch mapping.
+
+        Runs :meth:`_insert_source_index_delta_local` and hands back the
+        collected batch index as a pandas frame with its assigned
+        ``cluster_id`` column (extra columns on ``index`` — e.g. per-hash
+        blocking values — ride along). The streaming delta-pair path
+        (optimization r14) consumes the mapping to maintain its driver
+        block map without any further jobs. Returns None whenever the
+        local twin cannot run (dead mirror / over-budget delta); the
+        caller must then fall back to :meth:`insert_source_index_delta`,
+        which re-checks the cheap gates and takes the distributed branch.
+        """
+        out = self._insert_source_index_delta_local(step, index, return_pdf=True)
+        return out if out is not False else None
+
     def _insert_source_index_delta_local(
-        self, step: str, index: DataFrame
-    ) -> bool:
+        self, step: str, index: DataFrame, return_pdf: bool = False
+    ):
         """Driver-scale :meth:`insert_source_index_delta` (live clusters +
         per-step keys mirrors, small delta): ONE Spark job (the Arrow
         collect of the batch index) instead of the distributed path's
@@ -1173,7 +1215,8 @@ class Catalog:
         import pandas as pd
 
         pdf = index.select(
-            F.col("hash").alias("cluster_hash"), "keys"
+            F.col("hash").alias("cluster_hash"),
+            *[c for c in index.columns if c != "hash"],
         ).toPandas()
         hash_bytes = [bytes(b) for b in pdf["cluster_hash"]]
 
@@ -1194,7 +1237,7 @@ class Catalog:
             new_ids = rank + self._max_id
             self._append(
                 "clusters",
-                self.spark.createDataFrame(
+                self._local_df(
                     pd.DataFrame(
                         {
                             "cluster_id": pd.array(new_ids, dtype="int64"),
@@ -1230,7 +1273,7 @@ class Catalog:
         if key_ids:
             self._append(
                 "cluster_keys",
-                self.spark.createDataFrame(
+                self._local_df(
                     pd.DataFrame(
                         {
                             "cluster_id": pd.array(key_ids, dtype="int64"),
@@ -1252,6 +1295,9 @@ class Catalog:
             "fingerprint": hash_to_base64(b"streaming"),
             "streaming": True,
         }
+        if return_pdf:
+            pdf["cluster_id"] = [int(id_of[h]) for h in hash_bytes]
+            return pdf
         return True
 
     def insert_source_index_delta(self, step: str, index: DataFrame) -> None:
@@ -1339,17 +1385,47 @@ class Catalog:
 
             from matchbox_spark.plans.resolvers import _driver_cc_edge_limit
 
-            # the mirror is a SORTED structured (l, r) array per step —
-            # vectorized searchsorted membership, no per-pair Python
+            # the mirror is a SORTED array of packed uint64 pair keys
+            # ((l << 32) | r) per step while every id fits 32 bits —
+            # integer sorts/searches run ~5-10x the structured void-dtype
+            # buffer compares np.unique/searchsorted pay on an (l, r)
+            # record array (measured 1.7 s of an st7 run at sf0.1, r14).
+            # Ids past 32 bits fall back to the structured dtype; the
+            # lexicographic (l, r) order and the packed-key order agree,
+            # so both representations answer membership identically.
             acc = emirror.get(step)
             n_acc = 0 if acc is None else len(acc)
             if n_acc + len(epdf) > _driver_cc_edge_limit(self.spark):
                 self._driver_step_edges = None
             else:
-                pair_t = np.dtype([("l", "<i8"), ("r", "<i8")])
-                pairs = np.empty(len(epdf), dtype=pair_t)
-                pairs["l"] = epdf["left_id"].to_numpy(dtype="int64")
-                pairs["r"] = epdf["right_id"].to_numpy(dtype="int64")
+                l64 = epdf["left_id"].to_numpy(dtype="int64")
+                r64 = epdf["right_id"].to_numpy(dtype="int64")
+                packable = len(l64) == 0 or (
+                    l64.min(initial=0) >= 0
+                    and r64.min(initial=0) >= 0
+                    and l64.max(initial=0) < (1 << 32)
+                    and r64.max(initial=0) < (1 << 32)
+                )
+                if acc is not None and acc.dtype == np.uint64 and not packable:
+                    # unpack the mirror once: ids outgrew 32 bits mid-step
+                    acc = np.empty(
+                        n_acc, dtype=np.dtype([("l", "<i8"), ("r", "<i8")])
+                    )
+                    acc["l"] = (emirror[step] >> np.uint64(32)).astype("int64")
+                    acc["r"] = (
+                        emirror[step] & np.uint64(0xFFFFFFFF)
+                    ).astype("int64")
+                    emirror[step] = acc
+                if packable and (acc is None or acc.dtype == np.uint64):
+                    pairs = (l64.astype(np.uint64) << np.uint64(32)) | r64.astype(
+                        np.uint64
+                    )
+                else:
+                    pairs = np.empty(
+                        len(epdf), dtype=np.dtype([("l", "<i8"), ("r", "<i8")])
+                    )
+                    pairs["l"] = l64
+                    pairs["r"] = r64
                 if n_acc:
                     pos = np.minimum(
                         np.searchsorted(acc, pairs), n_acc - 1
@@ -1359,26 +1435,32 @@ class Catalog:
                     keep = np.arange(len(pairs))
                 if len(keep):
                     sub = epdf.iloc[keep]
-                    self._append(
-                        "model_edges",
-                        self.spark.createDataFrame(
-                            pd.DataFrame(
-                                {
-                                    "step": [step] * len(keep),
-                                    "left_id": sub["left_id"].astype("int64").values,
-                                    "right_id": sub["right_id"].astype("int64").values,
-                                    "score": sub["score"].astype("float32").values,
-                                }
-                            ),
-                            _EDGES,
+                    delta = self._local_df(
+                        pd.DataFrame(
+                            {
+                                "step": [step] * len(keep),
+                                "left_id": sub["left_id"].astype("int64").values,
+                                "right_id": sub["right_id"].astype("int64").values,
+                                "score": sub["score"].astype("float32").values,
+                            }
                         ),
-                        materialised=True,
+                        _EDGES,
                     )
-                    merged = (
-                        np.unique(np.concatenate([acc, pairs[keep]]))
-                        if n_acc
-                        else np.unique(pairs[keep])
-                    )
+                    delta._mb_driver_resident = True
+                    self._append("model_edges", delta, materialised=True)
+                    # merge the sorted delta into the sorted mirror in one
+                    # O(acc + delta) pass: np.unique(concatenate) re-sorted
+                    # the FULL accumulated edge array every micro-batch
+                    # (O(E log E) — optimization r14). `add` is disjoint
+                    # from `acc` by the keep filter, so the insert is the
+                    # exact merge.
+                    add = np.unique(pairs[keep])
+                    if n_acc:
+                        merged = np.insert(
+                            acc, np.searchsorted(acc, add), add
+                        )
+                    else:
+                        merged = add
                     emirror[step] = merged
                 # the append invalidated the mirror; the step entry was
                 # merged with exactly the appended delta, so it is
@@ -1688,7 +1770,7 @@ class Catalog:
         if new_hashes:
             self._append(
                 "clusters",
-                self.spark.createDataFrame(
+                self._local_df(
                     pd.DataFrame(
                         {
                             "cluster_id": pd.array(
@@ -1731,7 +1813,7 @@ class Catalog:
         if contains_rows:
             self._append(
                 "contains",
-                self.spark.createDataFrame(
+                self._local_df(
                     pd.DataFrame(contains_rows, columns=["root", "leaf"]).astype(
                         "int64"
                     ),
@@ -1758,7 +1840,7 @@ class Catalog:
         # LocalRelation (LocalTableScan) with a REAL size estimate, while a
         # list lands as an RDD scan whose unknown (max) size estimate
         # forces sort-merge plans onto every downstream retrieval join
-        rc = self.spark.createDataFrame(
+        rc = self._local_df(
             pd.DataFrame(
                 {
                     "step": [r[0] for r in rc_rows],
@@ -1993,7 +2075,7 @@ class Catalog:
         if new_hashes:
             self._append(
                 "clusters",
-                self.spark.createDataFrame(
+                self._local_df(
                     pd.DataFrame(
                         {
                             "cluster_id": pd.array(
@@ -2027,7 +2109,7 @@ class Catalog:
         if contains_rows:
             self._append(
                 "contains",
-                self.spark.createDataFrame(
+                self._local_df(
                     pd.DataFrame(contains_rows, columns=["root", "leaf"]).astype(
                         "int64"
                     ),
@@ -2052,7 +2134,7 @@ class Catalog:
         if new_rc:
             self._append(
                 "resolver_clusters",
-                self.spark.createDataFrame(
+                self._local_df(
                     pd.DataFrame(
                         {
                             "step": [step] * len(new_rc),
@@ -2074,7 +2156,7 @@ class Catalog:
                 self._tier(
                     self._rc_tombstones,
                     self._rc_tomb_weights,
-                    self.spark.createDataFrame(
+                    self._local_df(
                         pd.DataFrame(
                             {
                                 "step": [step] * len(retired),

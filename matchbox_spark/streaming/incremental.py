@@ -89,16 +89,39 @@ def _index_batch(
     batch: DataFrame,
     key_field: str,
     index_fields: list[str],
-) -> None:
-    """H1-hash a batch, group to a content index, merge append-only (U6)."""
-    hashed = batch.select(
+    value_fields: list[str] | None = None,
+):
+    """H1-hash a batch, group to a content index, merge append-only (U6).
+
+    With ``value_fields`` (the r14 delta-pair map path) the per-hash FIRST
+    of each named field rides the same collect, string-cast for stable
+    driver-side equality — legal because the fields are part of the hashed
+    content (caller gates ``value_fields ⊆ index_fields``), so they are
+    constant within a hash group. Returns the catalog's mapped batch index
+    (a pandas frame with assigned ``cluster_id``) in that mode, or None
+    when the driver twin cannot run — the caller must then re-call without
+    ``value_fields`` (nothing was inserted)."""
+    cols = [
         row_hash_expr(batch.schema, sorted(index_fields)).alias("hash"),
         F.col(key_field).cast("string").alias("key"),
-    )
-    index = hashed.groupBy("hash").agg(
-        F.sort_array(F.collect_list("key")).alias("keys")
-    )
+    ]
+    if value_fields:
+        cols += [
+            F.col(f).cast("string").alias(f"_bv_{i}")
+            for i, f in enumerate(value_fields)
+        ]
+    hashed = batch.select(*cols)
+    aggs = [F.sort_array(F.collect_list("key")).alias("keys")]
+    if value_fields:
+        aggs += [
+            F.first(f"_bv_{i}").alias(f"_bv_{i}")
+            for i in range(len(value_fields))
+        ]
+    index = hashed.groupBy("hash").agg(*aggs)
+    if value_fields:
+        return catalog.insert_source_index_delta_mapped(step, index)
     catalog.insert_source_index_delta(step, index)
+    return None
 
 
 def incremental_index_stream(
@@ -179,9 +202,13 @@ def _touched_star_edges(
         # single-threaded (~3x slower at ~900k rows — same measurement as
         # _collect_edges_if_small); both call sites pass frames derived
         # from eagerly-checkpointed batch state, so the count is one cheap
-        # job and the collect stays a parallel Arrow transfer
-        if batch_leaves.count() <= limit:
+        # job and the collect stays a parallel Arrow transfer. A caller
+        # that already holds the leaves driver-side (the r14 delta-pair
+        # map path) attaches them as _mb_local_pdf — zero jobs then.
+        pdf = getattr(batch_leaves, "_mb_local_pdf", None)
+        if pdf is None and batch_leaves.count() <= limit:
             pdf = batch_leaves.toPandas()
+        if pdf is not None and len(pdf) <= limit:
             import pandas as pd
 
             leafset = {int(v) for v in pdf[pdf.columns[0]].tolist()}
@@ -248,6 +275,151 @@ def _touched_star_edges(
         )
     )
     return stars, touched_roots
+
+
+def _delta_pair_batch(
+    catalog: Catalog,
+    model_step: str,
+    resolver_step: str,
+    resolver_method,
+    bidx,
+    dcontract: dict,
+    dmap: dict,
+    spark,
+) -> bool:
+    """One micro-batch through the driver block map (optimization r14,
+    guide §1.2 "the distributed algorithm" / §2.4 remove shuffles outright).
+
+    Under the model's :meth:`delta_pairwise_contract` (edges = every
+    unordered distinct-id pair within a group of equal non-null
+    unique-field tuples, fixed score), a batch can only CREATE pairs that
+    touch one of its own rows — old×old pairs were created by the batch
+    that delivered the later old row. So instead of rebuilding the
+    O(accumulated) blocked superset and re-expanding every touched group's
+    full pair set per batch, keep a driver map ``tuple → member ids`` and
+    emit exactly the delta pairs (old×new ∪ new×new per block):
+
+    - ``new_edges`` equals the distributed branch's post-anti-join delta
+      by the contract (and still flows through
+      ``insert_model_edges_delta``'s anti-join, which makes batch replay a
+      no-op exactly as before);
+    - ``batch_leaves`` (the touched blocks' member union) is a SUBSET of
+      the distributed OR-superset that still contains every component
+      that can gain an edge (edges only form inside tuple blocks), and a
+      root starred under the wider set but untouched by any edge re-forms
+      to its own content-addressed id — byte-identical terminal state;
+    - CC input = delta pairs ∪ stars: every old×old pair's endpoints are
+      members of a prior (hence starred) component, so connectivity —
+      and therefore the assignments — matches the distributed branch.
+
+    ``max_group_size`` transfers: the moment a block's accumulated
+    distinct-member count exceeds the cap, the distributed branch drops
+    the whole group from that batch's pair output (earlier appends
+    persist) — the map path stops emitting at the same boundary.
+
+    Budget: pairs emitted this batch and total mapped members both bound
+    by the CC driver edge limit. Returns False BEFORE any mutation when a
+    batch would blow it — the caller falls back to the distributed
+    blocked-superset branch and retires the map for the rest of the run.
+    """
+    import pandas as pd
+
+    from matchbox_spark.plans.resolvers import _driver_cc_edge_limit
+
+    limit = _driver_cc_edge_limit(spark)
+    blocks: dict = dmap["blocks"]
+    cap = dcontract["cap"]
+    ids = bidx["cluster_id"].tolist()
+    valcols = [
+        bidx[f"_bv_{i}"].tolist() for i in range(len(dcontract["raw"]))
+    ]
+
+    # phase 1 — no mutation: the batch's new member ids per block, pair
+    # count, and the budget check
+    add: dict[tuple, set] = {}
+    touched: set = set()
+    for j, cid in enumerate(ids):
+        vals = tuple(col[j] for col in valcols)
+        if any(v is None for v in vals):
+            continue  # NaiveDeduper's na.drop: a null field never pairs
+        touched.add(vals)
+        prior = blocks.get(vals)
+        pend = add.setdefault(vals, set())
+        if (prior is not None and cid in prior) or cid in pend:
+            continue  # replayed / duplicate-content row: already a member
+        pend.add(int(cid))
+    total = 0
+    n_new_members = 0
+    for vals, pend in add.items():
+        n_old = len(blocks.get(vals) or ())
+        g = n_old + len(pend)
+        n_new_members += len(pend)
+        if not pend or g < 2 or (cap is not None and g > cap):
+            continue
+        total += n_old * len(pend) + len(pend) * (len(pend) - 1) // 2
+    if total > limit or dmap["rows"] + n_new_members > limit:
+        return False
+
+    # phase 2 — mutate the map, emit exactly the delta pairs
+    lefts: list[int] = []
+    rights: list[int] = []
+    for vals, pend in add.items():
+        s = blocks.setdefault(vals, set())
+        g = len(s) + len(pend)
+        if pend and g >= 2 and (cap is None or g <= cap):
+            new_sorted = sorted(pend)
+            for i, nid in enumerate(new_sorted):
+                for oid in s:
+                    if nid < oid:
+                        lefts.append(nid)
+                        rights.append(oid)
+                    else:
+                        lefts.append(oid)
+                        rights.append(nid)
+                for oid in new_sorted[i + 1 :]:
+                    lefts.append(nid)
+                    rights.append(oid)
+        s.update(pend)
+    dmap["rows"] += n_new_members
+
+    epdf = pd.DataFrame(
+        {
+            "left_id": pd.array(lefts, dtype="int64"),
+            "right_id": pd.array(rights, dtype="int64"),
+            "score": pd.array(
+                [dcontract["score"]] * len(lefts), dtype="float32"
+            ),
+        }
+    )
+    new_edges = spark.createDataFrame(
+        epdf, "left_id long, right_id long, score float"
+    )
+    new_edges._mb_local_pdf = epdf
+    new_edges._mb_driver_resident = True
+    catalog.insert_model_edges_delta(model_step, new_edges)
+
+    leaf_set: set = set()
+    for vals in touched:
+        leaf_set.update(blocks.get(vals) or ())
+    bl_pdf = pd.DataFrame(
+        {"leaf_id": pd.array(sorted(leaf_set), dtype="int64")}
+    )
+    batch_leaves = spark.createDataFrame(bl_pdf, "leaf_id long")
+    batch_leaves._mb_local_pdf = bl_pdf
+    batch_leaves._mb_driver_resident = True
+    stars, touched_roots = _touched_star_edges(
+        catalog, resolver_step, batch_leaves
+    )
+    cc_edges = _attach_cc_pdf(
+        new_edges if stars is None else new_edges.unionByName(stars),
+        epdf,
+        stars,
+    )
+    assignments = resolver_method.compute_clusters({model_step: cc_edges})
+    catalog.merge_resolver_clusters_delta(
+        resolver_step, assignments, candidate_roots=touched_roots
+    )
+    return True
 
 
 def _collect_edges_if_small(edges: DataFrame):
@@ -507,7 +679,65 @@ def incremental_resolve_stream(
     if resolve_cadence < 1:
         raise ValueError("resolve_cadence must be >= 1")
 
+    # r14 delta-pair map path: a field-blocked model declaring the
+    # pairwise contract (edges = all distinct-id pairs within equal
+    # non-null unique-field tuples, fixed score) streams through a driver
+    # block map — each batch emits only its old×new ∪ new×new pairs and
+    # never rebuilds the O(accumulated) blocked superset. Gated on: the
+    # contract fields being part of the hashed index content (so their
+    # per-hash values ride the index collect) and their types having
+    # stable driver-side equality under a string cast (floats excluded:
+    # Spark's groupBy normalises NaN and -0.0, the cast does not).
+    dcontract = None
+    dmap = {"live": None, "blocks": {}, "rows": 0}
+    if blocking_fields and not use_block_keys:
+        _pw = getattr(model, "delta_pairwise_contract", None)
+        _c = _pw() if callable(_pw) else None
+        if _c:
+            _prefix = f"{source_step}_"
+            _raw = [
+                f[len(_prefix):] if f.startswith(_prefix) else f
+                for f in _c["fields"]
+            ]
+            _dt = dict(stream.dtypes)
+            _ok = {"tinyint", "smallint", "int", "bigint", "string",
+                   "boolean", "date"}
+            if (
+                _raw
+                and set(_raw) <= set(index_fields)
+                and all(
+                    f in _dt
+                    and (_dt[f] in _ok or _dt[f].startswith("decimal"))
+                    for f in _raw
+                )
+            ):
+                dcontract = {
+                    "raw": _raw,
+                    "score": float(_c["score"]),
+                    "cap": _c["max_group_size"],
+                }
+
     run = {"from_start": False}  # did THIS run witness batch 0?
+
+    def _refresh_serving(batch: DataFrame) -> None:
+        if serving_matcher is None:
+            return
+        # keep the interactive lookup warm: patch the matcher's cached
+        # projection with just this batch's changed clusters (delta
+        # mode — merges only enter through batch rows) or fully
+        # re-materialise (full mode — any score may have drifted)
+        plan = unified_query(
+            catalog, [resolver_step], [source_step], level="key"
+        )
+        touched = (
+            batch.select(
+                F.lit(source_step).alias("source"),
+                F.col(key_field).cast("string").alias("key"),
+            ).distinct()
+            if (blocking_fields or use_block_keys)
+            else None
+        )
+        serving_matcher.refresh(plan, touched)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         if batch_id == 0:
@@ -523,7 +753,31 @@ def incremental_resolve_stream(
         # unrecoverably, so on fallback we skip the frees for this batch
         # (pre-r10 behaviour: blocks linger until a driver GC)
         fallbacks0 = catalog._ckpt_fallbacks
-        _index_batch(catalog, source_step, batch, key_field, index_fields)
+        bidx = None
+        if dcontract is not None and dmap["live"] is not False:
+            if dmap["live"] is None:
+                # the map is complete only if this run witnessed batch 0
+                # against a catalog holding no prior state for any of the
+                # stream's steps (pre-stream rows would be invisible to it)
+                dmap["live"] = run["from_start"] and not any(
+                    s in catalog.steps
+                    for s in (source_step, model_step, resolver_step)
+                )
+            if dmap["live"]:
+                bidx = _index_batch(
+                    catalog,
+                    source_step,
+                    batch,
+                    key_field,
+                    index_fields,
+                    value_fields=dcontract["raw"],
+                )
+                if bidx is None:
+                    # index twin dead (mirror invalidated / over-budget):
+                    # the map misses this batch's members — retire it
+                    dmap["live"] = False
+        if bidx is None:
+            _index_batch(catalog, source_step, batch, key_field, index_fields)
 
         if (
             not blocking_fields
@@ -535,6 +789,24 @@ def incremental_resolve_stream(
             # waits for the next cadence tick (or finalize_resolve); the
             # serving matcher keeps the last resolve's projection
             return
+
+        if bidx is not None:
+            if _delta_pair_batch(
+                catalog,
+                model_step,
+                resolver_step,
+                resolver_method,
+                bidx,
+                dcontract,
+                dmap,
+                batch.sparkSession,
+            ):
+                _refresh_serving(batch)
+                return
+            # batch blew the driver budget BEFORE any map mutation: the
+            # blocked-superset branch below handles it distributed, and
+            # the (now incomplete-going-forward) map retires for the run
+            dmap["live"] = False
 
         cfg = SourceConfig(
             name=source_step,
@@ -745,23 +1017,7 @@ def incremental_resolve_stream(
                 tag=f"b{batch_id}".encode(),
             )
 
-        if serving_matcher is not None:
-            # keep the interactive lookup warm: patch the matcher's cached
-            # projection with just this batch's changed clusters (delta
-            # mode — merges only enter through batch rows) or fully
-            # re-materialise (full mode — any score may have drifted)
-            plan = unified_query(
-                catalog, [resolver_step], [source_step], level="key"
-            )
-            touched = (
-                batch.select(
-                    F.lit(source_step).alias("source"),
-                    F.col(key_field).cast("string").alias("key"),
-                ).distinct()
-                if (blocking_fields or use_block_keys)
-                else None
-            )
-            serving_matcher.refresh(plan, touched)
+        _refresh_serving(batch)
 
     return (
         stream.writeStream.foreachBatch(_process)

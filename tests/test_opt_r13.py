@@ -315,8 +315,18 @@ def test_streaming_delta_twins_byte_identical_to_distributed(
         (r["left_id"], r["right_id"])
         for r in cat.model_edges.where(F.col("step") == "s_model").collect()
     }
+    import numpy as np
+
     acc = cat._driver_step_edges["s_model"]
-    assert {(int(p["l"]), int(p["r"])) for p in acc} == edge_rows
+    if acc.dtype == np.uint64:
+        # r14 mirror format: packed (l << 32) | r keys while ids fit 32 bits
+        mirror_pairs = {
+            (int(v >> np.uint64(32)), int(v & np.uint64(0xFFFFFFFF)))
+            for v in acc
+        }
+    else:
+        mirror_pairs = {(int(p["l"]), int(p["r"])) for p in acc}
+    assert mirror_pairs == edge_rows
 
     # force the legacy distributed loop end to end and compare
     monkeypatch.setenv("MATCHBOX_SPARK_INDEX_DRIVER_BYTES", "0")
