@@ -17,25 +17,70 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def dot_expr(a: Column | str, b: Column | str) -> Column:
-    """Σ aᵢ·bᵢ in double precision."""
-    pa = _c(a).cast("array<double>")
-    pb = _c(b).cast("array<double>")
-    return F.aggregate(
+# Unrolling beyond this width would push a single projection's codegen
+# past Spark's method-size comfort zone for no gain — typical embedding
+# dims (64-1024) stay well inside it.
+_MAX_UNROLL_DIM = 2048
+
+
+def vector_dim(df, col: str) -> int | None:
+    """Probe the width of an array column from its first row (one tiny
+    job). Feed the result to ``dot_expr``/``cosine_expr``'s ``dim`` so the
+    per-pair fold unrolls into whole-stage-codegen arithmetic — worth one
+    probe job for any operator that scores many pairs. None when the
+    frame is empty or the width is unusable."""
+    try:
+        row = df.select(F.size(F.col(col)).alias("d")).first()
+    except Exception:  # noqa: BLE001 — probing only; fold path still works
+        return None
+    if row is None or row["d"] is None:
+        return None
+    d = int(row["d"])
+    return d if 0 < d <= _MAX_UNROLL_DIM else None
+
+
+def dot_expr(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """Σ aᵢ·bᵢ in double precision.
+
+    With ``dim`` (optimization r14) the fold unrolls into a left-associated
+    chain of element products — the identical float addition sequence
+    ``((0.0 + a₁b₁) + a₂b₂) + …`` the ``aggregate`` lambda evaluates, so
+    results are bit-equal (pinned in tests), but the chain compiles into
+    whole-stage codegen while higher-order-function lambdas evaluate
+    interpreted per row (measured 2× at 4M 64-dim pairs). Rows whose
+    arrays are not exactly ``dim`` wide (ragged data, nulls) fall to the
+    fold inside a per-row guard, so the value is unconditionally correct;
+    ``dim`` is purely a fast-path hint from :func:`vector_dim`."""
+    ra, rb = _c(a), _c(b)
+    pa = ra.cast("array<double>")
+    pb = rb.cast("array<double>")
+    fold = F.aggregate(
         F.zip_with(pa, pb, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if dim is None or not (0 < dim <= _MAX_UNROLL_DIM):
+        return fold
+    acc = F.lit(0.0)
+    for i in range(dim):
+        # element-wise casts, not F.get on the cast array: Catalyst does
+        # not factor the repeated array<double> cast out of 2·dim GetItems
+        acc = acc + F.get(ra, i).cast("double") * F.get(rb, i).cast("double")
+    return F.when((F.size(ra) == dim) & (F.size(rb) == dim), acc).otherwise(
+        fold
+    )
 
 
-def norm_expr(a: Column | str) -> Column:
-    return F.sqrt(dot_expr(a, a))
+def norm_expr(a: Column | str, dim: int | None = None) -> Column:
+    return F.sqrt(dot_expr(a, a, dim))
 
 
-def cosine_expr(a: Column | str, b: Column | str) -> Column:
+def cosine_expr(
+    a: Column | str, b: Column | str, dim: int | None = None
+) -> Column:
     """Cosine similarity; 0.0 when either vector has zero norm."""
-    num = dot_expr(a, b)
-    den = norm_expr(a) * norm_expr(b)
+    num = dot_expr(a, b, dim)
+    den = norm_expr(a, dim) * norm_expr(b, dim)
     return F.when(den > 0, num / den).otherwise(F.lit(0.0))
 
 

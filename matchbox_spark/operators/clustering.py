@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from matchbox_spark.functions.vectors import dot_expr, norm_expr
+from matchbox_spark.functions.vectors import dot_expr, norm_expr, vector_dim
 
 _DEC = "decimal(28,12)"
 
@@ -48,7 +48,20 @@ LITERAL_CENTROID_MAX = 256
 
 
 def _lit_array(values: list[float]) -> F.Column:
-    return F.array(*[F.lit(float(v)) for v in values])
+    """Literal double array as ONE parsed SQL expression (optimization r14).
+
+    ``F.array(*[F.lit(v) ...])`` costs one py4j round trip per element —
+    ~65 per centroid, thousands per k-means assignment build, measured as
+    multi-second driver-side plan-construction time on v5/v6/d11. The SQL
+    double literal parses through Double.parseDouble on Python repr()
+    output (shortest round-trip form), so the resulting Literal nodes are
+    bit-identical to F.lit's. Non-finite values fall back to F.lit."""
+    import math
+
+    vals = [float(v) for v in values]
+    if vals and all(math.isfinite(v) for v in vals):
+        return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
 
 
 def _sqdist_dec(vec: F.Column, centroid: list[float]) -> F.Column:
@@ -380,17 +393,26 @@ def semdedup(
     whole pair stream on ≤8 tasks).
     """
     centroids = _seed_centroids(df, k, id_col, vec_col)
-    assigned = assign_to_centroids(df, centroids, id_col, vec_col, assign_method).select(
-        "id", "cluster"
-    )
+    # the assignment feeds BOTH pair sides and the final keep join — three
+    # plan copies, each re-running the k·dim decimal argmin over the full
+    # corpus (measured ~1 s per copy at sf0.1, r14). Materialise it once:
+    # (id, cluster) is 16 bytes/row, linear next to the operator's (n/k)²
+    # pair contract (guide §5 — reuse costs more to recompute than to hold)
+    assigned = assign_to_centroids(
+        df, centroids, id_col, vec_col, assign_method
+    ).select("id", "cluster").localCheckpoint(eager=True)
     # norms computed once per row, not once per pair; the per-pair formula
     # stays dot/(na·nb) — the identical float path the oracle's
-    # dot/(sqrt·sqrt) takes, so round-6 parity holds
+    # dot/(sqrt·sqrt) takes, so round-6 parity holds. The dim probe
+    # unrolls the per-pair dot into codegen (bit-equal left fold, r14) —
+    # the pair stage is this operator's quadratic term, so the one probe
+    # job amortises unlike the window-heavy top-k plans where it lost.
+    dim = vector_dim(df, vec_col)
     vecs = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    vecs = vecs.select("id", "v", norm_expr("v").alias("nrm"))
+    vecs = vecs.select("id", "v", norm_expr("v", dim).alias("nrm"))
     a_ids = assigned.select("cluster", F.col("id").alias("ida"))
     b_ids = assigned.select("cluster", F.col("id").alias("idb"))
     pair_ids = (
@@ -405,7 +427,7 @@ def semdedup(
         F.col("id").alias("idb"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
     den = F.col("na") * F.col("nb")
-    cos = F.when(den > 0, dot_expr("va", "vb") / den).otherwise(F.lit(0.0))
+    cos = F.when(den > 0, dot_expr("va", "vb", dim) / den).otherwise(F.lit(0.0))
     dups = (
         pair_ids.join(va, "ida")
         .join(vb, "idb")

@@ -19,6 +19,7 @@ from matchbox_spark.functions.vectors import (
     dot_expr,
     norm_expr,
     sign_bucket_expr,
+    vector_dim,
 )
 
 
@@ -42,6 +43,10 @@ def cosine_topk(
     # plan-shape lesson 5) repeated |queries| times per corpus row. The
     # factored den = qn·cn is the identical float product of the identical
     # sqrt(dot(v,v)) values, so results are bit-equal (verified).
+    # (r14 measured: unrolling this dot via a dim probe REGRESSED v1 —
+    # 1.5 -> 2.5 s at sf0.1 — the 64-term trees inflate analysis/codegen
+    # time, which dominates these window-heavy plans at bench scale; the
+    # unroll stays where pair volume dominates, see exact_cosine_pairs.)
     c = corpus.select(
         F.col(corpus_id).cast("long").alias("neighbor"),
         F.col(corpus_vec).alias("_cv"),
@@ -103,38 +108,40 @@ def exact_cosine_pairs(
     #    contract.
     # 2. The similarity must NOT ride in the join condition: Catalyst
     #    merges a `.where(sim ≥ t)` into the BNLJ condition and orders it
-    #    BEFORE the cheap id comparison, so the interpreted HOF fold ran
-    #    for every ORDERED candidate pair inside the non-codegen join
-    #    loop (measured conjunct order `(dot ≥ 0.35) AND (id_a < id_b)`).
-    #    Computing sim in a Project above the join (with a
-    #    nondeterministic passenger column, which predicate pushdown
-    #    refuses to cross) keeps the join condition to the id comparison
-    #    and evaluates the fold once per surviving i<j pair in a
-    #    codegen-friendly operator: measured ~10× faster than the same
-    #    fold in the join condition at equal parallelism. The passenger
-    #    is dropped before returning; values, filter boundary, and output
-    #    are identical (same dot_expr fold, same round).
+    #    BEFORE the cheap id comparison, so the fold ran for every ORDERED
+    #    candidate pair inside the non-codegen join loop (measured
+    #    conjunct order `(dot ≥ 0.35) AND (id_a < id_b)`). The r13
+    #    attempt — an unreferenced spark_partition_id() passenger column —
+    #    was column-pruned BEFORE the pushdown check, so the committed
+    #    plan still evaluated the fold in the condition. The barrier that
+    #    survives optimization (r14, guide §4.4) wraps the sim itself:
+    #    `when(spark_partition_id() >= 0, sim)` is value-identical (the
+    #    guard is always true) but NONDETERMINISTIC, and PushDownPredicate
+    #    refuses to substitute a nondeterministic alias into a pushed
+    #    filter — the after-plan's join condition is the id comparison
+    #    alone, with the sim in a codegen Project above it.
     cores = df.sparkSession.sparkContext.defaultParallelism
+    dim = vector_dim(df, vec_col)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    a = a.repartition(cores)
+    if a.rdd.getNumPartitions() < cores:
+        # single-split scans leave the O(n²) BNLJ on one task; wide inputs
+        # pass untouched (the r13 unconditional repartition re-shuffled
+        # an already-wide vector side for nothing at warehouse scale)
+        a = a.repartition(cores)
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if assume_normalized:
-        sim = dot_expr("_va", "_vb")
+        sim = dot_expr("_va", "_vb", dim)
     else:
-        a = a.withColumn("_na", norm_expr(F.col("_va")))
-        b = b.withColumn("_nb", norm_expr(F.col("_vb")))
+        a = a.withColumn("_na", norm_expr(F.col("_va"), dim))
+        b = b.withColumn("_nb", norm_expr(F.col("_vb"), dim))
         den = F.col("_na") * F.col("_nb")
         sim = F.when(
-            den > 0, dot_expr("_va", "_vb") / den
+            den > 0, dot_expr("_va", "_vb", dim) / den
         ).otherwise(F.lit(0.0))
+    sim = F.when(F.spark_partition_id() >= 0, sim)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            sim.alias("_sim"),
-            F.spark_partition_id().alias("_nd"),
-        )
+        .select("id_a", "id_b", sim.alias("_sim"))
         .where(F.col("_sim") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("_sim", 6).alias("cos_sim"))
     )
@@ -345,7 +352,9 @@ def ann_topk(
         .select(
             "query",
             "neighbor",
-            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+            F.round(cosine_expr(F.col("_qv"), F.col("_cv")), 6).alias(
+                "cosine"
+            ),
         )
         .dropDuplicates(["query", "neighbor"])
     )
@@ -461,36 +470,43 @@ def ivf_pq_topk(
             for mi in range(m_subspaces)
         ]
 
-    def _lit_vec(vals):
-        return F.array(*[F.lit(v) for v in vals])
-
+    # The encode/ADC expressions build as SQL STRINGS parsed by ONE
+    # F.expr each (optimization r14): the F.zip_with/F.aggregate wrappers
+    # cost ~9 ms of py4j round trips PER higher-order function, and the
+    # codebook fans out to m·n_codes·3 dots — 278 HOF constructions,
+    # ~3.3 s of v6's measured 4.4 s driver-side plan-build time. The
+    # parser yields the identical Literal/LambdaFunction trees (double
+    # literals via repr() round-trip through parseDouble bit-exactly),
+    # so plans and results are unchanged.
     def _sub(col, mi):
-        return F.slice(col, mi * sub + 1, sub)
+        return f"slice({col}, {mi * sub + 1}, {sub})"
+
+    def _lit_sql(vals):
+        return "array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")"
 
     def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+            "(acc, x) -> acc + x)"
         )
 
     def _l2sq(a, b):
         # expansion form ‖a‖² − 2a·b + ‖b‖², term order fixed — built from
         # the dot product both engines evaluate identically (the v1/v2b
         # precedent), so the oracle replays the encode argmin exactly
-        return (_dot(a, a) - F.lit(2.0) * _dot(a, b)) + _dot(b, b)
+        return f"(({_dot(a, a)} - 2.0D * {_dot(a, b)}) + {_dot(b, b)})"
 
     # encode: per subspace, argmin over codeword L2² (round-6, tie → low
     # code). Codewords are literals — zero-shuffle codegen projection.
     def _code(col, mi):
-        cands = [
-            F.struct(
-                F.round(_l2sq(_sub(col, mi), _lit_vec(codebook[mi][ci])), 6).alias("d"),
-                F.lit(ci).alias("c"),
-            )
+        cands = ", ".join(
+            "named_struct('d', round("
+            + _l2sq(_sub(col, mi), _lit_sql(codebook[mi][ci]))
+            + f", 6), 'c', {ci})"
             for ci in range(n_codes)
-        ]
-        return (cands[0] if n_codes == 1 else F.least(*cands))["c"]
+        )
+        body = cands if n_codes == 1 else f"least({cands})"
+        return F.expr(body)["c"]
 
     sim_c = F.round(cosine_expr(F.col("_cv"), F.col("centroid")), 6)
     assigned = (
@@ -507,8 +523,8 @@ def ivf_pq_topk(
         .select(
             "neighbor",
             "list_id",
-            F.round(F.sqrt(_dot(F.col("_cv"), F.col("_cv"))), 6).alias("_cnorm"),
-            *[_code(F.col("_cv"), mi).alias(f"_code{mi}") for mi in range(m_subspaces)],
+            F.expr(f"round(sqrt({_dot('_cv', '_cv')}), 6)").alias("_cnorm"),
+            *[_code("_cv", mi).alias(f"_code{mi}") for mi in range(m_subspaces)],
         )
     )
 
@@ -533,18 +549,20 @@ def ivf_pq_topk(
     # ADC tables: per query, one array of round-6 inner products per
     # subspace (m·n_codes rounded dots — codegen, no shuffle)
     tbl_cols = [
-        F.array(
-            *[
-                F.round(_dot(_sub(F.col("_qv"), mi), _lit_vec(codebook[mi][ci])), 6)
+        F.expr(
+            "array("
+            + ",".join(
+                f"round({_dot(_sub('_qv', mi), _lit_sql(codebook[mi][ci]))}, 6)"
                 for ci in range(n_codes)
-            ]
+            )
+            + ")"
         ).alias(f"_tbl{mi}")
         for mi in range(m_subspaces)
     ]
     q_scored = q_lists.select(
         "query",
         "list_id",
-        F.round(F.sqrt(_dot(F.col("_qv"), F.col("_qv"))), 6).alias("_qnorm"),
+        F.expr(f"round(sqrt({_dot('_qv', '_qv')}), 6)").alias("_qnorm"),
         *tbl_cols,
     )
     # candidate score: explicit left-assoc sum of the m table lookups, then
