@@ -108,6 +108,64 @@ def _apply_merge(
     )
 
 
+def _bpe_driver_vocab_max() -> int:
+    """Vocab-row budget for the driver BPE twin (optimization r14).
+
+    The working vocabulary is bounded by ``top_words`` BY CONSTRUCTION, so
+    when that bound is small the whole merge loop — pair counts, argmax,
+    greedy rewrite — runs on driver lists in microseconds instead of
+    2 Spark jobs + a parquet round-trip PER MERGE (measured: t13's 3-merge
+    train+encode spent 4.4 s in spark.read.parquet footer reads alone).
+    Everything is integer/string arithmetic: Python replays the SQL
+    semantics exactly (UTF-8 byte order == code-point order for the
+    tie-breaks). 0 disables the twin (the byte-identity tests use this).
+    """
+    import os
+
+    try:
+        return int(os.environ.get("MATCHBOX_SPARK_BPE_DRIVER_VOCAB", "100000"))
+    except ValueError:
+        return 100_000
+
+
+def _vocab_rows_py(docs: DataFrame, text_col: str, top_words: int):
+    """One job: the trainer's working vocabulary collected to the driver
+    as ``[(word, freq, syms)]`` in (freq DESC, word ASC) order."""
+    rows = _top_vocab(docs, text_col, top_words).collect()
+    return [(r["word"], int(r["freq"]), list(r["word"])) for r in rows]
+
+
+def _pair_argmax_py(vocab):
+    """The trainer's argmax: Σ freq per adjacent pair, best by
+    (count DESC, lhs ASC, rhs ASC). None when no word has 2+ symbols."""
+    counts: dict[tuple[str, str], int] = {}
+    for _, freq, syms in vocab:
+        for i in range(len(syms) - 1):
+            key = (syms[i], syms[i + 1])
+            counts[key] = counts.get(key, 0) + freq
+    if not counts:
+        return None
+    best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+    return best[0][0], best[0][1], best[1]
+
+
+def _merge_once_py(syms, a, b):
+    """Greedy left-to-right rewrite of adjacent (a, b) → a+b — the exact
+    gaps-and-islands semantics of :func:`_apply_merge` (odd in-island
+    ranks ≡ a left scan that skips the consumed position)."""
+    out = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
@@ -130,6 +188,25 @@ def bpe_train(
     import tempfile
 
     spark = docs.sparkSession
+    if top_words <= _bpe_driver_vocab_max():
+        # driver twin: one vocabulary job, then the merge loop on lists
+        # (see _bpe_driver_vocab_max); identical outputs pinned in pytest
+        vocab_py = _vocab_rows_py(docs, text_col, top_words)
+        merges_py: list[tuple[int, str, str, int]] = []
+        for it in range(n_merges):
+            best = _pair_argmax_py(vocab_py)
+            if best is None:
+                raise ValueError(f"no adjacent pairs left at merge {it}")
+            a, b, c = best
+            merges_py.append((it, a, b, c))
+            vocab_py = [
+                (w, f, _merge_once_py(s, a, b)) for w, f, s in vocab_py
+            ]
+        total_py = sum(len(s) * f for _, f, s in vocab_py)
+        out_py = merges_py + [(-1, "__symbols__", "", int(total_py))]
+        return spark.createDataFrame(
+            out_py, "it int, lhs string, rhs string, pair_freq long"
+        ).orderBy("it")
     vocab = _top_vocab(docs, text_col, top_words)
     # Round materialisation is a PARQUET round-trip, not a localCheckpoint
     # chain (round 11): chained per-round localCheckpoints on this plan
@@ -215,6 +292,19 @@ def bpe_encode(
     import tempfile
 
     spark = docs.sparkSession
+    if top_words <= _bpe_driver_vocab_max():
+        # driver twin (see bpe_train): one vocabulary job, the rank-ordered
+        # single-pass rewrites on lists, one LocalRelation back
+        vocab_py = _vocab_rows_py(docs, text_col, top_words)
+        for a, b in merges:
+            a, b = str(a), str(b)
+            vocab_py = [
+                (w, f, _merge_once_py(s, a, b)) for w, f, s in vocab_py
+            ]
+        return spark.createDataFrame(
+            [(w, f, s) for w, f, s in vocab_py],
+            "word string, freq long, syms array<string>",
+        )
     vocab = _top_vocab(docs, text_col, top_words)
     # parquet round-trips, same rationale as bpe_train (round 11: chained
     # localCheckpoints degrade superlinearly past ~8 rounds). The RETURNED

@@ -139,6 +139,32 @@ def test_edge_mirror_packed_matches_structured(spark, tmp_path):
     )
 
 
+def test_bpe_driver_twin_matches_distributed(spark, monkeypatch):
+    """bpe_train/bpe_encode's r14 driver twin must reproduce the parquet
+    round-trip path row for row — merges (order, pairs, counts), the
+    it = -1 surviving-symbol total, and every word's final segmentation."""
+    from matchbox_spark.operators.tokenize import bpe_encode, bpe_train
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def run():
+        trained = bpe_train(docs, n_merges=3, top_words=60)
+        rows = [tuple(r) for r in trained.collect()]
+        merges = [(r[1], r[2]) for r in rows if r[0] >= 0]
+        enc = bpe_encode(docs, merges, top_words=60)
+        seg = sorted(
+            (r["word"], r["freq"], tuple(r["syms"])) for r in enc.collect()
+        )
+        return rows, seg
+
+    monkeypatch.delenv("MATCHBOX_SPARK_BPE_DRIVER_VOCAB", raising=False)
+    driver_rows, driver_seg = run()
+    monkeypatch.setenv("MATCHBOX_SPARK_BPE_DRIVER_VOCAB", "0")
+    dist_rows, dist_seg = run()
+    assert driver_rows == dist_rows
+    assert driver_seg == dist_seg
+
+
 @pytest.mark.parametrize("cap", [None, 3])
 def test_delta_pair_map_matches_distributed_with_cap(
     spark, tmp_path, monkeypatch, cap
