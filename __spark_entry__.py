@@ -116,6 +116,26 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _resolve_ts(stream)
 
 
+def _stream_state_parts(spark, sf_dir, table="events"):
+    """State-store partition count for the bounded availableNow drains:
+    one partition per ~32 MB of compressed input, clamped to
+    [1, defaultParallelism]. Every state store pays a fixed open/commit
+    file cost per micro-batch (plus the final empty watermark batch), so
+    the count must track STATE SIZE — bounded by the drained input here —
+    not the session's core count (guide §2.2 fewer-larger partitions;
+    measured on st5: 32 stores 7.7-13.5 s vs 4-8 stores 2.2-3.1 s, same
+    384 output rows). Scale-adaptive: a 100 TB input saturates the clamp
+    and keeps the session default."""
+    import os as _os
+
+    try:
+        nbytes = _os.path.getsize(f"{sf_dir}/{table}.parquet")
+    except OSError:
+        return None
+    parts = max(1, (nbytes + (32 << 20) - 1) // (32 << 20))
+    return int(min(parts, spark.sparkContext.defaultParallelism))
+
+
 def _dec6(col):
     """round→decimal(18,6): exact cross-engine aggregation of doubles.
 
@@ -3635,7 +3655,10 @@ def st2_streaming_sessions(spark, sf):
 
     stream = _events_stream(spark, sf)
     sessions = streaming_session_stats(stream, gap="30 minutes")
-    return drain_to_memory(sessions, spark, output_mode="complete")
+    return drain_to_memory(
+        sessions, spark, output_mode="complete",
+        state_partitions=_stream_state_parts(spark, sf),
+    )
 
 
 @_q(
@@ -3657,7 +3680,10 @@ def st3_streaming_dedupe(spark, sf):
     deduped = streaming_distinct(
         stream, ["user_id", "event_type"], ts_col="ts", watermark="7 days"
     ).select("user_id", "event_type")
-    return drain_to_memory(deduped, spark, output_mode="append")
+    return drain_to_memory(
+        deduped, spark, output_mode="append",
+        state_partitions=_stream_state_parts(spark, sf),
+    )
 
 
 @_q(
@@ -3732,7 +3758,10 @@ def st5_stream_stream(spark, sf):
         clicks, purchases, on="user_id", left_ts="c_ts", right_ts="p_ts",
         lookback="1 hour", watermark="2 hours",
     ).select("click_id", "purchase_id")
-    return drain_to_memory(joined, spark, output_mode="append")
+    return drain_to_memory(
+        joined, spark, output_mode="append",
+        state_partitions=_stream_state_parts(spark, sf),
+    )
 
 
 @_q(
@@ -3752,6 +3781,10 @@ def st4_stateful_stats(spark, sf):
 
     stream = _events_stream(spark, sf)
     out = stateful_user_stats(stream)
+    # NOT state_partitions-sized: applyInPandasWithState is bound by the
+    # per-group PYTHON work, not store-commit overhead — 1 partition made
+    # one worker process every group (2.3 -> 7.0 s measured); the session
+    # parallelism is right here
     return drain_to_memory(out, spark, output_mode="append")
 
 
@@ -5378,7 +5411,10 @@ def st6_stream_static(spark, sf):
         F.col("n_name").alias("nation"),
         F.round("value", 6).cast("double").alias("value"),
     )
-    return drain_to_memory(enriched, spark, output_mode="append")
+    return drain_to_memory(
+        enriched, spark, output_mode="append",
+        state_partitions=_stream_state_parts(spark, sf),
+    )
 
 
 @_q(

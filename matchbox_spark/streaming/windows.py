@@ -73,21 +73,41 @@ def drain_to_memory(
     spark: SparkSession,
     output_mode: str = "append",
     checkpoint_dir: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a bounded streaming plan to completion (availableNow) into a
-    memory sink and return the terminal table as a batch DataFrame."""
+    memory sink and return the terminal table as a batch DataFrame.
+
+    ``state_partitions`` (optimization r14): the number of state-store
+    partitions a stateful query is born with — every store pays a fixed
+    open/commit/file cost PER MICRO-BATCH (availableNow adds a final
+    empty watermark batch that pays it again), so oversizing the count to
+    the session's shuffle default dominates small drains: st5's interval
+    join measured 7.7-13.5 s at 32 partitions vs 2.2-3.1 s at 4-8 with
+    identical output. Size it from expected STATE (e.g. input bytes), not
+    core count. Set transiently around start() — the stateful operator
+    pins its partitioning from the conf at query start; the session value
+    is restored before returning."""
     _MEMSINK_SEQ[0] += 1
     name = f"_mbspark_memsink_{_MEMSINK_SEQ[0]}"
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="mbspark_stream_ckpt_")
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    old_parts = None
+    if state_partitions is not None:
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(state_partitions)))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     q.awaitTermination()
     return spark.table(name)
 
