@@ -1,8 +1,8 @@
-"""Dump `.explain("formatted")` for named declared queries to plans/r13/.
+"""Dump `.explain("formatted")` for named declared queries to plans/<round>/.
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
 
-Writes plans/r13/<query>_<suffix>.txt for each query (default: the bench
+Writes plans/$MBSPARK_PLAN_ROUND/<query>_<suffix>.txt (default r14) for each query (default: the bench
 headline set). `suffix` is `before` / `after` per the optimization-round
 deliverable: the committed files let a reviewer check plan-shape claims
 (Exchange count, join strategy, PushedFilters) without running Spark.
@@ -37,8 +37,9 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    rnd = os.environ.get("MBSPARK_PLAN_ROUND", "r14")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+        os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
 
     import __spark_entry__ as entrymod
