@@ -156,13 +156,16 @@ def _bitset_jaccard(spark, sh, threshold, max_shingle_freq, cores):
         if max_shingle_freq is None or int(r["f"]) <= max_shingle_freq
     )
     n_docs = sh.select("doc").distinct().count()
-    if n_docs * (n_docs - 1) // 2 > 4 * max(fanout, 1):
-        return None  # sparse corpus: the posting fan-out is the cheaper shape
-
-    import pandas as pd
-
     nv = len(vocab)
     w = (nv + 63) // 64
+    # cost model: a cross pair costs ~w word-ops of codegen popcount; a
+    # posting-expansion row costs roughly one shuffled+aggregated row
+    # (~8 word-ops-equivalent, conservative). A sparse or very wide-mask
+    # corpus stays on the posting path.
+    if n_docs * (n_docs - 1) // 2 * w > 8 * max(fanout, 1):
+        return None
+
+    import pandas as pd
     mapping = spark.createDataFrame(
         pd.DataFrame({"sh": vocab, "_i": range(nv)}), "sh string, _i int"
     )
